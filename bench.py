@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is forced with the noop sink (full computation, no driver
+collect) — the number measures the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mlvectordb_spark.queries import QUERIES
+from mlvectordb_spark.session import get_spark
+
+HEADLINE = [
+    "knn_l2",
+    "knn_cosine",
+    "knn_batch",
+    "range_l2",
+    "hybrid_knn",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "top_orders_per_cust",
+    "revenue_by_month",
+    "events_json",
+    "events_tumbling",
+    "events_sessionize",
+    "doc_quality",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("mlvectordb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not first-touch JIT
+    QUERIES["ns_stats"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

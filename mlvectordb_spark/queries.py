@@ -1,0 +1,1112 @@
+"""Query registry: every operator exposed as (spark, sf_dir) -> DataFrame,
+with an ANSI-SQL DuckDB oracle per entry (driver contract, __spark_entry__.py).
+
+Oracle-parity design rules (applied uniformly):
+- All float math in DOUBLE on both engines (embeddings are float32 on disk;
+  both sides cast before computing).
+- Every float output column is ROUND()ed — identically on both sides — so
+  last-ulp fold-order differences between engines never flip a value hash.
+  Sums of ~1e8 magnitude round to 2 decimals; unit-scale scores to 4.
+- Every top-k is ordered by (rounded score, id): deterministic row SET even
+  when raw scores tie or differ by ulps.
+- Aggregate counts are BIGINT on both sides (DuckDB sum() yields HUGEINT —
+  always cast); timestamps only ever surface date_trunc'd.
+- Column names are aliased identically in the Spark plan and the SQL text.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mlvectordb_spark.functions import text as TX
+from mlvectordb_spark.functions import vector as V
+from mlvectordb_spark.operators.knn import knn, knn_join, range_query, threshold_query
+from mlvectordb_spark.sources.testdata import load_table
+
+# ---------------------------------------------------------------------------
+# shared constants (single source of truth for Spark + oracle SQL)
+
+QUERY_VID = 0          # the probe vector for single-query KNN
+KNN_K = 10
+RANGE_RADIUS = 1.45    # l2² radius (probed: ~5th pctile of pair distances)
+COS_THRESHOLD = 0.22   # cosine sim threshold (~top few %)
+HYBRID_LABEL = 3
+BATCH_QUERY_MAX_VID = 8
+BATCH_K = 3
+
+# DuckDB fragments -----------------------------------------------------------
+
+_Q_CTE = f"(SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VID})"
+
+def _sql_l2sq(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 65), i -> "
+        f"({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+    )
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+def _sql_cos(a: str, b: str) -> str:
+    d = _sql_dot(a, b)
+    na = _sql_dot(a, a)
+    nb = _sql_dot(b, b)
+    return f"({d} / (sqrt({na}) * sqrt({nb})))"
+
+
+# ---------------------------------------------------------------------------
+# Vector queries (reference Q1-Q4, Q12-Q15, Q18-Q19 — SURVEY.md §2.2)
+
+def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/Q4: exact top-k by squared-L2 (the reference's `l2` space score,
+    hnswlib squared distances — implementations/index.py:18)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    return knn(emb, qvec, KNN_K, metric="l2").select("vec_id", "label", "score")
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/Q4: top-k by cosine similarity (descending — reference flips
+    1−dist back to similarity at implementations/index.py:126-127)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    return knn(emb, qvec, KNN_K, metric="cosine").select("vec_id", "label", "score")
+
+
+def q_knn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: inner-product metric (hnswlib `ip` space, reachable via ctor)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    return knn(emb, qvec, KNN_K, metric="ip").select("vec_id", "label", "score")
+
+
+def q_range_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 (declared, README:67-75): all vectors within radius."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    return range_query(emb, qvec, RANGE_RADIUS, metric="l2").select("vec_id", "score")
+
+
+def q_threshold_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 (declared, README:462-470): similarity >= threshold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    return threshold_query(emb, qvec, COS_THRESHOLD, metric="cosine").select(
+        "vec_id", "score"
+    )
+
+
+def q_hybrid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 (declared, README:288-299): metadata predicate ∧ KNN. `label`
+    plays the metadata role; the filter sits under the kernel so it reaches
+    the parquet scan as a pushed predicate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    return knn(
+        emb, qvec, 5, metric="cosine", pre_filter=F.col("label") == HYBRID_LABEL
+    ).select("vec_id", "label", "score")
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: batch KNN join — top-k per query vector via broadcast crossJoin +
+    per-query window (implementations/index.py:108-111 is matrix-shaped)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERY_MAX_VID).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    data = emb.filter(F.col("vec_id") >= BATCH_QUERY_MAX_VID)
+    out = knn_join(data, queries, BATCH_K, metric="l2")
+    return out.select("query_id", "vec_id", "score")
+
+
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 (declared Vector.normalize, README:180): unit-normalized vectors,
+    elementwise-rounded for stable hashing."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return emb.select(
+        "vec_id", V.normalize("embedding", decimals=4).alias("unit_vec")
+    )
+
+
+def q_pairwise_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 (declared Vector.distance): pairwise euclidean distance on a
+    bounded slice (self-join)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(V.l2_dist("va", "vb"), 4).alias("dist")
+        )
+    )
+
+
+def q_ns_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-Q11 analog (get_storage_info, storage_engine_in_memory.py:61-69):
+    per-namespace counts + estimated size; label plays the namespace."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            (F.count("*") * F.lit(64 * 4)).alias("est_bytes"),
+            F.round(F.avg(V.dot("embedding", "embedding")), 4).alias("avg_sq_norm"),
+        )
+    )
+
+
+def q_multi_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: order-preserving multi-get with null markers for misses
+    (storage_engine_in_memory.py:42-44; alignment test :76-82).
+    Requested ids include two misses (-1 and 10**9)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    req = spark.createDataFrame(
+        [(1, 3), (2, -1), (3, 7), (4, 10**9), (5, 0)], "pos INT, req_id BIGINT"
+    )
+    return (
+        req.join(emb, req.req_id == emb.vec_id, "left")
+        .select(
+            "pos",
+            "req_id",
+            F.col("vec_id").isNotNull().alias("found"),
+            F.col("label"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational layer (SURVEY.md §2.4 — oracle-checked category coverage)
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: scan + filter + groupBy with 8 aggregates
+    (map-side partial aggregation; only 4 groups reach the shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: 3-way join + agg + top-10.
+    customer is small → Catalyst broadcasts it; lineitem never shuffles
+    for that join."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-way join through region→nation→{customer,supplier}
+    with dimension broadcast; revenue per nation."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dim = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(dim), supp.s_nationkey == F.col("n_nationkey"))
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group: 3 highest-value orders per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(status, priority): hierarchical subtotals."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority): all grouping-set combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers who never ordered (reference's deleted-id
+    exclusion is the same shape — SURVEY.md §2.4 semi/anti row)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_cust_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: customers with at least one order over 400k."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+def q_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: segments of high-balance customers INTERSECT segments of
+    BUILDING-or-MACHINERY customers, then EXCEPT one literal."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 5000).select("c_mktsegment")
+    b = cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "FURNITURE")).select(
+        "c_mktsegment"
+    )
+    lit_df = a.sparkSession.createDataFrame([("FURNITURE",)], "c_mktsegment STRING")
+    return a.intersect(b).exceptAll(lit_df)
+
+
+def q_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions + agg: monthly order revenue trend."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_part_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: LIKE filter + upper + concat on part names."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%red%"))
+        .select(
+            "p_partkey",
+            F.upper(F.col("p_name")).alias("uname"),
+            F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+            F.length(F.col("p_name")).cast("bigint").alias("name_len"),
+        )
+    )
+
+
+def q_lineitem_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's enrichment join shape (Q1 step 2,
+    query_processor.py:37-49): a k-row result set joined back to the big
+    table — broadcast the small side, big side unshuffled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    top_parts = (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice")), 2).alias("spend"))
+        .orderBy(F.col("spend").desc(), F.col("l_partkey").asc())
+        .limit(5)
+    )
+    return top_parts.join(F.broadcast(part), top_parts.l_partkey == part.p_partkey).select(
+        "l_partkey", "p_name", "p_brand", "spend"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: JSON + time windows (SURVEY.md §2.4 streaming row; batch-mode
+# equivalents of the Structured Streaming operators in streaming/)
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (metadata_json parity — SURVEY.md §1.4): per event
+    type, stats over props.k."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch `window()`; the streaming
+    twin lives in streaming/events.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour long, 30-minute slide): each event lands in
+    two windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap>30min cumsum (the batch twin of
+    session_window in streaming/): sessions per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def q_events_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup: first event per (user, type) by (ts, id) —
+    dropDuplicates keeps an arbitrary row, so this is the
+    deterministic formulation (row_number = 1)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Documents: text analysis + dedup (LLM-data-pipeline layer)
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document stats (token counting over the documents
+    table)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = TX.token_count("text").cast("bigint")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ntok).alias("total_tokens"),
+            F.round(F.avg(ntok), 4).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stopword-marker language ID per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", TX.lang_id_expr("text").alias("pred_lang")
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score per document (length / diversity / density)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: exact md5 + min-shingle (1-seed minhash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.doc_fingerprint("text").alias("fp_exact"),
+        TX.min_shingle_fingerprint("text", k=3).alias("fp_minshingle"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keep the smallest doc_id per distinct
+    text, report survivors count per lang (hash-groupBy dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_unique_docs"))
+    )
+
+
+def q_dedup_prefix_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-duplicate buckets by 2-token prefix: buckets with >1 doc
+    (the blocking stage of a dedup pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(TX.tokens("text"), 1, 2))
+    return (
+        docs.groupBy(prefix.alias("prefix"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+NUM_MINHASHES = 8
+MINHASH_BANDS = 4
+MINHASH_ROWS = 2
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.3
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → 8-hash signature → 4 bands → band
+    equi-join for candidates → exact jaccard filter.
+
+    The banded equi-join is the 100 TB path: candidates come from a shuffle
+    on (band_idx, band_hash), never a quadratic self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(TX.word_shingles(TX.tokens("text"), SHINGLE_K)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    # signature from the shingle array directly (avoid re-tokenizing)
+    hashed = sh.withColumn(
+        "sig",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
+                    )
+                )
+                for i in range(NUM_MINHASHES)
+            ]
+        ),
+    )
+    banded = hashed.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.slice(F.col("sig"), b * MINHASH_ROWS + 1, MINHASH_ROWS)
+                        )
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        "band_idx",
+        "band_hash",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        "band_idx",
+        "band_hash",
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jacc = F.round(inter / union, 4)
+    return (
+        pairs.withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup over prefix-blocked candidates:
+    block on 2-token prefix (bounded buckets), exact trigram jaccard inside
+    each block. Blocking keeps the pair count linear-ish at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(TX.tokens("text"), 1, 2)).alias("prefix"),
+        F.array_distinct(TX.word_shingles(TX.tokens("text"), SHINGLE_K)).alias("sh"),
+    )
+    a = base.select(
+        F.col("prefix"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = base.select(
+        F.col("prefix"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        a.join(b, "prefix")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup: 16-bit simhash per doc (nibble-high-bit majority over
+    bigram shingles via explode + groupBy — fully distributed), then bucket
+    counts for buckets holding >1 doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.word_shingles(TX.tokens("text"), 2))).alias(
+            "shingle"
+        ),
+    ).withColumn("h", F.md5(F.col("shingle")))
+    aggs = []
+    for p in range(16):
+        nib = F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), p + 1, 1)) - 1
+        aggs.append(
+            F.sum(F.when(nib >= 8, 1).otherwise(-1)).alias(f"s{p}")
+        )
+    sums = exploded.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for p in range(16):
+        term = F.when(F.col(f"s{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    simhashed = sums.select("doc_id", sim.cast("bigint").alias("simhash"))
+    return (
+        simhashed.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+EMB_DEDUP_THRESHOLD = 0.2
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with label blocking: pairs within the same
+    label whose cosine ≥ θ. Blocking (here by label; at scale by LSH/IVF
+    cluster id) keeps the join linear in block size, not quadratic in the
+    corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    cos = F.round(V.cosine_sim("va", "vb"), 4)
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= EMB_DEDUP_THRESHOLD)
+        .select("label", "id_a", "id_b", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB) — mirrors of the above, same constants, same rounding,
+# same tie-breaks, same column names.
+
+def _oracle_lang_id_sql() -> str:
+    score_exprs = {
+        lang: (
+            "len(list_filter(toks, t -> t IN ("
+            + ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])
+            + ")))"
+        )
+        for lang in TX.LANG_ORDER
+    }
+    scores_sel = ", ".join(f"{e} AS sc_{lang}" for lang, e in score_exprs.items())
+    best = "greatest(" + ", ".join(f"sc_{lang}" for lang in TX.LANG_ORDER) + ")"
+    case = "CASE "
+    for lang in TX.LANG_ORDER:
+        case += f"WHEN sc_{lang} = best THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, lang, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, {scores_sel} FROM toks_t
+)
+SELECT doc_id, lang,
+  CASE WHEN best > 0 THEN ({case}) ELSE 'und' END AS pred_lang
+FROM (SELECT *, {best} AS best FROM scored)
+"""
+
+
+def _oracle_quality_sql() -> str:
+    stop_in = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  round(CASE WHEN len(toks) > 0 THEN
+    0.4 * least(1.0, len(toks)::DOUBLE / 50.0)
+    + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+    + 0.2 * (1.0 - len(list_filter(toks, t -> t IN ({stop_in})))::DOUBLE / len(toks)::DOUBLE)
+  ELSE 0.0 END, 4) AS quality
+FROM toks_t
+"""
+
+
+_SQL_SHINGLES = (
+    "CASE WHEN len(toks) >= {k} THEN "
+    "list_transform(range(1, len(toks) - {k} + 2), i -> array_to_string(toks[i:i+{km1}], ' ')) "
+    "ELSE [] END"
+)
+
+
+def _shingles_cte(k: int) -> str:
+    body = _SQL_SHINGLES.format(k=k, km1=k - 1)
+    return f"""
+toks_t AS (
+  SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+  FROM documents
+), sh_t AS (
+  SELECT doc_id, text, list_distinct({body}) AS sh FROM toks_t
+)"""
+
+
+def _oracle_minhash_sql() -> str:
+    sig_items = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
+        for i in range(NUM_MINHASHES)
+    )
+    band_items = ", ".join(
+        "md5(array_to_string(sig[{lo}:{hi}], '|'))".format(
+            lo=b * MINHASH_ROWS + 1, hi=(b + 1) * MINHASH_ROWS
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH {_shingles_cte(SHINGLE_K)},
+sig_t AS (
+  SELECT doc_id, sh, [{sig_items}] AS sig FROM sh_t WHERE len(sh) > 0
+), band_t AS (
+  SELECT doc_id, sh, [{band_items}] AS bands FROM sig_t
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM band_t a JOIN band_t b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.bands, b.bands)) > 0
+)
+SELECT doc_a, doc_b,
+  round(len(list_intersect(sh_a, sh_b))::DOUBLE /
+        (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE, 4) AS jaccard
+FROM pairs
+WHERE round(len(list_intersect(sh_a, sh_b))::DOUBLE /
+        (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE, 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _oracle_simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (instr('0123456789abcdef', h[{p + 1}:{p + 1}]) - 1) >= 8 "
+        f"THEN 1 ELSE -1 END)::BIGINT AS s{p}"
+        for p in range(16)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(16)
+    )
+    return f"""
+WITH {_shingles_cte(2)},
+exploded AS (
+  SELECT doc_id, md5(unnest(sh)) AS h FROM sh_t
+), sums_t AS (
+  SELECT doc_id, {sums} FROM exploded GROUP BY doc_id
+), sim_t AS (
+  SELECT doc_id, ({sim})::BIGINT AS simhash FROM sums_t
+)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM sim_t GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+ORACLE_SQL: dict[str, str] = {
+    "knn_l2": f"""
+WITH q AS {_Q_CTE}
+SELECT vec_id, label, round({_sql_l2sq('embedding', 'qv')}, 4) AS score
+FROM embeddings, q
+ORDER BY score ASC, vec_id ASC
+LIMIT {KNN_K}
+""",
+    "knn_cosine": f"""
+WITH q AS {_Q_CTE}
+SELECT vec_id, label, round({_sql_cos('embedding', 'qv')}, 4) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id ASC
+LIMIT {KNN_K}
+""",
+    "knn_ip": f"""
+WITH q AS {_Q_CTE}
+SELECT vec_id, label, round({_sql_dot('embedding', 'qv')}, 4) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id ASC
+LIMIT {KNN_K}
+""",
+    "range_l2": f"""
+WITH q AS {_Q_CTE}
+SELECT vec_id, round({_sql_l2sq('embedding', 'qv')}, 4) AS score
+FROM embeddings, q
+WHERE round({_sql_l2sq('embedding', 'qv')}, 4) <= {RANGE_RADIUS}
+""",
+    "threshold_cosine": f"""
+WITH q AS {_Q_CTE}
+SELECT vec_id, round({_sql_cos('embedding', 'qv')}, 4) AS score
+FROM embeddings, q
+WHERE round({_sql_cos('embedding', 'qv')}, 4) >= {COS_THRESHOLD}
+""",
+    "hybrid_knn": f"""
+WITH q AS {_Q_CTE}
+SELECT vec_id, label, round({_sql_cos('embedding', 'qv')}, 4) AS score
+FROM embeddings, q
+WHERE label = {HYBRID_LABEL}
+ORDER BY score DESC, vec_id ASC
+LIMIT 5
+""",
+    "knn_batch": f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < {BATCH_QUERY_MAX_VID}
+), scored AS (
+  SELECT qs.query_id, e.vec_id,
+         round({_sql_l2sq('e.embedding', 'qv')}, 4) AS score
+  FROM embeddings e CROSS JOIN qs
+  WHERE e.vec_id >= {BATCH_QUERY_MAX_VID}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score ASC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= {BATCH_K}
+""",
+    "normalize": """
+SELECT vec_id,
+  list_transform(range(1, 65),
+    i -> round(embedding[i]::DOUBLE / sqrt(list_sum(list_transform(range(1, 65),
+         j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE))), 4)) AS unit_vec
+FROM embeddings WHERE vec_id < 50
+""",
+    "pairwise_dist": f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(sqrt({_sql_l2sq('a.embedding', 'b.embedding')}), 4) AS dist
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 20 AND b.vec_id < 20
+""",
+    "ns_stats": f"""
+SELECT label, count(*) AS n_vectors, (count(*) * 256)::BIGINT AS est_bytes,
+  round(avg({_sql_dot('embedding', 'embedding')}), 4) AS avg_sq_norm
+FROM embeddings GROUP BY label
+""",
+    "multi_get": """
+WITH req(pos, req_id) AS (VALUES (1, 3), (2, -1), (3, 7), (4, 1000000000), (5, 0))
+SELECT req.pos::INT AS pos, req.req_id::BIGINT AS req_id,
+  e.vec_id IS NOT NULL AS found, e.label
+FROM req LEFT JOIN embeddings e ON req.req_id = e.vec_id
+""",
+    "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "tpch_q3": """
+SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    "tpch_q5": """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+    "top_orders_per_cust": """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    "orders_rollup": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    "orders_cube": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    "cust_no_orders": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    "cust_big_orders": """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""",
+    "segment_setops": """
+SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT c_mktsegment FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'FURNITURE')
+EXCEPT
+SELECT 'FURNITURE' AS c_mktsegment
+""",
+    "revenue_by_month": """
+SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month, count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+""",
+    "part_like": """
+SELECT p_partkey, upper(p_name) AS uname,
+  p_brand || '/' || p_type AS brand_type,
+  length(p_name)::BIGINT AS name_len
+FROM part WHERE p_name LIKE '%red%'
+""",
+    "lineitem_enrich": """
+WITH top_parts AS (
+  SELECT l_partkey, round(sum(l_extendedprice), 2) AS spend
+  FROM lineitem GROUP BY l_partkey
+  ORDER BY spend DESC, l_partkey ASC LIMIT 5
+)
+SELECT l_partkey, p_name, p_brand, spend
+FROM top_parts JOIN part ON l_partkey = p_partkey
+""",
+    "events_json": """
+SELECT event_type, count(*) AS n_events,
+  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+  round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
+  round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+""",
+    "events_tumbling": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "events_sliding": """
+WITH starts AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
+)
+SELECT window_start, count(*) AS n_events FROM starts GROUP BY 1
+""",
+    "events_sessionize": """
+WITH g AS (
+  SELECT user_id,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         IS NULL THEN 1
+         WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+""",
+    "events_first_per_key": """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    "doc_stats": """
+WITH t AS (
+  SELECT lang, n_chars,
+    len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))::BIGINT AS ntok
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, sum(ntok)::BIGINT AS total_tokens,
+  round(avg(ntok), 4) AS avg_tokens, max(n_chars) AS max_chars
+FROM t GROUP BY lang
+""",
+    "doc_lang_id": _oracle_lang_id_sql(),
+    "doc_quality": _oracle_quality_sql(),
+    "doc_fingerprint": f"""
+WITH {_shingles_cte(3)}
+SELECT doc_id, md5(text) AS fp_exact,
+  list_min(list_transform(sh_raw, s -> md5(s))) AS fp_minshingle
+FROM (
+  SELECT doc_id, text,
+    {_SQL_SHINGLES.format(k=3, km1=2)} AS sh_raw
+  FROM toks_t
+)
+""",
+    "dedup_exact": """
+SELECT lang, count(*) AS n_unique_docs FROM (
+  SELECT lang, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1 GROUP BY lang
+""",
+    "dedup_prefix_buckets": """
+WITH t AS (
+  SELECT doc_id,
+    array_to_string(list_filter(string_split_regex(text, '\\s+'), t -> t != '')[1:2], ' ') AS prefix
+  FROM documents
+)
+SELECT prefix, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM t GROUP BY prefix HAVING count(*) > 1
+""",
+    "dedup_minhash": _oracle_minhash_sql(),
+    "dedup_ngram_jaccard": f"""
+WITH toks_t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, array_to_string(toks[1:2], ' ') AS prefix,
+    list_distinct({_SQL_SHINGLES.format(k=SHINGLE_K, km1=SHINGLE_K - 1)}) AS sh
+  FROM toks_t
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 4) AS jaccard
+FROM base a JOIN base b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 4) >= 0.2
+""",
+    "dedup_simhash": _oracle_simhash_sql(),
+    "dedup_embedding": f"""
+SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+  round({_sql_cos('a.embedding', 'b.embedding')}, 4) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_sql_cos('a.embedding', 'b.embedding')}, 4) >= {EMB_DEDUP_THRESHOLD}
+""",
+}
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "knn_l2": q_knn_l2,
+    "knn_cosine": q_knn_cosine,
+    "knn_ip": q_knn_ip,
+    "range_l2": q_range_l2,
+    "threshold_cosine": q_threshold_cosine,
+    "hybrid_knn": q_hybrid_knn,
+    "knn_batch": q_knn_batch,
+    "normalize": q_normalize,
+    "pairwise_dist": q_pairwise_dist,
+    "ns_stats": q_ns_stats,
+    "multi_get": q_multi_get,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "orders_rollup": q_orders_rollup,
+    "orders_cube": q_orders_cube,
+    "cust_no_orders": q_cust_no_orders,
+    "cust_big_orders": q_cust_big_orders,
+    "segment_setops": q_segment_setops,
+    "revenue_by_month": q_revenue_by_month,
+    "part_like": q_part_like,
+    "lineitem_enrich": q_lineitem_enrich,
+    "events_json": q_events_json,
+    "events_tumbling": q_events_tumbling,
+    "events_sliding": q_events_sliding,
+    "events_sessionize": q_events_sessionize,
+    "events_first_per_key": q_events_first_per_key,
+    "doc_stats": q_doc_stats,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_prefix_buckets": q_dedup_prefix_buckets,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+}

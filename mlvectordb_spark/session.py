@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on local[N]; the config choices below are the ones that
+matter identically on a 1000-executor cluster:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting)
+- Arrow on (vectorized pandas-UDF / toPandas transfer)
+- session timezone pinned to UTC (DuckDB oracle comparisons are UTC-naive)
+- shuffle partitions sized to cores locally; on a real cluster AQE
+  re-coalesces from a deliberately-high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mlvectordb-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which the vectorized
+        # parquet reader rejects; read as long nanos and convert in the loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # broadcast threshold: dimension tables (region/nation/supplier and
+        # k-row query sets) should always broadcast
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
