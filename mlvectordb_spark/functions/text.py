@@ -137,13 +137,14 @@ def minhash_signature(text: ColumnOrName, num_hashes: int, k: int = 3) -> Column
     (no integer-hash portability problems). Empty-shingle docs get nulls.
     """
     sh = word_shingles(tokens(text), k)
+
+    # NB: F.transform treats a 2-arg lambda as (element, index) — seed must
+    # be captured via a closure factory, never a default arg.
+    def seeded(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            )
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(sh, seeded(i))) for i in range(num_hashes)]
     )
 
 
@@ -177,10 +178,15 @@ def simhash16(text: ColumnOrName, k: int = 2) -> Column:
     engines; hamming distance = bit_count(xor) for near-dup clustering.
     """
     sh = word_shingles(tokens(text), k)
+
+    def bit_of(p: int):
+        # closure factory — a 2-arg lambda would receive the array index
+        return lambda s: _nibble_high_bit(F.md5(s), p + 1)
+
     bit_terms = []
     for p in range(16):
         ssum = F.aggregate(
-            F.transform(sh, lambda s, p=p: _nibble_high_bit(F.md5(s), p + 1)),
+            F.transform(sh, bit_of(p)),
             F.lit(0),
             lambda acc, x: acc + x,
         )

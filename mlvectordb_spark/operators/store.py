@@ -1,0 +1,390 @@
+"""VectorStore: the reference's storage + query-processor surface, Spark-first.
+
+Reference operators reproduced (SURVEY.md §2.1/§2.2):
+- W1 insert / W2 upsert_many (insert semantics — the reference's "upsert"
+  always inserts with a fresh uuid4, `implementations/query_processor.py:22`;
+  we additionally provide a TRUE upsert-by-id, which the reference declares
+  but never implements — its overwrite test is commented out,
+  `tests/test_storage_engine_in_memory.py:46-57`)
+- W5 delete-by-ids returning actually-deleted ids
+  (`implementations/query_processor.py:51-62`)
+- W6 delete_namespace, W7 clear_all (`storage_engine_in_memory.py:57-82`)
+- Q1 find_similar: KNN + enrichment (`implementations/query_processor.py:26-49`)
+- Q5 read, Q6 order-preserving multi-get (`storage_engine_in_memory.py:39-44`),
+  Q7 exists (cross-namespace, `:54-55`), Q8 namespace scan, Q9 count,
+  Q10 list_namespaces, Q11 storage_info (`:61-69`)
+- P5/P6 tombstone deletes + amortized compaction at 20% garbage
+  (`implementations/index.py:80,85-89`)
+
+Physical design (the 100 TB posture):
+- One parquet table partitioned by `namespace` — partition pruning IS the
+  reference's per-namespace index isolation. Appends are new files inside
+  the partition; no read-modify-write on ingest.
+- Deletes are tombstones in a side table; the read path anti-joins them
+  (broadcast — tombstones are small between compactions). Compaction
+  rewrites only namespaces whose tombstone ratio ≥ threshold, mirroring the
+  reference's amortized rebuild.
+- Nothing collects to the driver except single-row/limit-k results; every
+  bulk path is a DataFrame write.
+
+The reference bugs documented in SURVEY.md are deliberately NOT replicated:
+per-query metric is honest; compaction is per-namespace (no cross-namespace
+index wipe); no 10k capacity ceiling; storage+tombstone writes cannot
+silently diverge (tombstone append is the only mutation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any, Iterable, Mapping, Sequence
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from mlvectordb_spark.functions.vector import metric_ascending, metric_expr
+from mlvectordb_spark.schema import VECTOR_SCHEMA
+
+DEFAULT_NAMESPACE = "default"
+REBUILD_THRESHOLD = 0.2  # tombstone ratio triggering compaction (ref index.py:18)
+
+
+class VectorStore:
+    """Namespaced vector storage over a partitioned parquet table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        rebuild_threshold: float = REBUILD_THRESHOLD,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.data_path = os.path.join(path, "vectors")
+        self.tomb_path = os.path.join(path, "tombstones")
+        self.rebuild_threshold = rebuild_threshold
+        os.makedirs(path, exist_ok=True)
+
+    # -- read path ----------------------------------------------------------
+
+    def _raw(self) -> DataFrame | None:
+        try:
+            return self.spark.read.schema(VECTOR_SCHEMA).parquet(self.data_path)
+        except Exception:  # noqa: BLE001 — no data written yet
+            return None
+
+    def _tombstones(self) -> DataFrame | None:
+        try:
+            return self.spark.read.schema("id string, namespace string").parquet(
+                self.tomb_path
+            )
+        except Exception:  # noqa: BLE001
+            return None
+
+    def df(self) -> DataFrame:
+        """The live storage DataFrame (tombstones applied)."""
+        raw = self._raw()
+        if raw is None:
+            return self.spark.createDataFrame([], VECTOR_SCHEMA)
+        tomb = self._tombstones()
+        if tomb is None:
+            return raw
+        return raw.join(
+            F.broadcast(tomb), on=["id", "namespace"], how="left_anti"
+        )
+
+    # -- writes (W1-W4, W8) -------------------------------------------------
+
+    @staticmethod
+    def _to_rows(
+        dtos: Iterable[Mapping[str, Any]], namespace: str, with_ids: bool
+    ) -> list[Row]:
+        rows = []
+        for d in dtos:
+            meta = d.get("metadata") or {}
+            rows.append(
+                Row(
+                    id=str(d["id"]) if with_ids else str(uuid.uuid4()),
+                    namespace=namespace,
+                    values=[float(x) for x in d["values"]],
+                    metadata={str(k): str(v) for k, v in meta.items()},
+                    metadata_json=json.dumps(meta, sort_keys=True),
+                )
+            )
+        return rows
+
+    def _append(self, rows: list[Row]) -> None:
+        (
+            self.spark.createDataFrame(rows, VECTOR_SCHEMA)
+            .write.mode("append")
+            .partitionBy("namespace")
+            .parquet(self.data_path)
+        )
+
+    def insert(
+        self,
+        values: Sequence[float],
+        metadata: Mapping[str, Any] | None = None,
+        namespace: str = DEFAULT_NAMESPACE,
+    ) -> str:
+        """W1: single insert; returns the assigned uuid."""
+        rows = self._to_rows(
+            [{"values": values, "metadata": metadata}], namespace, with_ids=False
+        )
+        self._append(rows)
+        return rows[0].id
+
+    def upsert_many(
+        self,
+        dtos: Iterable[Mapping[str, Any]],
+        namespace: str = DEFAULT_NAMESPACE,
+    ) -> list[str]:
+        """W2 with reference semantics: ALWAYS inserts (fresh uuid per DTO —
+        `implementations/vector.py:13` assigns uuid4 unconditionally)."""
+        rows = self._to_rows(dtos, namespace, with_ids=False)
+        if rows:
+            self._append(rows)
+        return [r.id for r in rows]
+
+    def upsert_by_id(
+        self,
+        records: Iterable[Mapping[str, Any]],
+        namespace: str = DEFAULT_NAMESPACE,
+    ) -> list[str]:
+        """TRUE upsert keyed on id (declared-but-unimplemented in the
+        reference): tombstone existing ids, then append new versions.
+        Equivalent to a MERGE without requiring a transactional format."""
+        rows = self._to_rows(records, namespace, with_ids=True)
+        if not rows:
+            return []
+        self.delete([r.id for r in rows], namespace)
+        self._append(rows)
+        return [r.id for r in rows]
+
+    # -- deletes (W5-W7, P5/P6) --------------------------------------------
+
+    def delete(
+        self, ids: Sequence[str], namespace: str = DEFAULT_NAMESPACE
+    ) -> list[str]:
+        """W5: tombstone ids, returning only ids that actually existed
+        (reference returns deleted ids, query_processor.py:53-55). Triggers
+        per-namespace compaction at the tombstone threshold."""
+        ids = [str(i) for i in ids]
+        if not ids:
+            return []
+        live = self.df().filter(F.col("namespace") == namespace)
+        present = [
+            r.id
+            for r in live.filter(F.col("id").isin(ids)).select("id").collect()
+        ]
+        if not present:
+            return []
+        (
+            self.spark.createDataFrame(
+                [(i, namespace) for i in present], "id string, namespace string"
+            )
+            .write.mode("append")
+            .parquet(self.tomb_path)
+        )
+        self._maybe_compact(namespace)
+        return present
+
+    def delete_namespace(self, namespace: str = DEFAULT_NAMESPACE) -> bool:
+        """W6: drop a whole namespace = drop its partition directory."""
+        part_dir = os.path.join(self.data_path, f"namespace={namespace}")
+        existed = os.path.isdir(part_dir)
+        if existed:
+            shutil.rmtree(part_dir)
+        self._drop_namespace_tombstones(namespace)
+        return existed
+
+    def clear_all(self) -> bool:
+        """W7: truncate everything."""
+        for p in (self.data_path, self.tomb_path):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        return True
+
+    def _drop_namespace_tombstones(self, namespace: str) -> None:
+        tomb = self._tombstones()
+        if tomb is None:
+            return
+        keep = tomb.filter(F.col("namespace") != namespace).collect()
+        shutil.rmtree(self.tomb_path)
+        if keep:
+            (
+                self.spark.createDataFrame(keep, "id string, namespace string")
+                .write.mode("overwrite")
+                .parquet(self.tomb_path)
+            )
+
+    def tombstone_ratio(self, namespace: str) -> float:
+        """P6 trigger metric: deleted / total for one namespace."""
+        raw = self._raw()
+        if raw is None:
+            return 0.0
+        total = raw.filter(F.col("namespace") == namespace).count()
+        if total == 0:
+            return 0.0
+        tomb = self._tombstones()
+        dead = (
+            0
+            if tomb is None
+            else tomb.filter(F.col("namespace") == namespace).count()
+        )
+        return dead / total
+
+    def _maybe_compact(self, namespace: str) -> None:
+        if self.tombstone_ratio(namespace) >= self.rebuild_threshold:
+            self.compact(namespace)
+
+    def compact(self, namespace: str) -> None:
+        """P6: rewrite ONE namespace partition without its tombstoned rows.
+        Unlike the reference's rebuild (which wipes every namespace's index,
+        SURVEY.md §3.3 step 4 — a documented bug), scope is strictly the one
+        namespace."""
+        live = self.df().filter(F.col("namespace") == namespace)
+        rows = live.collect()  # single-partition rewrite; bounded by namespace
+        part_dir = os.path.join(self.data_path, f"namespace={namespace}")
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
+        if rows:
+            self._append([Row(**r.asDict()) for r in rows])
+        self._drop_namespace_tombstones(namespace)
+
+    # -- point reads (Q5-Q8) -----------------------------------------------
+
+    def read(self, vector_id: str, namespace: str = DEFAULT_NAMESPACE):
+        """Q5: point read; None when missing."""
+        rows = (
+            self.df()
+            .filter(
+                (F.col("namespace") == namespace) & (F.col("id") == str(vector_id))
+            )
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    def read_vectors(
+        self, ids: Sequence[str], namespace: str = DEFAULT_NAMESPACE
+    ) -> list:
+        """Q6: multi-get aligned to request order, None for misses
+        (`storage_engine_in_memory.py:42-44`; alignment test `:76-82`).
+        Explicit position column + left join + orderBy(pos) — the
+        order/None-preserving idiom SURVEY.md flags as easy to get wrong."""
+        if not ids:
+            return []
+        req = self.spark.createDataFrame(
+            [(i, str(v)) for i, v in enumerate(ids)], "pos int, req_id string"
+        )
+        live = self.df().filter(F.col("namespace") == namespace)
+        out = (
+            req.join(live, req.req_id == live.id, "left")
+            .orderBy("pos")
+            .select("pos", "id", "values", "metadata", "metadata_json")
+            .collect()
+        )
+        return [None if r.id is None else r for r in out]
+
+    def exists(self, vector_id: str) -> bool:
+        """Q7: cross-namespace existence (reference searches ALL namespaces,
+        `storage_engine_in_memory.py:54-55` — no namespace predicate)."""
+        return (
+            self.df().filter(F.col("id") == str(vector_id)).limit(1).count() > 0
+        )
+
+    def get_namespace_vectors(self, namespace: str = DEFAULT_NAMESPACE) -> DataFrame:
+        """Q8: full namespace scan (projection + partition pruning)."""
+        return (
+            self.df()
+            .filter(F.col("namespace") == namespace)
+            .select("id", "values", "metadata")
+        )
+
+    # -- aggregates (Q9-Q11) -----------------------------------------------
+
+    def count(self, namespace: str = DEFAULT_NAMESPACE) -> int:
+        """Q9."""
+        return self.df().filter(F.col("namespace") == namespace).count()
+
+    def list_namespaces(self) -> list[str]:
+        """Q10: namespaces GC'd when emptied (reference
+        storage_engine_in_memory.py:49-50) — distinct over live rows."""
+        return sorted(
+            r.namespace
+            for r in self.df().select("namespace").distinct().collect()
+        )
+
+    def storage_info(self) -> dict[str, Any]:
+        """Q11: the reference's get_storage_info shape
+        (`storage_engine_in_memory.py:61-69`)."""
+        per_ns = {
+            r.namespace: r.n
+            for r in self.df()
+            .groupBy("namespace")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.size("values") * 4 + F.length("metadata_json")).alias(
+                    "bytes"
+                ),
+            )
+            .collect()
+        }
+        size_rows = (
+            self.df()
+            .agg(
+                F.coalesce(
+                    F.sum(F.size("values") * 4 + F.length("metadata_json")),
+                    F.lit(0),
+                ).alias("b")
+            )
+            .collect()
+        )
+        return {
+            "storage_type": "parquet",
+            "total_vectors": sum(per_ns.values()),
+            "storage_size_bytes": int(size_rows[0].b),
+            "namespaces": sorted(per_ns),
+            "vectors_per_namespace": per_ns,
+            "namespace_count": len(per_ns),
+        }
+
+    # -- search (Q1, Q3, Q4) -----------------------------------------------
+
+    def find_similar(
+        self,
+        query_values: Sequence[float],
+        top_k: int,
+        namespace: str = DEFAULT_NAMESPACE,
+        metric: str = "cosine",
+        metadata_filter: Mapping[str, str] | None = None,
+    ) -> list[dict[str, Any]]:
+        """Q1: exact KNN + enrichment. Unlike the reference (which ignores
+        the per-query metric — SURVEY.md fact #2), the metric genuinely
+        selects the kernel. `metadata_filter` gives the declared hybrid
+        query (Q15). top_k clamps naturally via limit (Q3)."""
+        df = self.df().filter(F.col("namespace") == namespace)
+        if metadata_filter:
+            for k, v in metadata_filter.items():
+                df = df.filter(F.col("metadata")[k] == str(v))
+        qlit = F.array(*[F.lit(float(x)) for x in query_values])
+        score = metric_expr(F.col("values"), qlit, metric)
+        ordered = score.asc() if metric_ascending(metric) else score.desc()
+        rows = (
+            df.withColumn("score", score)
+            .orderBy(ordered, F.col("id").asc())
+            .limit(top_k)
+            .collect()
+        )
+        return [
+            {
+                "id": r.id,
+                "values": list(r.values),
+                "metadata": dict(r.metadata or {}),
+                "score": float(r.score),
+            }
+            for r in rows
+        ]

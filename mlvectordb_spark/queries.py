@@ -532,16 +532,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(TX.word_shingles(TX.tokens("text"), SHINGLE_K)).alias("sh"),
     ).filter(F.size("sh") > 0)
-    # signature from the shingle array directly (avoid re-tokenizing)
+    # signature from the shingle array directly (avoid re-tokenizing).
+    # closure factory: F.transform treats 2-arg lambdas as (element, index)
+    def seeded(i):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
     hashed = sh.withColumn(
         "sig",
         F.array(
             *[
-                F.array_min(
-                    F.transform(
-                        F.col("sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
-                    )
-                )
+                F.array_min(F.transform(F.col("sh"), seeded(i)))
                 for i in range(NUM_MINHASHES)
             ]
         ),

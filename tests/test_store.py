@@ -1,0 +1,200 @@
+"""VectorStore CRUD semantics — ports of the reference suite
+(tests/test_storage_engine_in_memory.py, tests/test_query_processor.py):
+insert/search integrity, namespace isolation + GC, delete removes from
+search, order/None-aligned multi-get, equal-values-distinct-ids, nested
+metadata round-trip, storage_info aggregates, true-upsert overwrite (the
+test the reference left commented out)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from mlvectordb_spark.operators.store import VectorStore
+
+np.random.seed(42)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return VectorStore(spark, str(tmp_path / "store"))
+
+
+def test_insert_and_read(store):
+    vid = store.insert([1.0, 2.0], {"category": "A"})
+    row = store.read(vid)
+    assert row is not None
+    assert row.values == [1.0, 2.0]
+    assert row.metadata["category"] == "A"
+    assert store.count() == 1
+
+
+def test_upsert_many_always_inserts(store):
+    """Reference semantics: every DTO gets a fresh uuid — 'upsert' inserts
+    (implementations/vector.py:13, query_processor.py:22)."""
+    ids1 = store.upsert_many([{"values": [1.0, 2.0]}, {"values": [3.0, 4.0]}])
+    ids2 = store.upsert_many([{"values": [1.0, 2.0]}])  # same values again
+    assert len(set(ids1) | set(ids2)) == 3
+    assert store.count() == 3
+
+
+def test_equal_values_distinct_ids(store):
+    """test_storage_engine_in_memory.py:192-199."""
+    a = store.insert([1.0, 2.0])
+    b = store.insert([1.0, 2.0])
+    assert a != b
+    assert store.count() == 2
+
+
+def test_true_upsert_overwrites(store):
+    """The reference's commented-out overwrite test
+    (test_storage_engine_in_memory.py:46-57) — implemented here for real."""
+    store.upsert_by_id([{"id": "k1", "values": [1.0, 0.0], "metadata": {"v": "1"}}])
+    store.upsert_by_id([{"id": "k1", "values": [9.0, 9.0], "metadata": {"v": "2"}}])
+    row = store.read("k1")
+    assert row.values == [9.0, 9.0]
+    assert row.metadata["v"] == "2"
+    assert store.count() == 1
+
+
+def test_multi_get_alignment(store):
+    """Order- and None-preserving multi-get
+    (test_storage_engine_in_memory.py:72-82)."""
+    a = store.insert([1.0, 2.0])
+    b = store.insert([3.0, 4.0])
+    out = store.read_vectors([b, "missing-id", a])
+    assert out[0].id == b
+    assert out[1] is None
+    assert out[2].id == a
+
+
+def test_delete_returns_existing_only(store):
+    a = store.insert([1.0, 2.0])
+    deleted = store.delete([a, "nope"])
+    assert deleted == [a]
+    assert store.read(a) is None
+    assert store.delete(["nope"]) == []
+
+
+def test_deleted_not_searchable(store):
+    """Deleted ⇒ unsearchable (test_index.py:52-54,
+    test_query_processor.py:103-105)."""
+    ids = store.upsert_many([{"values": [float(i), 0.0]} for i in range(5)])
+    store.delete(ids[:2])
+    res = store.find_similar([0.0, 0.0], top_k=10, metric="l2")
+    assert {r["id"] for r in res}.isdisjoint(set(ids[:2]))
+    assert len(res) == 3
+
+
+def test_namespace_isolation(store):
+    """Hard isolation incl. per-namespace dimensionality
+    (test_query_processor.py:70-85, test_storage_engine_in_memory.py:171-190)."""
+    store.upsert_many([{"values": [1.0, 0.0]}], namespace="ns1")
+    store.upsert_many([{"values": [0.0, 1.0, 0.0]}], namespace="ns2")  # dim 3!
+    r1 = store.find_similar([1.0, 0.0], 5, namespace="ns1", metric="cosine")
+    r2 = store.find_similar([0.0, 1.0, 0.0], 5, namespace="ns2", metric="cosine")
+    assert len(r1) == 1 and len(r2) == 1
+    assert store.count("ns1") == 1 and store.count("ns2") == 1
+
+
+def test_namespace_gc_on_delete(store):
+    """Empty namespaces disappear (storage_engine_in_memory.py:49-50,
+    test :99-106)."""
+    vid = store.insert([1.0], namespace="temp")
+    assert "temp" in store.list_namespaces()
+    store.delete([vid], namespace="temp")
+    assert "temp" not in store.list_namespaces()
+
+
+def test_delete_namespace_and_clear_all(store):
+    store.insert([1.0], namespace="a")
+    store.insert([2.0], namespace="b")
+    assert store.delete_namespace("a") is True
+    assert store.list_namespaces() == ["b"]
+    assert store.delete_namespace("a") is False
+    assert store.clear_all() is True
+    assert store.count("b") == 0
+
+
+def test_exists_cross_namespace(store):
+    """exists() searches ALL namespaces (storage_engine_in_memory.py:54-55)."""
+    vid = store.insert([1.0], namespace="hidden")
+    assert store.exists(vid)
+    assert not store.exists("missing")
+
+
+def test_storage_info_shape(store):
+    """get_storage_info aggregates (storage_engine_in_memory.py:61-69,
+    test :150-161)."""
+    store.upsert_many([{"values": [1.0, 2.0]}] * 3, namespace="x")
+    store.upsert_many([{"values": [1.0]}] * 2, namespace="y")
+    info = store.storage_info()
+    assert info["total_vectors"] == 5
+    assert info["vectors_per_namespace"] == {"x": 3, "y": 2}
+    assert info["namespace_count"] == 2
+    assert info["storage_size_bytes"] > 0
+
+
+def test_nested_metadata_roundtrip(store):
+    """Nested metadata survives via metadata_json
+    (test_storage_engine_in_memory.py:202-218)."""
+    meta = {
+        "string": "s",
+        "number": 42,
+        "list": [1, 2, 3],
+        "dict": {"a": {"b": 1}},
+        "none": None,
+    }
+    vid = store.insert([1.0], metadata=meta)
+    row = store.read(vid)
+    assert json.loads(row.metadata_json) == json.loads(
+        json.dumps(meta, sort_keys=True)
+    )
+
+
+def test_find_similar_ranking_and_metric(store):
+    """Ranking matches exact cosine oracle (test_query_processor.py:52-67);
+    per-query metric is honest (unlike the reference — SURVEY fact #2)."""
+    store.upsert_many(
+        [
+            {"values": [1.0, 0.0, 0.0], "metadata": {"label": "A"}},
+            {"values": [0.0, 1.0, 0.0], "metadata": {"label": "B"}},
+            {"values": [0.8, 0.2, 0.0], "metadata": {"label": "C"}},
+        ]
+    )
+    res = store.find_similar([0.9, 0.1, 0.0], 3, metric="cosine")
+    # exact cosine: A=0.9939, C=0.9911, B=0.1104
+    assert [r["metadata"]["label"] for r in res] == ["A", "C", "B"]
+    res_l2 = store.find_similar([0.9, 0.1, 0.0], 3, metric="l2")
+    # squared L2: A and C tie at 0.02 (uuid tie-break), B at 1.62
+    assert res_l2[0]["metadata"]["label"] in ("A", "C")
+    assert res_l2[2]["metadata"]["label"] == "B"
+    assert res_l2[0]["score"] <= res_l2[1]["score"] <= res_l2[2]["score"]
+
+
+def test_hybrid_metadata_filter(store):
+    """Declared hybrid query (Q15): KNN ∧ metadata equality."""
+    store.upsert_many(
+        [
+            {"values": [1.0, 0.0], "metadata": {"cat": "doc"}},
+            {"values": [0.9, 0.1], "metadata": {"cat": "img"}},
+        ]
+    )
+    res = store.find_similar([1.0, 0.0], 5, metric="cosine", metadata_filter={"cat": "doc"})
+    assert len(res) == 1
+    assert res[0]["metadata"]["cat"] == "doc"
+
+
+def test_compaction_triggers_at_threshold(store):
+    """P5/P6: tombstones accumulate, compaction clears them at >= 20%."""
+    ids = store.upsert_many([{"values": [float(i)]} for i in range(10)])
+    store.delete(ids[:1])  # 10% — below threshold
+    assert store.tombstone_ratio("default") > 0.0
+    store.delete(ids[1:3])  # cumulative 30% — triggers compaction
+    assert store.tombstone_ratio("default") == 0.0
+    assert store.count() == 7
+    assert {r["id"] for r in store.find_similar([0.0], 20, metric="l2")} == set(
+        ids[3:]
+    )
