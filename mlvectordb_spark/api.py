@@ -1,0 +1,294 @@
+"""REST serving layer: the reference's FastAPI surface
+(`/root/reference/src/mlvectordb/api/rest_api.py:96-311`) over the Spark
+engine — same routes, honest semantics.
+
+Routes reproduced: POST /vectors, PUT /vectors/batch, POST /search,
+DELETE /vectors, GET /namespaces, GET /namespaces/vectors,
+GET /storage/info, GET /health, POST /log/level — plus the
+declared-but-never-implemented ones the README promises: POST /query/range,
+POST /query/similarity, POST /query/metadata, POST /query/hybrid,
+POST /query/explain, GET /statistics.
+
+fastapi is not installed in this container, so `create_app` import-gates it;
+everything else in this module is framework-free and fully testable. Online
+point-serving latency on Spark is batch-class (documented impedance
+mismatch, SURVEY.md §7 risk register): serve from cached DataFrames.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import functions as F
+
+from mlvectordb_spark.operators.store import VectorStore
+from mlvectordb_spark.plans.explain import explain_query
+from mlvectordb_spark.plans.stats import QueryStatistics
+
+
+class EngineService:
+    """Framework-free service facade: every REST route body lives here so
+    the API layer is a thin adapter (and testable without fastapi)."""
+
+    def __init__(self, store: VectorStore) -> None:
+        self.store = store
+        self.stats = QueryStatistics()
+
+    # -- write surface ------------------------------------------------------
+
+    def insert_vector(
+        self,
+        values: Sequence[float],
+        metadata: Mapping[str, Any] | None,
+        namespace: str,
+    ) -> dict[str, Any]:
+        with self.stats.track("insert"):
+            vid = self.store.insert(values, metadata, namespace)
+        return {"status": "success", "id": vid}
+
+    def upsert_batch(
+        self, vectors: list[Mapping[str, Any]], namespace: str
+    ) -> dict[str, Any]:
+        with self.stats.track("upsert"):
+            ids = self.store.upsert_many(vectors, namespace)
+        return {"status": "success", "count": len(ids), "ids": ids}
+
+    def delete_vectors(self, ids: Sequence[str], namespace: str) -> dict[str, Any]:
+        if not ids:
+            raise ValueError("ids must be non-empty")  # ref 400, rest_api.py:216-221
+        with self.stats.track("delete"):
+            deleted = self.store.delete(ids, namespace)
+        # reference reports "error" status when nothing deleted (:231-234)
+        return {
+            "status": "success" if deleted else "error",
+            "deleted_count": len(deleted),
+            "deleted_ids": deleted,
+        }
+
+    # -- query surface ------------------------------------------------------
+
+    MAX_TOP_K = 1000  # reference Pydantic le=1000, rest_api.py:24
+
+    def search(
+        self,
+        query: Sequence[float],
+        top_k: int,
+        namespace: str,
+        metric: str = "cosine",
+        metadata_filter: Mapping[str, str] | None = None,
+    ) -> list[dict[str, Any]]:
+        if not 1 <= top_k <= self.MAX_TOP_K:
+            raise ValueError(f"top_k must be in [1, {self.MAX_TOP_K}]")
+        with self.stats.track("knn"):
+            return self.store.find_similar(
+                query, top_k, namespace, metric, metadata_filter
+            )
+
+    def range_query(
+        self, query: Sequence[float], radius: float, namespace: str
+    ) -> list[dict[str, Any]]:
+        """Declared Q12 (README:67-75): all vectors within squared-L2 radius."""
+        from mlvectordb_spark.operators.knn import range_query as _range
+
+        with self.stats.track("range"):
+            df = self.store.df().filter(F.col("namespace") == namespace)
+            rows = _range(df, query, radius, vec_col="values", metric="l2").collect()
+        return [
+            {"id": r.id, "score": float(r.score), "metadata": dict(r.metadata or {})}
+            for r in rows
+        ]
+
+    def similarity_query(
+        self, query: Sequence[float], threshold: float, namespace: str
+    ) -> list[dict[str, Any]]:
+        """Declared Q13: all vectors with cosine similarity >= threshold."""
+        from mlvectordb_spark.operators.knn import threshold_query as _thr
+
+        with self.stats.track("similarity"):
+            df = self.store.df().filter(F.col("namespace") == namespace)
+            rows = _thr(
+                df, query, threshold, vec_col="values", metric="cosine"
+            ).collect()
+        return [
+            {"id": r.id, "score": float(r.score), "metadata": dict(r.metadata or {})}
+            for r in rows
+        ]
+
+    def metadata_query(
+        self, flt: Mapping[str, str], namespace: str
+    ) -> list[dict[str, Any]]:
+        """Declared Q14: equality-AND metadata filter."""
+        with self.stats.track("metadata"):
+            df = self.store.df().filter(F.col("namespace") == namespace)
+            for k, v in flt.items():
+                df = df.filter(F.col("metadata")[k] == str(v))
+            rows = df.select("id", "metadata").collect()
+        return [{"id": r.id, "metadata": dict(r.metadata or {})} for r in rows]
+
+    def hybrid_query(
+        self,
+        query: Sequence[float],
+        top_k: int,
+        flt: Mapping[str, str],
+        namespace: str,
+        metric: str = "cosine",
+    ) -> list[dict[str, Any]]:
+        """Declared Q15: metadata predicate ∧ KNN."""
+        with self.stats.track("hybrid"):
+            return self.store.find_similar(query, top_k, namespace, metric, flt)
+
+    def explain(
+        self, query: Sequence[float], top_k: int, namespace: str, metric: str
+    ) -> dict[str, Any]:
+        """Declared Q16: real Catalyst plan in the declared response shape."""
+        from mlvectordb_spark.functions.vector import metric_ascending, metric_expr
+
+        df = self.store.df().filter(F.col("namespace") == namespace)
+        qlit = F.array(*[F.lit(float(x)) for x in query])
+        score = metric_expr(F.col("values"), qlit, metric)
+        ordered = score.asc() if metric_ascending(metric) else score.desc()
+        plan_df = df.withColumn("score", score).orderBy(ordered).limit(top_k)
+        out = explain_query(plan_df)
+        out.pop("raw", None)
+        return out
+
+    # -- introspection ------------------------------------------------------
+
+    def namespaces(self) -> list[str]:
+        return self.store.list_namespaces()
+
+    def namespace_vectors(self, namespace: str) -> list[dict[str, Any]]:
+        rows = self.store.get_namespace_vectors(namespace).collect()
+        return [
+            {"id": r.id, "values": list(r.values), "metadata": dict(r.metadata or {})}
+            for r in rows
+        ]
+
+    def storage_info(self) -> dict[str, Any]:
+        return self.store.storage_info()
+
+    def statistics(self) -> dict[str, Any]:
+        """Declared Q17."""
+        return self.stats.snapshot()
+
+    def health(self) -> dict[str, str]:
+        """Q25 (rest_api.py:292-296) — plus a real liveness probe of the
+        SparkContext."""
+        alive = not self.store.spark.sparkContext._jsc.sc().isStopped()
+        return {"status": "healthy" if alive else "unhealthy"}
+
+    def set_log_level(self, level: str) -> dict[str, str]:
+        """Q26 (rest_api.py:298-311)."""
+        valid = {"ALL", "DEBUG", "ERROR", "FATAL", "INFO", "OFF", "TRACE", "WARN"}
+        lvl = level.upper()
+        if lvl not in valid:
+            raise ValueError(f"invalid log level {level!r}")
+        self.store.spark.sparkContext.setLogLevel(lvl)
+        return {"status": "success", "level": lvl}
+
+
+def create_app(service: EngineService):
+    """FastAPI adapter over EngineService — import-gated (fastapi is not in
+    this container). Route paths/methods mirror the reference exactly."""
+    try:
+        from fastapi import FastAPI, HTTPException
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "fastapi is not installed; EngineService is fully usable directly"
+        ) from e
+
+    app = FastAPI(title="mlvectordb-spark")
+
+    def guard(fn, *a, **kw):
+        try:
+            return fn(*a, **kw)
+        except ValueError as ve:
+            raise HTTPException(status_code=400, detail=str(ve)) from ve
+        except Exception as ex:  # pragma: no cover
+            raise HTTPException(status_code=500, detail=str(ex)) from ex
+
+    @app.post("/vectors")
+    def insert(body: dict, namespace: str = "default"):
+        return guard(
+            service.insert_vector, body["values"], body.get("metadata"), namespace
+        )
+
+    @app.put("/vectors/batch")
+    def batch(body: dict, namespace: str = "default"):
+        return guard(service.upsert_batch, body["vectors"], namespace)
+
+    @app.post("/search")
+    def search(body: dict, namespace: str = "default"):
+        return guard(
+            service.search,
+            body["query"],
+            body.get("top_k", 10),
+            namespace,
+            body.get("metric", "cosine"),
+            body.get("filter"),
+        )
+
+    @app.delete("/vectors")
+    def delete(body: dict, namespace: str = "default"):
+        return guard(service.delete_vectors, body["ids"], namespace)
+
+    @app.post("/query/range")
+    def rangeq(body: dict, namespace: str = "default"):
+        return guard(service.range_query, body["query"], body["radius"], namespace)
+
+    @app.post("/query/similarity")
+    def simq(body: dict, namespace: str = "default"):
+        return guard(
+            service.similarity_query, body["query"], body["threshold"], namespace
+        )
+
+    @app.post("/query/metadata")
+    def metaq(body: dict, namespace: str = "default"):
+        return guard(service.metadata_query, body["filter"], namespace)
+
+    @app.post("/query/hybrid")
+    def hybridq(body: dict, namespace: str = "default"):
+        return guard(
+            service.hybrid_query,
+            body["query"],
+            body.get("top_k", 10),
+            body["filter"],
+            namespace,
+            body.get("metric", "cosine"),
+        )
+
+    @app.post("/query/explain")
+    def explainq(body: dict, namespace: str = "default"):
+        return guard(
+            service.explain,
+            body["query"],
+            body.get("top_k", 10),
+            namespace,
+            body.get("metric", "cosine"),
+        )
+
+    @app.get("/namespaces")
+    def namespaces():
+        return guard(service.namespaces)
+
+    @app.get("/namespaces/vectors")
+    def ns_vectors(namespace: str = "default"):
+        return guard(service.namespace_vectors, namespace)
+
+    @app.get("/storage/info")
+    def storage_info():
+        return guard(service.storage_info)
+
+    @app.get("/statistics")
+    def statistics():
+        return guard(service.statistics)
+
+    @app.get("/health")
+    def health():
+        return guard(service.health)
+
+    @app.post("/log/level")
+    def log_level(body: dict):
+        return guard(service.set_log_level, body["level"])
+
+    return app

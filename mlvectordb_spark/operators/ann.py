@@ -1,0 +1,156 @@
+"""Approximate-nearest-neighbour indexes: the Spark-native analog of the
+reference's HNSW index (`/root/reference/src/mlvectordb/implementations/
+index.py` — hnswlib, per-namespace graphs, ef=50).
+
+HNSW has no distributed equivalent; the idiomatic Spark substitutes are:
+
+- **IVFIndex** (KMeans inverted file): cluster the corpus, store cluster_id
+  as a column (at scale: as a partition column → probing = partition
+  pruning). A query scans only the `nprobe` nearest clusters — the
+  data-layout analog of HNSW's beam search, with recall controlled by
+  nprobe exactly like ef. Centroids are the only driver-side state (k rows
+  — genuinely tiny, the same class of object as hnswlib's graph metadata).
+- **LSHIndex**: MLlib BucketedRandomProjectionLSH wrapper —
+  approxNearestNeighbors for point queries, approxSimilarityJoin for the
+  all-pairs / near-dup path.
+
+Both implement the same protocol as the exact path (build → search), and
+the exact brute-force KNN (operators/knn.py) stays the correctness
+reference: `recall_at_k` measures any approximate index against it
+(SURVEY.md §7 Phase 5 verification).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.feature import BucketedRandomProjectionLSH
+from pyspark.ml.functions import array_to_vector
+from pyspark.ml.linalg import Vectors
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mlvectordb_spark.functions.vector import metric_ascending, metric_expr
+from mlvectordb_spark.operators.knn import knn
+
+
+class IVFIndex:
+    """Inverted-file index over KMeans centroids.
+
+    build() is a Spark job (fit + transform, no driver collection of data);
+    search() prunes to nprobe clusters then runs the exact kernel inside
+    them. With the indexed DataFrame written `partitionBy("cluster_id")`,
+    the probe filter becomes physical partition pruning at 100 TB.
+    """
+
+    def __init__(self, n_clusters: int = 16, seed: int = 42) -> None:
+        self.n_clusters = n_clusters
+        self.seed = seed
+        self.centroids: np.ndarray | None = None  # (k, dim) — driver-side
+        self.indexed: DataFrame | None = None
+
+    def build(
+        self, df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    ) -> DataFrame:
+        """Fit KMeans and attach cluster_id (W8/W10 analog: the derived
+        index DataFrame)."""
+        feat = df.withColumn("__features", array_to_vector(F.col(vec_col)))
+        km = KMeans(
+            k=self.n_clusters,
+            seed=self.seed,
+            featuresCol="__features",
+            predictionCol="cluster_id",
+        )
+        model = km.fit(feat)
+        self.centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+        self.indexed = model.transform(feat).drop("__features")
+        return self.indexed
+
+    def _probe_clusters(self, qvec, nprobe: int) -> list[int]:
+        assert self.centroids is not None, "build() first"
+        q = np.asarray(qvec, dtype=np.float64)
+        d = ((self.centroids - q) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d)[: min(nprobe, len(d))]]
+
+    def search(
+        self,
+        qvec,
+        k: int,
+        nprobe: int = 4,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        metric: str = "l2",
+    ) -> DataFrame:
+        """Top-k within the nprobe nearest clusters. nprobe plays the role
+        of hnswlib's ef: recall knob, cost knob."""
+        assert self.indexed is not None, "build() first"
+        probes = self._probe_clusters(qvec, nprobe)
+        candidates = self.indexed.filter(F.col("cluster_id").isin(probes))
+        return knn(candidates, qvec, k, vec_col=vec_col, id_col=id_col, metric=metric)
+
+
+class LSHIndex:
+    """BucketedRandomProjectionLSH wrapper (euclidean LSH)."""
+
+    def __init__(
+        self, bucket_length: float = 0.5, num_hash_tables: int = 4, seed: int = 42
+    ) -> None:
+        self.bucket_length = bucket_length
+        self.num_hash_tables = num_hash_tables
+        self.seed = seed
+        self.model = None
+        self.indexed: DataFrame | None = None
+
+    def build(
+        self, df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    ) -> DataFrame:
+        feat = df.withColumn("__features", array_to_vector(F.col(vec_col)))
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="__features",
+            outputCol="__hashes",
+            bucketLength=self.bucket_length,
+            numHashTables=self.num_hash_tables,
+            seed=self.seed,
+        )
+        self.model = lsh.fit(feat)
+        self.indexed = self.model.transform(feat)
+        return self.indexed
+
+    def search(self, qvec, k: int, id_col: str = "vec_id") -> DataFrame:
+        """approxNearestNeighbors: returns (id, distCol) for ~k candidates."""
+        assert self.model is not None and self.indexed is not None
+        key = Vectors.dense([float(x) for x in qvec])
+        out = self.model.approxNearestNeighbors(self.indexed, key, k)
+        return out.select(id_col, F.col("distCol").alias("score"))
+
+    def similarity_join(
+        self, other: DataFrame | None = None, threshold: float = 1.0,
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """approxSimilarityJoin — the LSH-bucketed near-dup path: candidate
+        pairs within a euclidean threshold without a quadratic cross join."""
+        assert self.model is not None and self.indexed is not None
+        right = (
+            self.indexed
+            if other is None
+            else self.model.transform(
+                other.withColumn("__features", array_to_vector(F.col(vec_col)))
+            )
+        )
+        return self.model.approxSimilarityJoin(
+            self.indexed, right, threshold, distCol="dist"
+        )
+
+
+def recall_at_k(
+    approx_df: DataFrame,
+    exact_df: DataFrame,
+    id_col: str = "vec_id",
+) -> float:
+    """|approx ∩ exact| / |exact| — the Phase-5 verification metric: every
+    approximate index is judged against the exact brute-force path."""
+    exact_ids = {r[id_col] for r in exact_df.select(id_col).collect()}
+    approx_ids = {r[id_col] for r in approx_df.select(id_col).collect()}
+    if not exact_ids:
+        return 1.0
+    return len(approx_ids & exact_ids) / len(exact_ids)

@@ -673,6 +673,53 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANN index queries (SURVEY.md §7 Phase 5). Not SQL-expressible (KMeans /
+# random hyperplanes) → no oracle entry; the driver records rows-only checks.
+# Their correctness story is recall against the exact path (ann_ivf_recall).
+
+def q_ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans inverted-file) KNN: probe the nprobe nearest clusters
+    only — the partition-pruning analog of HNSW beam search."""
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    idx = IVFIndex(n_clusters=16, seed=42)
+    idx.build(emb)
+    return idx.search(qvec, KNN_K, nprobe=4, metric="l2").select(
+        "vec_id", "cluster_id", "score"
+    )
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index vs the exact brute-force path, per nprobe —
+    the ef-style recall/cost curve."""
+    from mlvectordb_spark.operators.ann import IVFIndex, recall_at_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    exact = knn(emb, qvec, KNN_K, metric="l2")
+    idx = IVFIndex(n_clusters=16, seed=42)
+    idx.build(emb)
+    rows = []
+    for nprobe in (1, 4, 16):
+        approx = idx.search(qvec, KNN_K, nprobe=nprobe, metric="l2")
+        rows.append((nprobe, float(recall_at_k(approx, exact))))
+    return spark.createDataFrame(rows, "nprobe INT, recall DOUBLE")
+
+
+def q_ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib LSH approximate KNN (BucketedRandomProjectionLSH)."""
+    from mlvectordb_spark.operators.ann import LSHIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    idx = LSHIndex(bucket_length=0.5, num_hash_tables=4, seed=42)
+    idx.build(emb)
+    return idx.search(qvec, KNN_K)
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — mirrors of the above, same constants, same rounding,
 # same tie-breaks, same column names.
 
@@ -1109,4 +1156,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    # rows-only (no oracle: KMeans/LSH aren't SQL-expressible; correctness
+    # is recall vs the exact path, reported by ann_ivf_recall)
+    "ann_ivf_knn": q_ann_ivf_knn,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "ann_lsh_knn": q_ann_lsh_knn,
 }

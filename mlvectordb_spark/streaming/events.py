@@ -1,0 +1,103 @@
+"""Structured Streaming over event data (SURVEY.md §7 Phase 7).
+
+The reference's only "stream" is REST inserts; here the events table gets a
+real streaming surface: file-source ingest → watermarked windowed
+aggregation / sessionization / dedup → any sink. The transformations are
+the SAME DataFrame expressions as the batch twins in queries.py
+(events_tumbling / events_sessionize / events_first_per_key), which is the
+point of Structured Streaming: one logical plan, two execution modes.
+
+Scale posture: the file source at 100 TB becomes Kafka/object-store
+listing; watermarks bound state (late events beyond the watermark are
+dropped deterministically); session windows and dedup state live in the
+state store, keyed and partitioned by user/event — no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The events schema AFTER ts normalization (streaming sources require an
+# explicit schema; ts arrives as long nanos — see sources/testdata.py).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (parquet TIMESTAMP(NANOS))
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source streaming read of events parquet (one file = one
+    micro-batch increment; swap for Kafka in production)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def tumbling_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type. The watermark
+    bounds state: windows older than max(ts) - watermark are finalized and
+    evicted; later-arriving events for them are dropped."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sessionized_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (session_window closes after `gap` of
+    inactivity) — the streaming twin of the batch lag/cumsum sessionizer."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-key dedup on event_id within the watermark horizon
+    (late-data handling: duplicate state older than the watermark is
+    evicted, bounding memory)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_memory_sink(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drain the stream into an in-memory table with availableNow (test /
+    local harness helper): processes everything currently available, then
+    stops."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

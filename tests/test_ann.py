@@ -1,0 +1,73 @@
+"""ANN index tests: recall vs the exact brute-force reference (the Phase-5
+verification contract — approximate paths are judged against exact KNN)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlvectordb_spark.operators.ann import IVFIndex, LSHIndex, recall_at_k
+from mlvectordb_spark.operators.knn import knn
+from mlvectordb_spark.sources.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+
+
+def test_ivf_full_probe_equals_exact(emb, qvec):
+    """nprobe = n_clusters ⇒ no pruning ⇒ identical to brute force."""
+    idx = IVFIndex(n_clusters=8, seed=42)
+    idx.build(emb)
+    exact = knn(emb, qvec, 10, metric="l2")
+    approx = idx.search(qvec, 10, nprobe=8, metric="l2")
+    assert recall_at_k(approx, exact) == 1.0
+
+
+def test_ivf_recall_increases_with_nprobe(emb, qvec):
+    idx = IVFIndex(n_clusters=16, seed=42)
+    idx.build(emb)
+    exact = knn(emb, qvec, 10, metric="l2")
+    recalls = [
+        recall_at_k(idx.search(qvec, 10, nprobe=p, metric="l2"), exact)
+        for p in (1, 4, 16)
+    ]
+    assert recalls[-1] == 1.0
+    assert recalls[0] <= recalls[1] <= recalls[2]
+    assert recalls[1] >= 0.3  # partial probing finds a usable fraction
+
+
+def test_ivf_search_is_pruned(emb, qvec):
+    """The probe filter must actually prune candidate clusters."""
+    idx = IVFIndex(n_clusters=8, seed=42)
+    indexed = idx.build(emb)
+    probes = idx._probe_clusters(qvec, 2)
+    n_candidates = indexed.filter(F.col("cluster_id").isin(probes)).count()
+    assert n_candidates < emb.count()
+
+
+def test_lsh_search_returns_k(emb, qvec):
+    idx = LSHIndex(bucket_length=1.0, num_hash_tables=4, seed=42)
+    idx.build(emb)
+    out = idx.search(qvec, 5).collect()
+    assert len(out) == 5
+    # the query point itself must be its own nearest neighbour
+    assert out[0].vec_id == 0 or 0 in {r.vec_id for r in out}
+
+
+def test_lsh_similarity_join_self_pairs(emb):
+    """Every point is within distance 0 of itself in the self-join."""
+    small = emb.filter(F.col("vec_id") < 50)
+    idx = LSHIndex(bucket_length=1.0, num_hash_tables=4, seed=42)
+    idx.build(small)
+    pairs = idx.similarity_join(threshold=0.001)
+    self_pairs = pairs.filter(
+        F.col("datasetA.vec_id") == F.col("datasetB.vec_id")
+    ).count()
+    assert self_pairs == 50

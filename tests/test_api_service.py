@@ -1,0 +1,96 @@
+"""EngineService tests: the REST surface semantics (framework-free — the
+reference's routes map 1:1 onto these methods) + explain/statistics."""
+
+from __future__ import annotations
+
+import pytest
+
+from mlvectordb_spark.api import EngineService, create_app
+from mlvectordb_spark.operators.store import VectorStore
+
+
+@pytest.fixture()
+def svc(spark, tmp_path):
+    return EngineService(VectorStore(spark, str(tmp_path / "store")))
+
+
+def test_insert_search_roundtrip(svc):
+    svc.insert_vector([1.0, 0.0], {"label": "A"}, "default")
+    svc.insert_vector([0.0, 1.0], {"label": "B"}, "default")
+    res = svc.search([1.0, 0.1], top_k=2, namespace="default", metric="cosine")
+    assert [r["metadata"]["label"] for r in res] == ["A", "B"]
+
+
+def test_search_validates_top_k(svc):
+    with pytest.raises(ValueError):
+        svc.search([1.0], top_k=0, namespace="default")
+    with pytest.raises(ValueError):
+        svc.search([1.0], top_k=1001, namespace="default")
+
+
+def test_delete_empty_ids_rejected(svc):
+    """Reference returns 400 on empty ids (rest_api.py:216-221)."""
+    with pytest.raises(ValueError):
+        svc.delete_vectors([], "default")
+
+
+def test_delete_missing_reports_error_status(svc):
+    """Reference reports status=error when nothing deleted (:231-234)."""
+    out = svc.delete_vectors(["nope"], "default")
+    assert out["status"] == "error" and out["deleted_count"] == 0
+
+
+def test_declared_query_routes(svc):
+    svc.upsert_batch(
+        [
+            {"values": [1.0, 0.0], "metadata": {"cat": "doc"}},
+            {"values": [0.0, 1.0], "metadata": {"cat": "img"}},
+        ],
+        "default",
+    )
+    assert len(svc.range_query([1.0, 0.0], radius=0.5, namespace="default")) == 1
+    assert len(svc.similarity_query([1.0, 0.0], threshold=0.9, namespace="default")) == 1
+    out = svc.metadata_query({"cat": "doc"}, "default")
+    assert len(out) == 1 and out[0]["metadata"]["cat"] == "doc"
+    hyb = svc.hybrid_query([1.0, 0.0], 5, {"cat": "img"}, "default")
+    assert len(hyb) == 1 and hyb[0]["metadata"]["cat"] == "img"
+
+
+def test_explain_shape(svc):
+    svc.insert_vector([1.0, 0.0], None, "default")
+    plan = svc.explain([1.0, 0.0], 5, "default", "cosine")
+    steps = plan["execution_plan"]["steps"]
+    assert steps, "plan must contain steps"
+    ops = " ".join(s["operator"] for s in steps)
+    assert "TakeOrderedAndProject" in ops  # top-k without global sort
+    assert "Scan" in ops
+
+
+def test_statistics_counters(svc):
+    svc.insert_vector([1.0], None, "default")
+    svc.search([1.0], 1, "default")
+    svc.search([1.0], 1, "default")
+    snap = svc.statistics()
+    assert snap["total_queries"] == 3
+    assert snap["knn_queries"] == 2
+    assert snap["insert_queries"] == 1
+    assert "knn" in snap["avg_latency_ms"]
+
+
+def test_health_and_log_level(svc):
+    assert svc.health() == {"status": "healthy"}
+    assert svc.set_log_level("warn")["level"] == "WARN"
+    with pytest.raises(ValueError):
+        svc.set_log_level("verbose")
+    svc.set_log_level("error")
+
+
+def test_create_app_gated_without_fastapi(svc):
+    try:
+        import fastapi  # noqa: F401
+
+        pytest.skip("fastapi installed; gating not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        create_app(svc)
