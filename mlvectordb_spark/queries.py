@@ -481,7 +481,9 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: exact md5 + min-shingle (1-seed minhash)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return docs.select(
         "doc_id",
         TX.doc_fingerprint("text").alias("fp_exact"),
@@ -525,66 +527,69 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle → 8-hash signature → 4 bands → band
     equi-join for candidates → exact jaccard filter.
 
-    The banded equi-join is the 100 TB path: candidates come from a shuffle
-    on (band_idx, band_hash), never a quadratic self-join."""
+    Physical shape (the 100 TB path): the band join shuffles ONLY
+    (doc_id, band_idx, band_hash) — shingle sets stay out of the candidate
+    shuffle and come back via two enrichment joins against the (cached,
+    small-per-doc) shingle table. Never a quadratic self-join."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(TX.word_shingles(TX.tokens("text"), SHINGLE_K)).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    # signature from the shingle array directly (avoid re-tokenizing).
+    # testdata ships one file per table -> one input partition; fan out
+    # before the CPU-heavy shingle/md5 kernels (at real scale the scan is
+    # already many-way parallel and this repartition is a no-op knob)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.array_distinct(
+                TX.word_shingles(TX.tokens("text"), SHINGLE_K)
+            ).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .cache()
+    )
+
     # closure factory: F.transform treats 2-arg lambdas as (element, index)
     def seeded(i):
         return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
 
-    hashed = sh.withColumn(
-        "sig",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("sh"), seeded(i)))
-                for i in range(NUM_MINHASHES)
-            ]
-        ),
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("sh"), seeded(i)))
+            for i in range(NUM_MINHASHES)
+        ]
     )
-    banded = hashed.select(
-        "doc_id",
-        "sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            "|", F.slice(F.col("sig"), b * MINHASH_ROWS + 1, MINHASH_ROWS)
-                        )
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws("|", F.slice(sig, b * MINHASH_ROWS + 1, MINHASH_ROWS))
             )
-        ).alias("band_idx", "band_hash"),
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    banded = sh.select(
+        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
     )
     a = banded.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-        "band_idx",
-        "band_hash",
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
     )
     b = banded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-        "band_idx",
-        "band_hash",
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
     )
     pairs = (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    enriched = pairs.join(F.broadcast(sh_a), "doc_a").join(
+        F.broadcast(sh_b), "doc_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     jacc = F.round(inter / union, 4)
     return (
-        pairs.withColumn("jaccard", jacc)
+        enriched.withColumn("jaccard", jacc)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -594,7 +599,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup over prefix-blocked candidates:
     block on 2-token prefix (bounded buckets), exact trigram jaccard inside
     each block. Blocking keeps the pair count linear-ish at scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     base = docs.select(
         "doc_id",
         F.concat_ws(" ", F.slice(TX.tokens("text"), 1, 2)).alias("prefix"),
@@ -621,7 +628,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash dedup: 16-bit simhash per doc (nibble-high-bit majority over
     bigram shingles via explode + groupBy — fully distributed), then bucket
     counts for buckets holding >1 doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     exploded = docs.select(
         "doc_id",
         F.explode(F.array_distinct(TX.word_shingles(TX.tokens("text"), 2))).alias(
@@ -653,20 +662,49 @@ EMB_DEDUP_THRESHOLD = 0.2
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup with label blocking: pairs within the same
     label whose cosine ≥ θ. Blocking (here by label; at scale by LSH/IVF
-    cluster id) keeps the join linear in block size, not quadratic in the
-    corpus."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    cluster id) keeps the work linear in block size, not quadratic in the
+    corpus.
+
+    Kernel: per-block pairwise cosine via a vectorized applyInPandas (one
+    numpy matmul per block) — the Arrow-batched fast path for a dense
+    O(block²·dim) kernel that higher-order column functions evaluate
+    element-at-a-time. Rounding/filtering happen Spark-side so the
+    threshold semantics stay identical to the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", "embedding"
     )
-    b = emb.select(
-        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"label": [], "id_a": [], "id_b": [], "raw_cos": []}
+            )
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ mat.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        # pre-filter with a safety margin; exact rounded threshold applied
+        # Spark-side (keeps oracle parity at the boundary)
+        keep = cos[iu, ju] >= (EMB_DEDUP_THRESHOLD - 1e-3)
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0].repeat(keep.sum()),
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "raw_cos": cos[iu[keep], ju[keep]],
+            }
+        )
+
+    pairs = emb.groupBy("label").applyInPandas(
+        block_pairs, schema="label int, id_a long, id_b long, raw_cos double"
     )
-    cos = F.round(V.cosine_sim("va", "vb"), 4)
     return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cos)
+        pairs.withColumn("cos_sim", F.round(F.col("raw_cos"), 4))
         .filter(F.col("cos_sim") >= EMB_DEDUP_THRESHOLD)
         .select("label", "id_a", "id_b", "cos_sim")
     )
