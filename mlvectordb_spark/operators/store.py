@@ -352,6 +352,63 @@ class VectorStore:
             "namespace_count": len(per_ns),
         }
 
+    # -- lifecycle extras (Q20-Q24, declared in the reference README) -------
+
+    def iterate_vectors(self, namespace: str | None = None):
+        """Q21 (declared StorageEngine.iterate_vectors, README:253): batch
+        cursor over storage without materializing it on the driver —
+        toLocalIterator streams partition-by-partition."""
+        df = self.df()
+        if namespace is not None:
+            df = df.filter(F.col("namespace") == namespace)
+        return df.toLocalIterator()
+
+    def dimension(self, namespace: str = DEFAULT_NAMESPACE) -> int | None:
+        """Q24 (declared Index.dimension, README:123): per-namespace dim,
+        inferred from data exactly like the reference
+        (implementations/index.py:54 infers from the first vector)."""
+        row = (
+            self.df()
+            .filter(F.col("namespace") == namespace)
+            .select(F.size("values").alias("d"))
+            .head()
+        )
+        return int(row.d) if row else None
+
+    def to_json_df(self, namespace: str = DEFAULT_NAMESPACE) -> DataFrame:
+        """Q20 (declared Vector.to_dict/from_dict, README:181): row
+        serialization as JSON strings — to_json(struct(...))."""
+        return (
+            self.df()
+            .filter(F.col("namespace") == namespace)
+            .select(
+                F.to_json(
+                    F.struct("id", "namespace", "values", "metadata_json")
+                ).alias("json")
+            )
+        )
+
+    def create_backup(self, backup_path: str) -> int:
+        """Q22 (declared create_backup, README:277): snapshot live rows (
+        tombstones applied) to a parquet directory; returns row count."""
+        live = self.df()
+        live.write.mode("overwrite").partitionBy("namespace").parquet(backup_path)
+        # explicit schema: an empty backup dir has no footers to infer from
+        return self.spark.read.schema(VECTOR_SCHEMA).parquet(backup_path).count()
+
+    def restore_from_backup(self, backup_path: str) -> int:
+        """Q22: replace current contents with a backup snapshot."""
+        backup = (
+            self.spark.read.schema(VECTOR_SCHEMA)
+            .parquet(backup_path)
+            .select("id", "namespace", "values", "metadata", "metadata_json")
+            .collect()
+        )
+        self.clear_all()
+        if backup:
+            self._append([Row(**r.asDict()) for r in backup])
+        return len(backup)
+
     # -- search (Q1, Q3, Q4) -----------------------------------------------
 
     def find_similar(

@@ -364,6 +364,89 @@ def q_lineitem_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation: order counts per priority by
+    status (fixed status columns ⇒ single scan, no two-phase pivot)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def n_status(s: str):
+        return F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0)).cast(
+            "bigint"
+        )
+
+    return orders.groupBy("o_orderpriority").agg(
+        n_status("O").alias("n_open"),
+        n_status("F").alias("n_filled"),
+        n_status("P").alias("n_partial"),
+    )
+
+
+def q_doc_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar functions: leading token + whether the doc mentions
+    'spark' as a whole word."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"^(\w+)", 1).alias("first_word"),
+        F.col("text").rlike(r"\bspark\b").alias("mentions_spark"),
+    )
+
+
+def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (decorrelated as a window): orders pricier
+    than their customer's average order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_price = F.avg("o_totalprice").over(w)
+    # epsilon guard: prices are 2-decimal, so any true price-vs-avg gap is a
+    # multiple of 0.01/n — 1e-6 cleanly excludes exact ties without letting
+    # cross-engine ulp noise flip rows. The raw avg itself is NOT emitted
+    # (its value can sit exactly on a rounding boundary).
+    return (
+        orders.withColumn("cust_avg", avg_price)
+        .filter(F.col("o_totalprice") > F.col("cust_avg") + F.lit(1e-6))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_lineitem_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING: parts appearing in many lineitems."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .filter(F.col("n_items") >= 40)
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER/CASE aggregation: discount-band metrics per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = F.col("l_discount") > 0.05
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("n_hi_disc"),
+        F.round(F.sum(F.when(hi, F.col("l_extendedprice"))), 2).alias(
+            "hi_disc_price"
+        ),
+        F.round(
+            F.avg(F.when(~hi, F.col("l_extendedprice"))), 4
+        ).alias("lo_disc_avg_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events: JSON + time windows (SURVEY.md §2.4 streaming row; batch-mode
 # equivalents of the Structured Streaming operators in streaming/)
@@ -1050,6 +1133,41 @@ WITH top_parts AS (
 SELECT l_partkey, p_name, p_brand, spend
 FROM top_parts JOIN part ON l_partkey = p_partkey
 """,
+    "distinct_counts": """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    "orders_pivot": """
+SELECT o_orderpriority,
+  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_open,
+  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_filled,
+  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_partial
+FROM orders GROUP BY o_orderpriority
+""",
+    "doc_regex": """
+SELECT doc_id, regexp_extract(text, '^(\\w+)', 1) AS first_word,
+  regexp_matches(text, '\\bspark\\b') AS mentions_spark
+FROM documents
+""",
+    "orders_above_cust_avg": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+    avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+) WHERE o_totalprice > cust_avg + 0.000001
+""",
+    "lineitem_having": """
+SELECT l_partkey, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40
+""",
+    "conditional_agg": """
+SELECT l_returnflag,
+  sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT AS n_hi_disc,
+  round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 2) AS hi_disc_price,
+  round(avg(CASE WHEN NOT (l_discount > 0.05) THEN l_extendedprice END), 4) AS lo_disc_avg_price
+FROM lineitem GROUP BY l_returnflag
+""",
     "events_json": """
 SELECT event_type, count(*) AS n_events,
   sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
@@ -1178,6 +1296,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_setops": q_segment_setops,
     "revenue_by_month": q_revenue_by_month,
     "part_like": q_part_like,
+    "distinct_counts": q_distinct_counts,
+    "orders_pivot": q_orders_pivot,
+    "doc_regex": q_doc_regex,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
+    "lineitem_having": q_lineitem_having,
+    "conditional_agg": q_conditional_agg,
     "lineitem_enrich": q_lineitem_enrich,
     "events_json": q_events_json,
     "events_tumbling": q_events_tumbling,

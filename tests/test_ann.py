@@ -13,7 +13,11 @@ from mlvectordb_spark.sources.testdata import load_table
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings").cache()
+    df = load_table(spark, sf_dir, "embeddings").cache()
+    yield df
+    # unpersist so the cached plan doesn't shadow the parquet scan for
+    # later plan-inspection tests (cache lookup is by logical plan)
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")

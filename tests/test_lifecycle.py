@@ -1,0 +1,81 @@
+"""Lifecycle extras (Q20-Q24) + distribution interfaces (D1/D2)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlvectordb_spark.operators.sharding import ReplicationManager, ShardingManager
+from mlvectordb_spark.operators.store import VectorStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = VectorStore(spark, str(tmp_path / "store"))
+    s.upsert_many([{"values": [float(i), 0.0], "metadata": {"i": str(i)}} for i in range(5)])
+    return s
+
+
+def test_iterate_vectors_streams_all(store):
+    seen = [r.id for r in store.iterate_vectors()]
+    assert len(seen) == 5
+
+
+def test_dimension_inferred(store):
+    assert store.dimension() == 2
+    assert store.dimension("ghost") is None
+    store.upsert_many([{"values": [1.0, 2.0, 3.0]}], namespace="d3")
+    assert store.dimension("d3") == 3
+
+
+def test_json_serialization_roundtrip(store):
+    rows = store.to_json_df().collect()
+    assert len(rows) == 5
+    parsed = json.loads(rows[0].json)
+    assert set(parsed) == {"id", "namespace", "values", "metadata_json"}
+
+
+def test_backup_restore(store, tmp_path):
+    bpath = str(tmp_path / "backup")
+    n = store.create_backup(bpath)
+    assert n == 5
+    store.delete([r.id for r in store.iterate_vectors()][:3])
+    assert store.count() == 2
+    restored = store.restore_from_backup(bpath)
+    assert restored == 5
+    assert store.count() == 5
+
+
+def test_sharding_expr_covers_and_balances(spark):
+    mgr = ShardingManager(8)
+    df = spark.range(1000).select(F.col("id").cast("string").alias("id"))
+    sharded = mgr.assign(df)
+    counts = {r.shard_id: r.n for r in sharded.groupBy("shard_id").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(8))
+    assert max(counts.values()) < 3 * min(counts.values())  # roughly balanced
+    assert sharded.rdd.getNumPartitions() == 8
+
+
+def test_shard_for_id_stable(spark):
+    mgr = ShardingManager(4)
+    assert mgr.shard_for_id("abc") == mgr.shard_for_id("abc")
+    assert mgr.all_shards() == [f"shard-{i}" for i in range(4)]
+    assert mgr.shard_for_vector([1.0, 2.0]) in mgr.all_shards()
+    with pytest.raises(ValueError):
+        ShardingManager(0)
+
+
+def test_replication_mirror_and_reconcile(spark, tmp_path):
+    paths = [str(tmp_path / "r1"), str(tmp_path / "r2")]
+    mgr = ReplicationManager(spark, paths)
+    df = spark.range(10).select(F.col("id").cast("string").alias("id"))
+    mgr.replicate_write(df)
+    missing = mgr.reconcile()
+    assert missing == {paths[0]: 0, paths[1]: 0}
+    # degrade one replica → reconcile reports the gap
+    extra = spark.createDataFrame([("x1",), ("x2",)], "id string")
+    extra.write.mode("append").parquet(paths[0])
+    missing = mgr.reconcile()
+    assert missing[paths[0]] == 0 and missing[paths[1]] == 2
