@@ -38,8 +38,12 @@ STOPWORDS: tuple[str, ...] = tuple(
 
 
 def tokens(text: ColumnOrName) -> Column:
-    """Whitespace tokenization (array<string>), dropping empty tokens."""
-    return F.filter(F.split(_c(text), r"\s+"), lambda t: t != F.lit(""))
+    """Whitespace tokenization (array<string>), dropping empty tokens.
+
+    Single-space split (matching the oracle's string_split(text, ' ')) —
+    measurably faster than a \\s+ regex split and equivalent on
+    space-separated corpora."""
+    return F.filter(F.split(_c(text), " "), lambda t: t != F.lit(""))
 
 
 def token_count(text: ColumnOrName) -> Column:
@@ -49,17 +53,23 @@ def token_count(text: ColumnOrName) -> Column:
 def word_shingles(toks: ColumnOrName, k: int) -> Column:
     """k-word shingles joined by single spaces; empty array when len < k.
 
-    Guarded: Spark's `sequence(1, 0)` DESCENDS, so short docs must be
-    special-cased to an empty array."""
+    Built as zip_with over k-1 shifted copies of the token array — linear
+    work per row. (The obvious transform(sequence(...), i -> slice(toks,
+    i, k)) form is interpreted per element and goes quadratic: higher-order
+    functions don't enter codegen, and slice copies per shingle.) zip_with
+    null-pads to the longer input, so the tail is trimmed with one final
+    slice; short docs are special-cased to an empty array (NB: Spark's
+    sequence(1, 0) DESCENDS — never build index ranges unguarded)."""
     t = _c(toks)
+    if k == 1:
+        return t
     n = F.size(t)
-    shingled = F.transform(
-        F.sequence(F.lit(1), n - F.lit(k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
-    )
-    return F.when(n >= F.lit(k), shingled).otherwise(
-        F.array().cast("array<string>")
-    )
+    sh = t
+    for j in range(1, k):
+        shifted = F.slice(t, j + 1, F.greatest(n - F.lit(j), F.lit(0)))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    sh = F.slice(sh, 1, F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.when(n >= F.lit(k), sh).otherwise(F.array().cast("array<string>"))
 
 
 def char_ngrams(text: ColumnOrName, n: int) -> Column:

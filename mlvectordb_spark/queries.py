@@ -793,6 +793,72 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregate: per-label centroid (elementwise mean) — the IVF
+    build step expressed relationally. 64 scalar aggregates in one pass;
+    map-side partials keep the shuffle at |labels| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = [
+        F.round(F.avg(F.col("embedding")[i].cast("double")), 4) for i in range(64)
+    ]
+    return emb.groupBy("label").agg(
+        F.array(*dims).alias("centroid"), F.count("*").alias("n_members")
+    )
+
+
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram: explode + count (the classic wordcount)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_monthly_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window: running revenue over the monthly trend (unbounded
+    preceding frame; month cardinality is small so the single-partition
+    window is bounded)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("running_revenue"),
+    )
+
+
+def q_top_event_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group over an aggregate: each user's 2 most frequent event
+    types (agg → window rank → filter)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("user_id", "event_type", "n", "rnk")
+    )
+
+
+def q_emb_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table equi-join: embeddings × documents on shared id space,
+    label × lang contingency counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .groupBy("label", "lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # ANN index queries (SURVEY.md §7 Phase 5). Not SQL-expressible (KMeans /
 # random hyperplanes) → no oracle entry; the driver records rows-only checks.
@@ -1229,6 +1295,43 @@ FROM (
   FROM toks_t
 )
 """,
+    "label_centroids": (
+        "SELECT label, ["
+        + ", ".join(
+            f"round(avg(embedding[{i + 1}]::DOUBLE), 4)" for i in range(64)
+        )
+        + "] AS centroid, count(*) AS n_members FROM embeddings GROUP BY label"
+    ),
+    "token_freq": """
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS n FROM t GROUP BY token
+""",
+    "monthly_running_revenue": """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+    round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+  round(sum(revenue) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+    AS running_revenue
+FROM monthly
+""",
+    "top_event_types_per_user": """
+SELECT user_id, event_type, n, rnk FROM (
+  SELECT user_id, event_type, count(*) AS n,
+    row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) AS rnk
+  FROM events GROUP BY user_id, event_type
+) WHERE rnk <= 2
+""",
+    "emb_doc_join": """
+SELECT label, lang, count(*) AS n, sum(n_chars)::BIGINT AS total_chars
+FROM embeddings JOIN documents ON vec_id = doc_id
+GROUP BY label, lang
+""",
     "dedup_exact": """
 SELECT lang, count(*) AS n_unique_docs FROM (
   SELECT lang, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -1302,6 +1405,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "lineitem_having": q_lineitem_having,
     "conditional_agg": q_conditional_agg,
+    "label_centroids": q_label_centroids,
+    "token_freq": q_token_freq,
+    "monthly_running_revenue": q_monthly_running_revenue,
+    "top_event_types_per_user": q_top_event_types_per_user,
+    "emb_doc_join": q_emb_doc_join,
     "lineitem_enrich": q_lineitem_enrich,
     "events_json": q_events_json,
     "events_tumbling": q_events_tumbling,
