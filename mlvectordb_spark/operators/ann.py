@@ -72,6 +72,38 @@ class IVFIndex:
         d = ((self.centroids - q) ** 2).sum(axis=1)
         return [int(i) for i in np.argsort(d)[: min(nprobe, len(d))]]
 
+    def save(self, path: str) -> None:
+        """Q23 (declared save_index, README:239-241): persist the derived
+        index — the clustered DataFrame partitioned BY cluster_id (so a
+        probe becomes physical partition pruning on reload) plus the
+        centroid table."""
+        assert self.indexed is not None and self.centroids is not None
+        spark = self.indexed.sparkSession
+        (
+            self.indexed.write.mode("overwrite")
+            .partitionBy("cluster_id")
+            .parquet(f"{path}/indexed")
+        )
+        cent_rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(self.centroids)
+        ]
+        spark.createDataFrame(
+            cent_rows, "cluster_id int, centroid array<double>"
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFIndex":
+        """Q23 load_index: restore centroids + clustered data."""
+        cents = (
+            spark.read.parquet(f"{path}/centroids")
+            .orderBy("cluster_id")
+            .collect()
+        )
+        idx = cls(n_clusters=len(cents))
+        idx.centroids = np.array([r.centroid for r in cents])
+        idx.indexed = spark.read.parquet(f"{path}/indexed")
+        return idx
+
     def search(
         self,
         qvec,

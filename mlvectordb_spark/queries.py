@@ -529,6 +529,47 @@ def q_events_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively — operators/asof.py): for
+    each purchase event, the user's most recent error at-or-before it.
+    Union-marker + last_value window: one shuffle, no range cross-join."""
+    from mlvectordb_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    out = asof_join(
+        purchases, errors, on="user_id", left_time="ts", right_time="ts",
+        value_cols=[],
+    )
+    gap = F.col("ts").cast("double") - F.col("asof_time").cast("double")
+    return out.select(
+        "event_id", "user_id", "asof_time", F.round(gap, 1).alias("gap_s")
+    )
+
+
+def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization with per-session stats: session id by
+    cumulative gap>30min markers, then duration/count per session."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    with_sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")), 1
+        ).alias("duration_s"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Documents: text analysis + dedup (LLM-data-pipeline layer)
 
@@ -1273,6 +1314,35 @@ SELECT user_id, event_type, event_id FROM (
   FROM events
 ) WHERE rn = 1
 """,
+    "events_asof_error": """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), errors AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT p.event_id, p.user_id, e.ts AS asof_time,
+  round(epoch(p.ts) - epoch(e.ts), 1) AS gap_s
+FROM purchases p ASOF LEFT JOIN errors e
+  ON p.user_id = e.user_id AND p.ts >= e.ts
+""",
+    "events_session_stats": """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL THEN 1
+         WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), with_sess AS (
+  SELECT user_id, ts, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+  round(max(epoch(ts)) - min(epoch(ts)), 1) AS duration_s,
+  round(sum(value), 2) AS session_value
+FROM with_sess GROUP BY user_id, session_id
+""",
     "doc_stats": """
 WITH t AS (
   SELECT lang, n_chars,
@@ -1416,6 +1486,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding": q_events_sliding,
     "events_sessionize": q_events_sessionize,
     "events_first_per_key": q_events_first_per_key,
+    "events_asof_error": q_events_asof_error,
+    "events_session_stats": q_events_session_stats,
     "doc_stats": q_doc_stats,
     "doc_lang_id": q_doc_lang_id,
     "doc_quality": q_doc_quality,

@@ -31,9 +31,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanoseconds —
     # convert to a microsecond TimestampType (source data is µs-granular).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer `div`, not `/1000` — double division at ~1.7e15 ns rounds
+        # the last microsecond
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -42,9 +42,9 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # integer `div` keeps the conversion exact (double division rounds the
+    # last microsecond at ~1.7e15 ns)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts(

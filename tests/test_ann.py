@@ -56,6 +56,25 @@ def test_ivf_search_is_pruned(emb, qvec):
     assert n_candidates < emb.count()
 
 
+def test_ivf_save_load_roundtrip(spark, emb, qvec, tmp_path):
+    """Q23 index persistence: reloaded index answers identically, and the
+    probe filter prunes physical cluster_id partitions."""
+    idx = IVFIndex(n_clusters=8, seed=42)
+    idx.build(emb)
+    before = {r.vec_id for r in idx.search(qvec, 10, nprobe=8).collect()}
+    idx.save(str(tmp_path / "ivf"))
+    loaded = IVFIndex.load(spark, str(tmp_path / "ivf"))
+    after = {r.vec_id for r in loaded.search(qvec, 10, nprobe=8).collect()}
+    assert before == after
+    from mlvectordb_spark.plans.explain import explain_query
+
+    probed = loaded.indexed.filter(
+        F.col("cluster_id").isin(loaded._probe_clusters(qvec, 2))
+    )
+    plan = explain_query(probed)
+    assert "PartitionFilters" in plan["raw"]
+
+
 def test_lsh_search_returns_k(emb, qvec):
     idx = LSHIndex(bucket_length=1.0, num_hash_tables=4, seed=42)
     idx.build(emb)

@@ -51,6 +51,55 @@ def test_stream_dedup_passes_unique_ids(spark, stream):
     assert spark.table("t_dedup").select("event_id").distinct().count() == n
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data handling: an event arriving in a later micro-batch with a
+    timestamp far behind the watermark must be dropped from the windowed
+    aggregation (state for its window was already finalized)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pdf["ts"].astype("int64")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(d / name))
+
+    base_ns = 1_700_000_000 * 10**9
+    hour = 3600 * 10**9
+    # batch 1: events in hours 0..4 — watermark advances to max-2h = h2
+    write_batch(
+        "b1.parquet",
+        [(i, base_ns + i * hour, 1, "view", 1.0, "{}") for i in range(5)],
+    )
+    # batch 2: one late event in hour 0 (far behind watermark) + one fresh
+    write_batch(
+        "b2.parquet",
+        [
+            (100, base_ns + int(0.5 * hour), 1, "view", 1.0, "{}"),  # LATE
+            (101, base_ns + 5 * hour, 1, "view", 1.0, "{}"),  # fresh
+        ],
+    )
+    stream = read_event_stream(spark, str(d))
+    q = (
+        tumbling_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.window_start.hour: r.n_events for r in spark.table("t_late").collect()}
+    # hour-0 window must contain ONLY the on-time event: the late arrival
+    # (event 100) was dropped because the watermark had passed its window
+    assert rows.get(0, 0) == 1
+
+
 def test_stream_sessionize_counts(spark, stream, sf_dir):
     run_to_memory_sink(sessionized_counts(stream), "t_sessions", "complete")
     sess = spark.table("t_sessions")
