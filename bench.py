@@ -36,6 +36,8 @@ HEADLINE = [
     "events_json",
     "events_tumbling",
     "events_sessionize",
+    "events_asof_error",
+    "events_session_stats",
     "doc_quality",
     "doc_fingerprint",
     "dedup_exact",

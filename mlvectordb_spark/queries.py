@@ -529,6 +529,43 @@ def q_events_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL API (the engine's spark.sql
+    surface): per-status, per-priority, and grand-total rows in one pass."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow-batched — the sanctioned Python escape
+    hatch): token counting in pandas, oracle-checked against the native
+    split. Demonstrates the UDF surface; the native expression remains the
+    hot path."""
+    from mlvectordb_spark.functions.udfs import py_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", py_token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF surface): geometric mean of doc
+    length per language; oracle is the closed form exp(avg(ln(x)))."""
+    from mlvectordb_spark.functions.udfs import geomean
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.round(geomean(F.col("n_chars")), 4).alias("geomean_chars"))
+    )
+
+
 def q_events_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operator Spark lacks natively — operators/asof.py): for
     each purchase event, the user's most recent error at-or-before it.
@@ -1314,6 +1351,20 @@ SELECT user_id, event_type, event_id FROM (
   FROM events
 ) WHERE rn = 1
 """,
+    "grouping_sets": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    "udf_token_count": """
+SELECT doc_id, len(list_filter(string_split(text, ' '), t -> t != ''))::BIGINT AS n_tokens
+FROM documents
+""",
+    "udaf_geomean": """
+SELECT lang, round(exp(avg(ln(n_chars::DOUBLE))), 4) AS geomean_chars
+FROM documents GROUP BY lang
+""",
     "events_asof_error": """
 WITH purchases AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
@@ -1480,6 +1531,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "monthly_running_revenue": q_monthly_running_revenue,
     "top_event_types_per_user": q_top_event_types_per_user,
     "emb_doc_join": q_emb_doc_join,
+    "grouping_sets": q_grouping_sets,
+    "udf_token_count": q_udf_token_count,
+    "udaf_geomean": q_udaf_geomean,
     "lineitem_enrich": q_lineitem_enrich,
     "events_json": q_events_json,
     "events_tumbling": q_events_tumbling,
