@@ -582,8 +582,13 @@ def q_events_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=[],
     )
     gap = F.col("ts").cast("double") - F.col("asof_time").cast("double")
+    # second-truncated output: the raw event timestamps carry sub-µs digits
+    # that Spark (µs) and a ns-native oracle would hash differently
     return out.select(
-        "event_id", "user_id", "asof_time", F.round(gap, 1).alias("gap_s")
+        "event_id",
+        "user_id",
+        F.date_trunc("second", F.col("asof_time")).alias("asof_sec"),
+        F.round(gap, 1).alias("gap_s"),
     )
 
 
@@ -1371,7 +1376,8 @@ WITH purchases AS (
 ), errors AS (
   SELECT user_id, ts FROM events WHERE event_type = 'error'
 )
-SELECT p.event_id, p.user_id, e.ts AS asof_time,
+SELECT p.event_id, p.user_id,
+  date_trunc('second', e.ts)::TIMESTAMP AS asof_sec,
   round(epoch(p.ts) - epoch(e.ts), 1) AS gap_s
 FROM purchases p ASOF LEFT JOIN errors e
   ON p.user_id = e.user_id AND p.ts >= e.ts
