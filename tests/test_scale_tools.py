@@ -1,0 +1,111 @@
+"""Scale tooling: salted aggregation/join equivalence, bucketed
+shuffle-free joins, stateful streaming operator."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlvectordb_spark.operators.skew import (
+    bucketed_join_plan,
+    bucketed_write,
+    salted_count_sum,
+    salted_join,
+)
+from mlvectordb_spark.sources.testdata import load_table
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r.l_returnflag: (r.n, round(r.s, 2))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: (r.n, round(r.sum_l_quantity, 2))
+        for r in salted_count_sum(li, ["l_returnflag"], "l_quantity").collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(cust, "o_custkey").count()
+    salted = salted_join(orders, cust, "o_custkey").count()
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    # warehouse.dir is a static conf — tables land in ./spark-warehouse
+    # (gitignored) and are dropped in the finally block
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_acctbal"
+    )
+    try:
+        bucketed_write(orders, "b_orders", "o_custkey", 8)
+        bucketed_write(cust, "b_cust", "o_custkey", 8)
+        joined, plan = bucketed_join_plan(spark, "b_orders", "b_cust", "o_custkey")
+        # disable broadcast so the join must be sort-merge, then assert the
+        # bucket layout removed the shuffles
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        _, plan2 = bucketed_join_plan(spark, "b_orders", "b_cust", "o_custkey")
+        assert "Exchange hashpartitioning" not in plan2, plan2
+        assert joined.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_stateful_running_stats(spark, tmp_path):
+    """applyInPandasWithState: running per-user stats accumulate across
+    micro-batches (two files → two batches with maxFilesPerTrigger=1)."""
+    from mlvectordb_spark.streaming.events import read_event_stream
+    from mlvectordb_spark.streaming.stateful import user_running_stats
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "b1.parquet")
+    stream = read_event_stream(spark, str(d))
+    q = (
+        user_running_stats(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in spark.table("t_stateful").collect()
+    }
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    expected = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expected
+    # EWMA is bounded by min/max of values per user
+    bounds = {
+        r.user_id: (r.lo, r.hi)
+        for r in batch.groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in spark.table("t_stateful").collect():
+        lo, hi = bounds[r.user_id]
+        assert lo <= r.ewma_value <= hi
