@@ -211,14 +211,12 @@ class VectorStore:
         tomb = self._tombstones()
         if tomb is None:
             return
-        keep = tomb.filter(F.col("namespace") != namespace).collect()
+        tmp = os.path.join(self.path, ".tomb_tmp")
+        tomb.filter(F.col("namespace") != namespace).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         shutil.rmtree(self.tomb_path)
-        if keep:
-            (
-                self.spark.createDataFrame(keep, "id string, namespace string")
-                .write.mode("overwrite")
-                .parquet(self.tomb_path)
-            )
+        os.rename(tmp, self.tomb_path)
 
     def tombstone_ratio(self, namespace: str) -> float:
         """P6 trigger metric: deleted / total for one namespace."""
@@ -244,14 +242,24 @@ class VectorStore:
         """P6: rewrite ONE namespace partition without its tombstoned rows.
         Unlike the reference's rebuild (which wipes every namespace's index,
         SURVEY.md §3.3 step 4 — a documented bug), scope is strictly the one
-        namespace."""
-        live = self.df().filter(F.col("namespace") == namespace)
-        rows = live.collect()  # single-partition rewrite; bounded by namespace
+        namespace.
+
+        Distributed rewrite: the surviving rows are WRITTEN by executors to
+        a scratch dir, then swapped into the partition directory — nothing
+        is collected to the driver, so a namespace can be arbitrarily large.
+        (Writing in place is impossible: Spark cannot overwrite a path it
+        is reading.)"""
+        live = self.df().filter(F.col("namespace") == namespace).drop("namespace")
+        tmp_dir = os.path.join(self.path, f".compact_tmp_{namespace}")
+        live.write.mode("overwrite").parquet(tmp_dir)
         part_dir = os.path.join(self.data_path, f"namespace={namespace}")
         if os.path.isdir(part_dir):
             shutil.rmtree(part_dir)
-        if rows:
-            self._append([Row(**r.asDict()) for r in rows])
+        os.makedirs(part_dir, exist_ok=True)
+        for f in os.listdir(tmp_dir):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(tmp_dir, f), os.path.join(part_dir, f))
+        shutil.rmtree(tmp_dir)
         self._drop_namespace_tombstones(namespace)
 
     # -- point reads (Q5-Q8) -----------------------------------------------
@@ -397,17 +405,22 @@ class VectorStore:
         return self.spark.read.schema(VECTOR_SCHEMA).parquet(backup_path).count()
 
     def restore_from_backup(self, backup_path: str) -> int:
-        """Q22: replace current contents with a backup snapshot."""
+        """Q22: replace current contents with a backup snapshot — a
+        distributed copy (read → partitioned write), never a driver
+        materialization."""
         backup = (
             self.spark.read.schema(VECTOR_SCHEMA)
             .parquet(backup_path)
             .select("id", "namespace", "values", "metadata", "metadata_json")
-            .collect()
         )
         self.clear_all()
-        if backup:
-            self._append([Row(**r.asDict()) for r in backup])
-        return len(backup)
+        (
+            backup.write.mode("append")
+            .partitionBy("namespace")
+            .parquet(self.data_path)
+        )
+        raw = self._raw()
+        return 0 if raw is None else raw.count()
 
     # -- search (Q1, Q3, Q4) -----------------------------------------------
 

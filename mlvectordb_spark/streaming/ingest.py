@@ -1,0 +1,78 @@
+"""Streaming vector ingest into VectorStore.
+
+The reference's only write path is REST inserts one HTTP call at a time
+(`api/rest_api.py:96-161`); the streaming-native equivalent is a
+micro-batched ingest: a stream of VectorDTO-shaped records (values +
+metadata + namespace) lands in the storage table via foreachBatch.
+
+foreachBatch is the right tool (vs a direct parquet sink) because ingest
+needs the store's write semantics: uuid assignment, float casting,
+metadata_json derivation, namespace partitioning — and gets exactly-once
+per micro-batch through the checkpointed batch id.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mlvectordb_spark.operators.store import VectorStore
+
+INGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("values", T.ArrayType(T.FloatType()), nullable=False),
+        T.StructField(
+            "metadata", T.MapType(T.StringType(), T.StringType()), nullable=True
+        ),
+        T.StructField("namespace", T.StringType(), nullable=False),
+    ]
+)
+
+
+def _metadata_json(col):
+    # deterministic flat-map JSON (sorted keys) matching VectorStore's
+    # driver-side json.dumps(..., sort_keys=True) for flat string maps
+    return F.to_json(
+        F.map_from_arrays(
+            F.array_sort(F.map_keys(col)),
+            F.transform(F.array_sort(F.map_keys(col)), lambda k: col[k]),
+        )
+    )
+
+
+def start_vector_ingest(
+    stream: DataFrame, store: VectorStore, checkpoint_dir: str, query_name: str
+):
+    """Attach a DTO stream to a VectorStore. Returns the StreamingQuery.
+
+    Each micro-batch is one distributed append: uuid() per row executor-side
+    (W1/W2 insert semantics — fresh id always), partitioned by namespace.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.withColumn("id", F.expr("uuid()"))
+            .withColumn(
+                "values", F.transform(F.col("values"), lambda x: x.cast("float"))
+            )
+            .withColumn(
+                "metadata_json",
+                F.when(
+                    F.col("metadata").isNotNull(), _metadata_json(F.col("metadata"))
+                ).otherwise(F.lit("{}")),
+            )
+            .select("id", "namespace", "values", "metadata", "metadata_json")
+        )
+        rows.write.mode("append").partitionBy("namespace").parquet(store.data_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
