@@ -148,6 +148,30 @@ class LSHIndex:
         self.indexed = self.model.transform(feat)
         return self.indexed
 
+    def save(self, path: str) -> None:
+        """Q23: persist the fitted LSH model (MLlib save) + hashed data."""
+        assert self.model is not None and self.indexed is not None
+        self.model.write().overwrite().save(f"{path}/model")
+        self.indexed.drop("__hashes", "__features").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/data")
+
+    @classmethod
+    def load(
+        cls, spark, path: str, vec_col: str = "embedding"
+    ) -> "LSHIndex":
+        """Q23: restore the model and re-hash the stored data (hash columns
+        are cheap to recompute and not parquet-representable)."""
+        from pyspark.ml.feature import BucketedRandomProjectionLSHModel
+
+        idx = cls()
+        idx.model = BucketedRandomProjectionLSHModel.load(f"{path}/model")
+        data = spark.read.parquet(f"{path}/data")
+        idx.indexed = idx.model.transform(
+            data.withColumn("__features", array_to_vector(F.col(vec_col)))
+        )
+        return idx
+
     def search(self, qvec, k: int, id_col: str = "vec_id") -> DataFrame:
         """approxNearestNeighbors: returns (id, distCol) for ~k candidates."""
         assert self.model is not None and self.indexed is not None

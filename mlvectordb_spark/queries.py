@@ -978,6 +978,24 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "nprobe INT, recall DOUBLE")
 
 
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximations (HLL distinct + quantile sketch): the
+    constant-memory path for 100 TB cardinality/quantile questions. No SQL
+    oracle — sketch implementations differ across engines by design — so
+    the driver records the weaker rows-only check; the test suite bounds
+    the estimates against exact values instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.round(
+            F.percentile_approx("l_extendedprice", 0.5), 2
+        ).alias("approx_median_price"),
+        F.round(
+            F.percentile_approx("l_extendedprice", 0.99), 2
+        ).alias("approx_p99_price"),
+    )
+
+
 def q_ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib LSH approximate KNN (BucketedRandomProjectionLSH)."""
     from mlvectordb_spark.operators.ann import LSHIndex
@@ -1560,6 +1578,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     # rows-only (no oracle: KMeans/LSH aren't SQL-expressible; correctness
     # is recall vs the exact path, reported by ann_ivf_recall)
+    "approx_stats": q_approx_stats,
     "ann_ivf_knn": q_ann_ivf_knn,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_lsh_knn": q_ann_lsh_knn,

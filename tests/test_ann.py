@@ -84,6 +84,16 @@ def test_lsh_search_returns_k(emb, qvec):
     assert out[0].vec_id == 0 or 0 in {r.vec_id for r in out}
 
 
+def test_lsh_save_load_roundtrip(spark, emb, qvec, tmp_path):
+    idx = LSHIndex(bucket_length=1.0, num_hash_tables=4, seed=42)
+    idx.build(emb)
+    before = {r.vec_id for r in idx.search(qvec, 5).collect()}
+    idx.save(str(tmp_path / "lsh"))
+    loaded = LSHIndex.load(spark, str(tmp_path / "lsh"))
+    after = {r.vec_id for r in loaded.search(qvec, 5).collect()}
+    assert before == after  # same hyperplanes -> same buckets -> same result
+
+
 def test_lsh_similarity_join_self_pairs(emb):
     """Every point is within distance 0 of itself in the self-join."""
     small = emb.filter(F.col("vec_id") < 50)

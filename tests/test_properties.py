@@ -1,0 +1,152 @@
+"""Property-based tests (hypothesis) — the test-strategy gap SURVEY.md §5.2
+notes in the reference. Spark jobs are slow per-example, so properties are
+checked with small example counts over batched inputs."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mlvectordb_spark.functions import vector as V
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+vec = st.lists(
+    st.floats(
+        min_value=-100,
+        max_value=100,
+        allow_nan=False,
+        allow_infinity=False,
+        width=32,
+    ),
+    min_size=2,
+    max_size=16,
+)
+pair = st.tuples(vec, vec).filter(lambda ab: len(ab[0]) == len(ab[1]))
+
+
+def _eval(spark, exprs, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    return df.select(*exprs).collect()
+
+
+@given(ab=pair)
+@settings(**SETTINGS)
+def test_l2_symmetry_and_nonneg(spark, ab):
+    a, b = ab
+    row = _eval(
+        spark,
+        [
+            V.l2_sq("x", "y").alias("xy"),
+            V.l2_sq("y", "x").alias("yx"),
+            V.l2_sq("x", "x").alias("xx"),
+        ],
+        [(a, b)],
+        "x array<float>, y array<float>",
+    )[0]
+    assert row.xy == pytest.approx(row.yx, rel=1e-12)
+    assert row.xy >= 0
+    assert row.xx == pytest.approx(0.0, abs=1e-9)
+
+
+@given(ab=pair)
+@settings(**SETTINGS)
+def test_cosine_bounds_and_dot_consistency(spark, ab):
+    a, b = ab
+    na, nb = float(np.linalg.norm(np.array(a, dtype=np.float32))), float(
+        np.linalg.norm(np.array(b, dtype=np.float32))
+    )
+    if na < 1e-6 or nb < 1e-6:
+        return  # cosine undefined at zero vectors
+    row = _eval(
+        spark,
+        [
+            V.cosine_sim("x", "y").alias("cos"),
+            V.dot("x", "y").alias("d"),
+            V.norm2("x").alias("nx"),
+            V.norm2("y").alias("ny"),
+        ],
+        [(a, b)],
+        "x array<float>, y array<float>",
+    )[0]
+    assert -1.0 - 1e-9 <= row.cos <= 1.0 + 1e-9
+    assert row.cos == pytest.approx(row.d / (row.nx * row.ny), rel=1e-9)
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=12)
+)
+@settings(**SETTINGS)
+def test_multi_get_alignment_property(spark, tmp_path_factory, ids):
+    """Multi-get returns exactly one slot per requested id, aligned, with
+    None exactly when the id is outside the stored range."""
+    from mlvectordb_spark.operators.store import VectorStore
+
+    store = VectorStore(
+        spark, str(tmp_path_factory.mktemp("pb_store"))
+    )
+    stored = store.upsert_many([{"values": [float(i)]} for i in range(10)])
+    req = [stored[i] if i < 10 else f"missing-{i}" for i in ids]
+    out = store.read_vectors(req)
+    assert len(out) == len(req)
+    for want, got in zip(ids, out):
+        if want < 10:
+            assert got is not None and got.id == stored[want]
+        else:
+            assert got is None
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab "),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_shingle_count_property(spark, texts, k):
+    """len(shingles) == max(0, n_tokens - k + 1) for every document."""
+    from mlvectordb_spark.functions import text as TX
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i int, text string")
+    out = df.select(
+        "i",
+        F.size(TX.tokens("text")).alias("n"),
+        F.size(TX.word_shingles(TX.tokens("text"), k)).alias("s"),
+    ).collect()
+    for r in out:
+        if k == 1:
+            assert r.s == r.n
+        else:
+            assert r.s == max(0, r.n - k + 1)
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_knn_contains_self_property(spark, seed):
+    """A stored vector is always its own nearest neighbour under l2."""
+    from mlvectordb_spark.operators.knn import knn
+
+    rng = np.random.default_rng(seed)
+    data = rng.random((30, 6), dtype=np.float32)
+    rows = [(i, data[i].tolist()) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    probe = int(rng.integers(0, 30))
+    out = knn(df, data[probe].tolist(), 1, metric="l2").collect()
+    assert out[0].vec_id == probe or math.isclose(out[0].score, 0.0, abs_tol=1e-4)
