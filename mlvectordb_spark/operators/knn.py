@@ -48,6 +48,36 @@ def _order_cols(score: Column, id_col: Column, metric: str, decimals: int) -> li
     return [lead, id_col.asc()]
 
 
+def knn_df(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    metric: str = "l2",
+    pre_filter: Column | None = None,
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Exact top-k where the query vector comes from a 1-row DataFrame —
+    fully declarative (no driver round-trip to fetch the vector): the query
+    side broadcasts into a crossJoin, constant-folding territory for
+    Catalyst. Prefer this over `knn` when the probe vector already lives in
+    a table."""
+    if pre_filter is not None:
+        df = df.filter(pre_filter)
+    q = F.broadcast(query_df.select(F.col(query_vec_col).alias("__qvec")).limit(1))
+    score = metric_expr(F.col(vec_col), F.col("__qvec"), metric)
+    scored = (
+        df.crossJoin(q)
+        .withColumn("score", F.round(score, score_decimals))
+        .drop("__qvec")
+    )
+    return scored.orderBy(
+        *_order_cols(F.col("score"), F.col(id_col), metric, score_decimals)
+    ).limit(k)
+
+
 def knn(
     df: DataFrame,
     qvec,

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from mlvectordb_spark.functions import text as TX
 from mlvectordb_spark.functions import vector as V
-from mlvectordb_spark.operators.knn import knn, knn_join, range_query, threshold_query
+from mlvectordb_spark.operators.knn import knn, knn_df, knn_join, range_query, threshold_query
 from mlvectordb_spark.sources.testdata import load_table
 
 # ---------------------------------------------------------------------------
@@ -66,38 +66,56 @@ def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1/Q4: exact top-k by squared-L2 (the reference's `l2` space score,
     hnswlib squared distances — implementations/index.py:18)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
-    return knn(emb, qvec, KNN_K, metric="l2").select("vec_id", "label", "score")
+    qdf = emb.filter(F.col("vec_id") == QUERY_VID)
+    return knn_df(emb, qdf, KNN_K, metric="l2").select("vec_id", "label", "score")
 
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1/Q4: top-k by cosine similarity (descending — reference flips
     1−dist back to similarity at implementations/index.py:126-127)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
-    return knn(emb, qvec, KNN_K, metric="cosine").select("vec_id", "label", "score")
+    qdf = emb.filter(F.col("vec_id") == QUERY_VID)
+    return knn_df(emb, qdf, KNN_K, metric="cosine").select("vec_id", "label", "score")
 
 
 def q_knn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4: inner-product metric (hnswlib `ip` space, reachable via ctor)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
-    return knn(emb, qvec, KNN_K, metric="ip").select("vec_id", "label", "score")
+    qdf = emb.filter(F.col("vec_id") == QUERY_VID)
+    return knn_df(emb, qdf, KNN_K, metric="ip").select("vec_id", "label", "score")
 
 
 def q_range_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12 (declared, README:67-75): all vectors within radius."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
-    return range_query(emb, qvec, RANGE_RADIUS, metric="l2").select("vec_id", "score")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == QUERY_VID).select(
+            F.col("embedding").alias("__qvec")
+        )
+    )
+    score = F.round(V.l2_sq(F.col("embedding"), F.col("__qvec")), 4)
+    return (
+        emb.crossJoin(q)
+        .withColumn("score", score)
+        .filter(F.col("score") <= RANGE_RADIUS)
+        .select("vec_id", "score")
+    )
 
 
 def q_threshold_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13 (declared, README:462-470): similarity >= threshold."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
-    return threshold_query(emb, qvec, COS_THRESHOLD, metric="cosine").select(
-        "vec_id", "score"
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == QUERY_VID).select(
+            F.col("embedding").alias("__qvec")
+        )
+    )
+    score = F.round(V.cosine_sim(F.col("embedding"), F.col("__qvec")), 4)
+    return (
+        emb.crossJoin(q)
+        .withColumn("score", score)
+        .filter(F.col("score") >= COS_THRESHOLD)
+        .select("vec_id", "score")
     )
 
 
@@ -106,9 +124,9 @@ def q_hybrid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     plays the metadata role; the filter sits under the kernel so it reaches
     the parquet scan as a pushed predicate."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
-    return knn(
-        emb, qvec, 5, metric="cosine", pre_filter=F.col("label") == HYBRID_LABEL
+    qdf = emb.filter(F.col("vec_id") == QUERY_VID)
+    return knn_df(
+        emb, qdf, 5, metric="cosine", pre_filter=F.col("label") == HYBRID_LABEL
     ).select("vec_id", "label", "score")
 
 
