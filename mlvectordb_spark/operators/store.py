@@ -172,7 +172,7 @@ class VectorStore:
         (reference returns deleted ids, query_processor.py:53-55). Triggers
         per-namespace compaction at the tombstone threshold."""
         ids = [str(i) for i in ids]
-        if not ids:
+        if not ids or self._raw() is None:
             return []
         live = self.df().filter(F.col("namespace") == namespace)
         present = [

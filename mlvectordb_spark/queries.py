@@ -996,6 +996,73 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "nprobe INT, recall DOUBLE")
 
 
+def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path under the correctness gate: ingest embeddings into a
+    fresh VectorStore (stable ids via upsert_by_id, one namespace per
+    label), delete a deterministic slice, and report per-namespace counts —
+    the oracle reproduces the arithmetic relationally."""
+    import tempfile
+
+    from mlvectordb_spark.operators.store import VectorStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = VectorStore(spark, tempfile.mkdtemp(prefix="q_store_"))
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    by_ns: dict[int, list[dict]] = {}
+    for r in rows:
+        by_ns.setdefault(int(r.label) % 5, []).append(
+            {"id": f"v{r.vec_id}", "values": list(r.embedding)}
+        )
+    for ns, recs in by_ns.items():
+        store.upsert_by_id(recs, namespace=f"ns{ns}")
+    # deterministic delete: every vec_id divisible by 7, from its namespace
+    for ns, recs in by_ns.items():
+        doomed = [d["id"] for d in recs if int(d["id"][1:]) % 7 == 0]
+        store.delete(doomed, namespace=f"ns{ns}")
+    out = (
+        store.df()
+        .groupBy("namespace")
+        .agg(
+            F.count("*").alias("n_live"),
+            F.sum(F.size("values")).cast("bigint").alias("total_dims"),
+        )
+    )
+    return out
+
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal surface under the driver gate: synthetic binary corpus →
+    payload-free metadata stats + fake-feature dims (rows-only: the corpus
+    is generated, not a testdata table)."""
+    from mlvectordb_spark import multimodal as MM
+
+    media = MM.synthetic_media_df(spark, n=60)
+    feats = MM.fake_feature_extract(media)
+    return (
+        feats.groupBy("modality")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("payload_bytes").alias("total_bytes"),
+            F.round(F.avg(F.aggregate(
+                F.transform("feature", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )), 4).alias("avg_feature_sum"),
+        )
+    )
+
+
+def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (sort-based, association-free — oracle-matchable unlike
+    the sketch quantiles in approx_stats)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximations (HLL distinct + quantile sketch): the
     constant-memory path for 100 TB cardinality/quantile questions. No SQL
@@ -1495,6 +1562,20 @@ SELECT label, lang, count(*) AS n, sum(n_chars)::BIGINT AS total_chars
 FROM embeddings JOIN documents ON vec_id = doc_id
 GROUP BY label, lang
 """,
+    "store_roundtrip": """
+SELECT 'ns' || (label % 5)::VARCHAR AS namespace,
+  count(*) AS n_live,
+  (count(*) * 64)::BIGINT AS total_dims
+FROM embeddings
+WHERE vec_id % 7 != 0
+GROUP BY label % 5
+""",
+    "median_price": """
+SELECT l_returnflag, round(median(l_extendedprice), 4) AS median_price,
+  round(min(l_extendedprice), 2) AS min_price,
+  round(max(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""",
     "dedup_exact": """
 SELECT lang, count(*) AS n_unique_docs FROM (
   SELECT lang, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -1596,7 +1677,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     # rows-only (no oracle: KMeans/LSH aren't SQL-expressible; correctness
     # is recall vs the exact path, reported by ann_ivf_recall)
+    "store_roundtrip": q_store_roundtrip,
+    "median_price": q_median_price,
     "approx_stats": q_approx_stats,
+    "media_stats": q_media_stats,
     "ann_ivf_knn": q_ann_ivf_knn,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_lsh_knn": q_ann_lsh_knn,
