@@ -547,6 +547,21 @@ def q_events_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: materialize an hourly rollup
+    of events, answer the daily question exactly from it (algebraic aggs
+    re-aggregate losslessly). Oracle computes straight from raw events —
+    results must be identical."""
+    import tempfile
+
+    from mlvectordb_spark.operators.rollup import build_rollup, query_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="q_rollup_")
+    build_rollup(ev, path, bucket="1 hour")
+    return query_rollup(spark, path, grain="day")
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS through the SQL API (the engine's spark.sql
     surface): per-status, per-priority, and grand-total rows in one pass."""
@@ -1459,6 +1474,12 @@ SELECT user_id, event_type, event_id FROM (
   FROM events
 ) WHERE rn = 1
 """,
+    "rollup_daily": """
+SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type,
+  count(*) AS n_events, round(sum(value), 2) AS sum_value,
+  round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+FROM events GROUP BY 1, 2
+""",
     "grouping_sets": """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
   round(sum(o_totalprice), 2) AS total_price
@@ -1654,6 +1675,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "monthly_running_revenue": q_monthly_running_revenue,
     "top_event_types_per_user": q_top_event_types_per_user,
     "emb_doc_join": q_emb_doc_join,
+    "rollup_daily": q_rollup_daily,
     "grouping_sets": q_grouping_sets,
     "udf_token_count": q_udf_token_count,
     "udaf_geomean": q_udaf_geomean,
