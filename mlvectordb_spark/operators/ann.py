@@ -30,7 +30,6 @@ from pyspark.ml.linalg import Vectors
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mlvectordb_spark.functions.vector import metric_ascending, metric_expr
 from mlvectordb_spark.operators.knn import knn
 
 

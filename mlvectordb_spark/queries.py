@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from mlvectordb_spark.functions import text as TX
 from mlvectordb_spark.functions import vector as V
-from mlvectordb_spark.operators.knn import knn, knn_df, knn_join, range_query, threshold_query
+from mlvectordb_spark.operators.knn import knn, knn_df, knn_join
 from mlvectordb_spark.sources.testdata import load_table
 
 # ---------------------------------------------------------------------------

@@ -13,9 +13,6 @@ per micro-batch through the checkpointed batch id.
 
 from __future__ import annotations
 
-import json
-import uuid
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
