@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding",
+    "curation_pipeline",
 ]
 
 

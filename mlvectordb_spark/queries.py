@@ -1107,6 +1107,43 @@ def q_ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(qvec, KNN_K)
 
 
+CURATION_QUALITY_MIN = 0.7
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation funnel as ONE DataFrame flow: quality filter →
+    language-ID filter → near-dup removal (min-shingle fingerprint, lowest
+    doc_id survives). Emits the per-stage funnel counts — the shape of a
+    real corpus-curation job, where each stage is a narrow transformation
+    and only the dedup stage shuffles (on the fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    staged = docs.select(
+        "doc_id",
+        TX.quality_score("text").alias("q"),
+        TX.lang_id_expr("text").alias("pred_lang"),
+        TX.min_shingle_fingerprint("text", k=3).alias("fp"),
+    )
+    passed = staged.filter(
+        (F.col("q") >= CURATION_QUALITY_MIN) & (F.col("pred_lang") == "en")
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    survivors = passed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        staged.agg(
+            F.count("*").alias("n_input"),
+            F.sum(
+                F.when(F.col("q") >= CURATION_QUALITY_MIN, 1).otherwise(0)
+            ).cast("bigint").alias("n_quality"),
+        )
+        .crossJoin(passed.agg(F.count("*").alias("n_quality_and_lang")))
+        .crossJoin(survivors.agg(F.count("*").alias("n_unique")))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — mirrors of the above, same constants, same rounding,
 # same tie-breaks, same column names.
@@ -1631,6 +1668,48 @@ WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 4) >= 0.2
 """,
     "dedup_simhash": _oracle_simhash_sql(),
+    "curation_pipeline": f"""
+WITH toks_t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+  FROM documents
+), staged AS (
+  SELECT doc_id,
+    round(CASE WHEN len(toks) > 0 THEN
+      0.4 * least(1.0, len(toks)::DOUBLE / 50.0)
+      + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+      + 0.2 * (1.0 - len(list_filter(toks, t -> t IN ({", ".join(f"'{w}'" for w in TX.STOPWORDS)})))::DOUBLE / len(toks)::DOUBLE)
+    ELSE 0.0 END, 4) AS q,
+    (CASE WHEN len(list_filter(toks, t -> t IN ('the', 'a', 'is', 'of', 'and'))) > 0
+          THEN 'en' ELSE 'other' END) AS pred_lang_en_proxy,
+    list_min(list_transform(
+      CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+        i -> array_to_string(toks[i:i+2], ' ')) ELSE [] END,
+      s -> md5(s))) AS fp,
+    len(list_filter(toks, t -> t IN ('the', 'a', 'is', 'of', 'and'))) AS sc_en,
+    len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS sc_de,
+    len(list_filter(toks, t -> t IN ('el', 'los', 'que', 'es', 'una'))) AS sc_es,
+    len(list_filter(toks, t -> t IN ('le', 'les', 'et', 'est', 'une'))) AS sc_fr,
+    len(list_filter(toks, t -> t IN ('de5', 'shi4', 'le5', 'zai4', 'he2'))) AS sc_zh
+  FROM toks_t
+), langed AS (
+  SELECT *, CASE WHEN greatest(sc_en, sc_de, sc_es, sc_fr, sc_zh) > 0
+    AND sc_en = greatest(sc_en, sc_de, sc_es, sc_fr, sc_zh) THEN 'en'
+    ELSE 'not-en' END AS pred_lang
+  FROM staged
+), passed AS (
+  SELECT * FROM langed WHERE q >= {CURATION_QUALITY_MIN} AND pred_lang = 'en'
+), survivors AS (
+  SELECT * FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM passed
+  ) WHERE rn = 1
+)
+SELECT
+  (SELECT count(*) FROM staged) AS n_input,
+  (SELECT count(*) FROM staged WHERE q >= {CURATION_QUALITY_MIN}) AS n_quality,
+  (SELECT count(*) FROM passed) AS n_quality_and_lang,
+  (SELECT count(*) FROM survivors) AS n_unique
+""",
     "dedup_embedding": f"""
 SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
   round({_sql_cos('a.embedding', 'b.embedding')}, 4) AS cos_sim
@@ -1697,6 +1776,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "curation_pipeline": q_curation_pipeline,
     # rows-only (no oracle: KMeans/LSH aren't SQL-expressible; correctness
     # is recall vs the exact path, reported by ann_ivf_recall)
     "store_roundtrip": q_store_roundtrip,
