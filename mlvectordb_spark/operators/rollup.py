@@ -48,6 +48,65 @@ def build_rollup(
     hourly.write.mode("overwrite").partitionBy("bucket_date").parquet(path)
 
 
+def refresh_rollup(
+    events_delta: DataFrame, path: str, bucket: str = "1 hour"
+) -> None:
+    """Incremental refresh: fold a new batch of events into the rollup by
+    re-aggregating ONLY the date partitions the batch touches.
+
+    Algebraic aggregates merge associatively, so the existing rollup rows
+    for touched dates union with the delta's rollup and re-aggregate —
+    untouched partitions are never read or written (dynamic partition
+    overwrite). This is the foreachBatch body that keeps a continuous
+    aggregate current under streaming ingest."""
+    spark = events_delta.sparkSession
+    delta_hourly = (
+        events_delta.groupBy(
+            F.window(F.col("ts"), bucket).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            F.to_date(F.col("w.start")).alias("bucket_date"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+    touched = [r.bucket_date for r in delta_hourly.select("bucket_date").distinct().collect()]
+    # eager localCheckpoint materializes the touched rows BEFORE the
+    # overwrite below — Spark must never lazily re-read a path it is
+    # overwriting
+    existing = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket_date").isin(touched))
+        .localCheckpoint(eager=True)
+    )
+    merged = (
+        existing.unionByName(delta_hourly)
+        .groupBy("bucket_start", "bucket_date", "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("bucket_date").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
 def query_rollup(
     spark: SparkSession,
     path: str,

@@ -38,6 +38,31 @@ def test_daily_from_rollup_equals_direct(spark, sf_dir, rollup_path):
     assert from_rollup == direct
 
 
+def test_incremental_refresh_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Building from 80% of events then folding in the remaining 20% must
+    equal a from-scratch build over everything."""
+    from mlvectordb_spark.operators.rollup import refresh_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") % 5 != 0)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+    inc_path = str(tmp_path / "inc")
+    full_path = str(tmp_path / "full")
+    build_rollup(first, inc_path)
+    refresh_rollup(delta, inc_path)
+    build_rollup(ev, full_path)
+    key = ["bucket_start", "event_type"]
+    inc = {
+        tuple(r[k] for k in key): (r.n_events, round(r.sum_value, 6))
+        for r in spark.read.parquet(inc_path).collect()
+    }
+    full = {
+        tuple(r[k] for k in key): (r.n_events, round(r.sum_value, 6))
+        for r in spark.read.parquet(full_path).collect()
+    }
+    assert inc == full
+
+
 def test_rollup_partitioned_by_date(spark, rollup_path):
     """Date partitioning → time-range queries prune partitions."""
     rollup = spark.read.parquet(rollup_path)
