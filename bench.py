@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding",
     "curation_pipeline",
+    "ann_ivf_knn",
 ]
 
 

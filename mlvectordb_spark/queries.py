@@ -179,6 +179,19 @@ def q_ns_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: point read by id — equality predicate pushed into the scan
+    (storage_engine_in_memory.py:39-40); values surfaced rounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == 42).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: F.round(x.cast("double"), 4)).alias(
+            "vec"
+        ),
+    )
+
+
 def q_multi_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6: order-preserving multi-get with null markers for misses
     (storage_engine_in_memory.py:42-44; alignment test :76-82).
@@ -1340,6 +1353,11 @@ SELECT label, count(*) AS n_vectors, (count(*) * 256)::BIGINT AS est_bytes,
   round(avg({_sql_dot('embedding', 'embedding')}), 4) AS avg_sq_norm
 FROM embeddings GROUP BY label
 """,
+    "point_read": """
+SELECT vec_id, label,
+  list_transform(embedding, x -> round(x::DOUBLE, 4)) AS vec
+FROM embeddings WHERE vec_id = 42
+""",
     "multi_get": """
 WITH req(pos, req_id) AS (VALUES (1, 3), (2, -1), (3, 7), (4, 1000000000), (5, 0))
 SELECT req.pos::INT AS pos, req.req_id::BIGINT AS req_id,
@@ -1731,6 +1749,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize": q_normalize,
     "pairwise_dist": q_pairwise_dist,
     "ns_stats": q_ns_stats,
+    "point_read": q_point_read,
     "multi_get": q_multi_get,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
