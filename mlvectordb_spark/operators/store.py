@@ -115,7 +115,29 @@ class VectorStore:
             )
         return rows
 
+    def _check_dims(self, rows: list[Row]) -> None:
+        """Per-namespace dimension enforcement (the reference enforces this
+        implicitly — hnswlib raises on mismatch, implementations/
+        index.py:32-48; SURVEY.md §7 prescribes an explicit check since one
+        global ArrayType column can't encode per-namespace dims)."""
+        dims: dict[str, int] = {}
+        for r in rows:
+            d = dims.setdefault(r.namespace, len(r.values))
+            if len(r.values) != d:
+                raise ValueError(
+                    f"dimension mismatch within batch for namespace "
+                    f"{r.namespace!r}: {len(r.values)} != {d}"
+                )
+        for ns, d in dims.items():
+            existing = self.dimension(ns)
+            if existing is not None and existing != d:
+                raise ValueError(
+                    f"dimension mismatch for namespace {ns!r}: "
+                    f"got {d}, namespace holds {existing}-dim vectors"
+                )
+
     def _append(self, rows: list[Row]) -> None:
+        self._check_dims(rows)
         (
             self.spark.createDataFrame(rows, VECTOR_SCHEMA)
             .write.mode("append")
@@ -436,6 +458,12 @@ class VectorStore:
         the per-query metric — SURVEY.md fact #2), the metric genuinely
         selects the kernel. `metadata_filter` gives the declared hybrid
         query (Q15). top_k clamps naturally via limit (Q3)."""
+        ns_dim = self.dimension(namespace)
+        if ns_dim is not None and ns_dim != len(query_values):
+            raise ValueError(
+                f"query dimension {len(query_values)} != namespace "
+                f"{namespace!r} dimension {ns_dim}"
+            )
         df = self.df().filter(F.col("namespace") == namespace)
         if metadata_filter:
             for k, v in metadata_filter.items():

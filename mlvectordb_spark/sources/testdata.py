@@ -17,10 +17,19 @@ from mlvectordb_spark.schema import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# plan cache: footer/schema reads happen once per (session, dir, table).
+# DataFrames are immutable logical plans, so sharing the object across
+# queries is free and safe; keyed on the session so a new session re-reads.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}")
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects; runtime-set the legacy conf (works even when the
@@ -34,6 +43,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer `div`, not `/1000` — double division at ~1.7e15 ns rounds
         # the last microsecond
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 

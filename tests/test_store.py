@@ -187,6 +187,24 @@ def test_hybrid_metadata_filter(store):
     assert res[0]["metadata"]["cat"] == "doc"
 
 
+def test_dimension_mismatch_rejected(store):
+    """Per-namespace dim enforcement — the reference's implicit hnswlib
+    constraint (implementations/index.py:32-48) made explicit; the gap
+    SURVEY.md §5.2 notes the reference never tests."""
+    store.insert([1.0, 2.0], namespace="dims")
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        store.insert([1.0, 2.0, 3.0], namespace="dims")
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        store.upsert_many(
+            [{"values": [1.0, 2.0]}, {"values": [1.0]}], namespace="fresh"
+        )
+    with pytest.raises(ValueError, match="query dimension"):
+        store.find_similar([1.0, 2.0, 3.0], 1, namespace="dims")
+    # other namespaces are unaffected (dims are per-namespace)
+    store.insert([1.0, 2.0, 3.0], namespace="dims3")
+    assert store.dimension("dims") == 2 and store.dimension("dims3") == 3
+
+
 def test_compaction_triggers_at_threshold(store):
     """P5/P6: tombstones accumulate, compaction clears them at >= 20%."""
     ids = store.upsert_many([{"values": [float(i)]} for i in range(10)])
