@@ -1,0 +1,129 @@
+"""Scale probe: run core operators at 100-1000x the sf0.1 sizes locally to
+measure how the plans behave as data grows (results recorded in SCALING.md).
+
+Synthesizes data executor-side (spark.range + deterministic hash-based
+columns — no driver materialization), so N scales to memory, not driver
+heap. Usage: python tools/scale_probe.py [n_vectors] [n_events]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from mlvectordb_spark.operators.ann import IVFIndex
+from mlvectordb_spark.operators.knn import knn, knn_join
+from mlvectordb_spark.operators.skew import salted_count_sum
+from mlvectordb_spark.session import get_spark
+
+
+def synth_embeddings(spark, n: int, dim: int = 64):
+    """Deterministic pseudo-random unit-ish vectors, generated executor-side."""
+    df = spark.range(n).select(F.col("id").alias("vec_id"))
+    comps = F.array(
+        *[
+            (F.pmod(F.xxhash64(F.col("vec_id"), F.lit(i)), F.lit(10_000)) / 5_000.0
+             - F.lit(1.0)).cast("float")
+            for i in range(dim)
+        ]
+    )
+    return df.withColumn("embedding", comps).withColumn(
+        "label", F.pmod(F.col("vec_id"), F.lit(10)).cast("int")
+    )
+
+
+def synth_events(spark, n: int):
+    df = spark.range(n).select(F.col("id").alias("event_id"))
+    return (
+        df.withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.pmod(F.xxhash64("event_id"), F.lit(30 * 86400))
+            ),
+        )
+        .withColumn("user_id", F.pmod(F.xxhash64("event_id", F.lit(1)), F.lit(50_000)))
+        .withColumn(
+            "value", (F.pmod(F.xxhash64("event_id", F.lit(2)), F.lit(100_000)) / 100.0)
+        )
+    )
+
+
+def timed(name, fn, out):
+    t0 = time.time()
+    n = fn()
+    dt = round(time.time() - t0, 2)
+    out[name] = {"sec": dt, "rows": n}
+    print(f"  {name}: {dt}s ({n} rows)", flush=True)
+
+
+def main():
+    n_vec = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_ev = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"n_vectors": n_vec, "n_events": n_ev}
+
+    emb = synth_embeddings(spark, n_vec).localCheckpoint(eager=True)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+
+    timed("exact_knn_top10", lambda: len(knn(emb, qvec, 10, metric="l2").collect()), out)
+
+    def ivf():
+        idx = IVFIndex(n_clusters=64, seed=42)
+        idx.build(emb)
+        out["ivf_build_only_sec"] = round(time.time() - t_ivf0, 2)
+        return len(idx.search(qvec, 10, nprobe=8, metric="l2").collect())
+
+    t_ivf0 = time.time()
+    timed("ivf_build_plus_probe", ivf, out)
+
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed(
+        "knn_join_16q_top5",
+        lambda: knn_join(emb, queries, 5, metric="l2").count(),
+        out,
+    )
+
+    ev = synth_events(spark, n_ev)
+
+    def sessionize():
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+        new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        return (
+            ev.withColumn("ns", new_sess)
+            .groupBy("user_id")
+            .agg(F.sum("ns").alias("n_sessions"))
+            .count()
+        )
+
+    timed("events_sessionize", sessionize, out)
+
+    skewed = ev.withColumn(
+        "k", F.when(F.pmod("event_id", F.lit(10)) < 8, F.lit(7)).otherwise(F.pmod("event_id", F.lit(1000)))
+    )
+    timed(
+        "salted_agg_80pct_hot_key",
+        lambda: salted_count_sum(skewed, ["k"], "value").count(),
+        out,
+    )
+    timed(
+        "plain_agg_same_skew",
+        lambda: skewed.groupBy("k").agg(F.count("*"), F.sum("value")).count(),
+        out,
+    )
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
