@@ -1,0 +1,115 @@
+"""Embedding near-duplicate detection with pluggable blocking.
+
+The quadratic-pair problem is THE scale constraint for near-dup: comparing
+all pairs of a 100 TB corpus is impossible, so candidates must come from a
+blocking function that (a) puts near-duplicates in the same block with high
+probability and (b) keeps blocks BOUNDED. Two blockers:
+
+- `block_by_column`: use an existing categorical column (label, source,
+  shard). Simple, but block sizes follow the column's distribution —
+  unbounded if a category is hot.
+- `block_by_cluster`: KMeans/IVF cluster id with k chosen as n/target —
+  blocks track the target size regardless of corpus growth, making the
+  per-block O(block²·d) matmul a constant. Near-identical vectors land in
+  the same cluster except within ~ε of a Voronoi boundary (the standard
+  IVF-dedup recall caveat; raise k or probe 2 nearest clusters to shrink
+  it).
+
+The pairwise kernel is one numpy matmul per block via applyInPandas
+(Arrow-batched); rounding/thresholding stay Spark-side so results are
+engine-comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pair_kernel(threshold: float, id_col: str, vec_col: str, block_col: str):
+    margin = threshold - 1e-3  # exact rounded threshold applied Spark-side
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        empty = {
+            "block": [],
+            "id_a": [],
+            "id_b": [],
+            "raw_cos": [],
+        }
+        if len(ids) < 2:
+            return pd.DataFrame(empty)
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        cos = (mat @ mat.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = cos[iu, ju] >= margin
+        return pd.DataFrame(
+            {
+                "block": np.repeat(str(pdf[block_col].iloc[0]), keep.sum()),
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "raw_cos": cos[iu[keep], ju[keep]],
+            }
+        )
+
+    return block_pairs
+
+
+def _finish(pairs: DataFrame, threshold: float) -> DataFrame:
+    return (
+        pairs.withColumn("cos_sim", F.round(F.col("raw_cos"), 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("block", "id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_near_dup_by_column(
+    df: DataFrame,
+    threshold: float,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs within blocks of an existing categorical column."""
+    src = df.select(
+        F.col(block_col).alias("__block"), F.col(id_col), F.col(vec_col)
+    )
+    kernel = _pair_kernel(threshold, id_col, vec_col, "__block")
+    pairs = src.groupBy("__block").applyInPandas(
+        kernel, schema=f"block string, id_a long, id_b long, raw_cos double"
+    )
+    return _finish(pairs, threshold)
+
+
+def embedding_near_dup_by_cluster(
+    df: DataFrame,
+    threshold: float,
+    target_block_size: int = 256,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs with KMeans-cluster blocking: k = n / target keeps
+    every block ~target-sized no matter the corpus size, so per-block work
+    is constant and total work is linear in n."""
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    n = df.count()
+    k = max(2, n // target_block_size)
+    idx = IVFIndex(n_clusters=k, seed=seed)
+    clustered = idx.build(df, vec_col=vec_col, id_col=id_col)
+    src = clustered.select(
+        F.col("cluster_id").cast("string").alias("__block"),
+        F.col(id_col),
+        F.col(vec_col),
+    )
+    kernel = _pair_kernel(threshold, id_col, vec_col, "__block")
+    pairs = src.groupBy("__block").applyInPandas(
+        kernel, schema="block string, id_a long, id_b long, raw_cos double"
+    )
+    return _finish(pairs, threshold)

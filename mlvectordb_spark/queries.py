@@ -878,47 +878,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.
 
     Kernel: per-block pairwise cosine via a vectorized applyInPandas (one
-    numpy matmul per block) — the Arrow-batched fast path for a dense
-    O(block²·dim) kernel that higher-order column functions evaluate
-    element-at-a-time. Rounding/filtering happen Spark-side so the
-    threshold semantics stay identical to the SQL oracle."""
-    import numpy as np
-    import pandas as pd
+    numpy matmul per block) — see operators/dedup.py; the cluster-blocked
+    variant there is the bounded-block 100 TB path."""
+    from mlvectordb_spark.operators.dedup import embedding_near_dup_by_column
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "label", "vec_id", "embedding"
     )
-
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"label": [], "id_a": [], "id_b": [], "raw_cos": []}
-            )
-        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        cos = (mat @ mat.T) / np.outer(norms, norms)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        # pre-filter with a safety margin; exact rounded threshold applied
-        # Spark-side (keeps oracle parity at the boundary)
-        keep = cos[iu, ju] >= (EMB_DEDUP_THRESHOLD - 1e-3)
-        return pd.DataFrame(
-            {
-                "label": pdf["label"].iloc[0].repeat(keep.sum()),
-                "id_a": ids[iu[keep]],
-                "id_b": ids[ju[keep]],
-                "raw_cos": cos[iu[keep], ju[keep]],
-            }
-        )
-
-    pairs = emb.groupBy("label").applyInPandas(
-        block_pairs, schema="label int, id_a long, id_b long, raw_cos double"
-    )
-    return (
-        pairs.withColumn("cos_sim", F.round(F.col("raw_cos"), 4))
-        .filter(F.col("cos_sim") >= EMB_DEDUP_THRESHOLD)
-        .select("label", "id_a", "id_b", "cos_sim")
+    out = embedding_near_dup_by_column(emb, EMB_DEDUP_THRESHOLD, "label")
+    return out.select(
+        F.col("block").cast("int").alias("label"), "id_a", "id_b", "cos_sim"
     )
 
 

@@ -1,0 +1,69 @@
+"""Embedding near-dup operator: planted duplicates must be found; cluster
+blocking must bound block sizes and still catch the plants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mlvectordb_spark.operators.dedup import (
+    embedding_near_dup_by_cluster,
+    embedding_near_dup_by_column,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """2000 random vectors + 20 planted near-duplicate pairs."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(2000, 32)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i in range(2000):
+        rows.append((i, base[i].tolist(), i % 4))
+    planted = []
+    for j in range(20):
+        src = j * 50
+        dup = base[src] + rng.normal(scale=0.01, size=32).astype(np.float32)
+        dup /= np.linalg.norm(dup)
+        rows.append((10_000 + j, dup.tolist(), src % 4))
+        planted.append((src, 10_000 + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, grp int")
+    return df.localCheckpoint(eager=True), planted
+
+
+def test_column_blocking_finds_planted_pairs(corpus):
+    df, planted = corpus
+    found = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in embedding_near_dup_by_column(df, 0.98, "grp").collect()
+    }
+    assert set(planted) <= found
+    # random 32-dim pairs essentially never reach cos >= 0.98
+    assert len(found) <= len(planted) + 5
+
+
+def test_cluster_blocking_bounds_blocks_and_finds_pairs(corpus):
+    df, planted = corpus
+    out = embedding_near_dup_by_cluster(df, 0.98, target_block_size=128, seed=42)
+    found = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in out.collect()
+    }
+    # IVF recall caveat: a plant can straddle a Voronoi boundary; demand
+    # the vast majority are caught
+    caught = len(found & set(planted))
+    assert caught >= len(planted) * 0.8, f"caught only {caught}/{len(planted)}"
+
+
+def test_cluster_block_sizes_are_bounded(spark, corpus):
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    df, _ = corpus
+    n = df.count()
+    idx = IVFIndex(n_clusters=max(2, n // 128), seed=42)
+    clustered = idx.build(df)
+    sizes = [
+        r.n for r in clustered.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    ]
+    assert max(sizes) < 128 * 6  # KMeans blocks track the target within a small factor
