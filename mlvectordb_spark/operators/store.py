@@ -319,6 +319,29 @@ class VectorStore:
         )
         return [None if r.id is None else r for r in out]
 
+    def build_id_bloom(self, fpp: float = 0.01):
+        """Sketch-accelerated membership: a Bloom filter over all live ids.
+
+        At 100 TB, answering "does this id exist?" with a scan per request
+        is untenable; a bloom of the id set (a few bits per id, built in one
+        distributed pass) answers definite-NO instantly and sends only
+        maybe-YES lookups to the scan path (Q7). Rebuild after compaction.
+        """
+        live = self.df()
+        total = max(1, live.count())
+        # pyspark 4.x dropped DataFrameStatFunctions.bloomFilter — go via
+        # the JVM stat functions directly
+        self._id_bloom = live._jdf.stat().bloomFilter("id", total, fpp)
+        return self._id_bloom
+
+    def maybe_exists(self, vector_id: str) -> bool:
+        """Bloom pre-check: False is definitive, True means 'verify via
+        exists()'. Requires build_id_bloom() first."""
+        bloom = getattr(self, "_id_bloom", None)
+        if bloom is None:
+            raise RuntimeError("call build_id_bloom() first")
+        return bool(bloom.mightContain(str(vector_id)))
+
     def exists(self, vector_id: str) -> bool:
         """Q7: cross-namespace existence (reference searches ALL namespaces,
         `storage_engine_in_memory.py:54-55` — no namespace predicate)."""

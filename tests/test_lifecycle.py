@@ -48,6 +48,20 @@ def test_backup_restore(store, tmp_path):
     assert store.count() == 5
 
 
+def test_id_bloom_membership(store):
+    """Bloom negative cache: no false negatives ever; false-positive rate
+    near the configured fpp."""
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        store.maybe_exists("anything")
+    store.build_id_bloom(fpp=0.01)
+    stored_ids = [r.id for r in store.iterate_vectors()]
+    assert all(store.maybe_exists(i) for i in stored_ids)  # no false negatives
+    fp = sum(store.maybe_exists(f"missing-{i}") for i in range(500))
+    assert fp <= 25  # ~1% fpp with slack
+
+
 def test_sharding_expr_covers_and_balances(spark):
     mgr = ShardingManager(8)
     df = spark.range(1000).select(F.col("id").cast("string").alias("id"))
