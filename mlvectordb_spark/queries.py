@@ -1089,6 +1089,35 @@ def q_ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(qvec, KNN_K)
 
 
+def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-block near-dup scale path: KMeans-cluster blocking with
+    k = n/target (operators/dedup.py). Rows-only — clustering isn't
+    SQL-expressible; correctness evidence is the planted-duplicate test in
+    tests/test_dedup_ops.py."""
+    from mlvectordb_spark.operators.dedup import embedding_near_dup_by_cluster
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_near_dup_by_cluster(
+        emb, EMB_DEDUP_THRESHOLD, target_block_size=64, seed=42
+    )
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar functions over the vector column: sorted top components,
+    their sum, and the positive-component count."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    top3 = F.slice(F.array_sort(dbl, lambda a, b: F.when(a < b, 1).when(a > b, -1).otherwise(0)), 1, 3)
+    return emb.select(
+        "vec_id",
+        F.transform(top3, lambda x: F.round(x, 4)).alias("top3"),
+        F.round(F.aggregate(top3, F.lit(0.0), lambda acc, x: acc + x), 4).alias(
+            "top3_sum"
+        ),
+        F.size(F.filter(dbl, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+    )
+
+
 CURATION_QUALITY_MIN = 0.7
 
 
@@ -1655,6 +1684,14 @@ WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 4) >= 0.2
 """,
     "dedup_simhash": _oracle_simhash_sql(),
+    "array_ops": """
+SELECT vec_id,
+  list_transform(list_sort(list_transform(embedding, x -> x::DOUBLE), 'DESC')[1:3],
+                 x -> round(x, 4)) AS top3,
+  round(list_sum(list_sort(list_transform(embedding, x -> x::DOUBLE), 'DESC')[1:3]), 4) AS top3_sum,
+  len(list_filter(embedding, x -> x::DOUBLE > 0))::BIGINT AS n_positive
+FROM embeddings WHERE vec_id < 100
+""",
     "curation_pipeline": f"""
 WITH toks_t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
@@ -1765,6 +1802,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "curation_pipeline": q_curation_pipeline,
+    "array_ops": q_array_ops,
+    "dedup_embedding_ivf": q_dedup_embedding_ivf,
     # rows-only (no oracle: KMeans/LSH aren't SQL-expressible; correctness
     # is recall vs the exact path, reported by ann_ivf_recall)
     "store_roundtrip": q_store_roundtrip,
