@@ -42,11 +42,15 @@ class IVFIndex:
     the probe filter becomes physical partition pruning at 100 TB.
     """
 
+    REBUILD_THRESHOLD = 0.2  # reference index.py:18 — refit at 20% drift
+
     def __init__(self, n_clusters: int = 16, seed: int = 42) -> None:
         self.n_clusters = n_clusters
         self.seed = seed
         self.centroids: np.ndarray | None = None  # (k, dim) — driver-side
         self.indexed: DataFrame | None = None
+        self._built_count = 0
+        self._added_count = 0
 
     def build(
         self, df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
@@ -63,7 +67,58 @@ class IVFIndex:
         model = km.fit(feat)
         self.centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
         self.indexed = model.transform(feat).drop("__features")
+        self._built_count = self.indexed.count()
+        self._added_count = 0
         return self.indexed
+
+    def add(
+        self, df_new: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    ) -> DataFrame:
+        """W8 incremental add: assign new vectors to their nearest EXISTING
+        centroid (broadcast centroid join + per-row argmin — no refit) and
+        append. Quality drifts as data shifts away from the fitted
+        centroids, so adds are counted toward the W9/W11 rebuild trigger
+        (the reference tracks deleted/total the same way, index.py:85-89)."""
+        assert self.indexed is not None and self.centroids is not None
+        spark = df_new.sparkSession
+        cent = F.broadcast(
+            spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+                "cluster_id int, __centroid array<double>",
+            )
+        )
+        dist = F.aggregate(
+            F.zip_with(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.col("__centroid"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("__d").asc(), F.col("cluster_id").asc()
+        )
+        assigned = (
+            df_new.crossJoin(cent)
+            .withColumn("__d", dist)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__d", "__rn", "__centroid")
+        )
+        n_new = assigned.count()
+        self.indexed = self.indexed.unionByName(assigned.select(*self.indexed.columns))
+        self._added_count += n_new
+        return self.indexed
+
+    def is_rebuild_required(self) -> bool:
+        """W11 (reference index.py:164-165): True once post-build adds reach
+        the drift threshold of the fitted corpus size."""
+        if self._built_count == 0:
+            return False
+        return self._added_count / self._built_count >= self.REBUILD_THRESHOLD
 
     def _probe_clusters(self, qvec, nprobe: int) -> list[int]:
         assert self.centroids is not None, "build() first"

@@ -56,6 +56,27 @@ def test_ivf_search_is_pruned(emb, qvec):
     assert n_candidates < emb.count()
 
 
+def test_ivf_incremental_add_and_rebuild_trigger(spark, emb, qvec):
+    """W8 add + W11 rebuild flag: added vectors become searchable without a
+    refit; the drift counter trips at 20% (reference threshold)."""
+    base = emb.filter(F.col("vec_id") < 400)
+    idx = IVFIndex(n_clusters=8, seed=42)
+    idx.build(base)
+    assert not idx.is_rebuild_required()
+    batch1 = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    idx.add(batch1)  # 50/400 = 12.5% — under threshold
+    assert not idx.is_rebuild_required()
+    # an added vector is findable via full probe (exact within clusters)
+    probe = emb.filter(F.col("vec_id") == 420).select("embedding").head()[0]
+    hits = {r.vec_id for r in idx.search(probe, 3, nprobe=8).collect()}
+    assert 420 in hits
+    batch2 = emb.filter(F.col("vec_id") >= 450)
+    idx.add(batch2)  # cumulative 100/400 = 25% — trips the flag
+    assert idx.is_rebuild_required()
+    idx.build(emb)  # refit clears the drift counter
+    assert not idx.is_rebuild_required()
+
+
 def test_ivf_save_load_roundtrip(spark, emb, qvec, tmp_path):
     """Q23 index persistence: reloaded index answers identically, and the
     probe filter prunes physical cluster_id partitions."""
