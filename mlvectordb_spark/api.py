@@ -118,11 +118,11 @@ class EngineService:
         self, flt: Mapping[str, str], namespace: str
     ) -> list[dict[str, Any]]:
         """Declared Q14: equality-AND metadata filter."""
+        from mlvectordb_spark.operators.store import metadata_filter
+
         with self.stats.track("metadata"):
             df = self.store.df().filter(F.col("namespace") == namespace)
-            for k, v in flt.items():
-                df = df.filter(F.col("metadata")[k] == str(v))
-            rows = df.select("id", "metadata").collect()
+            rows = metadata_filter(df, equals=flt).select("id", "metadata").collect()
         return [{"id": r.id, "metadata": dict(r.metadata or {})} for r in rows]
 
     def hybrid_query(

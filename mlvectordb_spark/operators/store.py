@@ -51,6 +51,29 @@ DEFAULT_NAMESPACE = "default"
 REBUILD_THRESHOLD = 0.2  # tombstone ratio triggering compaction (ref index.py:18)
 
 
+def metadata_filter(
+    df: DataFrame,
+    equals: Mapping[str, str] | None = None,
+    json_number_ge: Mapping[str, float] | None = None,
+) -> DataFrame:
+    """Q14 — the declared metadata filter query (reference README:298,
+    472-478; storage-side query_by_metadata README:252): equality-AND over
+    the flat MapType `metadata` column, plus JSON-path numeric predicates
+    over `metadata_json` for nested metadata (SURVEY.md §1.4 keeps both
+    representations).
+
+    Pure Catalyst predicates — no UDFs — so Catalyst can push what the
+    source supports and fold the rest into the scan filter stage."""
+    for k, v in (equals or {}).items():
+        df = df.filter(F.col("metadata")[F.lit(k)] == F.lit(str(v)))
+    for path, bound in (json_number_ge or {}).items():
+        df = df.filter(
+            F.get_json_object(F.col("metadata_json"), path).cast("double")
+            >= F.lit(float(bound))
+        )
+    return df
+
+
 class VectorStore:
     """Namespaced vector storage over a partitioned parquet table."""
 

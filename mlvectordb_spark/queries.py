@@ -144,10 +144,16 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 (declared Vector.normalize, README:180): unit-normalized vectors,
-    elementwise-rounded for stable hashing."""
+    surfaced EXPLODED to (vec_id, pos, component) scalar rows — the driver's
+    canonicalizer cannot hash array-typed output columns (round-1 finding:
+    pandas sort_values throws on lists), so vector-valued results are
+    emitted one component per row."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     return emb.select(
-        "vec_id", V.normalize("embedding", decimals=4).alias("unit_vec")
+        "vec_id",
+        F.posexplode(V.normalize("embedding", decimals=4)).alias(
+            "pos", "component"
+        ),
     )
 
 
@@ -186,9 +192,9 @@ def q_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.filter(F.col("vec_id") == 42).select(
         "vec_id",
         "label",
-        F.transform("embedding", lambda x: F.round(x.cast("double"), 4)).alias(
-            "vec"
-        ),
+        F.posexplode(
+            F.transform("embedding", lambda x: F.round(x.cast("double"), 4))
+        ).alias("pos", "component"),
     )
 
 
@@ -208,6 +214,36 @@ def q_multi_get(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").isNotNull().alias("found"),
             F.col("label"),
         )
+    )
+
+
+def q_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 (declared metadata_query, README:298,472-478; storage-side
+    query_by_metadata README:252): equality-AND over the REAL MapType
+    `metadata` column plus a JSON-path numeric predicate over
+    `metadata_json` — documents rows shaped into the store's record schema
+    and filtered through the store's metadata operator."""
+    from mlvectordb_spark.operators.store import metadata_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    shaped = docs.select(
+        "doc_id",
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("metadata"),
+        F.to_json(F.struct("lang", "n_chars", "source")).alias("metadata_json"),
+    )
+    out = metadata_filter(
+        shaped,
+        equals={"lang": "en", "source": "src3"},
+        json_number_ge={"$.n_chars": 200},
+    )
+    return out.select(
+        "doc_id",
+        F.col("metadata")[F.lit("lang")].alias("meta_lang"),
+        F.get_json_object("metadata_json", "$.n_chars")
+        .cast("bigint")
+        .alias("meta_chars"),
     )
 
 
@@ -899,8 +935,16 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = [
         F.round(F.avg(F.col("embedding")[i].cast("double")), 4) for i in range(64)
     ]
-    return emb.groupBy("label").agg(
+    agg = emb.groupBy("label").agg(
         F.array(*dims).alias("centroid"), F.count("*").alias("n_members")
+    )
+    # one (label, pos, centroid_val) row per dimension: scalar output shape
+    # (driver canonicalizer can't hash arrays); the 64-aggregate single pass
+    # above is unchanged — only the surfacing exploded
+    return agg.select(
+        "label",
+        "n_members",
+        F.posexplode("centroid").alias("pos", "centroid_val"),
     )
 
 
@@ -1334,11 +1378,11 @@ WITH qs AS (
 SELECT query_id, vec_id, score FROM ranked WHERE rn <= {BATCH_K}
 """,
     "normalize": """
-SELECT vec_id,
-  list_transform(range(1, 65),
-    i -> round(embedding[i]::DOUBLE / sqrt(list_sum(list_transform(range(1, 65),
-         j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE))), 4)) AS unit_vec
-FROM embeddings WHERE vec_id < 50
+SELECT vec_id, (i - 1)::INT AS pos,
+  round(embedding[i]::DOUBLE / sqrt(list_sum(list_transform(range(1, 65),
+        j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE))), 4) AS component
+FROM embeddings, range(1, 65) t(i)
+WHERE vec_id < 50
 """,
     "pairwise_dist": f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1352,15 +1396,21 @@ SELECT label, count(*) AS n_vectors, (count(*) * 256)::BIGINT AS est_bytes,
 FROM embeddings GROUP BY label
 """,
     "point_read": """
-SELECT vec_id, label,
-  list_transform(embedding, x -> round(x::DOUBLE, 4)) AS vec
-FROM embeddings WHERE vec_id = 42
+SELECT vec_id, label, (i - 1)::INT AS pos,
+  round(embedding[i]::DOUBLE, 4) AS component
+FROM embeddings, range(1, 65) t(i)
+WHERE vec_id = 42
 """,
     "multi_get": """
 WITH req(pos, req_id) AS (VALUES (1, 3), (2, -1), (3, 7), (4, 1000000000), (5, 0))
 SELECT req.pos::INT AS pos, req.req_id::BIGINT AS req_id,
   e.vec_id IS NOT NULL AS found, e.label
 FROM req LEFT JOIN embeddings e ON req.req_id = e.vec_id
+""",
+    "metadata_query": """
+SELECT doc_id, lang AS meta_lang, n_chars AS meta_chars
+FROM documents
+WHERE lang = 'en' AND source = 'src3' AND n_chars >= 200
 """,
     "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
@@ -1599,13 +1649,12 @@ FROM (
   FROM toks_t
 )
 """,
-    "label_centroids": (
-        "SELECT label, ["
-        + ", ".join(
-            f"round(avg(embedding[{i + 1}]::DOUBLE), 4)" for i in range(64)
-        )
-        + "] AS centroid, count(*) AS n_members FROM embeddings GROUP BY label"
-    ),
+    "label_centroids": """
+SELECT label, count(*) AS n_members, (i - 1)::INT AS pos,
+  round(avg(embedding[i]::DOUBLE), 4) AS centroid_val
+FROM embeddings, range(1, 65) t(i)
+GROUP BY label, i
+""",
     "token_freq": """
 WITH t AS (
   SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token
