@@ -74,6 +74,54 @@ def metadata_filter(
     return df
 
 
+def metadata_json_expr(col):
+    """Deterministic flat-map JSON (sorted keys) matching the driver-side
+    json.dumps(..., sort_keys=True) for flat string maps — the executor-side
+    twin of `_to_rows`'s metadata_json derivation."""
+    return F.to_json(
+        F.map_from_arrays(
+            F.array_sort(F.map_keys(col)),
+            F.transform(F.array_sort(F.map_keys(col)), lambda k: col[k]),
+        )
+    )
+
+
+def shape_ingest_df(
+    df: DataFrame, namespace: str | None = None, with_ids: bool = False
+) -> DataFrame:
+    """Shape an arbitrary DTO DataFrame (`values` array column, optional
+    `metadata` map / `namespace` / `id` columns) into the storage schema —
+    entirely executor-side: uuid() per row, float casting, metadata_json
+    derivation. The shared kernel of the bulk (`insert_df`/`upsert_df`) and
+    streaming (`streaming/ingest.py`) write paths."""
+    if namespace is not None:
+        df = df.withColumn("namespace", F.lit(str(namespace)))
+    elif "namespace" not in df.columns:
+        df = df.withColumn("namespace", F.lit(DEFAULT_NAMESPACE))
+    if with_ids:
+        if "id" not in df.columns:
+            raise ValueError("upsert_df requires an `id` column")
+        df = df.withColumn("id", F.col("id").cast("string"))
+    else:
+        df = df.withColumn("id", F.expr("uuid()"))
+    if "metadata" not in df.columns:
+        df = df.withColumn("metadata", F.lit(None).cast("map<string,string>"))
+    return df.select(
+        "id",
+        "namespace",
+        F.transform("values", lambda x: x.cast("float")).alias("values"),
+        F.coalesce(
+            F.col("metadata").cast("map<string,string>"),
+            F.create_map().cast("map<string,string>"),
+        ).alias("metadata"),
+        F.when(
+            F.col("metadata").isNotNull(), metadata_json_expr(F.col("metadata"))
+        )
+        .otherwise(F.lit("{}"))
+        .alias("metadata_json"),
+    )
+
+
 class VectorStore:
     """Namespaced vector storage over a partitioned parquet table."""
 
@@ -89,6 +137,41 @@ class VectorStore:
         self.tomb_path = os.path.join(path, "tombstones")
         self.rebuild_threshold = rebuild_threshold
         os.makedirs(path, exist_ok=True)
+
+    # -- dims manifest -------------------------------------------------------
+    # Per-namespace vector dimension, maintained at write time in a tiny
+    # JSON manifest. At 100 TB a "what's this namespace's dim?" check must
+    # not scan data — the manifest is metadata-scale and the data scan is
+    # only a fallback for stores created by older writers / raw restores.
+
+    @property
+    def _dims_path(self) -> str:
+        return os.path.join(self.path, "dims.json")
+
+    def _load_dims(self) -> dict[str, int]:
+        try:
+            with open(self._dims_path, encoding="utf-8") as fh:
+                return {k: int(v) for k, v in json.load(fh).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def _record_dims(self, dims: Mapping[str, int]) -> None:
+        merged = self._load_dims()
+        merged.update({k: int(v) for k, v in dims.items()})
+        with open(self._dims_path, "w", encoding="utf-8") as fh:
+            json.dump(merged, fh, sort_keys=True)
+
+    def _forget_dims(self, namespace: str | None = None) -> None:
+        if namespace is None:
+            try:
+                os.remove(self._dims_path)
+            except OSError:
+                pass
+            return
+        dims = self._load_dims()
+        if dims.pop(namespace, None) is not None:
+            with open(self._dims_path, "w", encoding="utf-8") as fh:
+                json.dump(dims, fh, sort_keys=True)
 
     # -- read path ----------------------------------------------------------
 
@@ -167,6 +250,7 @@ class VectorStore:
             .partitionBy("namespace")
             .parquet(self.data_path)
         )
+        self._record_dims({r.namespace: len(r.values) for r in rows})
 
     def insert(
         self,
@@ -199,14 +283,196 @@ class VectorStore:
         namespace: str = DEFAULT_NAMESPACE,
     ) -> list[str]:
         """TRUE upsert keyed on id (declared-but-unimplemented in the
-        reference): tombstone existing ids, then append new versions.
-        Equivalent to a MERGE without requiring a transactional format."""
+        reference): physically rewrite the namespace partition WITHOUT the
+        replaced ids, then append the new versions — a MERGE emulated as a
+        partition rewrite (what Delta/Iceberg would do with copy-on-write;
+        swap in a transactional format for deletion-vector MERGE at scale).
+
+        A tombstone-only delete cannot work here: tombstones match on
+        (id, namespace), so the read path's anti-join would filter out the
+        NEW versions too until a compaction happened to run — silent data
+        loss for any upsert below the compaction threshold."""
         rows = self._to_rows(records, namespace, with_ids=True)
         if not rows:
             return []
-        self.delete([r.id for r in rows], namespace)
+        if self._raw() is not None:
+            self.compact(namespace, exclude_ids=[r.id for r in rows])
         self._append(rows)
         return [r.id for r in rows]
+
+    # -- DataFrame-native bulk writes (W3/W4 at scale) ----------------------
+
+    def _check_dims_df(self, shaped: DataFrame) -> tuple[int, dict[str, int]]:
+        """Distributed twin of `_check_dims`: ONE aggregation over the batch
+        (namespace count is metadata-scale, so the collect is tiny), checked
+        against the dims manifest — no per-namespace data scans."""
+        stats = (
+            shaped.groupBy("namespace")
+            .agg(
+                F.count_distinct(F.size("values")).alias("ndim"),
+                F.min(F.size("values")).alias("dim"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        manifest = self._load_dims()
+        store_has_data = self._raw() is not None
+        for r in stats:
+            if r.ndim > 1:
+                raise ValueError(
+                    f"dimension mismatch within batch for namespace "
+                    f"{r.namespace!r}"
+                )
+            existing = manifest.get(r.namespace)
+            if existing is None and store_has_data:
+                existing = self.dimension(r.namespace)
+            if existing is not None and existing != r.dim:
+                raise ValueError(
+                    f"dimension mismatch for namespace {r.namespace!r}: "
+                    f"got {r.dim}, namespace holds {existing}-dim vectors"
+                )
+        return int(sum(r.n for r in stats)), {r.namespace: r.dim for r in stats}
+
+    def insert_df(
+        self,
+        df: DataFrame,
+        namespace: str | None = None,
+        check_dims: bool = True,
+    ) -> int | None:
+        """W2/W4 bulk ingest, DataFrame-native: one distributed append —
+        shaping (uuid, casts, metadata_json) runs on executors; nothing
+        crosses the driver. Returns the inserted count (None when
+        `check_dims=False`, which skips the extra aggregation pass — the
+        streaming ingest path's choice)."""
+        shaped = shape_ingest_df(df, namespace, with_ids=False)
+        n, dims = self._check_dims_df(shaped) if check_dims else (None, {})
+        (
+            shaped.write.mode("append")
+            .partitionBy("namespace")
+            .parquet(self.data_path)
+        )
+        if dims:
+            self._record_dims(dims)
+        return n
+
+    def upsert_df(
+        self, df: DataFrame, namespace: str | None = None
+    ) -> int:
+        """TRUE bulk upsert keyed on the `id` column — the MERGE shape:
+        stage the shaped batch to a scratch dir, rewrite only the affected
+        namespace partitions without the incoming keys (copy-on-write, like
+        Delta/Iceberg MERGE), then move the staged files in. Only the
+        affected partitions are touched; the per-namespace dir swap is
+        filesystem metadata, not data movement."""
+        shaped = shape_ingest_df(df, namespace, with_ids=True)
+        n, dims = self._check_dims_df(shaped)
+        stage = os.path.join(self.path, f".stage_{uuid.uuid4().hex[:8]}")
+        shaped.write.mode("overwrite").partitionBy("namespace").parquet(stage)
+        affected = [
+            d.split("=", 1)[1]
+            for d in os.listdir(stage)
+            if d.startswith("namespace=")
+        ]
+        if self._raw() is not None:
+            keys = self.spark.read.schema(VECTOR_SCHEMA).parquet(stage).select(
+                "id", "namespace"
+            )
+            self._rewrite_namespaces(affected, exclude=keys)
+        for ns in affected:
+            src = os.path.join(stage, f"namespace={ns}")
+            dst = os.path.join(self.data_path, f"namespace={ns}")
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(src, f),
+                        os.path.join(dst, f"{uuid.uuid4().hex[:8]}-{f}"),
+                    )
+        shutil.rmtree(stage)
+        self._record_dims(dims)
+        return n
+
+    def delete_df(self, keys: DataFrame) -> int:
+        """W5 bulk: tombstone a (id, namespace) key DataFrame. Only keys
+        that are currently live are tombstoned (W5's returns-deleted
+        contract, kept as a count here). No broadcast hint on the key join —
+        a delete batch can be arbitrarily large; AQE picks the strategy."""
+        if self._raw() is None:
+            return 0
+        keys = keys.select(
+            F.col("id").cast("string").alias("id"), "namespace"
+        )
+        present = self.df().join(keys, ["id", "namespace"], "left_semi").select(
+            "id", "namespace"
+        )
+        n = present.count()
+        if n == 0:
+            return 0
+        present.write.mode("append").parquet(self.tomb_path)
+        self._maybe_compact_many(
+            [r.namespace for r in keys.select("namespace").distinct().collect()]
+        )
+        return n
+
+    def _maybe_compact_many(self, namespaces: Sequence[str]) -> None:
+        """Batched compaction trigger: ONE pair of partition-pruned counts
+        for all affected namespaces instead of two jobs per namespace."""
+        raw, tomb = self._raw(), self._tombstones()
+        if raw is None or tomb is None or not namespaces:
+            return
+        ns_list = list(namespaces)
+        totals = {
+            r.namespace: r.n
+            for r in raw.filter(F.col("namespace").isin(ns_list))
+            .groupBy("namespace")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        dead = {
+            r.namespace: r.n
+            for r in tomb.filter(F.col("namespace").isin(ns_list))
+            .groupBy("namespace")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for ns in ns_list:
+            if totals.get(ns) and dead.get(ns, 0) / totals[ns] >= (
+                self.rebuild_threshold
+            ):
+                self.compact(ns)
+
+    def _rewrite_namespaces(
+        self, namespaces: Sequence[str], exclude: DataFrame | None = None
+    ) -> None:
+        """Copy-on-write rewrite of a set of namespace partitions, dropping
+        tombstoned rows and (optionally) an exclusion key set. One
+        distributed job for all affected namespaces, then per-partition dir
+        swaps."""
+        existing = [
+            ns
+            for ns in namespaces
+            if os.path.isdir(os.path.join(self.data_path, f"namespace={ns}"))
+        ]
+        if not existing:
+            return
+        live = self.df().filter(F.col("namespace").isin(list(existing)))
+        if exclude is not None:
+            live = live.join(exclude, ["id", "namespace"], "left_anti")
+        tmp_dir = os.path.join(self.path, f".rewrite_{uuid.uuid4().hex[:8]}")
+        live.write.mode("overwrite").partitionBy("namespace").parquet(tmp_dir)
+        for ns in existing:
+            part_dir = os.path.join(self.data_path, f"namespace={ns}")
+            shutil.rmtree(part_dir)
+            os.makedirs(part_dir, exist_ok=True)
+            src = os.path.join(tmp_dir, f"namespace={ns}")
+            if os.path.isdir(src):
+                for f in os.listdir(src):
+                    if f.endswith(".parquet"):
+                        os.rename(
+                            os.path.join(src, f), os.path.join(part_dir, f)
+                        )
+            self._drop_namespace_tombstones(ns)
+        shutil.rmtree(tmp_dir)
 
     # -- deletes (W5-W7, P5/P6) --------------------------------------------
 
@@ -243,6 +509,7 @@ class VectorStore:
         if existed:
             shutil.rmtree(part_dir)
         self._drop_namespace_tombstones(namespace)
+        self._forget_dims(namespace)
         return existed
 
     def clear_all(self) -> bool:
@@ -250,6 +517,7 @@ class VectorStore:
         for p in (self.data_path, self.tomb_path):
             if os.path.isdir(p):
                 shutil.rmtree(p)
+        self._forget_dims()
         return True
 
     def _drop_namespace_tombstones(self, namespace: str) -> None:
@@ -283,10 +551,13 @@ class VectorStore:
         if self.tombstone_ratio(namespace) >= self.rebuild_threshold:
             self.compact(namespace)
 
-    def compact(self, namespace: str) -> None:
-        """P6: rewrite ONE namespace partition without its tombstoned rows.
-        Unlike the reference's rebuild (which wipes every namespace's index,
-        SURVEY.md §3.3 step 4 — a documented bug), scope is strictly the one
+    def compact(
+        self, namespace: str, exclude_ids: Sequence[str] | None = None
+    ) -> None:
+        """P6: rewrite ONE namespace partition without its tombstoned rows
+        (and, for upsert_by_id, without `exclude_ids`). Unlike the
+        reference's rebuild (which wipes every namespace's index, SURVEY.md
+        §3.3 step 4 — a documented bug), scope is strictly the one
         namespace.
 
         Distributed rewrite: the surviving rows are WRITTEN by executors to
@@ -295,6 +566,8 @@ class VectorStore:
         (Writing in place is impossible: Spark cannot overwrite a path it
         is reading.)"""
         live = self.df().filter(F.col("namespace") == namespace).drop("namespace")
+        if exclude_ids:
+            live = live.filter(~F.col("id").isin([str(i) for i in exclude_ids]))
         tmp_dir = os.path.join(self.path, f".compact_tmp_{namespace}")
         live.write.mode("overwrite").parquet(tmp_dir)
         part_dir = os.path.join(self.data_path, f"namespace={namespace}")
@@ -440,16 +713,24 @@ class VectorStore:
         return df.toLocalIterator()
 
     def dimension(self, namespace: str = DEFAULT_NAMESPACE) -> int | None:
-        """Q24 (declared Index.dimension, README:123): per-namespace dim,
-        inferred from data exactly like the reference
-        (implementations/index.py:54 infers from the first vector)."""
+        """Q24 (declared Index.dimension, README:123): per-namespace dim.
+        Manifest hit is metadata-only; the data scan (head of the pruned
+        partition, as the reference infers from the first vector,
+        implementations/index.py:54) is the fallback for externally-written
+        data, and repopulates the manifest."""
+        cached = self._load_dims().get(namespace)
+        if cached is not None:
+            return cached
         row = (
             self.df()
             .filter(F.col("namespace") == namespace)
             .select(F.size("values").alias("d"))
             .head()
         )
-        return int(row.d) if row else None
+        if row is None:
+            return None
+        self._record_dims({namespace: int(row.d)})
+        return int(row.d)
 
     def to_json_df(self, namespace: str = DEFAULT_NAMESPACE) -> DataFrame:
         """Q20 (declared Vector.to_dict/from_dict, README:181): row

@@ -14,7 +14,6 @@ per micro-batch through the checkpointed batch id.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mlvectordb_spark.operators.store import VectorStore
@@ -30,41 +29,20 @@ INGEST_SCHEMA = T.StructType(
 )
 
 
-def _metadata_json(col):
-    # deterministic flat-map JSON (sorted keys) matching VectorStore's
-    # driver-side json.dumps(..., sort_keys=True) for flat string maps
-    return F.to_json(
-        F.map_from_arrays(
-            F.array_sort(F.map_keys(col)),
-            F.transform(F.array_sort(F.map_keys(col)), lambda k: col[k]),
-        )
-    )
-
-
 def start_vector_ingest(
     stream: DataFrame, store: VectorStore, checkpoint_dir: str, query_name: str
 ):
     """Attach a DTO stream to a VectorStore. Returns the StreamingQuery.
 
-    Each micro-batch is one distributed append: uuid() per row executor-side
+    Each micro-batch is one distributed append via the store's bulk write
+    kernel (`shape_ingest_df` → `insert_df`): uuid() per row executor-side
     (W1/W2 insert semantics — fresh id always), partitioned by namespace.
+    `check_dims=False` skips the per-batch aggregation pass — hot-path
+    latency beats the redundant check once the namespace dim is set.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        rows = (
-            batch_df.withColumn("id", F.expr("uuid()"))
-            .withColumn(
-                "values", F.transform(F.col("values"), lambda x: x.cast("float"))
-            )
-            .withColumn(
-                "metadata_json",
-                F.when(
-                    F.col("metadata").isNotNull(), _metadata_json(F.col("metadata"))
-                ).otherwise(F.lit("{}")),
-            )
-            .select("id", "namespace", "values", "metadata", "metadata_json")
-        )
-        rows.write.mode("append").partitionBy("namespace").parquet(store.data_path)
+        store.insert_df(batch_df, check_dims=False)
 
     return (
         stream.writeStream.foreachBatch(write_batch)

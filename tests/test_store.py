@@ -59,6 +59,67 @@ def test_true_upsert_overwrites(store):
     assert store.count() == 1
 
 
+def test_upsert_small_fraction_of_namespace(store):
+    """Regression (round-2 verdict, high severity): upserting a SMALL
+    fraction of a populated namespace must not lose the new version. The
+    old tombstone-based implementation anti-joined on (id, namespace), so
+    unless the delete pushed the namespace past the 20% compaction
+    threshold the freshly-appended row was filtered out of df() too."""
+    store.upsert_by_id(
+        [{"id": f"k{i}", "values": [float(i), 0.0]} for i in range(10)]
+    )
+    store.upsert_by_id([{"id": "k3", "values": [99.0, 99.0]}])
+    assert store.count() == 10  # nothing lost, nothing duplicated
+    row = store.read("k3")
+    assert row is not None and row.values == [99.0, 99.0]
+    # untouched neighbours still intact
+    assert store.read("k4").values == [4.0, 0.0]
+
+
+def test_insert_df_bulk(store, spark):
+    """DataFrame-native bulk insert: executor-side shaping, no driver loop."""
+    src = spark.createDataFrame(
+        [([float(i), 1.0], {"k": str(i)}, "nsA" if i < 3 else "nsB")
+         for i in range(5)],
+        "values array<double>, metadata map<string,string>, namespace string",
+    )
+    n = store.insert_df(src)
+    assert n == 5
+    assert store.count("nsA") == 3 and store.count("nsB") == 2
+    row = store.get_namespace_vectors("nsA").filter("metadata['k'] = '1'").head()
+    assert row.values == [1.0, 1.0]
+
+
+def test_upsert_df_merge(store, spark):
+    """Bulk MERGE: only incoming keys replaced, others untouched, no dupes."""
+    store.upsert_by_id(
+        [{"id": f"k{i}", "values": [float(i), 0.0]} for i in range(6)]
+    )
+    batch = spark.createDataFrame(
+        [("k2", [20.0, 20.0]), ("k9", [90.0, 90.0])],
+        "id string, values array<double>",
+    )
+    n = store.upsert_df(batch)
+    assert n == 2
+    assert store.count() == 7  # 6 - 1 replaced + 2 incoming (one new)
+    assert store.read("k2").values == [20.0, 20.0]
+    assert store.read("k9").values == [90.0, 90.0]
+    assert store.read("k4").values == [4.0, 0.0]
+
+
+def test_delete_df_bulk(store, spark):
+    store.upsert_by_id(
+        [{"id": f"k{i}", "values": [float(i), 0.0]} for i in range(8)]
+    )
+    keys = spark.createDataFrame(
+        [("k1", "default"), ("k5", "default"), ("nope", "default")],
+        "id string, namespace string",
+    )
+    assert store.delete_df(keys) == 2
+    assert store.count() == 6
+    assert store.read("k1") is None
+
+
 def test_multi_get_alignment(store):
     """Order- and None-preserving multi-get
     (test_storage_engine_in_memory.py:72-82)."""
