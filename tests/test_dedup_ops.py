@@ -44,6 +44,26 @@ def test_column_blocking_finds_planted_pairs(corpus):
     assert len(found) <= len(planted) + 5
 
 
+def test_column_blocking_with_string_ids(spark):
+    """Round-2 verdict: the pair kernel's output schema must follow the id
+    column's type — VectorStore ids are strings/uuids, not longs."""
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=32)
+    v /= np.linalg.norm(v)
+    w = v + rng.normal(scale=0.005, size=32)
+    w /= np.linalg.norm(w)
+    u = rng.normal(size=32)
+    u /= np.linalg.norm(u)
+    df = spark.createDataFrame(
+        [("doc-a", v.tolist(), "g"), ("doc-b", w.tolist(), "g"),
+         ("doc-c", u.tolist(), "g")],
+        "id string, embedding array<float>, grp string",
+    )
+    out = embedding_near_dup_by_column(df, 0.98, "grp", id_col="id").collect()
+    assert {(r.id_a, r.id_b) for r in out} == {("doc-a", "doc-b")}
+    assert all(isinstance(r.id_a, str) for r in out)
+
+
 def test_cluster_blocking_bounds_blocks_and_finds_pairs(corpus):
     df, planted = corpus
     out = embedding_near_dup_by_cluster(df, 0.98, target_block_size=128, seed=42)

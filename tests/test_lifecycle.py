@@ -37,6 +37,24 @@ def test_json_serialization_roundtrip(store):
     assert set(parsed) == {"id", "namespace", "values", "metadata_json"}
 
 
+def test_from_json_df_rehydrates_store(store, spark, tmp_path):
+    """Q20 both directions: to_json_df output ingests into a fresh store
+    with ids, values, and metadata intact (the deserializing half)."""
+    dump = store.to_json_df()
+    other = VectorStore(spark, str(tmp_path / "rehydrated"))
+    assert other.from_json_df(dump) == 5
+    src = {r.id: r for r in store.df().collect()}
+    dst = {r.id: r for r in other.df().collect()}
+    assert set(src) == set(dst)
+    for vid, r in src.items():
+        assert dst[vid].values == r.values
+        assert dict(dst[vid].metadata) == dict(r.metadata)
+        assert dst[vid].namespace == r.namespace
+    # idempotent: re-ingesting the same dump upserts, not duplicates
+    assert other.from_json_df(dump) == 5
+    assert other.count() == 5
+
+
 def test_backup_restore(store, tmp_path):
     bpath = str(tmp_path / "backup")
     n = store.create_backup(bpath)

@@ -109,3 +109,47 @@ def test_stateful_running_stats(spark, tmp_path):
     for r in spark.table("t_stateful").collect():
         lo, hi = bounds[r.user_id]
         assert lo <= r.ewma_value <= hi
+
+
+def test_stateful_timeout_evicts_idle_keys():
+    """Round-2 verdict: state must be bounded. The handler's timeout branch
+    removes the key's state and emits nothing; the live branch arms an
+    event-time timeout (watermark + TTL) so idle keys eventually take that
+    branch as the watermark advances."""
+    from mlvectordb_spark.streaming import stateful as S
+
+    class FakeState:
+        def __init__(self, timed_out):
+            self.hasTimedOut = timed_out
+            self.exists = False
+            self.removed = False
+            self.timeout_armed = None
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.exists = True
+            self.value = v
+
+        def getCurrentWatermarkMs(self):
+            return 1_000_000
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_armed = ms
+
+    # timed-out key: evicted, no output rows
+    st = FakeState(timed_out=True)
+    out = list(S._update_user_stats((7,), iter([]), st))
+    assert st.removed and out == []
+    # live key: state updated AND the timeout re-armed
+    import pandas as pd
+
+    st2 = FakeState(timed_out=False)
+    pdf = pd.DataFrame(
+        {"ts": [1, 2], "event_id": [1, 2], "value": [1.0, 3.0]}
+    )
+    out2 = list(S._update_user_stats((7,), iter([pdf]), st2))
+    assert len(out2) == 1
+    assert st2.timeout_armed == 1_000_000 + S.STATE_TTL_MS
+    assert st2.value[0] == 2 and st2.value[1] == 4.0

@@ -63,6 +63,29 @@ def test_scd2_second_batch_builds_chain(spark, history):
     assert alice[2].valid_to is None
 
 
+def test_scd2_boundary_collision_and_null_transition(spark):
+    """Round-2 verdict: change detection must be per-column null-safe.
+    ("ab","c") vs ("a","bc") concatenate identically, and concat_ws skips
+    NULLs so a NULL->"" transition looked like a no-op — both must be
+    detected as real changes."""
+    snap = spark.createDataFrame(
+        [(1, "ab", "c", T0), (2, None, "x", T0)],
+        "cust_id int, name string, city string, ts timestamp",
+    )
+    history = scd2_init(snap, "ts").drop("ts")
+    updates = spark.createDataFrame(
+        [(1, "a", "bc", T1), (2, "", "x", T1)],
+        "cust_id int, name string, city string, ts timestamp",
+    )
+    out = scd2_apply(history, updates, "cust_id", "ts", ["name", "city"])
+    cur = {r.cust_id: r for r in out.collect() if r.is_current}
+    assert (cur[1].name, cur[1].city) == ("a", "bc")
+    assert cur[2].name == ""
+    # both keys carry two versions: the old row closed at T1
+    closed = {r.cust_id: r for r in out.collect() if not r.is_current}
+    assert closed[1].valid_to == T1 and closed[2].valid_to == T1
+
+
 def test_asof_strict_excludes_same_instant(spark):
     from mlvectordb_spark.operators.asof import asof_join
 
