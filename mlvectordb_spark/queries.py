@@ -1102,16 +1102,30 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("ns"), F.col("label") % 5).alias("namespace"),
     )
     store.upsert_df(dto.drop("vec_id"))
+    # true-upsert overwrite: re-upsert every vec_id divisible by 10 with
+    # doubled values — the MERGE path. If overwrites lost the new version
+    # (the round-2 high-severity bug) or duplicated keys, both n_live and
+    # the checksum below would diverge from the oracle.
+    bumped = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("values"),
+        F.concat(F.lit("ns"), F.col("label") % 5).alias("namespace"),
+    )
+    store.upsert_df(bumped)
     # deterministic delete: every vec_id divisible by 7, from its namespace
     store.delete_df(
         dto.filter(F.col("vec_id") % 7 == 0).select("id", "namespace")
     )
+    # integer-stable checksum: floor(first_component * 1000) summed —
+    # float32 * 2 is exact, so Spark and DuckDB floor identical doubles
+    comp1 = F.floor(F.element_at("values", 1).cast("double") * 1000)
     out = (
         store.df()
         .groupBy("namespace")
         .agg(
             F.count("*").alias("n_live"),
             F.sum(F.size("values")).cast("bigint").alias("total_dims"),
+            F.sum(comp1).cast("bigint").alias("comp1_sum"),
         )
     )
     return out
@@ -1734,7 +1748,9 @@ GROUP BY label, lang
     "store_roundtrip": """
 SELECT 'ns' || (label % 5)::VARCHAR AS namespace,
   count(*) AS n_live,
-  (count(*) * 64)::BIGINT AS total_dims
+  (count(*) * 64)::BIGINT AS total_dims,
+  sum(floor((CASE WHEN vec_id % 10 = 0 THEN embedding[1] * 2
+             ELSE embedding[1] END)::DOUBLE * 1000))::BIGINT AS comp1_sum
 FROM embeddings
 WHERE vec_id % 7 != 0
 GROUP BY label % 5
