@@ -44,9 +44,20 @@ class IVFIndex:
 
     REBUILD_THRESHOLD = 0.2  # reference index.py:18 — refit at 20% drift
 
-    def __init__(self, n_clusters: int = 16, seed: int = 42) -> None:
+    def __init__(
+        self,
+        n_clusters: int = 16,
+        seed: int = 42,
+        max_iter: int = 20,
+        init_mode: str = "k-means||",
+    ) -> None:
         self.n_clusters = n_clusters
         self.seed = seed
+        self.max_iter = max_iter
+        # "random" + few iterations is the cheap fit for BLOCKING use
+        # (dedup), where partition quality barely moves recall; search
+        # indexes keep the k-means|| default.
+        self.init_mode = init_mode
         self.centroids: np.ndarray | None = None  # (k, dim) — driver-side
         self.indexed: DataFrame | None = None
         self._built_count = 0
@@ -61,6 +72,8 @@ class IVFIndex:
         km = KMeans(
             k=self.n_clusters,
             seed=self.seed,
+            maxIter=self.max_iter,
+            initMode=self.init_mode,
             featuresCol="__features",
             predictionCol="cluster_id",
         )

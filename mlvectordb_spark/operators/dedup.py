@@ -110,7 +110,9 @@ def embedding_near_dup_by_cluster(
 
     n = df.count()
     k = max(2, n // target_block_size)
-    idx = IVFIndex(n_clusters=k, seed=seed)
+    # blocking needs balanced-ish partitions, not optimal ones: random init
+    # + few Lloyd iterations cuts the fit cost several-fold vs k-means||
+    idx = IVFIndex(n_clusters=k, seed=seed, max_iter=8, init_mode="random")
     clustered = idx.build(df, vec_col=vec_col, id_col=id_col)
     src = clustered.select(
         F.col("cluster_id").cast("string").alias("__block"),

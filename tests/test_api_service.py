@@ -94,3 +94,88 @@ def test_create_app_gated_without_fastapi(svc):
         pass
     with pytest.raises(NotImplementedError):
         create_app(svc)
+
+
+# Reference route table (api/server.py): method, path — the adapter must
+# register every one of these.
+EXPECTED_ROUTES = {
+    ("POST", "/vectors"),
+    ("PUT", "/vectors/batch"),
+    ("POST", "/search"),
+    ("DELETE", "/vectors"),
+    ("POST", "/query/range"),
+    ("POST", "/query/similarity"),
+    ("POST", "/query/metadata"),
+    ("POST", "/query/hybrid"),
+    ("POST", "/query/explain"),
+    ("GET", "/namespaces"),
+    ("GET", "/namespaces/vectors"),
+    ("GET", "/storage/info"),
+    ("GET", "/statistics"),
+    ("GET", "/health"),
+    ("POST", "/log/level"),
+}
+
+
+@pytest.fixture()
+def fake_fastapi(monkeypatch):
+    """A recording stand-in for fastapi so the route adapter is exercised
+    even though the real package is absent from this container."""
+    import sys
+    import types
+
+    class HTTPException(Exception):
+        def __init__(self, status_code, detail):
+            super().__init__(detail)
+            self.status_code = status_code
+            self.detail = detail
+
+    class FakeApp:
+        def __init__(self, title=None):
+            self.title = title
+            self.routes = {}
+
+        def _register(self, method, path):
+            def deco(fn):
+                self.routes[(method, path)] = fn
+                return fn
+
+            return deco
+
+        def get(self, path):
+            return self._register("GET", path)
+
+        def post(self, path):
+            return self._register("POST", path)
+
+        def put(self, path):
+            return self._register("PUT", path)
+
+        def delete(self, path):
+            return self._register("DELETE", path)
+
+    mod = types.ModuleType("fastapi")
+    mod.FastAPI = FakeApp
+    mod.HTTPException = HTTPException
+    monkeypatch.setitem(sys.modules, "fastapi", mod)
+    return mod
+
+
+def test_adapter_registers_reference_route_table(svc, fake_fastapi):
+    app = create_app(svc)
+    assert set(app.routes) == EXPECTED_ROUTES
+
+
+def test_adapter_routes_drive_service_end_to_end(svc, fake_fastapi):
+    app = create_app(svc)
+    ins = app.routes[("POST", "/vectors")]
+    out = ins({"values": [1.0, 0.0], "metadata": {"label": "A"}})
+    assert "id" in out
+    ins({"values": [0.0, 1.0], "metadata": {"label": "B"}})
+    res = app.routes[("POST", "/search")]({"query": [1.0, 0.1], "top_k": 1})
+    assert res[0]["metadata"]["label"] == "A"
+    assert app.routes[("GET", "/health")]()["status"] == "healthy"
+    # error mapping: a service ValueError becomes a 400 HTTPException
+    with pytest.raises(fake_fastapi.HTTPException) as ei:
+        app.routes[("POST", "/search")]({"query": [1.0, 0.1], "top_k": 0})
+    assert ei.value.status_code == 400
