@@ -1212,9 +1212,14 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     dbl = F.transform("embedding", lambda x: x.cast("double"))
     top3 = F.slice(F.array_sort(dbl, lambda a, b: F.when(a < b, 1).when(a > b, -1).otherwise(0)), 1, 3)
+    # scalar outputs only: the driver's result canonicalizer cannot hash
+    # array cells (round-1 finding), so the top-3 components flatten to
+    # three columns instead of one array
     return emb.select(
         "vec_id",
-        F.transform(top3, lambda x: F.round(x, 4)).alias("top3"),
+        F.round(F.element_at(top3, 1), 4).alias("top1"),
+        F.round(F.element_at(top3, 2), 4).alias("top2"),
+        F.round(F.element_at(top3, 3), 4).alias("top3"),
         F.round(F.aggregate(top3, F.lit(0.0), lambda acc, x: acc + x), 4).alias(
             "top3_sum"
         ),
@@ -1803,8 +1808,9 @@ WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
     "dedup_simhash": _oracle_simhash_sql(),
     "array_ops": """
 SELECT vec_id,
-  list_transform(list_sort(list_transform(embedding, x -> x::DOUBLE), 'DESC')[1:3],
-                 x -> round(x, 4)) AS top3,
+  round(list_sort(list_transform(embedding, x -> x::DOUBLE), 'DESC')[1], 4) AS top1,
+  round(list_sort(list_transform(embedding, x -> x::DOUBLE), 'DESC')[2], 4) AS top2,
+  round(list_sort(list_transform(embedding, x -> x::DOUBLE), 'DESC')[3], 4) AS top3,
   round(list_sum(list_sort(list_transform(embedding, x -> x::DOUBLE), 'DESC')[1:3]), 4) AS top3_sum,
   len(list_filter(embedding, x -> x::DOUBLE > 0))::BIGINT AS n_positive
 FROM embeddings WHERE vec_id < 100
