@@ -23,12 +23,12 @@ reference: `recall_at_k` measures any approximate index against it
 from __future__ import annotations
 
 import numpy as np
-from pyspark.ml.clustering import KMeans
 from pyspark.ml.feature import BucketedRandomProjectionLSH
 from pyspark.ml.functions import array_to_vector
 from pyspark.ml.linalg import Vectors
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from mlvectordb_spark.operators.knn import knn
 
@@ -63,23 +63,80 @@ class IVFIndex:
         self._built_count = 0
         self._added_count = 0
 
+    def _fit_centroids(
+        self, df: DataFrame, vec_col: str, id_col: str
+    ) -> np.ndarray:
+        """Train centroids on a BOUNDED deterministic sample — the faiss
+        IVF recipe (train on ~tens of points per centroid, never the full
+        corpus). At 100 TB the training collect stays a few hundred MB
+        regardless of corpus size; assignment of the full corpus is the
+        distributed part. Lloyd iterations run in numpy on the driver: for
+        sample sizes this bounded, one matmul per iteration beats a
+        many-job distributed fit by an order of magnitude."""
+        cap = int(min(max(2_000, 40 * self.n_clusters), 100_000))
+        n = df.count()
+        sample = df.select(F.col(vec_col).alias("v"), F.col(id_col).alias("k"))
+        if n > cap:
+            step = -(-n // cap)  # ceil
+            sample = sample.filter(
+                F.pmod(F.xxhash64(F.col("k")), F.lit(step)) == 0
+            )
+        X = np.array(
+            [r.v for r in sample.select("v").collect()], dtype=np.float64
+        )
+        k = min(self.n_clusters, len(X))
+        rng = np.random.default_rng(self.seed)
+        cent = X[rng.choice(len(X), size=k, replace=False)]
+        for _ in range(self.max_iter):
+            d = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            assign = d.argmin(axis=1)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, assign, X)
+            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            nonempty = counts > 0
+            cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+        return cent
+
+    def _assign(self, df: DataFrame, vec_col: str) -> DataFrame:
+        """Attach cluster_id = argmin ||x - c||² over the trained centroids:
+        an Arrow-batched mapInPandas (one numpy matmul per batch, centroids
+        broadcast in the task closure) — a narrow map stage with NO join,
+        NO window, NO shuffle. First-occurrence argmin ties break toward
+        the lowest cluster_id."""
+        assert self.centroids is not None
+        cent = self.centroids
+        cc = (cent * cent).sum(axis=1)
+        # StructType.add mutates in place — build a fresh schema instead of
+        # appending to the input DataFrame's cached one
+        out_schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField("cluster_id", T.IntegerType())]
+        )
+
+        def assign_batches(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    pdf["cluster_id"] = np.array([], dtype=np.int32)
+                    yield pdf
+                    continue
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d = cc - 2.0 * (mat @ cent.T)
+                pdf["cluster_id"] = d.argmin(axis=1).astype(np.int32)
+                yield pdf
+
+        return df.mapInPandas(assign_batches, schema=out_schema)
+
     def build(
         self, df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
     ) -> DataFrame:
-        """Fit KMeans and attach cluster_id (W8/W10 analog: the derived
-        index DataFrame)."""
-        feat = df.withColumn("__features", array_to_vector(F.col(vec_col)))
-        km = KMeans(
-            k=self.n_clusters,
-            seed=self.seed,
-            maxIter=self.max_iter,
-            initMode=self.init_mode,
-            featuresCol="__features",
-            predictionCol="cluster_id",
-        )
-        model = km.fit(feat)
-        self.centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
-        self.indexed = model.transform(feat).drop("__features")
+        """Fit centroids (bounded-sample Lloyd) and attach cluster_id
+        (W8/W10 analog: the derived index DataFrame)."""
+        self.centroids = self._fit_centroids(df, vec_col, id_col)
+        self.indexed = self._assign(df, vec_col)
         self._built_count = self.indexed.count()
         self._added_count = 0
         return self.indexed
@@ -88,35 +145,14 @@ class IVFIndex:
         self, df_new: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
     ) -> DataFrame:
         """W8 incremental add: assign new vectors to their nearest EXISTING
-        centroid (no refit) and append. The centroid table is tiny driver
-        state, so it is embedded as an array LITERAL and the argmin is a
-        pure per-row expression — a narrow map with NO join, NO window, NO
-        shuffle (the round-2 verdict flagged the old crossJoin+window plan).
+        centroid (no refit) and append — the same Arrow-batched argmin map
+        as build()'s assignment: narrow, NO join, NO window, NO shuffle
+        (the round-2 verdict flagged the old crossJoin+window plan).
         Quality drifts as data shifts away from the fitted centroids, so
         adds count toward the W9/W11 rebuild trigger (the reference tracks
         deleted/total the same way, index.py:85-89)."""
         assert self.indexed is not None and self.centroids is not None
-        cent_lit = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in c])
-                for c in self.centroids
-            ]
-        )
-        vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        dists = F.transform(
-            cent_lit,
-            lambda c: F.aggregate(
-                F.zip_with(vec_d, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        # array_position of the min = argmin; first occurrence wins, so ties
-        # break toward the lowest cluster_id (same as the old ordering)
-        assigned = df_new.withColumn("__dists", dists).withColumn(
-            "cluster_id",
-            (F.array_position("__dists", F.array_min("__dists")) - 1).cast("int"),
-        ).drop("__dists")
+        assigned = self._assign(df_new.drop("cluster_id"), vec_col)
         n_new = assigned.count()
         self.indexed = self.indexed.unionByName(assigned.select(*self.indexed.columns))
         self._added_count += n_new
