@@ -1,0 +1,89 @@
+"""Connected components over candidate-duplicate pairs.
+
+Near-dup detection emits PAIRS; a curation pipeline needs CLUSTERS — every
+document labeled with a canonical group id so one survivor per group can be
+kept. Duplicate relations chain (A~B, B~C but not A~C), so the grouping is
+the connected components of the pair graph.
+
+Algorithm: min-label propagation to fixpoint — each node repeatedly adopts
+the smallest component id among itself and its neighbors. Iterations are
+plain hash-partitioned joins/aggregations (no driver-side graph state);
+`localCheckpoint` truncates lineage each round so plans stay bounded. The
+iteration count is the graph diameter, and duplicate-cluster graphs are
+shallow (near-cliques), so convergence is a handful of rounds in practice;
+`max_iter` bounds the worst case. (The large-star/small-star optimization
+— Kiveris et al., "Connected Components in MapReduce and Beyond" — drops
+the bound to O(log n) rounds; unnecessary at duplicate-cluster depths.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label every node in the undirected `edges` graph with the minimum
+    node id reachable from it. Returns (id, component).
+
+    Only nodes appearing in at least one edge are labeled — callers join
+    the result back to the corpus and treat misses as singletons (their
+    component is their own id), which keeps the propagation state
+    proportional to the duplicate set, not the corpus.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.distinct().localCheckpoint()
+
+    comp = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(comp, sym.b == comp.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_comp = (
+            comp.join(neighbor_min, comp.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_comp.join(comp.withColumnRenamed("component", "old"), "id")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp
+
+
+def dedup_cluster_assignment(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Pairs → (doc, cluster): connected components with the min doc id as
+    the canonical cluster id. Keep rows where doc == cluster (one survivor
+    per duplicate group) and drop the rest — the last stage of a dedup
+    pipeline."""
+    comp = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
+    return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster"))

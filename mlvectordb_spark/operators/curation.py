@@ -1,0 +1,185 @@
+"""Training-data curation operators beyond the reference's surface.
+
+The reference is a vector store for ML workloads (`/root/reference/README.md:3`
+— "vector database for machine-learning applications"); a production corpus
+pipeline around it additionally needs decontamination, PII scrubbing, and
+deterministic sampling/splitting. All kernels here are pure Catalyst column
+expressions (whole-stage codegen; no Python in the hot path) with exact
+DuckDB-SQL twins used by the correctness oracle in `queries.py`.
+
+100 TB posture, per operator:
+- decontamination: the eval set is small by construction, so its shingle
+  table broadcasts; the corpus is only scanned, shingled, and semi-joined —
+  one pass, no corpus shuffle beyond the per-doc aggregation.
+- PII scrub: per-row regexp_replace chain, embarrassingly parallel.
+- sampling / splits: per-row md5 bucketing — deterministic (reproducible
+  across runs/engines, unlike rand()-based Bernoulli sampling), no shuffle,
+  and stable under re-partitioning because the hash keys on row identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mlvectordb_spark.functions import text as TX
+
+# Portable across Java regex (Spark) and RE2 (DuckDB): character classes and
+# bounded quantifiers only — no lookaround, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^ ]+"
+PHONE_RE = r"555-[0-9]{4}"
+
+
+def hash_bucket(key: Column, salt: str, buckets: int = 256) -> Column:
+    """Deterministic bucket in [0, 256): the first two hex nibbles of
+    md5(salt || key). Nibble arithmetic (instr over the hex alphabet)
+    instead of conv()/from_hex so the DuckDB oracle can state the identical
+    expression — md5 hex is the one hash both engines share bit-for-bit."""
+    if buckets != 256:
+        raise ValueError("hash_bucket is fixed at 256 buckets (two nibbles)")
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    nib = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1  # noqa: E731
+    return nib(1) * 16 + nib(2)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "strat:",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its hash bucket
+    falls under floor(rate*256) for its stratum. Unlike `df.sampleBy`
+    (seeded Bernoulli on partition order), membership depends only on the
+    row key — reruns, re-partitioning, and other engines agree exactly."""
+    bucket = hash_bucket(F.col(key_col), salt)
+    thresh = F.lit(int(default_rate * 256))
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(rate * 256))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
+# (lower-bound bucket, split name); 0-204 train (~80%), 205-229 val (~10%),
+# 230-255 test (~10%)
+SPLIT_EDGES: tuple[tuple[int, str], ...] = ((230, "test"), (205, "val"), (0, "train"))
+
+
+def assign_split(df: DataFrame, key_col: str, salt: str = "split:") -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket — the
+    reproducible split a training pipeline needs (same doc always lands in
+    the same split, on any engine, at any scale)."""
+    bucket = hash_bucket(F.col(key_col), salt)
+    expr = F.lit(None).cast("string")
+    for lo, name in sorted(SPLIT_EDGES):  # ascending lows; later whens win
+        expr = F.when(bucket >= lo, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Eval-set decontamination: flag training docs sharing at least one
+    k-word shingle with any eval document (the n-gram-collision rule used
+    for benchmark decontamination in LLM corpus construction).
+
+    Returns (id, n_contaminated_shingles, n_shingles) per FLAGGED doc —
+    anti-join against this to get the clean corpus.
+
+    Scale shape: eval sets are thousands of docs, corpora are billions —
+    the exploded eval shingle set is broadcast; the corpus side is one
+    scan + explode + broadcast-semi-hash-join + per-doc count. The corpus
+    is never shuffled pairwise against itself."""
+    corpus_sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(TX.word_shingles(TX.tokens(text_col), k))
+        ).alias("shingle"),
+    )
+    eval_sh = eval_docs.select(
+        F.explode(
+            F.array_distinct(TX.word_shingles(TX.tokens(text_col), k))
+        ).alias("shingle")
+    ).distinct()
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.array_distinct(TX.word_shingles(TX.tokens(text_col), k))).alias(
+            "n_shingles"
+        ),
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_shingles"))
+    )
+    return hits.join(totals, id_col).select(
+        id_col, "n_contaminated_shingles", "n_shingles"
+    )
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub: replace emails, then URLs, then phone-shaped tokens with
+    typed placeholder tags, counting each. Order matters and is part of the
+    contract (emails are matched before URL scrubbing can eat an
+    `http://user@host` form). Returns the input columns plus
+    `scrubbed`, `n_emails`, `n_urls`, `n_phones`."""
+    c = F.col(text_col)
+    out = df.withColumn("n_emails", F.regexp_count(c, F.lit(EMAIL_RE)))
+    scrub = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    out = out.withColumn("n_urls", F.regexp_count(scrub, F.lit(URL_RE)))
+    scrub = F.regexp_replace(scrub, URL_RE, "<URL>")
+    out = out.withColumn("n_phones", F.regexp_count(scrub, F.lit(PHONE_RE)))
+    scrub = F.regexp_replace(scrub, PHONE_RE, "<PHONE>")
+    return out.withColumn("scrubbed", scrub)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-N terms per document by TF-IDF (tf * ln(N/df)), ties broken by
+    token ascending. Document frequency is one shuffle on token (partial
+    aggregation map-side); the per-doc top-N is a bounded window. The doc
+    count N is computed distributively and joined as a 1-row broadcast —
+    no collect, no driver constant baked into the plan."""
+    toks = docs.select(
+        F.col(id_col), F.explode(TX.tokens(text_col)).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.groupBy("token").agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(
+            id_col,
+            "token",
+            F.col("rn").alias("rank"),
+            F.round("tfidf", 4).alias("tfidf"),
+        )
+    )

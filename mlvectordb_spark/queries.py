@@ -1279,6 +1279,137 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-curation extras (round 3): decontamination, PII scrub, deterministic
+# sampling/splits, TF-IDF, duplicate clustering, SQ8 quantization.
+
+EVAL_SET_MOD = 97         # doc_id % MOD == 0 plays the held-out eval set
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 0.1}
+SQ8_KNN_POOL = 50
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 3-word shingle
+    with the (deterministic stand-in) eval set, with overlap counts. The
+    eval shingle set is broadcast — the corpus is never self-joined."""
+    from mlvectordb_spark.operators.curation import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % EVAL_SET_MOD != 0)
+    eval_docs = docs.filter(F.col("doc_id") % EVAL_SET_MOD == 0)
+    out = decontaminate(corpus, eval_docs, k=SHINGLE_K)
+    return out.select(
+        "doc_id",
+        F.col("n_contaminated_shingles").cast("bigint").alias(
+            "n_contaminated_shingles"
+        ),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a deterministically PII-enriched corpus (the
+    synthetic testdata carries no emails/urls/phones, so each doc gets a
+    derived contact trailer — same derivation in the oracle — making the
+    redaction counts and scrubbed-text hash non-trivial)."""
+    from mlvectordb_spark.operators.curation import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    synth = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did,
+            F.lit("@mail.example.com via http://ex.example.com/d/"), did,
+            F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    out = scrub_pii(synth)
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("bigint").alias("n_emails"),
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        F.col("n_phones").cast("bigint").alias("n_phones"),
+        F.md5("scrubbed").alias("scrub_hash"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (per-language rates) — summarized
+    as per-stratum counts + id checksums so the oracle verifies the exact
+    membership, not just the rate."""
+    from mlvectordb_spark.operators.curation import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "lang", SAMPLE_RATES, "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+    )
+
+
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment, summarized per
+    (lang, split) with id checksums."""
+    from mlvectordb_spark.operators.curation import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        )
+    )
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document."""
+    from mlvectordb_spark.operators.curation import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_n=3)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the n-gram
+    Jaccard candidate pairs, labeling each clustered doc with the min doc
+    id reachable from it (the canonical survivor)."""
+    from mlvectordb_spark.operators.components import dedup_cluster_assignment
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup_cluster_assignment(pairs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+    )
+
+
+def q_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantization quality: per-label mean/max absolute reconstruction
+    error (bounded by (max-min)/510 per vector by construction)."""
+    from mlvectordb_spark.operators.quantize import sq8_error_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_error_stats(emb, "label")
+
+
+def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized KNN: rank on SQ8-reconstructed vectors, rescore
+    the candidate pool exactly. The oracle is the EXACT top-k SQL — the
+    pool is wide enough that rescoring recovers exact results on this
+    corpus, and the gate enforces that claim."""
+    from mlvectordb_spark.operators.quantize import knn_sq8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == QUERY_VID)
+    return knn_sq8(emb, qdf, KNN_K, pool=SQ8_KNN_POOL).select(
+        "vec_id", "label", "score"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — mirrors of the above, same constants, same rounding,
 # same tie-breaks, same column names.
 
@@ -1401,6 +1532,75 @@ exploded AS (
 )
 SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
 FROM sim_t GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+def _oracle_ngram_pairs_body() -> str:
+    """CTE chain ending in `ngram_pairs(doc_a, doc_b, jaccard)` — shared by
+    the dedup_ngram_jaccard oracle and the dedup_clusters recursive CTE."""
+    return f"""toks_t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, array_to_string(toks[1:2], ' ') AS prefix,
+    list_distinct({_SQL_SHINGLES.format(k=SHINGLE_K, km1=SHINGLE_K - 1)}) AS sh
+  FROM toks_t
+),
+bucketed AS (
+  SELECT *, ((row_number() OVER (PARTITION BY prefix ORDER BY doc_id)) - 1)
+            // {NGRAM_BLOCK_CAP} AS bucket
+  FROM base
+),
+ngram_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 4) AS jaccard
+  FROM bucketed a JOIN bucketed b
+    ON a.prefix = b.prefix AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 4) >= 0.2
+)"""
+
+
+def _oracle_hash_bucket(salt: str) -> str:
+    """The two-nibble md5 bucket of operators/curation.hash_bucket, stated
+    in DuckDB: (nibble1 * 16 + nibble2) of md5(salt || doc_id)."""
+    h = f"md5('{salt}' || doc_id::VARCHAR)"
+    return (
+        f"((instr('0123456789abcdef', {h}[1:1]) - 1) * 16 + "
+        f"(instr('0123456789abcdef', {h}[2:2]) - 1))"
+    )
+
+
+_SQL_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_SQL_PII_URL = "https?://[^ ]+"
+_SQL_PII_PHONE = "555-[0-9]{4}"
+
+
+def _oracle_sq8_err() -> str:
+    q = (
+        "(CASE WHEN scale = 0 THEN 0.0 "
+        "ELSE round((v[i] - mn) / scale, 0) END)"
+    )
+    return f"""
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS v,
+    list_min(embedding::DOUBLE[]) AS mn,
+    (list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255.0 AS scale
+  FROM embeddings
+), r AS (
+  SELECT label,
+    list_transform(range(1, len(v) + 1),
+                   i -> abs(v[i] - (mn + {q} * scale))) AS err,
+    len(v) AS dim
+  FROM e
+)
+SELECT label,
+  round(avg(list_sum(err) / dim), 6) AS avg_abs_err,
+  round(max(list_aggregate(err, 'max')), 6) AS max_abs_err,
+  count(*)::BIGINT AS n_vectors
+FROM r GROUP BY label
 """
 
 
@@ -1802,27 +2002,119 @@ FROM t GROUP BY prefix HAVING count(*) > 1
 """,
     "dedup_minhash": _oracle_minhash_sql(),
     "dedup_ngram_jaccard": f"""
+WITH {_oracle_ngram_pairs_body()}
+SELECT doc_a, doc_b, jaccard FROM ngram_pairs
+""",
+    "dedup_clusters": f"""
+WITH RECURSIVE {_oracle_ngram_pairs_body()},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM ngram_pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM ngram_pairs
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, min(b)::BIGINT AS cluster FROM reach GROUP BY a
+""",
+    "decontaminate": f"""
 WITH toks_t AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
   FROM documents
-),
-base AS (
-  SELECT doc_id, array_to_string(toks[1:2], ' ') AS prefix,
+), sh_t AS (
+  SELECT doc_id,
     list_distinct({_SQL_SHINGLES.format(k=SHINGLE_K, km1=SHINGLE_K - 1)}) AS sh
   FROM toks_t
-),
-bucketed AS (
-  SELECT *, ((row_number() OVER (PARTITION BY prefix ORDER BY doc_id)) - 1)
-            // 64 AS bucket
-  FROM base
+), eval_sh AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM sh_t WHERE doc_id % {EVAL_SET_MOD} = 0
+), corpus AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh_t WHERE doc_id % {EVAL_SET_MOD} != 0
+), hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_contaminated_shingles
+  FROM corpus WHERE shingle IN (SELECT shingle FROM eval_sh)
+  GROUP BY doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 4) AS jaccard
-FROM bucketed a JOIN bucketed b
-  ON a.prefix = b.prefix AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 4) >= 0.2
+SELECT h.doc_id, h.n_contaminated_shingles, len(s.sh)::BIGINT AS n_shingles
+FROM hits h JOIN sh_t s USING (doc_id)
+""",
+    "pii_scrub": f"""
+WITH synth AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id::VARCHAR
+         || '@mail.example.com via http://ex.example.com/d/' || doc_id::VARCHAR
+         || ' tel 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{_SQL_PII_EMAIL}'))::BIGINT AS n_emails,
+    regexp_replace(text, '{_SQL_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM synth
+), s2 AS (
+  SELECT doc_id, n_emails,
+    len(regexp_extract_all(t1, '{_SQL_PII_URL}'))::BIGINT AS n_urls,
+    regexp_replace(t1, '{_SQL_PII_URL}', '<URL>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_emails, n_urls,
+    len(regexp_extract_all(t2, '{_SQL_PII_PHONE}'))::BIGINT AS n_phones,
+    regexp_replace(t2, '{_SQL_PII_PHONE}', '<PHONE>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, n_emails, n_urls, n_phones, md5(t3) AS scrub_hash FROM s3
+""",
+    "stratified_sample": f"""
+WITH b AS (
+  SELECT lang, doc_id, {_oracle_hash_bucket('strat:')} AS bucket FROM documents
+), kept AS (
+  SELECT * FROM b WHERE bucket < CASE lang
+    {' '.join(f"WHEN '{s}' THEN {int(r * 256)}" for s, r in sorted(SAMPLE_RATES.items()))}
+    ELSE 0 END
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_doc_id
+FROM kept GROUP BY lang
+""",
+    "data_split": f"""
+WITH b AS (
+  SELECT lang, doc_id, {_oracle_hash_bucket('split:')} AS bucket FROM documents
+), assigned AS (
+  SELECT lang, doc_id,
+    CASE WHEN bucket >= 230 THEN 'test'
+         WHEN bucket >= 205 THEN 'val'
+         ELSE 'train' END AS split
+  FROM b
+)
+SELECT lang, split, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_doc_id
+FROM assigned GROUP BY lang, split
+""",
+    "tfidf_terms": """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+  FROM documents
+), tf_t AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, token
+), df_t AS (
+  SELECT token, count(*)::BIGINT AS df FROM tf_t GROUP BY token
+), n_t AS (
+  SELECT count(*)::DOUBLE AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, token, tf * ln(n_docs / df) AS tfidf
+  FROM tf_t JOIN df_t USING (token) CROSS JOIN n_t
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, token, rn::INT AS rank, round(tfidf, 4) AS tfidf
+FROM ranked WHERE rn <= 3
+""",
+    "sq8_error": _oracle_sq8_err(),
+    "knn_sq8": f"""
+WITH q AS {_Q_CTE}
+SELECT vec_id, label, round({_sql_l2sq('embedding', 'qv')}, 4) AS score
+FROM embeddings, q
+ORDER BY score ASC, vec_id ASC
+LIMIT {KNN_K}
 """,
     "dedup_simhash": _oracle_simhash_sql(),
     "array_ops": """
@@ -1964,6 +2256,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_event_types_per_user": q_top_event_types_per_user,
     "token_freq": q_token_freq,
     "emb_doc_join": q_emb_doc_join,
+    # ---- corpus-curation extras (round 3; all oracle-backed) ----
+    "decontaminate": q_decontaminate,
+    "pii_scrub": q_pii_scrub,
+    "stratified_sample": q_stratified_sample,
+    "data_split": q_data_split,
+    "tfidf_terms": q_tfidf_terms,
+    "dedup_clusters": q_dedup_clusters,
+    "sq8_error": q_sq8_error,
+    "knn_sq8": q_knn_sq8,
     # ---- rows-only by design (no SQL-expressible oracle) ----
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "approx_stats": q_approx_stats,

@@ -1,0 +1,173 @@
+"""Curation operators: decontamination, PII scrub, deterministic
+sampling/splits, TF-IDF, duplicate clustering, SQ8 quantization."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mlvectordb_spark.operators.components import (
+    connected_components,
+    dedup_cluster_assignment,
+)
+from mlvectordb_spark.operators.curation import (
+    assign_split,
+    decontaminate,
+    scrub_pii,
+    stratified_sample,
+    tfidf_top_terms,
+)
+from mlvectordb_spark.operators.quantize import (
+    knn_sq8,
+    sq8_abs_error,
+    with_sq8_stage,
+)
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over dogs"),
+            (2, "completely unrelated words appear here now"),
+            (3, "quick brown fox runs away fast"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.n_contaminated_shingles
+        for r in decontaminate(corpus, eval_docs, k=3).collect()
+    }
+    # doc 1 shares "the quick brown" and "quick brown fox"; doc 3 shares
+    # "quick brown fox"; doc 2 shares nothing and must be absent
+    assert out == {1: 2, 3: 1}
+
+
+def test_scrub_pii_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d@e.org now"),
+            (2, "see https://x.y/z and http://q.r"),
+            (3, "call 555-1234 or 555-9999 ok"),
+            (4, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert (rows[1].n_emails, rows[1].n_urls, rows[1].n_phones) == (2, 0, 0)
+    assert rows[1].scrubbed == "mail <EMAIL> and <EMAIL> now"
+    assert rows[2].n_urls == 2 and "<URL>" in rows[2].scrubbed
+    assert rows[3].n_phones == 2 and rows[3].scrubbed.count("<PHONE>") == 2
+    assert rows[4].scrubbed == "clean text only"
+
+
+def test_stratified_sample_deterministic_subset(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    rates = {"en": 0.5, "de": 0.1}
+    a = sorted(r.doc_id for r in stratified_sample(df, "lang", rates, "doc_id").collect())
+    b = sorted(r.doc_id for r in stratified_sample(df, "lang", rates, "doc_id").collect())
+    assert a == b and 0 < len(a) < 400
+    # repartitioning must not change membership (hash keys on identity)
+    c = sorted(
+        r.doc_id
+        for r in stratified_sample(
+            df.repartition(7), "lang", rates, "doc_id"
+        ).collect()
+    )
+    assert a == c
+    by_lang = {
+        r.lang: r.n
+        for r in stratified_sample(df, "lang", rates, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # en rate 5x de rate on equal strata sizes
+    assert by_lang["en"] > by_lang.get("de", 0)
+
+
+def test_assign_split_partitions_everything(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = assign_split(df, "doc_id")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 1000
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_tfidf_ranks_rare_terms_highest(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common common common rare"),
+            (2, "common common other other"),
+            (3, "common unique"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {
+        r.doc_id: r.token
+        for r in tfidf_top_terms(df, top_n=1).collect()
+    }
+    # "common" appears in every doc → idf 0; doc-specific terms win
+    assert top == {1: "rare", 2: "other", 3: "unique"}
+
+
+def test_connected_components_chain_and_islands(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (9, 9)], "src long, dst long"
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[7] == comp[8] == 7
+    assert comp[9] == 9
+
+
+def test_dedup_cluster_assignment_canonical_min(spark):
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.cluster for r in dedup_cluster_assignment(pairs).collect()}
+    assert out == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def test_sq8_error_bounded_by_half_step(spark):
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=16).astype(np.float64).tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    checked = with_sq8_stage(df).select(
+        "vec_id",
+        F.array_max(sq8_abs_error()).alias("max_err"),
+        F.col("__scale").alias("scale"),
+    ).collect()
+    for r in checked:
+        # |x - dequant| <= scale/2 + fp slack
+        assert r.max_err <= r.scale / 2 + 1e-9
+
+
+def test_knn_sq8_recovers_exact_topk(spark):
+    from mlvectordb_spark.operators.knn import knn_df
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, rng.normal(size=16).astype(np.float32).tolist(), i % 3)
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    qdf = emb.filter(F.col("vec_id") == 5)
+    exact = [
+        (r.vec_id, r.score)
+        for r in knn_df(emb, qdf, 10, metric="l2")
+        .select("vec_id", "score")
+        .collect()
+    ]
+    approx = [
+        (r.vec_id, r.score)
+        for r in knn_sq8(emb, qdf, 10, pool=40).select("vec_id", "score").collect()
+    ]
+    assert approx == exact
