@@ -48,7 +48,11 @@ HEADLINE = [
     # the headline; the label-blocked variant (dedup_embedding) remains
     # oracle-checked in the correctness gate
     "dedup_embedding_ivf",
+    "dedup_clusters",
     "curation_pipeline",
+    "decontaminate",
+    "tfidf_terms",
+    "knn_sq8",
     "ann_ivf_knn",
 ]
 

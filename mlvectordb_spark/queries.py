@@ -2203,6 +2203,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "point_read": q_point_read,
     "multi_get": q_multi_get,
     "metadata_query": q_metadata_query,
+    # -- SQ8 quantization (round 3) --
+    "knn_sq8": q_knn_sq8,
+    "sq8_error": q_sq8_error,
     # -- LLM-pipeline dedup / curation family --
     "dedup_exact": q_dedup_exact,
     "dedup_prefix_buckets": q_dedup_prefix_buckets,
@@ -2210,7 +2213,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_clusters": q_dedup_clusters,
     "curation_pipeline": q_curation_pipeline,
+    "decontaminate": q_decontaminate,
+    "pii_scrub": q_pii_scrub,
+    "stratified_sample": q_stratified_sample,
+    "data_split": q_data_split,
+    "tfidf_terms": q_tfidf_terms,
     # -- write path / misc oracle-backed --
     "store_roundtrip": q_store_roundtrip,
     "median_price": q_median_price,
@@ -2224,27 +2233,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cust_no_orders": q_cust_no_orders,
     "cust_big_orders": q_cust_big_orders,
     "segment_setops": q_segment_setops,
-    "revenue_by_month": q_revenue_by_month,
-    "part_like": q_part_like,
-    "orders_pivot": q_orders_pivot,
-    "conditional_agg": q_conditional_agg,
     "label_centroids": q_label_centroids,
     "grouping_sets": q_grouping_sets,
-    "udf_token_count": q_udf_token_count,
     "udaf_geomean": q_udaf_geomean,
-    "lineitem_enrich": q_lineitem_enrich,
     "events_json": q_events_json,
-    "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "events_asof_error": q_events_asof_error,
     "events_session_stats": q_events_session_stats,
-    "doc_stats": q_doc_stats,
     "doc_lang_id": q_doc_lang_id,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "rollup_daily": q_rollup_daily,
-    # ---- position 51+: oracle-backed but category-redundant (checked by
-    # tools/verify_local.py; outside the driver's 50-entry window) ----
+    # ---- position 51+: oracle-backed but category-redundant — each demoted
+    # name leaves a same-category representative inside the checked window
+    # (checked by tools/verify_local.py; outside the driver's 50-entry
+    # window) ----
+    "revenue_by_month": q_revenue_by_month,
+    "part_like": q_part_like,
+    "orders_pivot": q_orders_pivot,
+    "conditional_agg": q_conditional_agg,
+    "udf_token_count": q_udf_token_count,
+    "lineitem_enrich": q_lineitem_enrich,
+    "events_tumbling": q_events_tumbling,
+    "doc_stats": q_doc_stats,
     "events_sliding": q_events_sliding,
     "events_first_per_key": q_events_first_per_key,
     "orders_cube": q_orders_cube,
@@ -2256,15 +2267,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_event_types_per_user": q_top_event_types_per_user,
     "token_freq": q_token_freq,
     "emb_doc_join": q_emb_doc_join,
-    # ---- corpus-curation extras (round 3; all oracle-backed) ----
-    "decontaminate": q_decontaminate,
-    "pii_scrub": q_pii_scrub,
-    "stratified_sample": q_stratified_sample,
-    "data_split": q_data_split,
-    "tfidf_terms": q_tfidf_terms,
-    "dedup_clusters": q_dedup_clusters,
-    "sq8_error": q_sq8_error,
-    "knn_sq8": q_knn_sq8,
     # ---- rows-only by design (no SQL-expressible oracle) ----
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "approx_stats": q_approx_stats,

@@ -88,3 +88,27 @@ def test_minhash_enrichment_has_no_forced_broadcast(spark, sf_dir):
 def test_knn_join_broadcasts_query_side(spark, sf_dir):
     plan = explain_query(QUERIES["knn_batch"](spark, sf_dir))
     assert plan["uses_broadcast"], "bounded query set must broadcast"
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
+    """The eval set is small by construction; its shingles must broadcast
+    so the corpus side is one scan with no self-shuffle."""
+    plan = explain_query(QUERIES["decontaminate"](spark, sf_dir))
+    assert plan["uses_broadcast"], "eval shingle set must broadcast"
+
+
+def test_knn_sq8_take_ordered_no_global_sort(spark, sf_dir):
+    """Both quantized-KNN stages are top-k: TakeOrderedAndProject, never a
+    range-partitioned global sort of the corpus."""
+    plan = explain_query(QUERIES["knn_sq8"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in _ops(plan)
+    assert "Exchange rangepartitioning" not in plan["raw"]
+
+
+def test_stratified_sample_is_scan_filter_agg(spark, sf_dir):
+    """Deterministic sampling is a per-row predicate: exactly one shuffle
+    (the final per-stratum aggregation), no join, no window."""
+    plan = explain_query(QUERIES["stratified_sample"](spark, sf_dir))
+    raw = plan["raw"]
+    assert "Join" not in raw and "Window" not in raw
+    assert raw.count("Exchange") <= 2  # partial->final agg exchange only
