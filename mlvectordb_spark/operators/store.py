@@ -580,6 +580,61 @@ class VectorStore:
         shutil.rmtree(tmp_dir)
         self._drop_namespace_tombstones(namespace)
 
+    def optimize(
+        self, namespace: str | None = None, target_file_bytes: int = 128 << 20
+    ) -> dict[str, int]:
+        """Small-file compaction (the OPTIMIZE of Delta/Iceberg): streaming
+        micro-batches and single-row inserts each append a file, and at
+        100 TB ingest rates a namespace accumulates thousands of KB-sized
+        files — scan task count explodes and footer reads dominate. Rewrite
+        every namespace whose file count exceeds what its bytes need at
+        `target_file_bytes` per file, bin-packing into ceil(bytes/target)
+        files via one distributed job per namespace. Returns
+        {namespace: files_removed}. Tombstones are folded in while we're
+        rewriting (same invariant as compact())."""
+        roots = (
+            [namespace]
+            if namespace is not None
+            else [
+                d.split("=", 1)[1]
+                for d in os.listdir(self.data_path)
+                if d.startswith("namespace=")
+            ]
+            if os.path.isdir(self.data_path)
+            else []
+        )
+        rewritten: dict[str, int] = {}
+        for ns in roots:
+            part_dir = os.path.join(self.data_path, f"namespace={ns}")
+            if not os.path.isdir(part_dir):
+                continue
+            files = [
+                os.path.join(part_dir, f)
+                for f in os.listdir(part_dir)
+                if f.endswith(".parquet")
+            ]
+            total = sum(os.path.getsize(f) for f in files)
+            want = max(1, -(-total // target_file_bytes))  # ceil
+            if len(files) <= want:
+                continue
+            live = (
+                self.df()
+                .filter(F.col("namespace") == ns)
+                .drop("namespace")
+                .repartition(int(want))
+            )
+            tmp_dir = os.path.join(self.path, f".optimize_tmp_{ns}")
+            live.write.mode("overwrite").parquet(tmp_dir)
+            shutil.rmtree(part_dir)
+            os.makedirs(part_dir, exist_ok=True)
+            for f in os.listdir(tmp_dir):
+                if f.endswith(".parquet"):
+                    os.rename(os.path.join(tmp_dir, f), os.path.join(part_dir, f))
+            shutil.rmtree(tmp_dir)
+            self._drop_namespace_tombstones(ns)
+            rewritten[ns] = len(files) - want
+        return rewritten
+
     # -- point reads (Q5-Q8) -----------------------------------------------
 
     def read(self, vector_id: str, namespace: str = DEFAULT_NAMESPACE):

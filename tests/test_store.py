@@ -277,3 +277,32 @@ def test_compaction_triggers_at_threshold(store):
     assert {r["id"] for r in store.find_similar([0.0], 20, metric="l2")} == set(
         ids[3:]
     )
+
+
+def test_optimize_bin_packs_small_files(spark, tmp_path):
+    """Many tiny appends -> many files; optimize() folds them into the
+    handful the data size warrants, preserving contents and tombstones."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    store = VectorStore(spark, str(tmp_path / "opt"))
+    for i in range(12):
+        store.upsert_many(
+            [{"values": [float(i), 0.0], "metadata": {"i": str(i)}}],
+            namespace="ns",
+        )
+    store.delete(
+        [store.df().filter(F.col("metadata")["i"] == "3").head().id],
+        namespace="ns",
+    )
+    part = os.path.join(store.data_path, "namespace=ns")
+    before = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert before >= 12
+    live_before = sorted(r.metadata["i"] for r in store.df().collect())
+    removed = store.optimize()
+    after = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert removed["ns"] == before - after and after < before
+    assert sorted(r.metadata["i"] for r in store.df().collect()) == live_before
+    # tombstones folded into the rewrite
+    assert store._tombstones() is None or store._tombstones().count() == 0
