@@ -130,6 +130,40 @@ class IVFIndex:
 
         return df.mapInPandas(assign_batches, schema=out_schema)
 
+    def assign_multi(
+        self, df: DataFrame, vec_col: str, probes: int = 2
+    ) -> DataFrame:
+        """Multi-probe assignment: one output row per (vector, probe) over
+        the `probes` nearest centroids — same Arrow-batched matmul as
+        _assign, with an argpartition instead of an argmin. Used for
+        BLOCKING (dedup): a vector within ~eps of a Voronoi boundary lands
+        in BOTH adjacent blocks, recovering the boundary-pair recall that
+        single-probe blocking loses. Row count grows `probes`x and pair
+        work ~probes²x — still linear in n, just a bigger constant."""
+        assert self.centroids is not None
+        cent = self.centroids
+        cc = (cent * cent).sum(axis=1)
+        p = min(probes, len(cent))
+        out_schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField("cluster_id", T.IntegerType())]
+        )
+
+        def probe_batches(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    pdf["cluster_id"] = np.array([], dtype=np.int32)
+                    yield pdf
+                    continue
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d = cc - 2.0 * (mat @ cent.T)
+                near = np.argpartition(d, p - 1, axis=1)[:, :p]
+                rep = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
+                rep["cluster_id"] = near.reshape(-1).astype(np.int32)
+                yield rep
+
+        return df.mapInPandas(probe_batches, schema=out_schema)
+
     def build(
         self, df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
     ) -> DataFrame:

@@ -102,10 +102,18 @@ def embedding_near_dup_by_cluster(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """Near-dup pairs with KMeans-cluster blocking: k = n / target keeps
     every block ~target-sized no matter the corpus size, so per-block work
-    is constant and total work is linear in n."""
+    is constant and total work is linear in n.
+
+    `probes=2` closes the Voronoi-boundary recall gap: each vector is
+    blocked under its 2 nearest clusters (IVFIndex.assign_multi), so a
+    near-dup pair split by a cluster boundary still co-occurs in the
+    runner-up block. Pairs found in several blocks are deduped on
+    (id_a, id_b). ~probes²x the pair work — the standard multi-probe
+    recall/cost dial, same as nprobe on the search side."""
     from mlvectordb_spark.operators.ann import IVFIndex
 
     n = df.count()
@@ -113,7 +121,11 @@ def embedding_near_dup_by_cluster(
     # blocking needs balanced-ish partitions, not optimal ones: random init
     # + few Lloyd iterations cuts the fit cost several-fold vs k-means||
     idx = IVFIndex(n_clusters=k, seed=seed, max_iter=8, init_mode="random")
-    clustered = idx.build(df, vec_col=vec_col, id_col=id_col)
+    if probes <= 1:
+        clustered = idx.build(df, vec_col=vec_col, id_col=id_col)
+    else:
+        idx.centroids = idx._fit_centroids(df, vec_col, id_col)
+        clustered = idx.assign_multi(df, vec_col, probes=probes)
     src = clustered.select(
         F.col("cluster_id").cast("string").alias("__block"),
         F.col(id_col),
@@ -123,4 +135,9 @@ def embedding_near_dup_by_cluster(
     pairs = src.groupBy("__block").applyInPandas(
         kernel, schema=_pair_schema(df, id_col)
     )
-    return _finish(pairs, threshold)
+    found = _finish(pairs, threshold)
+    if probes > 1:
+        found = found.groupBy("id_a", "id_b").agg(
+            F.min("block").alias("block"), F.max("cos_sim").alias("cos_sim")
+        ).select("block", "id_a", "id_b", "cos_sim")
+    return found

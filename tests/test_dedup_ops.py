@@ -87,3 +87,24 @@ def test_cluster_block_sizes_are_bounded(spark, corpus):
         r.n for r in clustered.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
     ]
     assert max(sizes) < 128 * 6  # KMeans blocks track the target within a small factor
+
+
+def test_multi_probe_closes_boundary_recall(corpus):
+    """probes=2 blocks each vector under its 2 nearest clusters, so a
+    planted pair split by a Voronoi boundary still shares a block: recall
+    must cover every plant, strictly dominating single-probe, and pairs
+    found in both probe blocks must be deduped to one row."""
+    df, planted = corpus
+    single = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in embedding_near_dup_by_cluster(
+            df, 0.98, target_block_size=128, seed=42
+        ).collect()
+    }
+    out = embedding_near_dup_by_cluster(
+        df, 0.98, target_block_size=128, seed=42, probes=2
+    ).collect()
+    multi = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in out}
+    assert single & set(planted) <= multi
+    assert multi >= set(planted), f"missing {set(planted) - multi}"
+    assert len(out) == len(multi)  # cross-block duplicates collapsed
