@@ -739,6 +739,74 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
+    type-token ratio, fraction of tokens taken by the single most frequent
+    token, and fraction of bigrams taken by the most frequent bigram —
+    the standard signals for cutting boilerplate/looping text from a
+    pretraining corpus.
+
+    Scale shape: explode→count→max is linear in corpus tokens and shuffles
+    on (doc_id, gram) — bounded by doc length per group, no per-doc O(n²)
+    higher-order-function loops (HOF lambdas are interpreted and a
+    nested count-within-transform would go quadratic per doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("toks")) / F.size("toks"), 4
+        ).alias("ttr"),
+    )
+    top_tok = (
+        toks.select("doc_id", F.explode("toks").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("top_n"), F.sum("n").alias("tot_n")
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("top_n") / F.col("tot_n"), 4).alias(
+                "top_token_frac"
+            ),
+        )
+    )
+    top_bg = (
+        toks.select(
+            "doc_id",
+            F.explode(TX.word_shingles(F.col("toks"), 2)).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_n"), F.sum("n").alias("tot_n"))
+        .select(
+            "doc_id",
+            F.round(F.col("top_n") / F.col("tot_n"), 4).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+    return (
+        base.join(top_tok, "doc_id")
+        .join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "ttr",
+            "top_token_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: keep the smallest doc_id per distinct
     text, report survivors count per lang (hash-groupBy dedup)."""
@@ -1923,6 +1991,34 @@ FROM t GROUP BY lang
 """,
     "doc_lang_id": _oracle_lang_id_sql(),
     "doc_quality": _oracle_quality_sql(),
+    "doc_repetition": f"""
+WITH toks_t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS ttr, toks
+  FROM toks_t WHERE len(toks) > 0
+), top_tok AS (
+  SELECT doc_id, round(max(n)::DOUBLE / sum(n), 4) AS top_token_frac
+  FROM (SELECT doc_id, g, count(*) AS n FROM (
+          SELECT doc_id, unnest(toks) AS g FROM base
+        ) GROUP BY doc_id, g)
+  GROUP BY doc_id
+), top_bg AS (
+  SELECT doc_id, round(max(n)::DOUBLE / sum(n), 4) AS top_bigram_frac
+  FROM (SELECT doc_id, g, count(*) AS n FROM (
+          SELECT doc_id, unnest({_SQL_SHINGLES.format(k=2, km1=1)}) AS g
+          FROM base
+        ) GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.ttr, t.top_token_frac,
+  coalesce(g.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM base b
+JOIN top_tok t USING (doc_id)
+LEFT JOIN top_bg g USING (doc_id)
+""",
     "doc_fingerprint": f"""
 WITH {_shingles_cte(3)}
 SELECT doc_id, md5(text) AS fp_exact,
@@ -2227,7 +2323,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- relational layer: one representative per §2.4 category --
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
-    "tpch_q5": q_tpch_q5,
     "top_orders_per_cust": q_top_orders_per_cust,
     "orders_rollup": q_orders_rollup,
     "cust_no_orders": q_cust_no_orders,
@@ -2243,11 +2338,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_id": q_doc_lang_id,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_repetition": q_doc_repetition,
     "rollup_daily": q_rollup_daily,
     # ---- position 51+: oracle-backed but category-redundant — each demoted
     # name leaves a same-category representative inside the checked window
     # (checked by tools/verify_local.py; outside the driver's 50-entry
     # window) ----
+    "tpch_q5": q_tpch_q5,
     "revenue_by_month": q_revenue_by_month,
     "part_like": q_part_like,
     "orders_pivot": q_orders_pivot,

@@ -86,3 +86,27 @@ def test_simhash_close_for_dups(doc_df):
     ham_diff = bin(out[1] ^ out[3]).count("1")
     assert ham_dup < ham_diff
     assert all(0 <= v < 2**16 for v in out.values())
+
+
+def test_doc_repetition_hand_computed(spark, tmp_path):
+    """Gopher repetition metrics on a crafted corpus: 'a a a b' has
+    ttr 0.5, top-token 3/4, bigrams [a a, a a, a b] -> top 2/3; a
+    single-token doc gets top_bigram_frac 0 (no bigrams)."""
+    from mlvectordb_spark.queries import q_doc_repetition
+
+    spark.createDataFrame(
+        [(1, "a a a b"), (2, "x"), (3, "p q p q")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in q_doc_repetition(spark, str(tmp_path)).collect()
+    }
+    assert out[1].n_tokens == 4
+    assert out[1].ttr == 0.5
+    assert out[1].top_token_frac == 0.75
+    assert out[1].top_bigram_frac == 0.6667
+    assert out[2].top_bigram_frac == 0.0 and out[2].ttr == 1.0
+    # 'p q p q': bigrams [p q, q p, p q] -> top 2/3; tokens 2/4 each
+    assert out[3].top_token_frac == 0.5
+    assert out[3].top_bigram_frac == 0.6667
