@@ -1,0 +1,95 @@
+"""Training-data export: deterministic global shuffle into sized shards.
+
+A pretraining run wants (a) a uniform random permutation of the corpus
+that is REPRODUCIBLE — the same salt replays the same order for a resumed
+run, a new salt gives an independent permutation for the next epoch — and
+(b) output files sized for the trainer's data loader (~256 MB), not
+whatever partitioning the upstream pipeline happened to leave behind.
+
+Spark-first shape: the permutation key is a salted md5 of the document key,
+computed executor-side and engine-portable (the DuckDB oracle states the
+identical expression — see `queries.py` `train_shuffle`). One
+`repartitionByRange` on that key + `sortWithinPartitions` is a single range
+shuffle; writing the result enumerates the permutation shard by shard.
+
+Why not `rand()`/`orderBy(rand(seed))`: rand is seeded per-partition-index,
+so the permutation silently changes whenever the upstream partition layout
+does — and a retried task re-rolls its rows, so a partial executor failure
+during the write can duplicate/misplace rows across shards. A pure
+key-hash permutation is idempotent under retries: the same row always
+sorts to the same place. (Same argument as curation.py's hash sampling
+vs sampleBy.)
+
+At 100 TB: the range shuffle is the unavoidable cost of a global
+permutation (every permutation of n rows moves ~all bytes once). The
+range-partitioner samples the hash key, which is uniform by construction,
+so shards are balanced regardless of corpus skew — no salting needed.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shuffle_key(key: Column, salt: str) -> Column:
+    """Salted md5 hex of the row key — the permutation order. Uniform on
+    [0x00.., 0xff..], deterministic per (salt, key) on any engine."""
+    return F.md5(F.concat(F.lit(salt), key.cast("string")))
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "epoch0:",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Globally pseudorandom, reproducible row order: range-partition on
+    the salted hash (n_shards output partitions) and sort within each.
+    Ties (identical hashes can only come from identical keys) break on the
+    key itself, keeping the order total and deterministic."""
+    n = n_shards or df.sparkSession.sparkContext.defaultParallelism
+    k = shuffle_key(F.col(key_col), salt)
+    return (
+        df.withColumn("__shuffle_key", k)
+        .repartitionByRange(int(n), F.col("__shuffle_key"), F.col(key_col))
+        .sortWithinPartitions("__shuffle_key", key_col)
+        .drop("__shuffle_key")
+    )
+
+
+def estimate_shards(
+    df: DataFrame,
+    target_file_bytes: int = 256 << 20,
+    parquet_ratio: float = 3.0,
+    sample_rows: int = 2048,
+) -> int:
+    """Shard count from a bounded size probe: average in-memory bytes/row
+    over a `sample_rows` head sample (Arrow transfer — one tiny job),
+    scaled by the corpus row count and divided by the parquet compression
+    ratio. The probe cost is constant no matter the corpus size; pass a
+    measured `parquet_ratio` for your schema when file sizes must land
+    close to target."""
+    pdf = df.limit(sample_rows).toPandas()
+    if len(pdf) == 0:
+        return 1
+    bytes_per_row = float(pdf.memory_usage(deep=True).sum()) / len(pdf)
+    total = df.count() * bytes_per_row / parquet_ratio
+    return max(1, math.ceil(total / target_file_bytes))
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    salt: str = "epoch0:",
+    n_shards: int | None = None,
+    target_file_bytes: int = 256 << 20,
+) -> int:
+    """Write the shuffled corpus as `n_shards` parquet files (sized via
+    estimate_shards when not given). Returns the shard count."""
+    n = n_shards or estimate_shards(df, target_file_bytes)
+    global_shuffle(df, key_col, salt, n).write.mode("overwrite").parquet(path)
+    return n

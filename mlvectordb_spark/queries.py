@@ -807,6 +807,29 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle as data (operators/export.py): each
+    doc's shard (8-way, from the salted-md5 hash prefix — the same
+    contiguous hash ranges repartitionByRange produces) and its position
+    within the shard under the permutation order. Verifies the export
+    order end-to-end against the oracle; a new salt = a fresh epoch."""
+    from mlvectordb_spark.operators.curation import hash_bucket
+    from mlvectordb_spark.operators.export import shuffle_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        shuffle_key(F.col("doc_id"), "epoch0:").alias("k"),
+        F.pmod(hash_bucket(F.col("doc_id"), "epoch0:"), F.lit(8)).alias(
+            "shard"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: keep the smallest doc_id per distinct
     text, report survivors count per lang (hash-groupBy dedup)."""
@@ -2160,6 +2183,16 @@ WITH synth AS (
 )
 SELECT doc_id, n_emails, n_urls, n_phones, md5(t3) AS scrub_hash FROM s3
 """,
+    "train_shuffle": f"""
+WITH h AS (
+  SELECT doc_id, md5('epoch0:' || doc_id::VARCHAR) AS k,
+    {_oracle_hash_bucket('epoch0:')} % 8 AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+  row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+FROM h
+""",
     "stratified_sample": f"""
 WITH b AS (
   SELECT lang, doc_id, {_oracle_hash_bucket('strat:')} AS bucket FROM documents
@@ -2315,6 +2348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
     "data_split": q_data_split,
+    "train_shuffle": q_train_shuffle,
     "tfidf_terms": q_tfidf_terms,
     # -- write path / misc oracle-backed --
     "store_roundtrip": q_store_roundtrip,
@@ -2334,7 +2368,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json": q_events_json,
     "events_sessionize": q_events_sessionize,
     "events_asof_error": q_events_asof_error,
-    "events_session_stats": q_events_session_stats,
     "doc_lang_id": q_doc_lang_id,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2345,6 +2378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (checked by tools/verify_local.py; outside the driver's 50-entry
     # window) ----
     "tpch_q5": q_tpch_q5,
+    "events_session_stats": q_events_session_stats,
     "revenue_by_month": q_revenue_by_month,
     "part_like": q_part_like,
     "orders_pivot": q_orders_pivot,

@@ -1,0 +1,71 @@
+"""Training-data export: deterministic shuffle, sized shards, epoch
+independence."""
+
+from __future__ import annotations
+
+import os
+
+from mlvectordb_spark.operators.export import (
+    estimate_shards,
+    export_shards,
+    global_shuffle,
+)
+
+
+def _read_orders(spark, path):
+    """Per-file row sequences, keyed by lexicographic file name (the shard
+    enumeration a data loader would use)."""
+    out = []
+    for f in sorted(os.listdir(path)):
+        if f.endswith(".parquet"):
+            out.append(
+                [r.doc_id for r in spark.read.parquet(os.path.join(path, f)).collect()]
+            )
+    return out
+
+
+def test_export_is_reproducible_and_salt_independent(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1000)], "doc_id long, text string"
+    )
+    p1, p2, p3 = (str(tmp_path / d) for d in ("a", "b", "c"))
+    export_shards(df, p1, "doc_id", salt="epoch0:", n_shards=4)
+    # same salt on a differently-partitioned input -> byte-identical shards
+    export_shards(df.repartition(13), p2, "doc_id", salt="epoch0:", n_shards=4)
+    # new salt -> an unrelated permutation
+    export_shards(df, p3, "doc_id", salt="epoch1:", n_shards=4)
+    s1, s2, s3 = _read_orders(spark, p1), _read_orders(spark, p2), _read_orders(spark, p3)
+    assert s1 == s2
+    assert s1 != s3
+    flat1 = [i for shard in s1 for i in shard]
+    flat3 = [i for shard in s3 for i in shard]
+    assert sorted(flat1) == list(range(1000)) == sorted(flat3)
+    # ranges partition the hash space -> shards are balanced within ~3x
+    sizes = [len(s) for s in s1]
+    assert len(sizes) == 4 and max(sizes) <= 3 * max(1, min(sizes))
+    # not the identity order (it's a shuffle)
+    assert flat1 != list(range(1000))
+
+
+def test_global_shuffle_orders_by_salted_hash(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    got = [r.doc_id for r in global_shuffle(df, "doc_id", "s:", 1).collect()]
+    want = sorted(
+        range(200),
+        key=lambda i: hashlib.md5(f"s:{i}".encode()).hexdigest(),
+    )
+    assert got == want
+
+
+def test_estimate_shards_scales_with_bytes(spark):
+    df = spark.createDataFrame(
+        [(i, "x" * 1000) for i in range(2000)], "doc_id long, text string"
+    )
+    n_small_target = estimate_shards(df, target_file_bytes=64 << 10, parquet_ratio=1.0)
+    n_big_target = estimate_shards(df, target_file_bytes=1 << 30, parquet_ratio=1.0)
+    assert n_big_target == 1
+    assert n_small_target > n_big_target
