@@ -95,33 +95,36 @@ def decontaminate(
     anti-join against this to get the clean corpus.
 
     Scale shape: eval sets are thousands of docs, corpora are billions —
-    the exploded eval shingle set is broadcast; the corpus side is one
-    scan + explode + broadcast-semi-hash-join + per-doc count. The corpus
-    is never shuffled pairwise against itself."""
+    the exploded eval shingle set is broadcast; the corpus side is ONE
+    scan + explode + broadcast-left-join + one per-doc aggregate that
+    yields the hit count and the shingle total together (count of the
+    join marker vs count(*)). The corpus is never shuffled pairwise
+    against itself, never scanned twice, and map-side partial counts
+    shrink the explode back to one row per doc before the shuffle."""
     corpus_sh = docs.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(TX.word_shingles(TX.tokens(text_col), k))
         ).alias("shingle"),
     )
-    eval_sh = eval_docs.select(
-        F.explode(
-            F.array_distinct(TX.word_shingles(TX.tokens(text_col), k))
-        ).alias("shingle")
-    ).distinct()
-    totals = docs.select(
-        F.col(id_col),
-        F.size(F.array_distinct(TX.word_shingles(TX.tokens(text_col), k))).alias(
-            "n_shingles"
-        ),
+    eval_sh = (
+        eval_docs.select(
+            F.explode(
+                F.array_distinct(TX.word_shingles(TX.tokens(text_col), k))
+            ).alias("shingle")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    hits = (
-        corpus_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle", "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated_shingles"))
-    )
-    return hits.join(totals, id_col).select(
-        id_col, "n_contaminated_shingles", "n_shingles"
+        .agg(
+            F.count("__hit").alias("n_contaminated_shingles"),
+            F.count("*").alias("n_shingles"),
+        )
+        .filter(F.col("n_contaminated_shingles") > 0)
+        .select(id_col, "n_contaminated_shingles", "n_shingles")
     )
 
 

@@ -887,30 +887,34 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
 
-    # Signature family: TWO md5s per shingle (256 bits, computed once in a
-    # single transform) chopped into eight 32-bit hex chunks — md5 bits are
-    # uniform, so the chunks act as 8 independent hash functions at a
-    # quarter of the md5 cost of seeding each function separately (the
-    # md5-per-seed form dominated the bench profile). Lexicographic min of
-    # fixed-width hex equals numeric min, and DuckDB mirrors the exact
-    # construction for the oracle.
-    hh = F.transform(
-        F.col("sh"),
-        lambda s: F.concat(
-            F.md5(F.concat(F.lit("0:"), s)), F.md5(F.concat(F.lit("1:"), s))
-        ),
+    # Signature family: TWO md5s per shingle (256 bits) chopped into eight
+    # 32-bit hex chunks — md5 bits are uniform, so the chunks act as 8
+    # independent hash functions at a quarter of the md5 cost of seeding
+    # each function separately. Lexicographic min of fixed-width hex equals
+    # numeric min, and DuckDB mirrors the exact construction for the oracle.
+    #
+    # Physical shape: explode shingles to ROWS so md5/substring run inside
+    # whole-stage codegen, then groupBy(doc_id).agg(min c_i). The HOF form
+    # (array_min∘transform per hash) is interpreted, and CollapseProject
+    # inlines the shared md5 projection into every lambda — measured 4-5×
+    # slower. The groupBy reuses the doc_id hash partitioning established
+    # above, so the min-aggregate adds no Exchange; at 100 TB the partial
+    # (map-side) mins shrink the explode back to one row per doc.
+    hh = F.concat(
+        F.md5(F.concat(F.lit("0:"), F.col("s"))),
+        F.md5(F.concat(F.lit("1:"), F.col("s"))),
     )
-    hashed = sh.select("doc_id", "sh", hh.alias("hh"))
-
-    def chunk(i):
-        return lambda h: F.substring(h, i * 8 + 1, 8)
-
-    sig = F.array(
+    chunked = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id",
         *[
-            F.array_min(F.transform(F.col("hh"), chunk(i)))
+            F.substring(hh, i * 8 + 1, 8).alias(f"c{i}")
             for i in range(NUM_MINHASHES)
-        ]
+        ],
     )
+    sig_row = chunked.groupBy("doc_id").agg(
+        *[F.min(f"c{i}").alias(f"m{i}") for i in range(NUM_MINHASHES)]
+    )
+    sig = F.array(*[F.col(f"m{i}") for i in range(NUM_MINHASHES)])
     band_arr = F.array(
         *[
             F.md5(
@@ -919,7 +923,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    banded = hashed.select(
+    banded = sig_row.select(
         "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
     )
     a = banded.select(
