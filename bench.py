@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_clusters",
     "curation_pipeline",
     "decontaminate",
+    "seq_pack",
     "tfidf_terms",
     "knn_sq8",
     "ann_ivf_knn",

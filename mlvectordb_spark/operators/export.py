@@ -30,8 +30,10 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from mlvectordb_spark.operators.curation import hash_bucket
 
 
 def shuffle_key(key: Column, salt: str) -> Column:
@@ -57,6 +59,50 @@ def global_shuffle(
         .repartitionByRange(int(n), F.col("__shuffle_key"), F.col(key_col))
         .sortWithinPartitions("__shuffle_key", key_col)
         .drop("__shuffle_key")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    token_count_col: str,
+    seq_len: int = 2048,
+    n_shards: int = 8,
+    salt: str = "pack:",
+) -> DataFrame:
+    """Greedy concat-and-chunk sequence packing: documents are laid out in
+    a deterministic pseudorandom order and the token stream is cut every
+    `seq_len` tokens — the standard pretraining batch-construction step
+    (GPT-style packing). Returns the input keys with `shard`, `seq` (the
+    sequence index the doc's first token lands in) and `seq_off` (offset of
+    that token within the sequence); a doc whose tokens cross a boundary
+    continues into the next sequence, so `seq`/`seq_off` fully determine
+    the layout given the token counts.
+
+    Scale shape: a GLOBAL token prefix-sum would be a single-reducer
+    window, so packing is per-shard — docs hash into `n_shards`
+    independent shards (uniform by construction) and the running sum is a
+    window within each shard: n_shards-way parallel, one shuffle. Real
+    loaders consume shard files independently, so per-shard sequence
+    numbering is the layout they want. Same salt = same layout; a new
+    salt repacks for the next epoch."""
+    k = shuffle_key(F.col(key_col), salt)
+    shard = F.pmod(hash_bucket(F.col(key_col), salt), F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy("__k", key_col)
+    start = F.sum(token_count_col).over(w) - F.col(token_count_col)
+    return (
+        df.withColumn("__k", k)
+        .withColumn("shard", shard)
+        .withColumn("__start", start)
+        .select(
+            key_col,
+            "shard",
+            token_count_col,
+            F.floor(F.col("__start") / seq_len).cast("bigint").alias("seq"),
+            F.pmod(F.col("__start"), F.lit(seq_len))
+            .cast("bigint")
+            .alias("seq_off"),
+        )
     )
 
 

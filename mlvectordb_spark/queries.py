@@ -830,6 +830,21 @@ def q_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy concat-and-chunk sequence packing (operators/export.py): docs
+    in deterministic pseudorandom order, token stream cut every 512 tokens,
+    packed independently within 8 hash shards (a global prefix-sum would be
+    a single-reducer window). Output: where each doc's first token lands —
+    (shard, seq, seq_off)."""
+    from mlvectordb_spark.operators.export import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", TX.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", seq_len=512, n_shards=8)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: keep the smallest doc_id per distinct
     text, report survivors count per lang (hash-groupBy dedup)."""
@@ -2197,6 +2212,23 @@ SELECT doc_id, shard,
   row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
 FROM h
 """,
+    "seq_pack": f"""
+WITH h AS (
+  SELECT doc_id,
+    md5('pack:' || doc_id::VARCHAR) AS k,
+    {_oracle_hash_bucket('pack:')} % 8 AS shard,
+    len(list_filter(string_split(text, ' '), t -> t != ''))::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY shard ORDER BY k, doc_id) - n_tokens AS strt
+  FROM h
+)
+SELECT doc_id, shard, n_tokens,
+  (strt // 512)::BIGINT AS seq,
+  (strt % 512)::BIGINT AS seq_off
+FROM c
+""",
     "stratified_sample": f"""
 WITH b AS (
   SELECT lang, doc_id, {_oracle_hash_bucket('strat:')} AS bucket FROM documents
@@ -2341,7 +2373,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq8_error": q_sq8_error,
     # -- LLM-pipeline dedup / curation family --
     "dedup_exact": q_dedup_exact,
-    "dedup_prefix_buckets": q_dedup_prefix_buckets,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
@@ -2353,6 +2384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "data_split": q_data_split,
     "train_shuffle": q_train_shuffle,
+    "seq_pack": q_seq_pack,
     "tfidf_terms": q_tfidf_terms,
     # -- write path / misc oracle-backed --
     "store_roundtrip": q_store_roundtrip,
@@ -2382,6 +2414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (checked by tools/verify_local.py; outside the driver's 50-entry
     # window) ----
     "tpch_q5": q_tpch_q5,
+    "dedup_prefix_buckets": q_dedup_prefix_buckets,
     "events_session_stats": q_events_session_stats,
     "revenue_by_month": q_revenue_by_month,
     "part_like": q_part_like,

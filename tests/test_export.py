@@ -69,3 +69,35 @@ def test_estimate_shards_scales_with_bytes(spark):
     n_big_target = estimate_shards(df, target_file_bytes=1 << 30, parquet_ratio=1.0)
     assert n_big_target == 1
     assert n_small_target > n_big_target
+
+
+def test_pack_sequences_tiles_the_token_stream(spark):
+    from pyspark.sql import functions as F
+
+    from mlvectordb_spark.operators.export import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 1 + (i * 7) % 90) for i in range(500)],
+        "doc_id long, n_tokens long",
+    )
+    out = pack_sequences(df, "doc_id", "n_tokens", seq_len=128, n_shards=4)
+    rows = out.collect()
+    assert sorted(r.doc_id for r in rows) == list(range(500))
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.shard < 4
+        assert 0 <= r.seq_off < 128
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == 4
+    for shard_rows in by_shard.values():
+        # reconstruct the layout: consecutive docs tile the stream exactly
+        shard_rows.sort(key=lambda r: (r.seq, r.seq_off))
+        pos = 0
+        for r in shard_rows:
+            assert r.seq * 128 + r.seq_off == pos
+            pos += r.n_tokens
+    # determinism: a repartitioned input yields the identical layout
+    again = pack_sequences(
+        df.repartition(13), "doc_id", "n_tokens", seq_len=128, n_shards=4
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
