@@ -43,6 +43,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer `div`, not `/1000` — double division at ~1.7e15 ns rounds
         # the last microsecond
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # newer testdata generations write TIMESTAMP(MICROS) without the
+        # UTC-adjusted flag, which infers as TIMESTAMP_NTZ; normalize to
+        # session-tz TIMESTAMP (tz pinned UTC, so values are unchanged) —
+        # NTZ rejects casts like `ts::double` that the queries rely on.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 

@@ -19,32 +19,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# The events schema AFTER ts normalization (streaming sources require an
-# explicit schema; ts arrives as long nanos — see sources/testdata.py).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (parquet TIMESTAMP(NANOS))
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source streaming read of events parquet (one file = one
-    micro-batch increment; swap for Kafka in production)."""
+    micro-batch increment; swap for Kafka in production).
+
+    Streaming sources need the schema declared up front, and the events
+    table has shipped `ts` both as parquet TIMESTAMP(NANOS) (reads as long
+    nanos under the legacy conf) and as TIMESTAMP(MICROS) — so probe the
+    footer with a batch read (metadata-only, no data scan) and normalize to
+    TimestampType either way, mirroring sources/testdata.py."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_nanos = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(
+            _events_schema(T.LongType() if ts_is_nanos else T.TimestampType())
+        )
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    # integer `div` keeps the conversion exact (double division rounds the
-    # last microsecond at ~1.7e15 ns)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        # integer `div` keeps the conversion exact (double division rounds
+        # the last microsecond at ~1.7e15 ns)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(
