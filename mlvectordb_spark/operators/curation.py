@@ -186,3 +186,90 @@ def tfidf_top_terms(
             F.round("tfidf", 4).alias("tfidf"),
         )
     )
+
+
+# Token-window chunking: a 64-token window sliding by 48 (16-token overlap)
+# is the shape context-length builders use; both constants are caller
+# knobs. The chunk count formula ceil(max(n-size,0)/stride)+1 yields one
+# chunk for any document up to `size` tokens (including empty docs).
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunks per document, for training-sequence
+    construction (beyond the reference's surface; the LLM-pipeline
+    counterpart of seq_pack, which packs whole docs).
+
+    Physical shape: tokenize once, explode a `sequence(0, n_chunks-1)` —
+    pure Catalyst (codegen), no shuffle at all; output size is
+    ~n_tokens/stride rows per doc regardless of corpus size. Chunks carry
+    an md5 content hash rather than the token text so downstream exact
+    dedup over chunks is join-ready and the exploded output stays narrow.
+    """
+    if stride <= 0 or chunk_size < stride:
+        raise ValueError("need 0 < stride <= chunk_size")
+    toks = TX.tokens(text_col)
+    d = docs.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n_tok")
+    )
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.col("__n_tok") - chunk_size, F.lit(0)) / float(stride)
+        ).cast("int")
+        + 1
+    )
+    d = d.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    chunk = F.slice("__toks", F.col("chunk_idx") * stride + 1, chunk_size)
+    return d.select(
+        id_col,
+        "chunk_idx",
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+# counts^alpha temperature scaling — the standard multi-source mixing
+# recipe (alpha=1 keeps natural proportions, alpha->0 approaches uniform).
+MIX_ALPHA = 0.5
+
+
+def mixture_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    alpha: float = MIX_ALPHA,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source mixture weights and deterministic sampling rates for a
+    temperature-scaled training mix: weight_s = n_s^alpha / sum(n^alpha),
+    rate_s = min(1, weight_s * N / n_s). Feed rate_s into
+    `stratified_sample`-style md5 bucketing to materialize the mix.
+
+    Physical shape: one map-side-combined aggregation to |sources| rows,
+    then the normalizing window runs over that tiny aggregate — the
+    single-partition window never sees corpus-sized data."""
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count(text_col)).alias("n_tokens"),
+    )
+    full = Window.partitionBy()
+    w_raw = F.pow(F.col("n_docs").cast("double"), float(alpha))
+    weight = w_raw / F.sum(w_raw).over(full)
+    rate = F.least(
+        F.lit(1.0), weight * F.sum("n_docs").over(full) / F.col("n_docs")
+    )
+    return counts.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 6).alias("mixture_weight"),
+        F.round(rate, 6).alias("sampling_rate"),
+    )
