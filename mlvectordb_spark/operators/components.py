@@ -39,12 +39,18 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.distinct().localCheckpoint()
+    # pre-partition on the per-round join key: localCheckpoint preserves
+    # the hash partitioning, so the static edge table is shuffled ONCE for
+    # the whole iteration, not once per round
+    sym = sym.distinct().repartition(F.col("b")).localCheckpoint()
 
+    # seed with min(id, min-neighbor) — exactly what propagation round 1
+    # would compute, so a clique-shaped graph (the common duplicate-cluster
+    # case) converges after a single confirming round
     comp = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        sym.groupBy("a")
+        .agg(F.least(F.first("a"), F.min("b")).alias("component"))
+        .select(F.col("a").alias("id"), "component")
         .localCheckpoint()
     )
     for _ in range(max_iter):
@@ -53,23 +59,23 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_comp = (
+        # carry old + new labels in ONE checkpointed frame: the convergence
+        # check becomes a scan of materialized blocks instead of a second
+        # join against the previous state
+        new_full = (
             comp.join(neighbor_min, comp.id == neighbor_min.a, "left")
             .select(
-                "id",
+                comp.id,
+                comp.component.alias("old"),
                 F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                    comp.component,
+                    F.coalesce(neighbor_min.nbr_component, comp.component),
                 ).alias("component"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_comp.join(comp.withColumnRenamed("component", "old"), "id")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
-        comp = new_comp
+        changed = new_full.filter(F.col("component") != F.col("old")).count()
+        comp = new_full.drop("old")
         if changed == 0:
             break
     return comp
