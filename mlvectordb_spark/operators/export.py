@@ -8,9 +8,11 @@ whatever partitioning the upstream pipeline happened to leave behind.
 
 Spark-first shape: the permutation key is a salted md5 of the document key,
 computed executor-side and engine-portable (the DuckDB oracle states the
-identical expression — see `queries.py` `train_shuffle`). One
-`repartitionByRange` on that key + `sortWithinPartitions` is a single range
-shuffle; writing the result enumerates the permutation shard by shard.
+identical expression — see `queries.py` `train_shuffle`). The shard is an
+EXPLICIT column — pmod(wide-md5-bucket(key, salt), n) — so shard membership
+is a pure function of (salt, key): one hash shuffle on the shard column +
+`sortWithinPartitions` lays out the permutation, and the write enumerates
+it shard by shard via `partitionBy("shard")`.
 
 Why not `rand()`/`orderBy(rand(seed))`: rand is seeded per-partition-index,
 so the permutation silently changes whenever the upstream partition layout
@@ -20,10 +22,19 @@ key-hash permutation is idempotent under retries: the same row always
 sorts to the same place. (Same argument as curation.py's hash sampling
 vs sampleBy.)
 
-At 100 TB: the range shuffle is the unavoidable cost of a global
-permutation (every permutation of n rows moves ~all bytes once). The
-range-partitioner samples the hash key, which is uniform by construction,
-so shards are balanced regardless of corpus skew — no salting needed.
+Why not `repartitionByRange` on the hash key (the round-3 defect): range
+boundaries come from a reservoir sample that depends on the INPUT PARTITION
+LAYOUT, so the same salt over a re-partitioned (or retried, or
+differently-compacted) input cut the shards at different points — shard
+files were not reproducible even though the global order was. The explicit
+pmod shard has no sampled state at all.
+
+At 100 TB: the one hash shuffle is the unavoidable cost of a global
+permutation (every permutation of n rows moves ~all bytes once). The wide
+hash (8 nibbles, ~4.3e9 values) is uniform by construction, so shards are
+balanced regardless of corpus skew — no salting needed — and the shard
+count can exceed 256 (a 100 TB corpus at 256 MB/file wants ~400k shards,
+which two-nibble hash_bucket could not index).
 """
 
 from __future__ import annotations
@@ -33,7 +44,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mlvectordb_spark.operators.curation import hash_bucket
+from mlvectordb_spark.operators.curation import hash_bucket, hash_bucket_wide
 
 
 def shuffle_key(key: Column, salt: str) -> Column:
@@ -42,24 +53,39 @@ def shuffle_key(key: Column, salt: str) -> Column:
     return F.md5(F.concat(F.lit(salt), key.cast("string")))
 
 
+def shard_of(key: Column, salt: str, n_shards: int) -> Column:
+    """The shard a row belongs to: a pure function of (salt, key) — no
+    sampled boundaries, no partition-layout dependence, idempotent under
+    task retries. 8 md5 nibbles (~4.3e9 values) before the pmod, so shard
+    counts far beyond 256 stay uniform."""
+    return F.pmod(
+        hash_bucket_wide(key, salt + "|shard:", nibbles=8), F.lit(int(n_shards))
+    ).cast("int")
+
+
 def global_shuffle(
     df: DataFrame,
     key_col: str,
     salt: str = "epoch0:",
     n_shards: int | None = None,
+    keep_shard: bool = False,
 ) -> DataFrame:
-    """Globally pseudorandom, reproducible row order: range-partition on
-    the salted hash (n_shards output partitions) and sort within each.
+    """Globally pseudorandom, reproducible row order: an explicit
+    deterministic shard column (pmod of a wide salted hash), one hash
+    shuffle on it, and a within-partition sort by (shard, hash, key).
     Ties (identical hashes can only come from identical keys) break on the
-    key itself, keeping the order total and deterministic."""
+    key itself, keeping the order total and deterministic. With
+    `keep_shard` the shard column is retained for a partitioned write."""
     n = n_shards or df.sparkSession.sparkContext.defaultParallelism
     k = shuffle_key(F.col(key_col), salt)
-    return (
+    out = (
         df.withColumn("__shuffle_key", k)
-        .repartitionByRange(int(n), F.col("__shuffle_key"), F.col(key_col))
-        .sortWithinPartitions("__shuffle_key", key_col)
+        .withColumn("shard", shard_of(F.col(key_col), salt, int(n)))
+        .repartition(int(n), F.col("shard"))
+        .sortWithinPartitions("shard", "__shuffle_key", key_col)
         .drop("__shuffle_key")
     )
+    return out if keep_shard else out.drop("shard")
 
 
 def pack_sequences(
@@ -134,8 +160,17 @@ def export_shards(
     n_shards: int | None = None,
     target_file_bytes: int = 256 << 20,
 ) -> int:
-    """Write the shuffled corpus as `n_shards` parquet files (sized via
-    estimate_shards when not given). Returns the shard count."""
+    """Write the shuffled corpus as `n_shards` parquet shard directories
+    (`shard=K/`, one sorted file each — every shard lives wholly in one
+    task after the repartition, sized via estimate_shards when not given).
+    A data loader enumerates shard dirs in order; re-running with the same
+    salt reproduces every shard byte-for-byte regardless of how the input
+    happened to be partitioned. Returns the shard count."""
     n = n_shards or estimate_shards(df, target_file_bytes)
-    global_shuffle(df, key_col, salt, n).write.mode("overwrite").parquet(path)
+    (
+        global_shuffle(df, key_col, salt, n, keep_shard=True)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
     return n

@@ -13,14 +13,16 @@ from mlvectordb_spark.operators.export import (
 
 
 def _read_orders(spark, path):
-    """Per-file row sequences, keyed by lexicographic file name (the shard
-    enumeration a data loader would use)."""
+    """Per-shard row sequences, keyed by shard number (the `shard=K/`
+    directory enumeration a data loader would use)."""
     out = []
-    for f in sorted(os.listdir(path)):
-        if f.endswith(".parquet"):
-            out.append(
-                [r.doc_id for r in spark.read.parquet(os.path.join(path, f)).collect()]
-            )
+    for d in sorted(
+        (d for d in os.listdir(path) if d.startswith("shard=")),
+        key=lambda d: int(d.split("=", 1)[1]),
+    ):
+        out.append(
+            [r.doc_id for r in spark.read.parquet(os.path.join(path, d)).collect()]
+        )
     return out
 
 
@@ -40,7 +42,7 @@ def test_export_is_reproducible_and_salt_independent(spark, tmp_path):
     flat1 = [i for shard in s1 for i in shard]
     flat3 = [i for shard in s3 for i in shard]
     assert sorted(flat1) == list(range(1000)) == sorted(flat3)
-    # ranges partition the hash space -> shards are balanced within ~3x
+    # uniform wide hash pmod n -> shards are balanced within ~3x
     sizes = [len(s) for s in s1]
     assert len(sizes) == 4 and max(sizes) <= 3 * max(1, min(sizes))
     # not the identity order (it's a shuffle)
