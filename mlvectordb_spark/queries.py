@@ -1369,36 +1369,36 @@ CURATION_QUALITY_MIN = 0.7
 
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data curation funnel as ONE DataFrame flow: quality filter →
-    language-ID filter → near-dup removal (min-shingle fingerprint, lowest
-    doc_id survives). Emits the per-stage funnel counts — the shape of a
-    real corpus-curation job, where each stage is a narrow transformation
-    and only the dedup stage shuffles (on the fingerprint)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    """Training-data curation funnel: quality filter → language-ID filter →
+    near-dup removal (min-shingle fingerprint, one survivor per
+    fingerprint). Emits the per-stage funnel counts.
+
+    All four counts fold into ONE conditional aggregate over ONE scan of
+    the corpus: the survivor count equals the number of distinct
+    fingerprints among quality+lang passers (row_number-rank-1 per
+    fingerprint keeps exactly one row per group), so it's a conditional
+    countDistinct, not a window. The round-3 formulation crossJoined three
+    separate aggregates over an uncached `staged` — the full text-kernel
+    scan ran three times (+82% on the bench; 3 corpus scans at 100 TB).
+    Null fingerprints (docs shorter than the shingle width) coalesce to a
+    sentinel outside md5's hex alphabet so they form one group, exactly as
+    the null-partition window did."""
+    docs = load_table(spark, sf_dir, "documents")
     staged = docs.select(
-        "doc_id",
         TX.quality_score("text").alias("q"),
         TX.lang_id_expr("text").alias("pred_lang"),
         TX.min_shingle_fingerprint("text", k=3).alias("fp"),
     )
-    passed = staged.filter(
-        (F.col("q") >= CURATION_QUALITY_MIN) & (F.col("pred_lang") == "en")
-    )
-    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
-    survivors = passed.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
-    )
-    return (
-        staged.agg(
-            F.count("*").alias("n_input"),
-            F.sum(
-                F.when(F.col("q") >= CURATION_QUALITY_MIN, 1).otherwise(0)
-            ).cast("bigint").alias("n_quality"),
-        )
-        .crossJoin(passed.agg(F.count("*").alias("n_quality_and_lang")))
-        .crossJoin(survivors.agg(F.count("*").alias("n_unique")))
+    ok = (F.col("q") >= CURATION_QUALITY_MIN) & (F.col("pred_lang") == "en")
+    return staged.agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.when(F.col("q") >= CURATION_QUALITY_MIN, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quality"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("bigint").alias("n_quality_and_lang"),
+        F.count_distinct(
+            F.when(ok, F.coalesce(F.col("fp"), F.lit("~")))
+        ).alias("n_unique"),
     )
 
 
@@ -1519,10 +1519,17 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the n-gram
     Jaccard candidate pairs, labeling each clustered doc with the min doc
-    id reachable from it (the canonical survivor)."""
+    id reachable from it (the canonical survivor).
+
+    The pair pipeline (tokenize → shingle → sub-bucket self-join) is
+    localCheckpointed BEFORE the component iteration: connected_components
+    symmetrizes edges via a self-union, which would otherwise re-execute
+    the whole candidate pipeline once per union branch (round-3 verdict —
+    heaviest bench entry). Checkpointed, the corpus-scale work runs once
+    and the iteration reads materialized pair blocks."""
     from mlvectordb_spark.operators.components import dedup_cluster_assignment
 
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     return dedup_cluster_assignment(pairs).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("cluster").cast("bigint").alias("cluster"),
@@ -2396,19 +2403,14 @@ WITH toks_t AS (
     AND sc_en = greatest(sc_en, sc_de, sc_es, sc_fr, sc_zh) THEN 'en'
     ELSE 'not-en' END AS pred_lang
   FROM staged
-), passed AS (
-  SELECT * FROM langed WHERE q >= {CURATION_QUALITY_MIN} AND pred_lang = 'en'
-), survivors AS (
-  SELECT * FROM (
-    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-    FROM passed
-  ) WHERE rn = 1
 )
 SELECT
-  (SELECT count(*) FROM staged) AS n_input,
-  (SELECT count(*) FROM staged WHERE q >= {CURATION_QUALITY_MIN}) AS n_quality,
-  (SELECT count(*) FROM passed) AS n_quality_and_lang,
-  (SELECT count(*) FROM survivors) AS n_unique
+  count(*) AS n_input,
+  sum(CASE WHEN q >= {CURATION_QUALITY_MIN} THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+  sum(CASE WHEN q >= {CURATION_QUALITY_MIN} AND pred_lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_quality_and_lang,
+  count(DISTINCT CASE WHEN q >= {CURATION_QUALITY_MIN} AND pred_lang = 'en'
+        THEN coalesce(fp, '~') END) AS n_unique
+FROM langed
 """,
     "dedup_embedding": f"""
 SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
