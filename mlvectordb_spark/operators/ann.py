@@ -62,6 +62,11 @@ class IVFIndex:
         self.indexed: DataFrame | None = None
         self._built_count = 0
         self._added_count = 0
+        # per-cluster (radius, count) for exact-search pruning — k scalars,
+        # driver-side, lazily computed and invalidated by add()
+        self._radii: np.ndarray | None = None
+        self._counts: np.ndarray | None = None
+        self._vec_col = "embedding"
 
     def _fit_centroids(
         self, df: DataFrame, vec_col: str, id_col: str
@@ -170,9 +175,11 @@ class IVFIndex:
         """Fit centroids (bounded-sample Lloyd) and attach cluster_id
         (W8/W10 analog: the derived index DataFrame)."""
         self.centroids = self._fit_centroids(df, vec_col, id_col)
+        self._vec_col = vec_col
         self.indexed = self._assign(df, vec_col)
         self._built_count = self.indexed.count()
         self._added_count = 0
+        self._radii = self._counts = None
         return self.indexed
 
     def add(
@@ -190,6 +197,7 @@ class IVFIndex:
         n_new = assigned.count()
         self.indexed = self.indexed.unionByName(assigned.select(*self.indexed.columns))
         self._added_count += n_new
+        self._radii = self._counts = None  # new members can extend a radius
         return self.indexed
 
     def is_rebuild_required(self) -> bool:
@@ -198,6 +206,106 @@ class IVFIndex:
         if self._built_count == 0:
             return False
         return self._added_count / self._built_count >= self.REBUILD_THRESHOLD
+
+    def cluster_stats(self, vec_col: str | None = None) -> tuple[np.ndarray, np.ndarray]:
+        """Per-cluster (radius, member count): radius is the max TRUE L2
+        distance of any member to its centroid. One Arrow-batched map (same
+        matmul shape as _assign) + a k-row aggregate — k scalars on the
+        driver, same class of state as the centroids themselves. Cached on
+        the object; invalidated by add() (new members can extend a
+        radius)."""
+        assert self.indexed is not None and self.centroids is not None
+        if self._radii is not None and self._counts is not None:
+            return self._radii, self._counts
+        vec_col = vec_col or self._vec_col
+        cent = self.centroids
+
+        def dist_batches(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame({"cluster_id": [], "cdist": []})
+                    continue
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                cids = pdf["cluster_id"].to_numpy().astype(np.int64)
+                diff = mat - cent[cids]
+                yield pd.DataFrame(
+                    {
+                        "cluster_id": cids,
+                        "cdist": np.sqrt((diff * diff).sum(axis=1)),
+                    }
+                )
+
+        stats = (
+            self.indexed.mapInPandas(
+                dist_batches, schema="cluster_id long, cdist double"
+            )
+            .groupBy("cluster_id")
+            .agg(F.max("cdist").alias("radius"), F.count("*").alias("n"))
+            .collect()
+        )
+        radii = np.zeros(len(cent), dtype=np.float64)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for r in stats:
+            radii[int(r.cluster_id)] = float(r.radius)
+            counts[int(r.cluster_id)] = int(r.n)
+        self._radii, self._counts = radii, counts
+        return radii, counts
+
+    def search_exact(
+        self,
+        qvec,
+        k: int,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """EXACT top-k (L2) with cluster pruning by the triangle
+        inequality — the ball-tree bound applied to the IVF layout:
+
+        - upper bound per cluster: any member is within ||q-c_j|| + r_j;
+          take clusters in ascending upper-bound order until their member
+          counts cover k — tau = the last upper bound is then a certified
+          bound on the true kth-neighbour distance.
+        - lower bound per cluster: no member is closer than
+          max(0, ||q-c_j|| - r_j); clusters whose lower bound exceeds tau
+          provably contain no top-k member and are pruned BEFORE the scan
+          (partition pruning on the cluster_id layout).
+
+        All bound arithmetic is k-scalar driver math; the one Spark job
+        scans only the surviving clusters. Unlike probe-count search the
+        result is exact on ANY data distribution — on well-clustered data
+        the probe set is small, on adversarially uniform data it degrades
+        toward a full scan but never toward a wrong answer. The bound is
+        padded by the score-rounding granularity so the rounded+id
+        tie-break ordering matches the brute-force oracle exactly."""
+        radii, counts = self.cluster_stats(vec_col)
+        q = np.asarray(qvec, dtype=np.float64)
+        dq = np.sqrt(((self.centroids - q) ** 2).sum(axis=1))
+        ub = dq + radii
+        nonempty = counts > 0
+        cum = 0
+        tau = None
+        for j in np.argsort(ub):
+            if not nonempty[j]:
+                continue
+            cum += int(counts[j])
+            tau = float(ub[j])
+            if cum >= k:
+                break
+        if tau is None:  # empty index
+            return knn(self.indexed, qvec, k, vec_col=vec_col, id_col=id_col)
+        lb = np.maximum(0.0, dq - radii)
+        # pad in SQUARED space: scores round to 4 decimals, so a point up
+        # to 1e-3 (squared) past tau² can still tie into the rounded order
+        tau_sq = tau * tau + 1e-3
+        probes = [
+            int(j)
+            for j in range(len(radii))
+            if nonempty[j] and lb[j] * lb[j] <= tau_sq
+        ]
+        candidates = self.indexed.filter(F.col("cluster_id").isin(probes))
+        return knn(candidates, qvec, k, vec_col=vec_col, id_col=id_col, metric="l2")
 
     def _probe_clusters(self, qvec, nprobe: int) -> list[int]:
         assert self.centroids is not None, "build() first"
@@ -229,6 +337,13 @@ class IVFIndex:
             [(int(self._built_count), int(self._added_count))],
             "built_count long, added_count long",
         ).write.mode("overwrite").parquet(f"{path}/meta")
+        # exact-search pruning bounds travel with the index (k rows) — a
+        # reloaded index must not pay a corpus scan to re-derive them
+        radii, counts = self.cluster_stats()
+        spark.createDataFrame(
+            [(i, float(radii[i]), int(counts[i])) for i in range(len(radii))],
+            "cluster_id int, radius double, n long",
+        ).write.mode("overwrite").parquet(f"{path}/cluster_stats")
 
     @classmethod
     def load(cls, spark, path: str) -> "IVFIndex":
@@ -250,6 +365,16 @@ class IVFIndex:
         except Exception:  # noqa: BLE001 — pre-meta index layout
             idx._built_count = idx.indexed.count()
             idx._added_count = 0
+        try:
+            srows = spark.read.parquet(f"{path}/cluster_stats").collect()
+            radii = np.zeros(len(cents), dtype=np.float64)
+            counts = np.zeros(len(cents), dtype=np.int64)
+            for r in srows:
+                radii[int(r.cluster_id)] = float(r.radius)
+                counts[int(r.cluster_id)] = int(r.n)
+            idx._radii, idx._counts = radii, counts
+        except Exception:  # noqa: BLE001 — pre-stats layout; lazy recompute
+            pass
         return idx
 
     def search(

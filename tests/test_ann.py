@@ -144,6 +144,85 @@ def test_ivf_save_load_roundtrip(spark, emb, qvec, tmp_path):
     assert "PartitionFilters" in plan["raw"]
 
 
+def test_ivf_search_exact_equals_brute_force(emb, qvec):
+    """search_exact is EXACT by construction (triangle-inequality cluster
+    pruning) — identical rows to brute force, on any data distribution."""
+    idx = IVFIndex(n_clusters=8, seed=42)
+    idx.build(emb)
+    exact = [
+        (r.vec_id, r.score) for r in knn(emb, qvec, 10, metric="l2").collect()
+    ]
+    got = [(r.vec_id, r.score) for r in idx.search_exact(qvec, 10).collect()]
+    assert got == exact
+
+
+def test_ivf_search_exact_prunes_clustered_data(spark):
+    """On data with real cluster structure the certified bound prunes most
+    clusters — and the answer is still exact. Seeded blob corpus: 8 tight
+    blobs far apart, query near blob 0."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 16)) * 50.0
+    rows = []
+    for i in range(800):
+        b = i % 8
+        rows.append((i, [float(x) for x in centers[b] + rng.normal(size=16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = IVFIndex(n_clusters=8, seed=42)
+    idx.build(df)
+    q = [float(x) for x in centers[0]]
+    exact = [r.vec_id for r in knn(df, q, 10, metric="l2").collect()]
+    got = [r.vec_id for r in idx.search_exact(q, 10).collect()]
+    assert got == exact
+    # the certified probe set must exclude most blobs
+    radii, counts = idx.cluster_stats()
+    dq = np.sqrt(((idx.centroids - np.asarray(q)) ** 2).sum(axis=1))
+    ub = dq + radii
+    tau = sorted(
+        float(u) for u, c in zip(ub, counts) if c > 0
+    )[0]  # first cluster already holds >= 10 members
+    lb = np.maximum(0.0, dq - radii)
+    n_probed = int((lb * lb <= tau * tau + 1e-3).sum())
+    assert n_probed <= 3, f"expected heavy pruning on blobs, probed {n_probed}"
+
+
+def test_ivf_recall_gate_on_clustered_corpus(spark):
+    """Recall@10 >= 0.9 at nprobe=4 on a seeded clustered corpus — fails
+    loudly if centroid fitting or probe selection degrades (round-3 verdict
+    #6). Clustered data is the contract IVF serves; uniform-random data
+    legitimately needs a larger nprobe and is covered by the recall-curve
+    query instead."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(16, 32)) * 20.0
+    rows = []
+    for i in range(1600):
+        b = i % 16
+        rows.append((i, [float(x) for x in centers[b] + rng.normal(size=32)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = IVFIndex(n_clusters=16, seed=42)
+    idx.build(df)
+    q = [float(x) for x in centers[3] + rng.normal(size=32) * 0.5]
+    exact = knn(df, q, 10, metric="l2")
+    approx = idx.search(q, 10, nprobe=4, metric="l2")
+    assert recall_at_k(approx, exact) >= 0.9
+
+
+def test_ivf_cluster_stats_persist_through_save_load(spark, emb, qvec, tmp_path):
+    """Exact-search bounds travel with the index: a reloaded index answers
+    search_exact without re-deriving radii from a corpus scan."""
+    idx = IVFIndex(n_clusters=8, seed=42)
+    idx.build(emb)
+    before = [(r.vec_id, r.score) for r in idx.search_exact(qvec, 10).collect()]
+    idx.save(str(tmp_path / "ivf_stats"))
+    loaded = IVFIndex.load(spark, str(tmp_path / "ivf_stats"))
+    assert loaded._radii is not None and loaded._counts is not None
+    after = [(r.vec_id, r.score) for r in loaded.search_exact(qvec, 10).collect()]
+    assert before == after
+
+
 def test_lsh_search_returns_k(emb, qvec):
     idx = LSHIndex(bucket_length=1.0, num_hash_tables=4, seed=42)
     idx.build(emb)
