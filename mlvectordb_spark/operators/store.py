@@ -21,9 +21,12 @@ Physical design (the 100 TB posture):
   reference's per-namespace index isolation. Appends are new files inside
   the partition; no read-modify-write on ingest.
 - Deletes are tombstones in a side table; the read path anti-joins them
-  (broadcast — tombstones are small between compactions). Compaction
-  rewrites only namespaces whose tombstone ratio ≥ threshold, mirroring the
-  reference's amortized rebuild.
+  (broadcast — tombstones are small between compactions). TRUE upserts are
+  merge-on-read: append a higher write_version, latest-wins at read (only
+  for namespaces marked upsert-dirty — clean read plans carry no window).
+  Compaction rewrites only namespaces whose garbage ratio (tombstoned +
+  superseded versions) ≥ threshold, mirroring the reference's amortized
+  rebuild.
 - Nothing collects to the driver except single-row/limit-k results; every
   bulk path is a DataFrame write.
 
@@ -42,10 +45,11 @@ import uuid
 from typing import Any, Iterable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import Window as SqlWindow
 from pyspark.sql import functions as F
 
 from mlvectordb_spark.functions.vector import metric_ascending, metric_expr
-from mlvectordb_spark.schema import VECTOR_SCHEMA
+from mlvectordb_spark.schema import STORAGE_SCHEMA, VECTOR_SCHEMA
 
 DEFAULT_NAMESPACE = "default"
 REBUILD_THRESHOLD = 0.2  # tombstone ratio triggering compaction (ref index.py:18)
@@ -177,9 +181,90 @@ class VectorStore:
 
     def _raw(self) -> DataFrame | None:
         try:
-            return self.spark.read.schema(VECTOR_SCHEMA).parquet(self.data_path)
+            return self.spark.read.schema(STORAGE_SCHEMA).parquet(self.data_path)
         except Exception:  # noqa: BLE001 — no data written yet
             return None
+
+    # -- upsert bookkeeping --------------------------------------------------
+    # True upserts APPEND a new write_version instead of rewriting the
+    # namespace partition (round-3 verdict #7: the per-call copy-on-write
+    # rewrite amplified every point upsert into a partition rewrite). The
+    # read path collapses to latest-wins — but ONLY for namespaces marked
+    # dirty here, so read plans for append-only namespaces carry no window.
+    # Compaction (the existing 20% trigger) physically collapses versions
+    # and clears the mark. Both files are metadata-scale, like dims.json.
+
+    @property
+    def _version_path(self) -> str:
+        return os.path.join(self.path, "write_version.json")
+
+    def _next_version(self) -> int:
+        try:
+            with open(self._version_path, encoding="utf-8") as fh:
+                v = int(json.load(fh)["v"])
+        except (OSError, ValueError, KeyError):
+            v = 0
+        v += 1
+        with open(self._version_path, "w", encoding="utf-8") as fh:
+            json.dump({"v": v}, fh)
+        return v
+
+    @property
+    def _dirty_path(self) -> str:
+        return os.path.join(self.path, "dirty_namespaces.json")
+
+    def _dirty_namespaces(self) -> set[str]:
+        try:
+            with open(self._dirty_path, encoding="utf-8") as fh:
+                return set(json.load(fh))
+        except (OSError, ValueError):
+            return set()
+
+    def _mark_dirty(self, namespaces: Iterable[str]) -> None:
+        dirty = self._dirty_namespaces() | set(namespaces)
+        with open(self._dirty_path, "w", encoding="utf-8") as fh:
+            json.dump(sorted(dirty), fh)
+
+    def _clear_dirty(self, namespace: str) -> None:
+        dirty = self._dirty_namespaces()
+        if namespace in dirty:
+            dirty.discard(namespace)
+            with open(self._dirty_path, "w", encoding="utf-8") as fh:
+                json.dump(sorted(dirty), fh)
+
+    def _latest_wins(self, raw: DataFrame) -> DataFrame:
+        """Collapse multi-version rows to the highest write_version per
+        (id, namespace) — applied only to dirty namespaces; clean ones pass
+        through without a window in their plan."""
+        dirty = sorted(self._dirty_namespaces())
+        if not dirty:
+            return raw
+        is_dirty = F.col("namespace").isin(dirty)
+        w = SqlWindow.partitionBy("id", "namespace").orderBy(
+            F.coalesce(F.col("write_version"), F.lit(0)).desc()
+        )
+        deduped = (
+            raw.filter(is_dirty)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return raw.filter(~is_dirty).unionByName(deduped)
+
+    def _clear_tombstones_for(self, keys: DataFrame) -> None:
+        """Resurrect upserted ids: a tombstone matches every version of
+        (id, namespace), so an upsert over a previously-deleted id must
+        retire the tombstone or the new version stays invisible. The
+        tombstone table is bounded between compactions, so the rewrite is
+        metadata-scale."""
+        tomb = self._tombstones()
+        if tomb is None:
+            return
+        remaining = tomb.join(keys, ["id", "namespace"], "left_anti")
+        tmp = os.path.join(self.path, ".tomb_upsert_tmp")
+        remaining.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.tomb_path)
+        os.rename(tmp, self.tomb_path)
 
     def _tombstones(self) -> DataFrame | None:
         try:
@@ -190,16 +275,18 @@ class VectorStore:
             return None
 
     def df(self) -> DataFrame:
-        """The live storage DataFrame (tombstones applied)."""
+        """The live storage DataFrame: tombstones applied, then latest-wins
+        version collapse for namespaces with pending upserts. The
+        write_version column is storage-internal and dropped here."""
         raw = self._raw()
         if raw is None:
             return self.spark.createDataFrame([], VECTOR_SCHEMA)
         tomb = self._tombstones()
-        if tomb is None:
-            return raw
-        return raw.join(
-            F.broadcast(tomb), on=["id", "namespace"], how="left_anti"
-        )
+        if tomb is not None:
+            raw = raw.join(
+                F.broadcast(tomb), on=["id", "namespace"], how="left_anti"
+            )
+        return self._latest_wins(raw).drop("write_version")
 
     # -- writes (W1-W4, W8) -------------------------------------------------
 
@@ -246,6 +333,7 @@ class VectorStore:
         self._check_dims(rows)
         (
             self.spark.createDataFrame(rows, VECTOR_SCHEMA)
+            .withColumn("write_version", F.lit(self._next_version()))
             .write.mode("append")
             .partitionBy("namespace")
             .parquet(self.data_path)
@@ -283,21 +371,33 @@ class VectorStore:
         namespace: str = DEFAULT_NAMESPACE,
     ) -> list[str]:
         """TRUE upsert keyed on id (declared-but-unimplemented in the
-        reference): physically rewrite the namespace partition WITHOUT the
-        replaced ids, then append the new versions — a MERGE emulated as a
-        partition rewrite (what Delta/Iceberg would do with copy-on-write;
-        swap in a transactional format for deletion-vector MERGE at scale).
+        reference): APPEND the new versions with a monotone write_version
+        and let the read path take latest-wins per (id, namespace) — the
+        merge-on-read shape (Delta deletion-vector MERGE / Iceberg v2).
+        Physical collapse is deferred to the existing 20% compaction
+        trigger, which counts superseded versions as garbage — so a point
+        upsert costs one small append, not a namespace rewrite (the
+        round-3 formulation amplified every call into copy-on-write).
 
-        A tombstone-only delete cannot work here: tombstones match on
-        (id, namespace), so the read path's anti-join would filter out the
-        NEW versions too until a compaction happened to run — silent data
-        loss for any upsert below the compaction threshold."""
-        rows = self._to_rows(records, namespace, with_ids=True)
+        A tombstone-based delete of the old version cannot work here:
+        tombstones match on (id, namespace), so the anti-join would filter
+        the NEW versions too. Instead, upserting an id RETIRES any existing
+        tombstone for it (resurrect semantics)."""
+        last: dict[str, Mapping[str, Any]] = {}
+        for rec in records:  # in-batch last-wins, matching MERGE semantics
+            last[str(rec["id"])] = rec
+        rows = self._to_rows(last.values(), namespace, with_ids=True)
         if not rows:
             return []
-        if self._raw() is not None:
-            self.compact(namespace, exclude_ids=[r.id for r in rows])
+        had_data = self._raw() is not None
         self._append(rows)
+        if had_data:
+            keys = self.spark.createDataFrame(
+                [(r.id, namespace) for r in rows], "id string, namespace string"
+            )
+            self._clear_tombstones_for(keys)
+            self._mark_dirty([namespace])
+            self._maybe_compact(namespace)
         return [r.id for r in rows]
 
     # -- DataFrame-native bulk writes (W3/W4 at scale) ----------------------
@@ -358,37 +458,28 @@ class VectorStore:
     def upsert_df(
         self, df: DataFrame, namespace: str | None = None
     ) -> int:
-        """TRUE bulk upsert keyed on the `id` column — the MERGE shape:
-        stage the shaped batch to a scratch dir, rewrite only the affected
-        namespace partitions without the incoming keys (copy-on-write, like
-        Delta/Iceberg MERGE), then move the staged files in. Only the
-        affected partitions are touched; the per-namespace dir swap is
-        filesystem metadata, not data movement."""
+        """TRUE bulk upsert keyed on the `id` column — merge-on-read: ONE
+        appending write of the shaped batch stamped with a monotone
+        write_version; the read path takes latest-wins for the affected
+        namespaces until compaction physically collapses versions. No
+        existing byte is rewritten on the write path (the round-3
+        copy-on-write rewrite re-wrote every affected partition per batch —
+        write amplification a 100 TB ingest can't afford); the garbage this
+        defers is exactly what the 20% compaction trigger bounds."""
         shaped = shape_ingest_df(df, namespace, with_ids=True)
         n, dims = self._check_dims_df(shaped)
-        stage = os.path.join(self.path, f".stage_{uuid.uuid4().hex[:8]}")
-        shaped.write.mode("overwrite").partitionBy("namespace").parquet(stage)
-        affected = [
-            d.split("=", 1)[1]
-            for d in os.listdir(stage)
-            if d.startswith("namespace=")
-        ]
-        if self._raw() is not None:
-            keys = self.spark.read.schema(VECTOR_SCHEMA).parquet(stage).select(
-                "id", "namespace"
-            )
-            self._rewrite_namespaces(affected, exclude=keys)
-        for ns in affected:
-            src = os.path.join(stage, f"namespace={ns}")
-            dst = os.path.join(self.data_path, f"namespace={ns}")
-            os.makedirs(dst, exist_ok=True)
-            for f in os.listdir(src):
-                if f.endswith(".parquet"):
-                    os.rename(
-                        os.path.join(src, f),
-                        os.path.join(dst, f"{uuid.uuid4().hex[:8]}-{f}"),
-                    )
-        shutil.rmtree(stage)
+        had_data = self._raw() is not None
+        (
+            shaped.withColumn("write_version", F.lit(self._next_version()))
+            .write.mode("append")
+            .partitionBy("namespace")
+            .parquet(self.data_path)
+        )
+        affected = list(dims)
+        if had_data and affected:
+            self._clear_tombstones_for(shaped.select("id", "namespace"))
+            self._mark_dirty(affected)
+            self._maybe_compact_many(affected)
         self._record_dims(dims)
         return n
 
@@ -415,64 +506,44 @@ class VectorStore:
         return n
 
     def _maybe_compact_many(self, namespaces: Sequence[str]) -> None:
-        """Batched compaction trigger: ONE pair of partition-pruned counts
-        for all affected namespaces instead of two jobs per namespace."""
-        raw, tomb = self._raw(), self._tombstones()
-        if raw is None or tomb is None or not namespaces:
+        """Batched compaction trigger: ONE partition-pruned aggregate for
+        all affected namespaces. Garbage = tombstoned rows + superseded
+        versions (total - distinct ids, nonzero only for upsert-dirty
+        namespaces) — so merge-on-read debt hits the same 20% threshold
+        that tombstones always did."""
+        raw = self._raw()
+        if raw is None or not namespaces:
             return
         ns_list = list(namespaces)
-        totals = {
-            r.namespace: r.n
+        dirty = self._dirty_namespaces()
+        stats = {
+            r.namespace: (r.n, r.n_ids)
             for r in raw.filter(F.col("namespace").isin(ns_list))
             .groupBy("namespace")
-            .agg(F.count("*").alias("n"))
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct("id").alias("n_ids"),
+            )
             .collect()
         }
-        dead = {
-            r.namespace: r.n
-            for r in tomb.filter(F.col("namespace").isin(ns_list))
-            .groupBy("namespace")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
+        tomb = self._tombstones()
+        dead = (
+            {}
+            if tomb is None
+            else {
+                r.namespace: r.n
+                for r in tomb.filter(F.col("namespace").isin(ns_list))
+                .groupBy("namespace")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+        )
         for ns in ns_list:
-            if totals.get(ns) and dead.get(ns, 0) / totals[ns] >= (
-                self.rebuild_threshold
-            ):
+            total, n_ids = stats.get(ns, (0, 0))
+            superseded = (total - n_ids) if ns in dirty else 0
+            garbage = dead.get(ns, 0) + superseded
+            if total and garbage / total >= self.rebuild_threshold:
                 self.compact(ns)
-
-    def _rewrite_namespaces(
-        self, namespaces: Sequence[str], exclude: DataFrame | None = None
-    ) -> None:
-        """Copy-on-write rewrite of a set of namespace partitions, dropping
-        tombstoned rows and (optionally) an exclusion key set. One
-        distributed job for all affected namespaces, then per-partition dir
-        swaps."""
-        existing = [
-            ns
-            for ns in namespaces
-            if os.path.isdir(os.path.join(self.data_path, f"namespace={ns}"))
-        ]
-        if not existing:
-            return
-        live = self.df().filter(F.col("namespace").isin(list(existing)))
-        if exclude is not None:
-            live = live.join(exclude, ["id", "namespace"], "left_anti")
-        tmp_dir = os.path.join(self.path, f".rewrite_{uuid.uuid4().hex[:8]}")
-        live.write.mode("overwrite").partitionBy("namespace").parquet(tmp_dir)
-        for ns in existing:
-            part_dir = os.path.join(self.data_path, f"namespace={ns}")
-            shutil.rmtree(part_dir)
-            os.makedirs(part_dir, exist_ok=True)
-            src = os.path.join(tmp_dir, f"namespace={ns}")
-            if os.path.isdir(src):
-                for f in os.listdir(src):
-                    if f.endswith(".parquet"):
-                        os.rename(
-                            os.path.join(src, f), os.path.join(part_dir, f)
-                        )
-            self._drop_namespace_tombstones(ns)
-        shutil.rmtree(tmp_dir)
 
     # -- deletes (W5-W7, P5/P6) --------------------------------------------
 
@@ -509,6 +580,7 @@ class VectorStore:
         if existed:
             shutil.rmtree(part_dir)
         self._drop_namespace_tombstones(namespace)
+        self._clear_dirty(namespace)
         self._forget_dims(namespace)
         return existed
 
@@ -517,6 +589,11 @@ class VectorStore:
         for p in (self.data_path, self.tomb_path):
             if os.path.isdir(p):
                 shutil.rmtree(p)
+        for p in (self._dirty_path, self._version_path):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
         self._forget_dims()
         return True
 
@@ -548,17 +625,17 @@ class VectorStore:
         return dead / total
 
     def _maybe_compact(self, namespace: str) -> None:
-        if self.tombstone_ratio(namespace) >= self.rebuild_threshold:
-            self.compact(namespace)
+        self._maybe_compact_many([namespace])
 
     def compact(
         self, namespace: str, exclude_ids: Sequence[str] | None = None
     ) -> None:
         """P6: rewrite ONE namespace partition without its tombstoned rows
-        (and, for upsert_by_id, without `exclude_ids`). Unlike the
-        reference's rebuild (which wipes every namespace's index, SURVEY.md
-        §3.3 step 4 — a documented bug), scope is strictly the one
-        namespace.
+        and with superseded upsert versions collapsed to latest-wins (the
+        live view IS the deduped view), optionally minus `exclude_ids`.
+        Unlike the reference's rebuild (which wipes every namespace's
+        index, SURVEY.md §3.3 step 4 — a documented bug), scope is strictly
+        the one namespace.
 
         Distributed rewrite: the surviving rows are WRITTEN by executors to
         a scratch dir, then swapped into the partition directory — nothing
@@ -579,6 +656,7 @@ class VectorStore:
                 os.rename(os.path.join(tmp_dir, f), os.path.join(part_dir, f))
         shutil.rmtree(tmp_dir)
         self._drop_namespace_tombstones(namespace)
+        self._clear_dirty(namespace)
 
     def optimize(
         self, namespace: str | None = None, target_file_bytes: int = 128 << 20
@@ -632,6 +710,7 @@ class VectorStore:
                     os.rename(os.path.join(tmp_dir, f), os.path.join(part_dir, f))
             shutil.rmtree(tmp_dir)
             self._drop_namespace_tombstones(ns)
+            self._clear_dirty(ns)
             rewritten[ns] = len(files) - want
         return rewritten
 

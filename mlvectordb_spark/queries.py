@@ -1264,10 +1264,17 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("ns"), F.col("label") % 5).alias("namespace"),
     )
     store.upsert_df(bumped)
-    # deterministic delete: every vec_id divisible by 7, from its namespace
+    # deterministic delete: every vec_id divisible by 7, from its namespace.
+    # Garbage after this sits at ~24% per namespace (~10% superseded upsert
+    # versions + ~14% tombstones) — ABOVE the 20% trigger, so delete_df's
+    # _maybe_compact_many fires a real compaction (version collapse +
+    # tombstone fold) whose output the oracle checks (round-3 verdict #8).
     store.delete_df(
         dto.filter(F.col("vec_id") % 7 == 0).select("id", "namespace")
     )
+    # W10 small-file compaction on the now multi-file namespaces; the final
+    # counts/checksums must be unchanged by the rewrite
+    store.optimize(target_file_bytes=1 << 30)
     # integer-stable checksum: floor(first_component * 1000) summed —
     # float32 * 2 is exact, so Spark and DuckDB floor identical doubles
     comp1 = F.floor(F.element_at("values", 1).cast("double") * 1000)

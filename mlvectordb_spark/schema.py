@@ -32,6 +32,16 @@ VECTOR_SCHEMA = T.StructType(
     ]
 )
 
+# On-disk storage schema: VECTOR_SCHEMA plus a monotone write_version used
+# by the latest-wins read path (true upserts append a new version instead of
+# rewriting the namespace partition; compaction collapses back to one row
+# per id). Files written before versioning (or by compaction, which writes
+# the already-deduped survivors) read the column as null ≡ version 0.
+STORAGE_SCHEMA = T.StructType(
+    list(VECTOR_SCHEMA.fields)
+    + [T.StructField("write_version", T.LongType(), nullable=True)]
+)
+
 # Ingest payload (the reference's VectorDTO, `interfaces/vector.py:19-22`):
 # no id — ids are assigned at write time with uuid().
 VECTOR_DTO_SCHEMA = T.StructType(

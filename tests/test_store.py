@@ -76,6 +76,59 @@ def test_upsert_small_fraction_of_namespace(store):
     assert store.read("k4").values == [4.0, 0.0]
 
 
+def _ns_files(store, ns="default"):
+    import os
+
+    d = os.path.join(store.data_path, f"namespace={ns}")
+    if not os.path.isdir(d):
+        return set()
+    return {f for f in os.listdir(d) if f.endswith(".parquet")}
+
+
+def test_upsert_by_id_is_append_only(store):
+    """Merge-on-read (round-3 verdict #7): a point upsert must APPEND a new
+    version, not rewrite the namespace partition — the existing data files
+    stay byte-identical on disk and the read path takes latest-wins."""
+    store.upsert_by_id(
+        [{"id": f"k{i}", "values": [float(i), 0.0]} for i in range(50)]
+    )
+    before = _ns_files(store)
+    store.upsert_by_id([{"id": "k3", "values": [99.0, 99.0]}])
+    after = _ns_files(store)
+    assert before <= after, "existing files must survive a point upsert"
+    assert len(after) > len(before), "the new version is a new file"
+    assert store.read("k3").values == [99.0, 99.0]
+    assert store.count() == 50
+
+
+def test_upsert_resurrects_deleted_id(store):
+    """Upserting a previously-deleted id retires its tombstone — the new
+    version must be visible (tombstones match every version of the key)."""
+    store.upsert_by_id(
+        [{"id": f"k{i}", "values": [float(i), 0.0]} for i in range(10)]
+    )
+    store.delete(["k2"])
+    assert store.read("k2") is None
+    store.upsert_by_id([{"id": "k2", "values": [42.0, 42.0]}])
+    assert store.read("k2").values == [42.0, 42.0]
+    assert store.count() == 10
+
+
+def test_compaction_collapses_superseded_versions(store):
+    """compact() physically collapses multi-version rows to latest-wins and
+    clears the dirty mark, leaving raw == live."""
+    store.upsert_by_id(
+        [{"id": f"k{i}", "values": [float(i), 0.0]} for i in range(10)]
+    )
+    store.upsert_by_id([{"id": "k1", "values": [11.0, 0.0]}])
+    store.upsert_by_id([{"id": "k1", "values": [12.0, 0.0]}])
+    assert store._raw().count() > store.df().count()
+    store.compact("default")
+    assert store._raw().count() == store.df().count() == 10
+    assert store.read("k1").values == [12.0, 0.0]
+    assert "default" not in store._dirty_namespaces()
+
+
 def test_insert_df_bulk(store, spark):
     """DataFrame-native bulk insert: executor-side shaping, no driver loop."""
     src = spark.createDataFrame(
