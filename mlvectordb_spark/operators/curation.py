@@ -263,27 +263,37 @@ def mixture_weights(
     group_col: str = "source",
     alpha: float = MIX_ALPHA,
     text_col: str = "text",
+    weight_by: str = "docs",
 ) -> DataFrame:
     """Per-source mixture weights and deterministic sampling rates for a
     temperature-scaled training mix: weight_s = n_s^alpha / sum(n^alpha),
     rate_s = min(1, weight_s * N / n_s). Feed rate_s into
     `stratified_sample`-style md5 bucketing to materialize the mix.
 
+    `weight_by` picks the size measure n_s: "docs" (document counts — the
+    default, and what the q_source_mixture oracle states) or "tokens"
+    (token counts — the standard pretraining recipe when sources have very
+    different average document lengths; a doc-count mix over a
+    short-document source under-represents it token-wise, round-3 advice).
+    Both n_docs and n_tokens are always emitted; with the default, n_tokens
+    is informational only and the weights/rates are doc-count-based.
+
     Physical shape: one map-side-combined aggregation to |sources| rows,
     then the normalizing window runs over that tiny aggregate — the
     single-partition window never sees corpus-sized data."""
     from pyspark.sql import Window
 
+    if weight_by not in ("docs", "tokens"):
+        raise ValueError("weight_by must be 'docs' or 'tokens'")
     counts = docs.groupBy(group_col).agg(
         F.count("*").alias("n_docs"),
         F.sum(TX.token_count(text_col)).alias("n_tokens"),
     )
+    size = F.col("n_docs" if weight_by == "docs" else "n_tokens")
     full = Window.partitionBy()
-    w_raw = F.pow(F.col("n_docs").cast("double"), float(alpha))
+    w_raw = F.pow(size.cast("double"), float(alpha))
     weight = w_raw / F.sum(w_raw).over(full)
-    rate = F.least(
-        F.lit(1.0), weight * F.sum("n_docs").over(full) / F.col("n_docs")
-    )
+    rate = F.least(F.lit(1.0), weight * F.sum(size).over(full) / size)
     return counts.select(
         group_col,
         "n_docs",

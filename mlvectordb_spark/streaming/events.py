@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.utils import AnalysisException
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -42,7 +43,15 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     footer with a batch read (metadata-only, no data scan) and normalize to
     TimestampType either way, mirroring sources/testdata.py."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_is_nanos = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    try:
+        ts_is_nanos = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    except AnalysisException:
+        # an empty source dir is a NORMAL state for a file stream waiting
+        # for its first file (round-3 advice) — there is no footer to
+        # probe, so assume the modern micros encoding; a nanos-era file
+        # landing later in a fresh dir is a config change, not a runtime
+        # state to guess at
+        ts_is_nanos = False
     raw = (
         spark.readStream.schema(
             _events_schema(T.LongType() if ts_is_nanos else T.TimestampType())

@@ -216,3 +216,24 @@ def test_mixture_weights_temperature_scaling(spark):
     # alpha=1 keeps natural proportions: every rate is exactly 1
     nat = {r.source: r for r in mixture_weights(docs, alpha=1.0).collect()}
     assert nat["big"].sampling_rate == 1.0 and nat["small"].sampling_rate == 1.0
+
+
+def test_mixture_weights_by_tokens(spark):
+    """weight_by='tokens' bases the mix on token mass: equal doc counts but
+    10x longer docs in one source must tilt a weight_by='tokens' mix, while
+    the doc-count mix stays 50/50."""
+    from mlvectordb_spark.operators.curation import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (50 if i < 50 else 5), "long" if i < 50 else "short")
+         for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    by_docs = {r.source: r for r in mixture_weights(docs, alpha=1.0).collect()}
+    assert abs(by_docs["long"].mixture_weight - 0.5) < 1e-9
+    by_tok = {
+        r.source: r
+        for r in mixture_weights(docs, alpha=1.0, weight_by="tokens").collect()
+    }
+    assert by_tok["long"].mixture_weight > 0.8
+    assert abs(by_tok["long"].mixture_weight + by_tok["short"].mixture_weight - 1.0) < 1e-9

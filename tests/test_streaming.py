@@ -29,6 +29,16 @@ def stream(spark, tmp_path_factory):
     return read_event_stream(spark, str(d))
 
 
+def test_stream_starts_on_empty_directory(spark, tmp_path):
+    """A file stream waiting for its first file is a normal state: the
+    schema probe must not throw on an empty source dir (round-3 advice)."""
+    d = tmp_path / "empty_events"
+    d.mkdir()
+    stream = read_event_stream(spark, str(d))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
 def test_stream_tumbling_matches_batch(spark, stream, sf_dir):
     run_to_memory_sink(tumbling_counts(stream), "t_tumbling", "complete")
     got = {
