@@ -55,6 +55,9 @@ HEADLINE = [
     "tfidf_terms",
     "knn_sq8",
     "ann_ivf_knn",
+    # exact top-k through the IVF layout (certified cluster pruning) — the
+    # cost of exactness vs the fixed-nprobe probe above
+    "ann_ivf_exact",
 ]
 
 
