@@ -40,6 +40,8 @@ HEADLINE = [
     "events_session_stats",
     "doc_quality",
     "doc_fingerprint",
+    "doc_logprob",
+    "doc_dup_ngrams",
     "dedup_exact",
     "dedup_minhash",
     "dedup_ngram_jaccard",

@@ -253,6 +253,86 @@ def chunk_documents(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log-likelihood under the corpus's own
+    unigram LM — the cheap engine-native stand-in for the CCNet/KenLM
+    perplexity quality signal: documents whose tokens are corpus-typical
+    score high (closer to 0), token soup and boilerplate-with-rare-junk
+    score low. Emits (id, n_tokens, avg_logprob); rank/threshold on
+    avg_logprob to bucket head/middle/tail quality like CCNet does.
+
+    Scale shape: ONE token shuffle builds the frequency table (map-side
+    partial counts), the corpus total joins as a 1-row broadcast (no
+    collect — same pattern as tfidf_top_terms), and the score join back to
+    tokens is vocabulary×corpus: AQE-sized, never a forced broadcast
+    (vocabulary grows with the corpus). Docs with zero tokens have no
+    likelihood and are omitted (consistent on any engine)."""
+    toks = docs.select(F.col(id_col), F.explode(TX.tokens(text_col)).alias("token"))
+    freq = toks.groupBy("token").agg(F.count("*").alias("n"))
+    total = freq.agg(F.sum("n").alias("t"))
+    return (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n") / F.col("t"))), 4).alias("avg_logprob"),
+        )
+    )
+
+
+def duplicate_ngram_coverage(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document duplicate n-gram coverage: the fraction of a doc's
+    token positions covered by a k-gram that occurs MORE THAN ONCE in the
+    corpus (within-doc repeats count) — the Gopher/RefinedWeb 'fraction of
+    characters in duplicated n-grams' filter, token-level. High coverage =
+    boilerplate/templated/near-copied text; threshold to drop.
+
+    Scale shape: positions explode linearly (len-k+1 shingles per doc, k
+    covered positions per duplicated shingle — bounded constant factor),
+    the shingle frequency table is one shuffle with map-side partials, and
+    the join back is AQE-sized. The interval union is count(DISTINCT pos+j)
+    per doc — a bounded per-doc aggregate, never a sort. Docs shorter than
+    k tokens have no shingles and are omitted."""
+    toks = TX.tokens(text_col)
+    base = docs.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= k
+    )
+    sh = base.select(
+        F.col(id_col),
+        F.posexplode(TX.word_shingles(F.col("__toks"), k)).alias("pos", "sh"),
+    )
+    freq = sh.groupBy("sh").agg(F.count("*").alias("n"))
+    cov = (
+        sh.join(freq.filter(F.col("n") > 1), "sh")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("cp"),
+        )
+        .groupBy(id_col)
+        .agg(F.count_distinct("cp").alias("covered"))
+    )
+    return (
+        base.select(F.col(id_col), F.size("__toks").cast("bigint").alias("n_tokens"))
+        .join(cov, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                4,
+            ).alias("dup_ngram_frac"),
+        )
+    )
+
+
 # counts^alpha temperature scaling — the standard multi-source mixing
 # recipe (alpha=1 keeps natural proportions, alpha->0 approaches uniform).
 MIX_ALPHA = 0.5

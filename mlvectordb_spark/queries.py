@@ -1537,6 +1537,25 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(docs)
 
 
+def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: mean log-likelihood of each doc's tokens
+    under the corpus's own unigram distribution (the CCNet perplexity
+    signal, engine-native)."""
+    from mlvectordb_spark.operators.curation import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
+def q_doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate 3-gram coverage per document (Gopher/RefinedWeb 'fraction
+    of tokens in duplicated n-grams' filter)."""
+    from mlvectordb_spark.operators.curation import duplicate_ngram_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_ngram_coverage(docs, k=SHINGLE_K)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the n-gram
     Jaccard candidate pairs, labeling each clustered doc with the min doc
@@ -2168,6 +2187,42 @@ WITH t AS (
 )
 SELECT token, count(*) AS n FROM t GROUP BY token
 """,
+    "doc_logprob": """
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token
+  FROM documents
+), freq AS (
+  SELECT token, count(*) AS n FROM t GROUP BY token
+), tot AS (
+  SELECT sum(n) AS tt FROM freq
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+  round(avg(ln(n::DOUBLE / tt)), 4) AS avg_logprob
+FROM t JOIN freq USING (token), tot
+GROUP BY doc_id
+""",
+    "doc_dup_ngrams": f"""
+WITH toks_t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+  FROM documents
+), sh_t AS (
+  SELECT doc_id, len(toks) AS n_tokens, i AS pos,
+    array_to_string(toks[i:i+{SHINGLE_K - 1}], ' ') AS sh
+  FROM toks_t, UNNEST(range(1, len(toks) - {SHINGLE_K} + 2)) AS u(i)
+  WHERE len(toks) >= {SHINGLE_K}
+), freq AS (
+  SELECT sh, count(*) AS n FROM sh_t GROUP BY sh
+), cov AS (
+  SELECT doc_id, count(DISTINCT pos + j) AS covered
+  FROM sh_t JOIN freq USING (sh), UNNEST(range(0, {SHINGLE_K})) AS v(j)
+  WHERE freq.n > 1
+  GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+  round(coalesce(cov.covered, 0)::DOUBLE / len(t.toks), 4) AS dup_ngram_frac
+FROM toks_t t LEFT JOIN cov USING (doc_id)
+WHERE len(t.toks) >= {SHINGLE_K}
+""",
     "monthly_running_revenue": """
 WITH monthly AS (
   SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
@@ -2516,15 +2571,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_stats": q_events_session_stats,
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
-    "events_asof_error": q_events_asof_error,
     "emb_doc_join": q_emb_doc_join,
     "doc_lang_id": q_doc_lang_id,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_repetition": q_doc_repetition,
-    "rollup_daily": q_rollup_daily,
+    # new in round 4: unigram-LM quality + duplicate-ngram coverage
+    "doc_logprob": q_doc_logprob,
+    "doc_dup_ngrams": q_doc_dup_ngrams,
     # ---- position 51+: oracle-backed, resting this round (green driver rows
     # in r3 or earlier; still verified every session by verify_local) ----
+    "events_asof_error": q_events_asof_error,
+    "rollup_daily": q_rollup_daily,
     "knn_cosine": q_knn_cosine,
     "knn_ip": q_knn_ip,
     "range_l2": q_range_l2,

@@ -218,6 +218,50 @@ def test_mixture_weights_temperature_scaling(spark):
     assert nat["big"].sampling_rate == 1.0 and nat["small"].sampling_rate == 1.0
 
 
+def test_unigram_logprob_ranks_typical_text_higher(spark):
+    """A doc of corpus-common tokens must out-score a doc of hapaxes, and
+    a uniform corpus gives every doc the same ln(1/|vocab|)... scaled by
+    token frequency — spot-check the closed form on a tiny corpus."""
+    import math
+
+    from mlvectordb_spark.operators.curation import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a a b c"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    # corpus counts: a=6, b=1, c=1, total=8
+    assert out[0].n_tokens == 4
+    assert abs(out[0].avg_logprob - round(math.log(6 / 8), 4)) < 1e-9
+    expect1 = (2 * math.log(6 / 8) + 2 * math.log(1 / 8)) / 4
+    assert abs(out[1].avg_logprob - round(expect1, 4)) < 1e-4
+    assert out[0].avg_logprob > out[1].avg_logprob  # common text scores higher
+    assert 2 not in out  # empty doc has no likelihood
+
+
+def test_duplicate_ngram_coverage(spark):
+    """Coverage math: a doc sharing its full text with another is 100%
+    covered; a unique doc is 0%; partial overlap covers only the shared
+    span's positions."""
+    from mlvectordb_spark.operators.curation import duplicate_ngram_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),
+            (1, "the quick brown fox jumps"),  # exact dup of 0
+            (2, "totally unique words here now"),
+            (3, "xx the quick brown yy zz"),  # shares one 3-gram with 0/1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_ngram_coverage(docs, k=3).collect()}
+    assert out[0].dup_ngram_frac == 1.0 and out[1].dup_ngram_frac == 1.0
+    assert out[2].dup_ngram_frac == 0.0
+    # doc 3: 'the quick brown' covers positions 1-3 of 6 tokens -> 0.5
+    assert out[3].dup_ngram_frac == 0.5
+
+
 def test_mixture_weights_by_tokens(spark):
     """weight_by='tokens' bases the mix on token mass: equal doc counts but
     10x longer docs in one source must tilt a weight_by='tokens' mix, while
