@@ -17,7 +17,14 @@ from mlvectordb_spark.functions import vector as V
 SETTINGS = dict(
     max_examples=8,
     deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    # too_slow: Spark-job examples on a shared host can take seconds under
+    # neighbor CPU contention — a data-generation health check firing on
+    # wall-clock noise is a false alarm here (seen once in a full-suite
+    # run, unreproducible in isolation)
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
 )
 
 vec = st.lists(
