@@ -50,6 +50,23 @@ def token_count(text: ColumnOrName) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-pretokenizer-shaped segmentation: common English contraction tails,
+# then space-prefixed letter runs, digit runs, and punctuation runs. No
+# lookaround/backreferences, so Java regex (Spark) and RE2 (DuckDB) match
+# identically — the engine-portable subset of the real BPE pre-tokenizer.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(text: ColumnOrName) -> Column:
+    """BPE-ish token count: segments text the way a GPT-style byte-pair
+    pre-tokenizer does (contractions split off, letters/digits/punctuation
+    in separate runs), which tracks real tokenizer budgets far better than
+    whitespace counting on punctuation-heavy or number-heavy text. A true
+    BPE vocab merge is model-specific; the pre-tokenizer segmentation is
+    the model-free part and the standard cheap estimator."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 def word_shingles(toks: ColumnOrName, k: int) -> Column:
     """k-word shingles joined by single spaces; empty array when len < k.
 

@@ -636,6 +636,19 @@ def q_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", py_token_count(F.col("text")).alias("n_tokens"))
 
 
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgets two ways: whitespace tokens vs the BPE-ish
+    pre-tokenizer segmentation (contraction tails, letter/digit/punctuation
+    runs) — the model-free estimator of real tokenizer cost. Pure codegen
+    regexp, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").cast("bigint").alias("n_ws_tokens"),
+        TX.bpe_token_count("text").cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
 def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDF (UDAF surface): geometric mean of doc
     length per language; oracle is the closed form exp(avg(ln(x)))."""
@@ -2187,6 +2200,12 @@ WITH t AS (
 )
 SELECT token, count(*) AS n FROM t GROUP BY token
 """,
+    "doc_bpe_tokens": f"""
+SELECT doc_id,
+  len(list_filter(string_split(text, ' '), t -> t != ''))::BIGINT AS n_ws_tokens,
+  len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE.replace("'", "''")}'))::BIGINT AS n_bpe_tokens
+FROM documents
+""",
     "doc_logprob": """
 WITH t AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token
@@ -2603,6 +2622,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udf_token_count": q_udf_token_count,
     "lineitem_enrich": q_lineitem_enrich,
     "doc_stats": q_doc_stats,
+    "doc_bpe_tokens": q_doc_bpe_tokens,  # new r4; rotate into the window next round
     "events_first_per_key": q_events_first_per_key,
     "doc_regex": q_doc_regex,
     "orders_above_cust_avg": q_orders_above_cust_avg,

@@ -110,3 +110,31 @@ def test_doc_repetition_hand_computed(spark, tmp_path):
     # 'p q p q': bigrams [p q, q p, p q] -> top 2/3; tokens 2/4 each
     assert out[3].top_token_frac == 0.5
     assert out[3].top_bigram_frac == 0.6667
+
+
+def test_bpe_token_count_segments_like_a_pretokenizer(spark):
+    """BPE-ish segmentation: contractions split, punctuation and digit runs
+    separate from letter runs — counts exceed whitespace counts exactly
+    where a real tokenizer's would."""
+    from pyspark.sql import functions as F
+
+    from mlvectordb_spark.functions.text import bpe_token_count, token_count
+
+    rows = spark.createDataFrame(
+        [
+            (0, "hello world"),          # 2 ws, 2 bpe
+            (1, "don't stop"),           # 2 ws; bpe: don / 't / stop = 3
+            (2, "a1b2"),                 # 1 ws; bpe: a/1/b/2 = 4
+            (3, "wait... what?!"),       # 2 ws; bpe: wait/.../ what/?! = 4
+        ],
+        "i long, t string",
+    ).select(
+        "i",
+        token_count(F.col("t")).alias("ws"),
+        bpe_token_count(F.col("t")).alias("bpe"),
+    ).collect()
+    got = {r.i: (r.ws, r.bpe) for r in rows}
+    assert got[0] == (2, 2)
+    assert got[1] == (2, 3)
+    assert got[2] == (1, 4)
+    assert got[3] == (2, 4)
