@@ -302,10 +302,15 @@ def duplicate_ngram_coverage(
     base = docs.select(F.col(id_col), toks.alias("__toks")).filter(
         F.size("__toks") >= k
     )
+    # the exploded position table feeds BOTH the frequency build and the
+    # join probe — cache it so the tokenize+shingle kernel runs once
+    # (MEMORY_AND_DISK: at corpus scale the explode spills rather than
+    # recomputing; the alternative — two full text-kernel passes — is the
+    # strictly worse trade at every size)
     sh = base.select(
         F.col(id_col),
         F.posexplode(TX.word_shingles(F.col("__toks"), k)).alias("pos", "sh"),
-    )
+    ).cache()
     freq = sh.groupBy("sh").agg(F.count("*").alias("n"))
     cov = (
         sh.join(freq.filter(F.col("n") > 1), "sh")
