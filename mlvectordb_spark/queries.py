@@ -883,17 +883,24 @@ def q_dedup_prefix_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NUM_MINHASHES = 8
-MINHASH_BANDS = 4
-MINHASH_ROWS = 2
-SHINGLE_K = 3
+from mlvectordb_spark.operators.minhash import (  # noqa: E402
+    MINHASH_BANDS,
+    MINHASH_ROWS,
+    NUM_MINHASHES,
+    SHINGLE_K,
+    bands_from_shingles,
+    shingle_table,
+)
+
 JACCARD_THRESHOLD = 0.3
 NGRAM_BLOCK_CAP = 64  # sub-bucket cap for hot prefix blocks
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle → 8-hash signature → 4 bands → band
-    equi-join for candidates → exact jaccard filter.
+    equi-join for candidates → exact jaccard filter. The signature/band
+    kernel lives in `operators/minhash.py`, shared verbatim with the
+    ingest-time streaming dedup (`streaming/dedup.py`).
 
     Physical shape (the 100 TB path): the band join shuffles ONLY
     (doc_id, band_idx, band_hash) — shingle sets stay out of the candidate
@@ -904,56 +911,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before the CPU-heavy shingle/md5 kernels (at real scale the scan is
     # already many-way parallel and this repartition is a no-op knob)
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sh = (
-        docs.select(
-            "doc_id",
-            F.array_distinct(
-                TX.word_shingles(TX.tokens("text"), SHINGLE_K)
-            ).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-        .cache()
-    )
-
-    # Signature family: TWO md5s per shingle (256 bits) chopped into eight
-    # 32-bit hex chunks — md5 bits are uniform, so the chunks act as 8
-    # independent hash functions at a quarter of the md5 cost of seeding
-    # each function separately. Lexicographic min of fixed-width hex equals
-    # numeric min, and DuckDB mirrors the exact construction for the oracle.
-    #
-    # Physical shape: explode shingles to ROWS so md5/substring run inside
-    # whole-stage codegen, then groupBy(doc_id).agg(min c_i). The HOF form
-    # (array_min∘transform per hash) is interpreted, and CollapseProject
-    # inlines the shared md5 projection into every lambda — measured 4-5×
-    # slower. The groupBy reuses the doc_id hash partitioning established
-    # above, so the min-aggregate adds no Exchange; at 100 TB the partial
-    # (map-side) mins shrink the explode back to one row per doc.
-    hh = F.concat(
-        F.md5(F.concat(F.lit("0:"), F.col("s"))),
-        F.md5(F.concat(F.lit("1:"), F.col("s"))),
-    )
-    chunked = sh.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id",
-        *[
-            F.substring(hh, i * 8 + 1, 8).alias(f"c{i}")
-            for i in range(NUM_MINHASHES)
-        ],
-    )
-    sig_row = chunked.groupBy("doc_id").agg(
-        *[F.min(f"c{i}").alias(f"m{i}") for i in range(NUM_MINHASHES)]
-    )
-    sig = F.array(*[F.col(f"m{i}") for i in range(NUM_MINHASHES)])
-    band_arr = F.array(
-        *[
-            F.md5(
-                F.concat_ws("|", F.slice(sig, b * MINHASH_ROWS + 1, MINHASH_ROWS))
-            )
-            for b in range(MINHASH_BANDS)
-        ]
-    )
-    banded = sig_row.select(
-        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
-    )
+    sh = shingle_table(docs).cache()
+    banded = bands_from_shingles(sh)
     a = banded.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
     )
