@@ -1509,6 +1509,23 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(docs)
 
 
+def q_dedup_ingest_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the ingest-time streaming dedup (`streaming/dedup.py`):
+    even doc_ids play the already-accepted corpus (its LSH band index),
+    odd doc_ids the incoming micro-batch. Survivors = odd docs whose bands
+    collide with neither the corpus index nor a smaller-id batchmate.
+    Driver-checks the exact screening semantics the streaming query runs
+    per micro-batch — the same shared kernel, no stream required."""
+    from mlvectordb_spark.streaming.dedup import screen
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_bands = bands_from_shingles(
+        shingle_table(docs.filter(F.col("doc_id") % 2 == 0))
+    ).select("band_idx", "band_hash")
+    survivors, _ = screen(docs.filter(F.col("doc_id") % 2 == 1), corpus_bands)
+    return survivors.select("doc_id")
+
+
 def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score: mean log-likelihood of each doc's tokens
     under the corpus's own unigram distribution (the CCNet perplexity
@@ -1671,6 +1688,55 @@ SELECT doc_a, doc_b,
 FROM pairs
 WHERE round(len(list_intersect(sh_a, sh_b))::DOUBLE /
         (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE, 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _oracle_ingest_screen_sql() -> str:
+    """streaming/dedup.screen stated relationally: even ids = accepted
+    corpus band index, odd ids = incoming batch; a batch doc survives iff
+    no band collides with the corpus index and it is the min id among its
+    in-batch band collisions."""
+    sig_items = ", ".join(
+        f"list_min(list_transform(hh, h -> substr(h, {i * 8 + 1}, 8)))"
+        for i in range(NUM_MINHASHES)
+    )
+    band_items = ", ".join(
+        "md5(array_to_string(sig[{lo}:{hi}], '|'))".format(
+            lo=b * MINHASH_ROWS + 1, hi=(b + 1) * MINHASH_ROWS
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH {_shingles_cte(SHINGLE_K)},
+hh_t AS (
+  SELECT doc_id, list_transform(sh, s -> md5('0:' || s) || md5('1:' || s)) AS hh
+  FROM sh_t WHERE len(sh) > 0
+),
+sig_t AS (
+  SELECT doc_id, [{sig_items}] AS sig FROM hh_t
+), band_t AS (
+  SELECT doc_id, [{band_items}] AS bands FROM sig_t
+), band_rows AS (
+  SELECT doc_id, i AS band_idx, bands[i] AS band_hash
+  FROM band_t, UNNEST(range(1, {MINHASH_BANDS} + 1)) AS u(i)
+), corpus_b AS (
+  SELECT band_idx, band_hash FROM band_rows WHERE doc_id % 2 = 0
+), batch_b AS (
+  SELECT * FROM band_rows WHERE doc_id % 2 = 1
+), hit AS (
+  SELECT DISTINCT b.doc_id FROM batch_b b
+  JOIN corpus_b c ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+), clean AS (
+  SELECT * FROM batch_b WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+), keeper AS (
+  SELECT band_idx, band_hash, min(doc_id) AS k
+  FROM clean GROUP BY band_idx, band_hash
+), rejected AS (
+  SELECT DISTINCT c.doc_id FROM clean c
+  JOIN keeper USING (band_idx, band_hash) WHERE c.doc_id != k
+)
+SELECT DISTINCT doc_id FROM clean
+WHERE doc_id NOT IN (SELECT doc_id FROM rejected)
 """
 
 
@@ -2256,6 +2322,7 @@ SELECT prefix, count(*) AS n_docs, min(doc_id) AS min_doc_id
 FROM t GROUP BY prefix HAVING count(*) > 1
 """,
     "dedup_minhash": _oracle_minhash_sql(),
+    "dedup_ingest_screen": _oracle_ingest_screen_sql(),
     "dedup_ngram_jaccard": f"""
 WITH {_oracle_ngram_pairs_body()}
 SELECT doc_a, doc_b, jaccard FROM ngram_pairs
@@ -2516,6 +2583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,  # rows-only: KMeans blocker
     "dedup_prefix_buckets": q_dedup_prefix_buckets,
+    "dedup_ingest_screen": q_dedup_ingest_screen,  # streaming-dedup batch twin
     "dedup_clusters": q_dedup_clusters,
     "curation_pipeline": q_curation_pipeline,
     "decontaminate": q_decontaminate,
@@ -2536,7 +2604,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "top_orders_per_cust": q_top_orders_per_cust,
-    "cust_no_orders": q_cust_no_orders,
     "cust_big_orders": q_cust_big_orders,
     "segment_setops": q_segment_setops,
     "grouping_sets": q_grouping_sets,
@@ -2561,6 +2628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in r3 or earlier; still verified every session by verify_local) ----
     "events_asof_error": q_events_asof_error,
     "rollup_daily": q_rollup_daily,
+    "cust_no_orders": q_cust_no_orders,
     "knn_cosine": q_knn_cosine,
     "knn_ip": q_knn_ip,
     "range_l2": q_range_l2,

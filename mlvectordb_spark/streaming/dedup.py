@@ -38,26 +38,19 @@ from pyspark.sql import functions as F
 from mlvectordb_spark.operators.minhash import bands_from_shingles, shingle_table
 
 
-def screen_batch(
+def screen(
     batch_df: DataFrame,
-    bands_path: str,
+    existing: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> tuple[DataFrame, DataFrame]:
-    """One dedup screening pass: returns (survivors, survivor_bands).
-
-    Pure DataFrame logic (no writes) so the batch and streaming paths —
-    and tests — share it."""
-    spark = batch_df.sparkSession
+    """One dedup screening pass against an (optional) existing band table:
+    returns (survivors, survivor_bands). Pure DataFrame logic (no reads or
+    writes) — shared by the streaming path, the oracle-checked batch twin
+    (`queries.q_dedup_ingest_screen`), and tests."""
     bands_new = bands_from_shingles(
         shingle_table(batch_df, text_col, id_col), id_col
     ).cache()
-    try:
-        existing = spark.read.parquet(bands_path).select(
-            "band_idx", "band_hash"
-        )
-    except Exception:  # noqa: BLE001 — first batch: no index yet
-        existing = None
     if existing is not None:
         hit = (
             bands_new.join(existing, ["band_idx", "band_hash"], "left_semi")
@@ -82,6 +75,22 @@ def screen_batch(
         survivor_bands.select(id_col).distinct(), id_col, "left_semi"
     )
     return survivors, survivor_bands
+
+
+def screen_batch(
+    batch_df: DataFrame,
+    bands_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """`screen` against the band index persisted at `bands_path` (absent on
+    the first batch)."""
+    spark = batch_df.sparkSession
+    try:
+        existing = spark.read.parquet(bands_path).select("band_idx", "band_hash")
+    except Exception:  # noqa: BLE001 — first batch: no index yet
+        existing = None
+    return screen(batch_df, existing, id_col, text_col)
 
 
 def start_dedup_ingest(
