@@ -253,15 +253,12 @@ class IVFIndex:
         self._radii, self._counts = radii, counts
         return radii, counts
 
-    def search_exact(
-        self,
-        qvec,
-        k: int,
-        vec_col: str = "embedding",
-        id_col: str = "vec_id",
-    ) -> DataFrame:
-        """EXACT top-k (L2) with cluster pruning by the triangle
-        inequality — the ball-tree bound applied to the IVF layout:
+    def _certified_probes(
+        self, q: np.ndarray, k: int, radii: np.ndarray, counts: np.ndarray
+    ) -> list[int]:
+        """Triangle-inequality probe set for one query: the clusters that
+        can provably hold a true top-k member given per-cluster (radius,
+        member count). Pure k-scalar driver math (no Spark job).
 
         - upper bound per cluster: any member is within ||q-c_j|| + r_j;
           take clusters in ascending upper-bound order until their member
@@ -269,18 +266,13 @@ class IVFIndex:
           bound on the true kth-neighbour distance.
         - lower bound per cluster: no member is closer than
           max(0, ||q-c_j|| - r_j); clusters whose lower bound exceeds tau
-          provably contain no top-k member and are pruned BEFORE the scan
-          (partition pruning on the cluster_id layout).
+          provably contain no top-k member and are pruned BEFORE the scan.
+        - the bound is padded by the score-rounding granularity so the
+          rounded+id tie-break ordering matches the brute-force oracle.
 
-        All bound arithmetic is k-scalar driver math; the one Spark job
-        scans only the surviving clusters. Unlike probe-count search the
-        result is exact on ANY data distribution — on well-clustered data
-        the probe set is small, on adversarially uniform data it degrades
-        toward a full scan but never toward a wrong answer. The bound is
-        padded by the score-rounding granularity so the rounded+id
-        tie-break ordering matches the brute-force oracle exactly."""
-        radii, counts = self.cluster_stats(vec_col)
-        q = np.asarray(qvec, dtype=np.float64)
+        If fewer than k members exist, every nonempty cluster is returned
+        (tau degrades to the max upper bound — prune-nothing, still exact).
+        """
         dq = np.sqrt(((self.centroids - q) ** 2).sum(axis=1))
         ub = dq + radii
         nonempty = counts > 0
@@ -293,19 +285,144 @@ class IVFIndex:
             tau = float(ub[j])
             if cum >= k:
                 break
-        if tau is None:  # empty index
-            return knn(self.indexed, qvec, k, vec_col=vec_col, id_col=id_col)
+        if tau is None:  # empty (after filtering) index
+            return []
         lb = np.maximum(0.0, dq - radii)
         # pad in SQUARED space: scores round to 4 decimals, so a point up
         # to 1e-3 (squared) past tau² can still tie into the rounded order
         tau_sq = tau * tau + 1e-3
-        probes = [
+        return [
             int(j)
             for j in range(len(radii))
             if nonempty[j] and lb[j] * lb[j] <= tau_sq
         ]
+
+    def _filtered_counts(self, pre_filter) -> np.ndarray:
+        """Per-cluster member counts under a pre-filter. Required for
+        certified pruning of FILTERED search: tau must cover k MATCHING
+        members (unfiltered counts would understate tau and could prune a
+        cluster holding a matching neighbour). The cached radii remain
+        valid upper bounds — filtered members are a subset. One cheap
+        aggregate over (predicate columns, cluster_id)."""
+        assert self.indexed is not None
+        rows = (
+            self.indexed.filter(pre_filter)
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        counts = np.zeros(len(self.centroids), dtype=np.int64)
+        for r in rows:
+            counts[int(r.cluster_id)] = int(r.n)
+        return counts
+
+    def search_exact(
+        self,
+        qvec,
+        k: int,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        pre_filter=None,
+    ) -> DataFrame:
+        """EXACT top-k (L2) with cluster pruning by the triangle
+        inequality — the ball-tree bound applied to the IVF layout (see
+        `_certified_probes`). The one Spark job scans only the surviving
+        clusters. Unlike probe-count search the result is exact on ANY
+        data distribution — on well-clustered data the probe set is small,
+        on adversarially uniform data it degrades toward a full scan but
+        never toward a wrong answer.
+
+        `pre_filter` (hybrid search, reference README.md:288-299): the
+        predicate both restricts the scan AND re-derives the per-cluster
+        coverage counts, so tau certifies the kth MATCHING neighbour and
+        pruning stays exact under filtering."""
+        radii, counts = self.cluster_stats(vec_col)
+        if pre_filter is not None:
+            counts = self._filtered_counts(pre_filter)
+        q = np.asarray(qvec, dtype=np.float64)
+        probes = self._certified_probes(q, k, radii, counts)
         candidates = self.indexed.filter(F.col("cluster_id").isin(probes))
-        return knn(candidates, qvec, k, vec_col=vec_col, id_col=id_col, metric="l2")
+        return knn(
+            candidates,
+            qvec,
+            k,
+            vec_col=vec_col,
+            id_col=id_col,
+            metric="l2",
+            pre_filter=pre_filter,
+        )
+
+    def knn_join_exact(
+        self,
+        queries: DataFrame,
+        k: int,
+        query_vec: str = "embedding",
+        query_id: str = "query_id",
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        pre_filter=None,
+        score_decimals: int = 4,
+    ) -> DataFrame:
+        """Batch KNN through the IVF layout, EXACT by construction: the
+        per-query certified probe sets (`_certified_probes` — k-scalar
+        driver math per query, queries are bounded by the serving contract)
+        union into ONE pruned scan; a broadcast (query_id, cluster_id)
+        pair table restricts each query to ITS probes; per-query top-k is
+        a window over (rounded score, id).
+
+        This is the 100 TB serving shape for Q2 (reference
+        implementations/index.py:108-111): `operators/knn.knn_join`
+        broadcasts queries against the FULL corpus — correct, but every
+        query pays a corpus scan; here the corpus-side scan reads only the
+        union of probed clusters (partition pruning on the saved layout)
+        and each candidate row joins only the queries that probe its
+        cluster."""
+        from mlvectordb_spark.functions.vector import metric_expr
+        from pyspark.sql import Window
+
+        assert self.indexed is not None
+        spark = self.indexed.sparkSession
+        radii, counts = self.cluster_stats(vec_col)
+        if pre_filter is not None:
+            counts = self._filtered_counts(pre_filter)
+        qrows = queries.select(query_id, query_vec).collect()
+        pairs = [
+            (r[query_id], int(c))
+            for r in qrows
+            for c in self._certified_probes(
+                np.asarray(r[query_vec], dtype=np.float64), k, radii, counts
+            )
+        ]
+        probe_df = spark.createDataFrame(
+            pairs, f"{query_id} long, cluster_id int"
+        )
+        probed_clusters = sorted({c for _, c in pairs})
+        cand = self.indexed.filter(F.col("cluster_id").isin(probed_clusters))
+        if pre_filter is not None:
+            cand = cand.filter(pre_filter)
+        qv = queries.select(
+            F.col(query_id), F.col(query_vec).alias("__qvec")
+        )
+        scored = (
+            cand.join(F.broadcast(probe_df), "cluster_id")
+            .join(F.broadcast(qv), query_id)
+            .select(
+                F.col(query_id),
+                F.col(id_col),
+                F.round(
+                    metric_expr(F.col(vec_col), F.col("__qvec"), "l2"),
+                    score_decimals,
+                ).alias("score"),
+            )
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("score").asc(), F.col(id_col).asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
 
     def _probe_clusters(self, qvec, nprobe: int) -> list[int]:
         assert self.centroids is not None, "build() first"
@@ -451,6 +568,83 @@ class LSHIndex:
         key = Vectors.dense([float(x) for x in qvec])
         out = self.model.approxNearestNeighbors(self.indexed, key, k)
         return out.select(id_col, F.col("distCol").alias("score"))
+
+    def query_buckets(self, qvec) -> list[int]:
+        """The query's bucket id per hash table — hashed through the FITTED
+        model (one 1-row transform; the random projections live JVM-side)."""
+        assert self.model is not None and self.indexed is not None
+        spark = self.indexed.sparkSession
+        qdf = spark.createDataFrame(
+            [([float(x) for x in qvec],)], "qv array<double>"
+        ).withColumn("__features", array_to_vector(F.col("qv")))
+        row = self.model.transform(qdf).head()
+        return [int(v[0]) for v in row["__hashes"]]
+
+    def _bucket_col(self, i: int):
+        from pyspark.ml.functions import vector_to_array
+
+        return vector_to_array(F.col("__hashes")[i])[0].cast("long")
+
+    def search_exact(
+        self,
+        qvec,
+        k: int,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        score_decimals: int = 4,
+    ) -> DataFrame:
+        """EXACT top-k (squared L2) through the LSH layout — the certified
+        two-stage contract shared with `IVFIndex.search_exact` and
+        `quantize.knn_sq8`, derived from the BRP hash geometry: buckets are
+        floor(x·u_i / L) over random UNIT vectors u_i, so for any x,
+        |x·u_i − q·u_i| ≤ ||x − q|| (Cauchy–Schwarz) and a point whose
+        bucket differs from the query's by Δ in table i is at true distance
+        ≥ (Δ−1)·L.
+
+        1. PROBE: exact top-k inside the standard LSH candidate set (shares
+           ≥1 bucket with the query). Its kth distance tau bounds the true
+           kth distance from above.
+        2. CERTIFY: every true top-k member has d ≤ sqrt(tau), hence per
+           table |Δbucket| ≤ sqrt(tau)/L + 1 — rescore exactly within that
+           bucket WINDOW across all tables (an AND of per-table range
+           predicates: pure Catalyst, no similarity join).
+
+        tau is padded by the score-rounding granularity (the
+        ann_ivf_exact/knn_sq8 convention) so rounded+id tie-break ordering
+        equals the brute-force oracle on any data. If the probe pool holds
+        fewer than k rows the rescore degrades to a full scan — never to a
+        wrong answer."""
+        assert self.model is not None and self.indexed is not None
+        qb = self.query_buckets(qvec)
+        same_any = None
+        for i, b in enumerate(qb):
+            c = self._bucket_col(i) == F.lit(b)
+            same_any = c if same_any is None else (same_any | c)
+        pool = self.indexed.filter(same_any)
+        top = (
+            knn(pool, qvec, k, vec_col=vec_col, id_col=id_col, metric="l2")
+            .select("score")
+            .collect()
+        )
+        if len(top) >= k:
+            tau_sq = float(top[-1]["score"]) + 1e-3
+            width = int(tau_sq ** 0.5 / self.bucket_length) + 1
+            window_all = None
+            for i, b in enumerate(qb):
+                c = F.abs(self._bucket_col(i) - F.lit(b)) <= F.lit(width)
+                window_all = c if window_all is None else (window_all & c)
+            cand = self.indexed.filter(window_all)
+        else:
+            cand = self.indexed
+        return knn(
+            cand,
+            qvec,
+            k,
+            vec_col=vec_col,
+            id_col=id_col,
+            metric="l2",
+            score_decimals=score_decimals,
+        )
 
     def similarity_join(
         self, other: DataFrame | None = None, threshold: float = 1.0,

@@ -1204,6 +1204,93 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "nprobe INT, recall DOUBLE")
 
 
+def q_hybrid_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEXED hybrid search (round-4 verdict #2): metadata predicate ∧
+    exact KNN through the IVF layout. The label filter restricts the scan
+    AND re-derives the per-cluster coverage counts (`search_exact`'s
+    pre_filter), so the triangle-inequality pruning certifies the kth
+    MATCHING neighbour — exact on any data, oracle = filtered brute-force
+    top-k SQL. q_hybrid_knn stays the reference-shaped brute-force analog
+    (README.md:288-299); this is its 100 TB serving shape: partition
+    pruning on cluster_id AND a pushed label predicate in one scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    idx = session_ivf(spark, sf_dir)
+    return idx.search_exact(
+        qvec, KNN_K, pre_filter=F.col("label") == HYBRID_LABEL
+    ).select("vec_id", "label", "score")
+
+
+def q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN through the IVF layout (round-4 verdict #7), EXACT by
+    construction: per-query certified probe sets (k-scalar driver math per
+    query) union into ONE pruned corpus scan; a broadcast
+    (query_id, cluster_id) table restricts each query to its own probes.
+    Same semantics as knn_batch (queries = vec_id < {max}, data = the
+    rest) so the oracle is the same exact per-query top-k SQL — but the
+    corpus side reads only probed clusters instead of paying a full scan
+    per batch (operators/knn.knn_join is the brute-force analog)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERY_MAX_VID).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = session_ivf(spark, sf_dir)
+    out = idx.knn_join_exact(
+        queries, BATCH_K, pre_filter=F.col("vec_id") >= BATCH_QUERY_MAX_VID
+    )
+    return out.select("query_id", "vec_id", "score")
+
+
+_LSH_SESSIONS: dict[tuple, object] = {}
+
+
+def session_lsh(spark: SparkSession, sf_dir: str, bucket_length: float = 0.5,
+                num_hash_tables: int = 4, seed: int = 42):
+    """Build-once LSH per (session, sf_dir): fit the random projections a
+    single time, save the MLlib model + data, and reload — queries are
+    probe-only against the persisted index (the session_ivf convention;
+    an index build is ingest-time work, never query-time)."""
+    import tempfile
+
+    from mlvectordb_spark.operators.ann import LSHIndex
+
+    key = (
+        spark.sparkContext.applicationId, sf_dir, bucket_length,
+        num_hash_tables, seed,
+    )
+    idx = _LSH_SESSIONS.get(key)
+    if idx is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = LSHIndex(
+            bucket_length=bucket_length,
+            num_hash_tables=num_hash_tables,
+            seed=seed,
+        )
+        idx.build(emb)
+        path = tempfile.mkdtemp(prefix="lsh_session_")
+        idx.save(path)
+        idx = LSHIndex.load(spark, path)
+        _LSH_SESSIONS[key] = idx
+    return idx
+
+
+def q_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-k through the LSH layout (round-4 verdict #1 — the last
+    index family without a driver-checked oracle row): probe the standard
+    same-bucket candidate set for a kth-distance bound tau, then rescore
+    exactly within the certified per-table bucket window |Δb| ≤ √tau/L + 1
+    (`LSHIndex.search_exact` — the knn_sq8/ann_ivf_exact two-stage
+    contract, derived from the BRP unit-projection geometry). Exact on any
+    data distribution, so the oracle is the brute-force top-k SQL; the
+    approximate probe path (ann_lsh_knn) stays the cost/quality story.
+    Reference analog: the approximate-search surface of hnswlib
+    (implementations/index.py:91-129)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    idx = session_lsh(spark, sf_dir)
+    return idx.search_exact(qvec, KNN_K).select("vec_id", "label", "score")
+
+
 def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-path under the correctness gate, fully DataFrame-native: bulk
     upsert embeddings into a fresh VectorStore (stable ids via `upsert_df`,
@@ -1507,6 +1594,16 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return mixture_weights(docs)
+
+
+def q_source_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokens-weighted mixture recipe (weight_by="tokens" — the
+    standard pretraining choice when sources differ in average document
+    length; round-4 verdict #9 gates BOTH recipe variants)."""
+    from mlvectordb_spark.operators.curation import mixture_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_weights(docs, weight_by="tokens")
 
 
 def q_dedup_ingest_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1862,6 +1959,41 @@ SELECT vec_id, label, round({_sql_l2sq('embedding', 'qv')}, 4) AS score
 FROM embeddings, q
 ORDER BY score ASC, vec_id ASC
 LIMIT {KNN_K}
+""",
+    # exact by construction (certified bucket-window rescore) -> same
+    # brute-force oracle as ann_ivf_exact
+    "ann_lsh_exact": f"""
+WITH q AS {_Q_CTE}
+SELECT vec_id, label, round({_sql_l2sq('embedding', 'qv')}, 4) AS score
+FROM embeddings, q
+ORDER BY score ASC, vec_id ASC
+LIMIT {KNN_K}
+""",
+    # filtered-exact by construction (coverage counts re-derived under the
+    # predicate) -> filtered brute-force top-k
+    "hybrid_ivf_exact": f"""
+WITH q AS {_Q_CTE}
+SELECT vec_id, label, round({_sql_l2sq('embedding', 'qv')}, 4) AS score
+FROM embeddings, q
+WHERE label = {HYBRID_LABEL}
+ORDER BY score ASC, vec_id ASC
+LIMIT {KNN_K}
+""",
+    # per-query certified probes -> exact per-query top-k (knn_batch shape)
+    "ann_ivf_batch": f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < {BATCH_QUERY_MAX_VID}
+), scored AS (
+  SELECT qs.query_id, e.vec_id,
+         round({_sql_l2sq('e.embedding', 'qv')}, 4) AS score
+  FROM embeddings e CROSS JOIN qs
+  WHERE e.vec_id >= {BATCH_QUERY_MAX_VID}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score ASC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= {BATCH_K}
 """,
     "knn_cosine": f"""
 WITH q AS {_Q_CTE}
@@ -2487,6 +2619,18 @@ SELECT source, n_docs, n_tokens,
                    * sum(n_docs) OVER () / n_docs), 6) AS sampling_rate
 FROM c
 """,
+    "source_mixture_tokens": """
+WITH c AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(list_filter(string_split(text, ' '), t -> t != '')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+  round(pow(n_tokens, 0.5) / sum(pow(n_tokens, 0.5)) OVER (), 6) AS mixture_weight,
+  round(least(1.0, pow(n_tokens, 0.5) / sum(pow(n_tokens, 0.5)) OVER ()
+                   * sum(n_tokens) OVER () / n_tokens), 6) AS sampling_rate
+FROM c
+""",
     "sq8_error": _oracle_sq8_err(),
     "knn_sq8": f"""
 WITH q AS {_Q_CTE}
@@ -2558,12 +2702,17 @@ WHERE round({_sql_cos('a.embedding', 'b.embedding')}, 4) >= {EMB_DEDUP_THRESHOLD
 #   1-50  : the driver-checked window. ROTATED each round (round-3 verdict
 #           #5): settled singletons swap out for entries that haven't had a
 #           driver row recently, so every oracle-backed query gets driver
-#           coverage at least every other round. Round 4 swaps IN:
-#           ann_ivf_exact (new), dedup_embedding_ivf (rows-only, the 100 TB
-#           blocker — verdict #9), tpch_q5, orders_cube, orders_pivot,
-#           events_tumbling, events_sliding, emb_doc_join,
-#           dedup_prefix_buckets, token_freq, distinct_counts,
-#           events_session_stats.
+#           coverage at least every other round. Round 5 swaps IN: the new
+#           ann_lsh_exact / hybrid_ivf_exact / ann_ivf_batch /
+#           source_mixture_tokens, plus doc_bpe_tokens (new r4, never
+#           driver-checked) and the long-resting singletons knn_ip,
+#           threshold_cosine, median_price, orders_rollup, label_centroids,
+#           conditional_agg, doc_stats, events_first_per_key,
+#           monthly_running_revenue. Out to rest: the 14 entries that got
+#           fresh green rows in r4 (tpch_q5, cube/pivot, distinct_counts,
+#           token_freq, tumbling/sliding, session_stats, emb_doc_join,
+#           dedup_prefix_buckets, doc_lang_id/quality/fingerprint/
+#           repetition).
 #   51+   : oracle-backed entries resting this round (still run by
 #           tools/verify_local.py every session), then rows-only-by-design
 #           entries (KMeans/LSH/sketches aren't SQL-expressible).
@@ -2573,16 +2722,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_knn": q_hybrid_knn,
     "ns_stats": q_ns_stats,
     "metadata_query": q_metadata_query,
-    # -- SQ8 + IVF ANN --
+    # -- SQ8 + IVF/LSH ANN (every index family oracle-gated via its
+    #    certified-exact path) --
     "knn_sq8": q_knn_sq8,
     "ann_ivf_exact": q_ann_ivf_exact,
+    "ann_lsh_exact": q_ann_lsh_exact,
+    "hybrid_ivf_exact": q_hybrid_ivf_exact,
+    "ann_ivf_batch": q_ann_ivf_batch,
     # -- LLM-pipeline dedup / curation family --
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,  # rows-only: KMeans blocker
-    "dedup_prefix_buckets": q_dedup_prefix_buckets,
     "dedup_ingest_screen": q_dedup_ingest_screen,  # streaming-dedup batch twin
     "dedup_clusters": q_dedup_clusters,
     "curation_pipeline": q_curation_pipeline,
@@ -2595,44 +2747,54 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_terms": q_tfidf_terms,
     "doc_chunks": q_doc_chunks,
     "source_mixture": q_source_mixture,
-    "token_freq": q_token_freq,
+    "source_mixture_tokens": q_source_mixture_tokens,
     # -- write path / misc oracle-backed --
     "store_roundtrip": q_store_roundtrip,
     "array_ops": q_array_ops,
     # -- relational layer --
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
-    "tpch_q5": q_tpch_q5,
     "top_orders_per_cust": q_top_orders_per_cust,
     "cust_big_orders": q_cust_big_orders,
     "segment_setops": q_segment_setops,
     "grouping_sets": q_grouping_sets,
-    "orders_cube": q_orders_cube,
-    "orders_pivot": q_orders_pivot,
-    "distinct_counts": q_distinct_counts,
     "udaf_geomean": q_udaf_geomean,
     "events_json": q_events_json,
     "events_sessionize": q_events_sessionize,
+    "doc_logprob": q_doc_logprob,
+    "doc_dup_ngrams": q_doc_dup_ngrams,
+    # rotated IN this round (long-resting or never driver-checked)
+    "doc_bpe_tokens": q_doc_bpe_tokens,
+    "knn_ip": q_knn_ip,
+    "threshold_cosine": q_threshold_cosine,
+    "median_price": q_median_price,
+    "orders_rollup": q_orders_rollup,
+    "label_centroids": q_label_centroids,
+    "conditional_agg": q_conditional_agg,
+    "doc_stats": q_doc_stats,
+    "events_first_per_key": q_events_first_per_key,
+    "monthly_running_revenue": q_monthly_running_revenue,
+    # ---- position 51+: oracle-backed, resting this round (green driver rows
+    # in r4 or earlier; still run by verify_local every session) ----
+    "tpch_q5": q_tpch_q5,
+    "orders_cube": q_orders_cube,
+    "orders_pivot": q_orders_pivot,
+    "distinct_counts": q_distinct_counts,
+    "token_freq": q_token_freq,
     "events_session_stats": q_events_session_stats,
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
     "emb_doc_join": q_emb_doc_join,
+    "dedup_prefix_buckets": q_dedup_prefix_buckets,
     "doc_lang_id": q_doc_lang_id,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_repetition": q_doc_repetition,
-    # new in round 4: unigram-LM quality + duplicate-ngram coverage
-    "doc_logprob": q_doc_logprob,
-    "doc_dup_ngrams": q_doc_dup_ngrams,
-    # ---- position 51+: oracle-backed, resting this round (green driver rows
-    # in r3 or earlier; still verified every session by verify_local) ----
     "events_asof_error": q_events_asof_error,
     "rollup_daily": q_rollup_daily,
     "cust_no_orders": q_cust_no_orders,
     "knn_cosine": q_knn_cosine,
-    "knn_ip": q_knn_ip,
     "range_l2": q_range_l2,
-    "threshold_cosine": q_threshold_cosine,
     "knn_batch": q_knn_batch,
     "normalize": q_normalize,
     "pairwise_dist": q_pairwise_dist,
@@ -2640,21 +2802,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_get": q_multi_get,
     "sq8_error": q_sq8_error,
     "dedup_embedding": q_dedup_embedding,
-    "median_price": q_median_price,
-    "orders_rollup": q_orders_rollup,
-    "label_centroids": q_label_centroids,
     "revenue_by_month": q_revenue_by_month,
     "part_like": q_part_like,
-    "conditional_agg": q_conditional_agg,
     "udf_token_count": q_udf_token_count,
     "lineitem_enrich": q_lineitem_enrich,
-    "doc_stats": q_doc_stats,
-    "doc_bpe_tokens": q_doc_bpe_tokens,  # new r4; rotate into the window next round
-    "events_first_per_key": q_events_first_per_key,
     "doc_regex": q_doc_regex,
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "lineitem_having": q_lineitem_having,
-    "monthly_running_revenue": q_monthly_running_revenue,
     "top_event_types_per_user": q_top_event_types_per_user,
     # ---- rows-only by design (no SQL-expressible oracle) ----
     "approx_stats": q_approx_stats,

@@ -252,3 +252,122 @@ def test_lsh_similarity_join_self_pairs(emb):
         F.col("datasetA.vec_id") == F.col("datasetB.vec_id")
     ).count()
     assert self_pairs == 50
+
+
+def test_lsh_search_exact_equals_brute_force(emb, qvec):
+    """LSH search_exact (probe → certified bucket-window rescore) returns
+    IDENTICAL rows to brute force — the oracle contract of ann_lsh_exact."""
+    idx = LSHIndex(bucket_length=0.5, num_hash_tables=4, seed=42)
+    idx.build(emb)
+    exact = [
+        (r.vec_id, r.score) for r in knn(emb, qvec, 10, metric="l2").collect()
+    ]
+    got = [(r.vec_id, r.score) for r in idx.search_exact(qvec, 10).collect()]
+    assert got == exact
+
+
+def test_lsh_search_exact_on_clustered_data_prunes(spark):
+    """On clustered data the certified bucket window excludes far blobs:
+    exact answer, bounded rescore set."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(6, 16)) * 40.0
+    rows = [
+        (i, [float(x) for x in centers[i % 6] + rng.normal(size=16)])
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = LSHIndex(bucket_length=2.0, num_hash_tables=4, seed=42)
+    idx.build(df)
+    q = [float(x) for x in centers[2]]
+    exact = [r.vec_id for r in knn(df, q, 10, metric="l2").collect()]
+    got = [r.vec_id for r in idx.search_exact(q, 10).collect()]
+    assert got == exact
+    # the rescore window keeps blob 2's neighbourhood, not the whole corpus
+    qb = idx.query_buckets(q)
+    tau = knn(df, q, 10, metric="l2").collect()[-1].score
+    width = int((tau + 1e-3) ** 0.5 / idx.bucket_length) + 1
+    cond = None
+    for i, b in enumerate(qb):
+        c = F.abs(idx._bucket_col(i) - F.lit(b)) <= F.lit(width)
+        cond = c if cond is None else (cond & c)
+    assert idx.indexed.filter(cond).count() < 600
+
+
+def test_hybrid_ivf_exact_equals_filtered_brute_force(emb, qvec):
+    """search_exact with a pre_filter equals brute force over the filtered
+    corpus — including the score set."""
+    idx = IVFIndex(n_clusters=8, seed=42)
+    idx.build(emb)
+    flt = F.col("label") == 3
+    exact = [
+        (r.vec_id, r.score)
+        for r in knn(emb.filter(flt), qvec, 10, metric="l2").collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.search_exact(qvec, 10, pre_filter=flt).collect()
+    ]
+    assert got == exact
+
+
+def test_hybrid_ivf_exact_rare_filter_is_not_overpruned(spark):
+    """The adversarial case for filtered pruning: every vector NEAR the
+    query fails the predicate, all matching vectors live in FAR clusters.
+    With unfiltered coverage counts tau would certify against the near
+    (non-matching) members and prune the far clusters — losing the whole
+    answer. Filtered counts keep it exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    near = rng.normal(size=(400, 16)) * 1.0          # near the origin, label 0
+    far = rng.normal(size=(40, 16)) * 1.0 + 80.0     # one far blob, label 1
+    rows = [
+        (i, [float(x) for x in near[i]], 0) for i in range(400)
+    ] + [
+        (400 + j, [float(x) for x in far[j]], 1) for j in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    idx = IVFIndex(n_clusters=8, seed=42)
+    idx.build(df)
+    q = [0.0] * 16
+    flt = F.col("label") == 1
+    exact = [
+        (r.vec_id, r.score)
+        for r in knn(df.filter(flt), q, 10, metric="l2").collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.search_exact(q, 10, pre_filter=flt).collect()
+    ]
+    assert got == exact
+    assert len(got) == 10
+
+
+def test_knn_join_exact_equals_brute_force_batch(spark, emb):
+    """knn_join_exact (per-query certified probes, one pruned scan) equals
+    the brute-force batch join row-for-row."""
+    from mlvectordb_spark.operators.knn import knn_join
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    data = emb.filter(F.col("vec_id") >= 5)
+    idx = IVFIndex(n_clusters=8, seed=42)
+    idx.build(emb)
+    exact = {
+        (r.query_id, r.vec_id, r.score)
+        for r in knn_join(data, queries, 3, metric="l2")
+        .select("query_id", "vec_id", "score")
+        .collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.score)
+        for r in idx.knn_join_exact(
+            queries, 3, pre_filter=F.col("vec_id") >= 5
+        ).collect()
+    }
+    assert got == exact

@@ -165,3 +165,28 @@ def test_stratified_sample_is_scan_filter_agg(spark, sf_dir):
     raw = plan["raw"]
     assert "Join" not in raw and "Window" not in raw
     assert raw.count("Exchange") <= 2  # partial->final agg exchange only
+
+
+def test_hybrid_ivf_exact_prunes_clusters_and_pushes_label(spark, sf_dir):
+    """Indexed hybrid search (round-4 verdict #2): the plan must show BOTH
+    partition pruning on cluster_id (the probe set) AND the label predicate
+    pushed to the scan."""
+    plan = explain_query(QUERIES["hybrid_ivf_exact"](spark, sf_dir))
+    assert "PartitionFilters" in plan["raw"]
+    after = plan["raw"].split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "cluster_id" in after
+    assert any("label" in f for f in plan["pushed_filters"]), plan[
+        "pushed_filters"
+    ]
+
+
+def test_ann_ivf_batch_scans_only_probed_clusters(spark, sf_dir):
+    """Batch KNN through the IVF layout (round-4 verdict #7): the corpus
+    scan is pruned to the union of per-query probe sets (partition filter
+    on cluster_id) and the probe-pair/query tables broadcast — the corpus
+    side never shuffles for the join."""
+    plan = explain_query(QUERIES["ann_ivf_batch"](spark, sf_dir))
+    assert "PartitionFilters" in plan["raw"]
+    after = plan["raw"].split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "cluster_id" in after
+    assert plan["uses_broadcast"]
