@@ -43,17 +43,20 @@ def hash_bucket(key: Column, salt: str, buckets: int = 256) -> Column:
     return nib(1) * 16 + nib(2)
 
 
-def hash_bucket_wide(key: Column, salt: str, nibbles: int = 4) -> Column:
+def hash_bucket_wide(key: Column, salt: str | Column, nibbles: int = 4) -> Column:
     """Deterministic bucket in [0, 16**nibbles): the first `nibbles` hex
     nibbles of md5(salt || key), folded with the same instr-based nibble
     arithmetic as `hash_bucket` so the DuckDB oracle states the identical
     expression. Use where 256 buckets saturate — e.g. sub-bucketing a hot
     dedup prefix beyond 256*cap docs, or choosing among >256 export shards
     (4 nibbles = 65 536 buckets; 8 nibbles = ~4.3e9). Accumulates in
-    bigint so any nibble count up to the full digest is overflow-safe."""
+    bigint so any nibble count up to the full digest is overflow-safe.
+    `salt` may be a Column for per-row salts (e.g. per-band sub-bucketing,
+    operators/minhash.band_candidate_pairs)."""
     if not 1 <= nibbles <= 16:
         raise ValueError("nibbles must be in [1, 16]")
-    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    salt_col = salt if isinstance(salt, Column) else F.lit(salt)
+    h = F.md5(F.concat(salt_col, key.cast("string")))
     nib = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1  # noqa: E731
     acc = nib(1).cast("bigint")
     for i in range(2, nibbles + 1):

@@ -29,6 +29,7 @@ NUM_MINHASHES = 8
 MINHASH_BANDS = 4
 MINHASH_ROWS = 2
 SHINGLE_K = 3
+MINHASH_BAND_CAP = 64  # sub-bucket cap for hot band buckets
 
 
 def shingle_table(
@@ -77,4 +78,51 @@ def bands_from_shingles(
     )
     return sig_row.select(
         F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+
+
+def band_candidate_pairs(
+    banded: DataFrame, id_col: str = "doc_id", cap: int = MINHASH_BAND_CAP
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) from a band table, with hot
+    band buckets CAPPED (round-4 verdict #3): a bucket holding n docs
+    yields C(n,2) pairs, so one band of n exact-identical documents would
+    go quadratic. Buckets larger than `cap` are split into
+    ceil(n/cap) deterministic sub-buckets by a wide md5 of the doc id,
+    salted with the band index so a pair separated in one band can still
+    co-bucket in another (identical docs collide in ALL bands — the
+    per-band split keeps expected pair retention ~bands/nb instead of
+    losing the pair everywhere at once). Pair work is bounded at
+    ~C(cap,2)·ceil(n/cap) per band bucket; for near-dup CLUSTERING the
+    retained edges keep hot groups connected, which is what the
+    min-id-survivor convention consumes. Cross-sub-bucket pairs are the
+    disclosed recall tradeoff — the same contract as the n-gram path's
+    NGRAM_BLOCK_CAP.
+
+    Scale shape: the bucket-count aggregate and the rejoin use the SAME
+    (band_idx, band_hash) keys as the candidate join itself, so no new
+    shuffle key is introduced; the count table is one row per distinct
+    band hash (never broadcast — it grows with the corpus)."""
+    from mlvectordb_spark.operators.curation import hash_bucket_wide
+
+    nb = banded.groupBy("band_idx", "band_hash").agg(
+        F.ceil(F.count("*") / F.lit(float(cap))).cast("int").alias("nb")
+    )
+    salt = F.concat(
+        F.lit("mhblk:"), F.col("band_idx").cast("string"), F.lit(":")
+    )
+    bucketed = banded.join(nb, ["band_idx", "band_hash"]).withColumn(
+        "bucket", hash_bucket_wide(F.col(id_col), salt) % F.col("nb")
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("doc_a"), "band_idx", "band_hash", "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("doc_b"), "band_idx", "band_hash", "bucket"
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )

@@ -884,10 +884,12 @@ def q_dedup_prefix_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from mlvectordb_spark.operators.minhash import (  # noqa: E402
+    MINHASH_BAND_CAP,
     MINHASH_BANDS,
     MINHASH_ROWS,
     NUM_MINHASHES,
     SHINGLE_K,
+    band_candidate_pairs,
     bands_from_shingles,
     shingle_table,
 )
@@ -905,7 +907,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physical shape (the 100 TB path): the band join shuffles ONLY
     (doc_id, band_idx, band_hash) — shingle sets stay out of the candidate
     shuffle and come back via two enrichment joins against the (cached,
-    small-per-doc) shingle table. Never a quadratic self-join."""
+    small-per-doc) shingle table. Never a quadratic self-join; hot band
+    buckets (n identical docs → C(n,2) pairs) are capped at
+    MINHASH_BAND_CAP via per-band-salted sub-buckets
+    (`minhash.band_candidate_pairs`, round-4 verdict #3 — the recall
+    tradeoff is disclosed there and mirrored exactly in the oracle)."""
     docs = load_table(spark, sf_dir, "documents")
     # testdata ships one file per table -> one input partition; fan out
     # before the CPU-heavy shingle/md5 kernels (at real scale the scan is
@@ -913,18 +919,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sh = shingle_table(docs).cache()
     banded = bands_from_shingles(sh)
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
-    )
-    pairs = (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    pairs = band_candidate_pairs(banded)
     # Enrichment joins carry NO broadcast hint: the shingle table grows
     # linearly with the corpus, so forcing it into a broadcast OOMs at
     # scale (round-2 verdict). The candidate-pair side is the naturally
@@ -1752,6 +1747,10 @@ toks_t AS (
 )"""
 
 
+# per-row salt of minhash.band_candidate_pairs: 'mhblk:' || band_idx || ':'
+_MH_BLK_SALT_SQL = "'mhblk:' || band_idx::VARCHAR || ':'"
+
+
 def _oracle_minhash_sql() -> str:
     sig_items = ", ".join(
         f"list_min(list_transform(hh, h -> substr(h, {i * 8 + 1}, 8)))"
@@ -1774,10 +1773,26 @@ sig_t AS (
   SELECT doc_id, sh, [{sig_items}] AS sig FROM hh_t
 ), band_t AS (
   SELECT doc_id, sh, [{band_items}] AS bands FROM sig_t
+), band_rows AS (
+  SELECT doc_id, i - 1 AS band_idx, bands[i] AS band_hash
+  FROM band_t, UNNEST(range(1, {MINHASH_BANDS} + 1)) AS u(i)
+), bcnt AS (
+  SELECT band_idx, band_hash,
+         CAST(ceil(count(*)::DOUBLE / {MINHASH_BAND_CAP}) AS INT) AS nb
+  FROM band_rows GROUP BY band_idx, band_hash
+), bkt AS (
+  SELECT doc_id, band_idx, band_hash,
+         ({_oracle_hash_bucket_wide('', salt_sql=_MH_BLK_SALT_SQL)} % nb) AS bucket
+  FROM band_rows JOIN bcnt USING (band_idx, band_hash)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bkt a JOIN bkt b USING (band_idx, band_hash, bucket)
+  WHERE a.doc_id < b.doc_id
 ), pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
-  FROM band_t a JOIN band_t b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.bands, b.bands)) > 0
+  SELECT doc_a, doc_b, sa.sh AS sh_a, sb.sh AS sh_b
+  FROM cand
+  JOIN band_t sa ON sa.doc_id = doc_a
+  JOIN band_t sb ON sb.doc_id = doc_b
 )
 SELECT doc_a, doc_b,
   round(len(list_intersect(sh_a, sh_b))::DOUBLE /
@@ -1901,11 +1916,15 @@ def _oracle_hash_bucket(salt: str) -> str:
     )
 
 
-def _oracle_hash_bucket_wide(salt: str, nibbles: int = 4) -> str:
+def _oracle_hash_bucket_wide(
+    salt: str, nibbles: int = 4, salt_sql: str | None = None
+) -> str:
     """operators/curation.hash_bucket_wide stated in DuckDB: the first
     `nibbles` md5 nibbles folded big-endian (16**nibbles buckets), so hot
-    prefixes can sub-bucket past 256 without going quadratic."""
-    h = f"md5('{salt}' || doc_id::VARCHAR)"
+    prefixes can sub-bucket past 256 without going quadratic. `salt_sql`
+    (a raw SQL expression) overrides the literal salt for per-row salts —
+    the band-index salt of minhash.band_candidate_pairs."""
+    h = f"md5({salt_sql or repr(salt)} || doc_id::VARCHAR)"
     expr = f"(instr('0123456789abcdef', {h}[1:1]) - 1)::BIGINT"
     for i in range(2, nibbles + 1):
         expr = f"({expr} * 16 + (instr('0123456789abcdef', {h}[{i}:{i}]) - 1))"

@@ -108,3 +108,46 @@ def test_multi_probe_closes_boundary_recall(corpus):
     assert single & set(planted) <= multi
     assert multi >= set(planted), f"missing {set(planted) - multi}"
     assert len(out) == len(multi)  # cross-block duplicates collapsed
+
+
+def test_minhash_hot_band_bucket_is_capped(spark):
+    """Round-4 verdict #3: 500 exact-identical docs collide in every LSH
+    band; the uncapped band join would emit C(500,2)=124 750 pairs. The
+    per-band-salted sub-buckets must bound pair work well below quadratic
+    while keeping the duplicate group CONNECTED (what min-id-survivor /
+    connected-components actually consume)."""
+    from mlvectordb_spark.operators.minhash import (
+        MINHASH_BAND_CAP,
+        band_candidate_pairs,
+        bands_from_shingles,
+        shingle_table,
+    )
+
+    text = "the same exact document text repeated across the whole hot bucket"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(500)], "doc_id long, text string"
+    )
+    banded = bands_from_shingles(shingle_table(docs))
+    pairs = band_candidate_pairs(banded).collect()
+    n_pairs = len(pairs)
+    # bound: per band, ceil(500/64)=8 sub-buckets of ~63 docs -> <= 8*C(63,2)
+    # pairs; 4 bands with distinct salts union to < 4x that, far below C(500,2)
+    assert n_pairs < 124_750 / 2, n_pairs
+    import math
+    nb = math.ceil(500 / MINHASH_BAND_CAP)
+    per_band_bound = nb * math.comb(2 * MINHASH_BAND_CAP, 2)
+    assert n_pairs <= 4 * per_band_bound
+    # connectivity: union-find over surviving edges joins all 500 docs
+    parent = list(range(500))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(int(r.doc_a)), find(int(r.doc_b))
+        if ra != rb:
+            parent[ra] = rb
+    assert len({find(i) for i in range(500)}) == 1
