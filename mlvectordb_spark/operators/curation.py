@@ -287,7 +287,12 @@ def unigram_logprob(
 
 
 def duplicate_ngram_coverage(
-    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_level: str = "MEMORY_AND_DISK",
+    two_pass: bool = False,
 ) -> DataFrame:
     """Per-document duplicate n-gram coverage: the fraction of a doc's
     token positions covered by a k-gram that occurs MORE THAN ONCE in the
@@ -300,20 +305,28 @@ def duplicate_ngram_coverage(
     the shingle frequency table is one shuffle with map-side partials, and
     the join back is AQE-sized. The interval union is count(DISTINCT pos+j)
     per doc — a bounded per-doc aggregate, never a sort. Docs shorter than
-    k tokens have no shingles and are omitted."""
+    k tokens have no shingles and are omitted.
+
+    The exploded position table (~1 row per corpus token) feeds BOTH the
+    frequency build and the join probe. By default it is persisted at
+    `persist_level` so the tokenize+shingle kernel runs once (the explode
+    spills rather than recomputing — usually the right local trade);
+    `two_pass=True` trades the corpus-sized persist for a second scan +
+    kernel pass — the right choice when executor storage is the scarce
+    resource at 100 TB (round-4 verdict #4). Identical output either way.
+    """
+    from pyspark import StorageLevel
+
     toks = TX.tokens(text_col)
     base = docs.select(F.col(id_col), toks.alias("__toks")).filter(
         F.size("__toks") >= k
     )
-    # the exploded position table feeds BOTH the frequency build and the
-    # join probe — cache it so the tokenize+shingle kernel runs once
-    # (MEMORY_AND_DISK: at corpus scale the explode spills rather than
-    # recomputing; the alternative — two full text-kernel passes — is the
-    # strictly worse trade at every size)
     sh = base.select(
         F.col(id_col),
         F.posexplode(TX.word_shingles(F.col("__toks"), k)).alias("pos", "sh"),
-    ).cache()
+    )
+    if not two_pass:
+        sh = sh.persist(getattr(StorageLevel, persist_level))
     freq = sh.groupBy("sh").agg(F.count("*").alias("n"))
     cov = (
         sh.join(freq.filter(F.col("n") > 1), "sh")

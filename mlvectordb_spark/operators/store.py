@@ -456,7 +456,8 @@ class VectorStore:
         return n
 
     def upsert_df(
-        self, df: DataFrame, namespace: str | None = None
+        self, df: DataFrame, namespace: str | None = None,
+        assume_unique_ids: bool = False,
     ) -> int:
         """TRUE bulk upsert keyed on the `id` column — merge-on-read: ONE
         appending write of the shaped batch stamped with a monotone
@@ -465,8 +466,26 @@ class VectorStore:
         existing byte is rewritten on the write path (the round-3
         copy-on-write rewrite re-wrote every affected partition per batch —
         write amplification a 100 TB ingest can't afford); the garbage this
-        defers is exactly what the 20% compaction trigger bounds."""
+        defers is exactly what the 20% compaction trigger bounds.
+
+        Duplicate ids WITHIN one batch share a single write_version, so
+        they are collapsed here before the append (last row in batch order
+        wins — the upsert_by_id convention); otherwise the latest-wins
+        window would pick a nondeterministic winner, and a first batch
+        into an empty store would keep both rows visible (round-4 advice).
+        The collapse is one window shuffle over the batch; callers that
+        guarantee unique ids per batch (the common bulk-ingest contract)
+        can skip it with `assume_unique_ids=True`."""
         shaped = shape_ingest_df(df, namespace, with_ids=True)
+        if not assume_unique_ids:
+            w = SqlWindow.partitionBy("namespace", "id").orderBy(
+                F.monotonically_increasing_id().desc()
+            )
+            shaped = (
+                shaped.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
         n, dims = self._check_dims_df(shaped)
         had_data = self._raw() is not None
         (

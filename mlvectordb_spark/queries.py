@@ -822,20 +822,18 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle as data (operators/export.py): each
-    doc's shard (8-way, from the salted-md5 hash prefix — the same
-    contiguous hash ranges repartitionByRange produces) and its position
-    within the shard under the permutation order. Verifies the export
-    order end-to-end against the oracle; a new salt = a fresh epoch."""
-    from mlvectordb_spark.operators.curation import hash_bucket
-    from mlvectordb_spark.operators.export import shuffle_key
+    doc's shard (8-way, via `export.shard_of` — the SAME wide-hash pmod
+    the export writer ships with, so the oracle gates the actual export
+    shard function, round-4 advice) and its position within the shard
+    under the permutation order. Verifies the export order end-to-end
+    against the oracle; a new salt = a fresh epoch."""
+    from mlvectordb_spark.operators.export import shard_of, shuffle_key
 
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",
         shuffle_key(F.col("doc_id"), "epoch0:").alias("k"),
-        F.pmod(hash_bucket(F.col("doc_id"), "epoch0:"), F.lit(8)).alias(
-            "shard"
-        ),
+        shard_of(F.col("doc_id"), "epoch0:", 8).alias("shard"),
     )
     w = Window.partitionBy("shard").orderBy("k", "doc_id")
     return keyed.select(
@@ -2540,7 +2538,7 @@ SELECT doc_id, n_emails, n_urls, n_phones, md5(t3) AS scrub_hash FROM s3
     "train_shuffle": f"""
 WITH h AS (
   SELECT doc_id, md5('epoch0:' || doc_id::VARCHAR) AS k,
-    {_oracle_hash_bucket('epoch0:')} % 8 AS shard
+    ({_oracle_hash_bucket_wide('epoch0:|shard:', nibbles=8)} % 8)::INT AS shard
   FROM documents
 )
 SELECT doc_id, shard,

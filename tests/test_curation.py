@@ -281,3 +281,33 @@ def test_mixture_weights_by_tokens(spark):
     }
     assert by_tok["long"].mixture_weight > 0.8
     assert abs(by_tok["long"].mixture_weight + by_tok["short"].mixture_weight - 1.0) < 1e-9
+
+
+def test_duplicate_ngram_coverage_two_pass_matches_persisted(spark):
+    """two_pass=True trades the corpus-sized persist for a second kernel
+    pass (round-4 verdict #4) — output must be identical row-for-row."""
+    from mlvectordb_spark.operators.curation import duplicate_ngram_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta alpha beta gamma"),
+            (2, "alpha beta gamma is repeated here alpha beta gamma"),
+            (3, "entirely unique words compose this third document text"),
+            (4, "xy"),  # too short to shingle -> omitted
+        ],
+        "doc_id long, text string",
+    )
+    a = {
+        (r.doc_id, r.n_tokens, r.dup_ngram_frac)
+        for r in duplicate_ngram_coverage(docs).collect()
+    }
+    b = {
+        (r.doc_id, r.n_tokens, r.dup_ngram_frac)
+        for r in duplicate_ngram_coverage(docs, two_pass=True).collect()
+    }
+    c = {
+        (r.doc_id, r.n_tokens, r.dup_ngram_frac)
+        for r in duplicate_ngram_coverage(docs, persist_level="DISK_ONLY").collect()
+    }
+    assert a == b == c
+    assert {r[0] for r in a} == {1, 2, 3}

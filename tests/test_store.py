@@ -359,3 +359,38 @@ def test_optimize_bin_packs_small_files(spark, tmp_path):
     assert sorted(r.metadata["i"] for r in store.df().collect()) == live_before
     # tombstones folded into the rewrite
     assert store._tombstones() is None or store._tombstones().count() == 0
+
+
+def test_upsert_df_collapses_in_batch_duplicate_ids(spark, tmp_path):
+    """Round-4 advice: duplicate ids in ONE upsert_df batch share a single
+    write_version — they must be collapsed before the append, including on
+    the very first batch into an empty store (where no latest-wins window
+    runs because the namespace is never dirty)."""
+    from pyspark.sql import functions as F
+
+    store = VectorStore(spark, str(tmp_path / "updup"))
+    batch = spark.createDataFrame(
+        [
+            ("k1", [1.0, 0.0], "first"),
+            ("k1", [2.0, 0.0], "second"),
+            ("k2", [3.0, 0.0], "only"),
+        ],
+        "id string, values array<double>, note string",
+    )
+    n = store.upsert_df(batch, namespace="ns")
+    assert n == 2  # k1 collapsed
+    assert store.count("ns") == 2
+    got = {
+        r["id"]
+        for r in store.df().filter(F.col("namespace") == "ns").select("id").collect()
+    }
+    assert got == {"k1", "k2"}
+    # a second batch re-upserting k1 still converges to one visible row
+    store.upsert_df(
+        spark.createDataFrame(
+            [("k1", [9.0, 0.0], "third")],
+            "id string, values array<double>, note string",
+        ),
+        namespace="ns",
+    )
+    assert store.count("ns") == 2
