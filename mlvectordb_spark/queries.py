@@ -1339,7 +1339,30 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(comp1).cast("bigint").alias("comp1_sum"),
         )
     )
-    return out
+    # Q1 through the post-compaction merge-on-read state (round-4 verdict
+    # #10): find_similar's enrichment join runs against the store AFTER
+    # upsert-overwrite + delete + compaction, folded into one extra
+    # oracle-checked row (count / dims / first-component checksum of the
+    # top-5). find_similar tie-breaks on the STRING id ('v10' < 'v2') —
+    # the oracle mirrors that collation.
+    import math
+
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    hits = store.find_similar(
+        [float(x) for x in qvec], top_k=5, namespace="ns0", metric="l2"
+    )
+    fs = spark.createDataFrame(
+        [(
+            "__find_similar",
+            len(hits),
+            sum(len(h["values"]) for h in hits),
+            sum(
+                int(math.floor(float(h["values"][0]) * 1000)) for h in hits
+            ),
+        )],
+        "namespace string, n_live bigint, total_dims bigint, comp1_sum bigint",
+    )
+    return out.unionByName(fs)
 
 
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2439,15 +2462,36 @@ SELECT label, lang, count(*) AS n, sum(n_chars)::BIGINT AS total_chars
 FROM embeddings JOIN documents ON vec_id = doc_id
 GROUP BY label, lang
 """,
-    "store_roundtrip": """
-SELECT 'ns' || (label % 5)::VARCHAR AS namespace,
-  count(*) AS n_live,
-  (count(*) * 64)::BIGINT AS total_dims,
-  sum(floor((CASE WHEN vec_id % 10 = 0 THEN embedding[1] * 2
-             ELSE embedding[1] END)::DOUBLE * 1000))::BIGINT AS comp1_sum
-FROM embeddings
-WHERE vec_id % 7 != 0
-GROUP BY label % 5
+    "store_roundtrip": f"""
+WITH live AS (
+  SELECT 'ns' || (label % 5)::VARCHAR AS namespace, vec_id,
+    CASE WHEN vec_id % 10 = 0
+         THEN list_transform(embedding, x -> x * 2)
+         ELSE embedding END AS vals
+  FROM embeddings
+  WHERE vec_id % 7 != 0
+), agg AS (
+  SELECT namespace,
+    count(*) AS n_live,
+    (count(*) * 64)::BIGINT AS total_dims,
+    sum(floor(vals[1]::DOUBLE * 1000))::BIGINT AS comp1_sum
+  FROM live GROUP BY namespace
+), q AS {_Q_CTE},
+topk AS (
+  SELECT vals FROM live, q
+  WHERE namespace = 'ns0'
+  ORDER BY list_sum(list_transform(range(1, 65), i ->
+      (vals[i]::DOUBLE - qv[i]) * (vals[i]::DOUBLE - qv[i]))) ASC,
+    'v' || vec_id::VARCHAR ASC
+  LIMIT 5
+)
+SELECT * FROM agg
+UNION ALL
+SELECT '__find_similar' AS namespace,
+  count(*)::BIGINT AS n_live,
+  sum(len(vals))::BIGINT AS total_dims,
+  sum(floor(vals[1]::DOUBLE * 1000))::BIGINT AS comp1_sum
+FROM topk
 """,
     "median_price": """
 SELECT l_returnflag, round(median(l_extendedprice), 4) AS median_price,
