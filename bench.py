@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mlvectordb_spark.queries import QUERIES, session_ivf
+from mlvectordb_spark.queries import QUERIES, session_ivf, session_lsh
 from mlvectordb_spark.session import get_spark
 
 HEADLINE = [
@@ -60,6 +60,11 @@ HEADLINE = [
     # exact top-k through the IVF layout (certified cluster pruning) — the
     # cost of exactness vs the fixed-nprobe probe above
     "ann_ivf_exact",
+    # round-5 additions: certified-exact LSH, indexed hybrid, batch KNN
+    # through the pruned IVF layout
+    "ann_lsh_exact",
+    "hybrid_ivf_exact",
+    "ann_ivf_batch",
 ]
 
 
@@ -73,9 +78,11 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure the
     # queries, not first-touch JIT
     QUERIES["ns_stats"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    # build the session ANN index up front: index construction is ingest-time
-    # work (as in any ANN system); ann_ivf_knn below measures the probe
+    # build the session ANN indexes up front: index construction is
+    # ingest-time work (as in any ANN system); the entries below measure
+    # probes against the saved layouts
     session_ivf(spark, sf_dir)
+    session_lsh(spark, sf_dir)
 
     # best-of-2 with the retries a full pass apart: this container shares
     # its host, and a neighbor stealing CPU for ~a minute otherwise bills a

@@ -102,7 +102,14 @@ def band_candidate_pairs(
     Scale shape: the bucket-count aggregate and the rejoin use the SAME
     (band_idx, band_hash) keys as the candidate join itself, so no new
     shuffle key is introduced; the count table is one row per distinct
-    band hash (never broadcast — it grows with the corpus)."""
+    band hash (never broadcast — it grows with the corpus). The sub-bucket
+    md5 is computed only where nb > 1 (cold buckets — the vast majority —
+    short-circuit to bucket 0), and the bucketed table is
+    localCheckpointed before the self-join: both join branches would
+    otherwise re-execute the whole shingle→signature→count pipeline
+    (the dedup_clusters lesson, round-3 verdict), and the materialized
+    table is ~BANDS small rows per doc — strictly smaller than the
+    shingle cache the minhash query already holds."""
     from mlvectordb_spark.operators.curation import hash_bucket_wide
 
     nb = banded.groupBy("band_idx", "band_hash").agg(
@@ -111,8 +118,14 @@ def band_candidate_pairs(
     salt = F.concat(
         F.lit("mhblk:"), F.col("band_idx").cast("string"), F.lit(":")
     )
-    bucketed = banded.join(nb, ["band_idx", "band_hash"]).withColumn(
-        "bucket", hash_bucket_wide(F.col(id_col), salt) % F.col("nb")
+    bucket = F.when(
+        F.col("nb") > 1, hash_bucket_wide(F.col(id_col), salt) % F.col("nb")
+    ).otherwise(F.lit(0).cast("bigint"))
+    bucketed = (
+        banded.join(nb, ["band_idx", "band_hash"])
+        .withColumn("bucket", bucket)
+        .select(id_col, "band_idx", "band_hash", "bucket")
+        .localCheckpoint()
     )
     a = bucketed.select(
         F.col(id_col).alias("doc_a"), "band_idx", "band_hash", "bucket"
