@@ -539,10 +539,23 @@ class LSHIndex:
         return self.indexed
 
     def save(self, path: str) -> None:
-        """Q23: persist the fitted LSH model (MLlib save) + hashed data."""
+        """Q23: persist the fitted LSH model (MLlib save) + data with the
+        per-table bucket ids MATERIALIZED as plain int columns (b0..bN).
+        The hash vectors themselves aren't parquet-representable, but the
+        bucket ids are — and a loaded index then serves `search_exact`
+        bucket-window filters as PUSHED parquet predicates with no
+        re-hashing of the corpus per query (the 100 TB serving shape; the
+        IVF analog is save's partitionBy(cluster_id))."""
         assert self.model is not None and self.indexed is not None
         self.model.write().overwrite().save(f"{path}/model")
-        self.indexed.drop("__hashes", "__features").write.mode(
+        keep = [
+            c for c in self.indexed.columns if c not in ("__hashes", "__features")
+        ]
+        bucket_cols = [
+            self._bucket_col(i).alias(f"b{i}")
+            for i in range(self.num_hash_tables)
+        ]
+        self.indexed.select(*keep, *bucket_cols).write.mode(
             "overwrite"
         ).parquet(f"{path}/data")
 
@@ -550,37 +563,69 @@ class LSHIndex:
     def load(
         cls, spark, path: str, vec_col: str = "embedding"
     ) -> "LSHIndex":
-        """Q23: restore the model and re-hash the stored data (hash columns
-        are cheap to recompute and not parquet-representable)."""
+        """Q23: restore the model and the bucket-materialized data. The
+        b0..bN columns serve search_exact directly (pushed filters);
+        approx paths re-hash on demand (`_with_features`)."""
         from pyspark.ml.feature import BucketedRandomProjectionLSHModel
 
         idx = cls()
         idx.model = BucketedRandomProjectionLSHModel.load(f"{path}/model")
-        data = spark.read.parquet(f"{path}/data")
-        idx.indexed = idx.model.transform(
-            data.withColumn("__features", array_to_vector(F.col(vec_col)))
-        )
+        idx.bucket_length = float(idx.model.getBucketLength())
+        idx.num_hash_tables = int(idx.model.getNumHashTables())
+        idx.indexed = spark.read.parquet(f"{path}/data")
         return idx
+
+    def _with_features(self, vec_col: str = "embedding") -> DataFrame:
+        """self.indexed with the MLlib feature/hash columns present —
+        computed on demand for the approx paths when the index came from
+        a bucket-materialized save."""
+        assert self.model is not None and self.indexed is not None
+        if "__hashes" in self.indexed.columns:
+            return self.indexed
+        return self.model.transform(
+            self.indexed.withColumn(
+                "__features", array_to_vector(F.col(vec_col))
+            )
+        )
 
     def search(self, qvec, k: int, id_col: str = "vec_id") -> DataFrame:
         """approxNearestNeighbors: returns (id, distCol) for ~k candidates."""
         assert self.model is not None and self.indexed is not None
         key = Vectors.dense([float(x) for x in qvec])
-        out = self.model.approxNearestNeighbors(self.indexed, key, k)
+        out = self.model.approxNearestNeighbors(self._with_features(), key, k)
         return out.select(id_col, F.col("distCol").alias("score"))
 
     def query_buckets(self, qvec) -> list[int]:
-        """The query's bucket id per hash table — hashed through the FITTED
-        model (one 1-row transform; the random projections live JVM-side)."""
+        """The query's bucket id per hash table. The fitted random unit
+        vectors are k·dim driver-scale state (the same class as IVF
+        centroids), so the buckets are plain numpy dot products — no Spark
+        job per query. Falls back to a 1-row model.transform if the JVM
+        accessor is unavailable; both paths compute
+        floor(q·u_i / bucketLength), the BRP hash definition."""
         assert self.model is not None and self.indexed is not None
-        spark = self.indexed.sparkSession
-        qdf = spark.createDataFrame(
-            [([float(x) for x in qvec],)], "qv array<double>"
-        ).withColumn("__features", array_to_vector(F.col("qv")))
-        row = self.model.transform(qdf).head()
-        return [int(v[0]) for v in row["__hashes"]]
+        L = float(self.model.getBucketLength())
+        try:
+            rvs = self.model._call_java("randUnitVectors")
+            q = np.asarray([float(x) for x in qvec], dtype=np.float64)
+            return [
+                int(np.floor(float(np.dot(q, np.asarray(v.toArray()))) / L))
+                for v in rvs
+            ]
+        except Exception:  # noqa: BLE001 — private accessor moved/renamed
+            spark = self.indexed.sparkSession
+            qdf = spark.createDataFrame(
+                [([float(x) for x in qvec],)], "qv array<double>"
+            ).withColumn("__features", array_to_vector(F.col("qv")))
+            row = self.model.transform(qdf).head()
+            return [int(v[0]) for v in row["__hashes"]]
 
     def _bucket_col(self, i: int):
+        """Bucket id of hash table i: the materialized b{i} parquet column
+        when present (loaded index — filter pushdown territory), else
+        extracted from the MLlib hash vectors (freshly built index)."""
+        assert self.indexed is not None
+        if f"b{i}" in self.indexed.columns:
+            return F.col(f"b{i}").cast("long")
         from pyspark.ml.functions import vector_to_array
 
         return vector_to_array(F.col("__hashes")[i])[0].cast("long")
@@ -653,15 +698,16 @@ class LSHIndex:
         """approxSimilarityJoin — the LSH-bucketed near-dup path: candidate
         pairs within a euclidean threshold without a quadratic cross join."""
         assert self.model is not None and self.indexed is not None
+        left = self._with_features(vec_col)
         right = (
-            self.indexed
+            left
             if other is None
             else self.model.transform(
                 other.withColumn("__features", array_to_vector(F.col(vec_col)))
             )
         )
         return self.model.approxSimilarityJoin(
-            self.indexed, right, threshold, distCol="dist"
+            left, right, threshold, distCol="dist"
         )
 
 

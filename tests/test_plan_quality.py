@@ -190,3 +190,11 @@ def test_ann_ivf_batch_scans_only_probed_clusters(spark, sf_dir):
     after = plan["raw"].split("PartitionFilters", 1)[1].split("\n")[0]
     assert "cluster_id" in after
     assert plan["uses_broadcast"]
+
+
+def test_ann_lsh_exact_pushes_bucket_filters_on_saved_index(spark, sf_dir):
+    """A loaded LSH index serves search_exact from MATERIALIZED bucket
+    columns: the bucket-window predicates must reach the parquet scan as
+    pushed filters (no per-query re-hash of the corpus)."""
+    plan = explain_query(QUERIES["ann_lsh_exact"](spark, sf_dir))
+    assert any("b0" in f for f in plan["pushed_filters"]), plan["pushed_filters"]
