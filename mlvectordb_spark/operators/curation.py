@@ -354,6 +354,73 @@ def duplicate_ngram_coverage(
     )
 
 
+def strip_duplicate_ngrams(
+    docs: DataFrame,
+    k: int = 3,
+    min_dup: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-n-gram REMOVAL — the RefinedWeb "remove duplicated
+    n-grams" curation step whose flagging twin is
+    `duplicate_ngram_coverage`: every token position covered by a k-gram
+    occurring >= `min_dup` times corpus-wide is dropped, and each document
+    is rebuilt from its surviving tokens in order. Returns
+    (id, n_tokens, n_kept, clean_text); docs shorter than k tokens carry
+    no shingles and pass through unchanged.
+
+    Scale shape: the position explode is linear (1 row per token), the
+    k-gram frequency table is one shuffle with map-side partials, covered
+    positions come back through an AQE-sized join, and the rebuild is a
+    per-doc aggregate whose row size is bounded by the document itself
+    (array_sort of (pos, tok) structs — no window, no global sort). The
+    clean_text value is engine-independent (same tokens, same order), so
+    the DuckDB oracle hash-checks the rebuilt text verbatim."""
+    toks = TX.tokens(text_col)
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    pos_tok = base.select(
+        F.col(id_col), F.posexplode("__toks").alias("pos", "tok")
+    )
+    sh = base.filter(F.size("__toks") >= k).select(
+        F.col(id_col),
+        F.posexplode(TX.word_shingles(F.col("__toks"), k)).alias("pos", "sh"),
+    )
+    freq = sh.groupBy("sh").agg(F.count("*").alias("n"))
+    covered = (
+        sh.join(freq.filter(F.col("n") >= min_dup), "sh")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = pos_tok.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select(
+            F.col(id_col), F.size("__toks").cast("bigint").alias("n_tokens")
+        )
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 # counts^alpha temperature scaling — the standard multi-source mixing
 # recipe (alpha=1 keeps natural proportions, alpha->0 approaches uniform).
 MIX_ALPHA = 0.5

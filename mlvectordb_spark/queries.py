@@ -1658,6 +1658,17 @@ def q_doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_ngram_coverage(docs, k=SHINGLE_K)
 
 
+def q_doc_strip_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram REMOVAL (RefinedWeb's removal step; doc_dup_ngrams
+    is the flagging twin): rebuild each doc from the tokens NOT covered by
+    a corpus-duplicated trigram. The oracle hash-checks the rebuilt text
+    verbatim."""
+    from mlvectordb_spark.operators.curation import strip_duplicate_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_duplicate_ngrams(docs, k=SHINGLE_K)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the n-gram
     Jaccard candidate pairs, labeling each clustered doc with the min doc
@@ -2439,6 +2450,36 @@ SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
 FROM toks_t t LEFT JOIN cov USING (doc_id)
 WHERE len(t.toks) >= {SHINGLE_K}
 """,
+    "doc_strip_dup_ngrams": f"""
+WITH toks_t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+  FROM documents
+), pos_tok AS (
+  SELECT doc_id, i AS pos, toks[i] AS tok
+  FROM toks_t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+), sh_t AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i:i+{SHINGLE_K - 1}], ' ') AS sh
+  FROM toks_t, UNNEST(range(1, len(toks) - {SHINGLE_K} + 2)) AS u(i)
+  WHERE len(toks) >= {SHINGLE_K}
+), freq AS (
+  SELECT sh, count(*) AS n FROM sh_t GROUP BY sh
+), cov AS (
+  SELECT DISTINCT doc_id, pos + j AS pos
+  FROM sh_t JOIN freq USING (sh), UNNEST(range(0, {SHINGLE_K})) AS v(j)
+  WHERE freq.n >= 2
+), kept AS (
+  SELECT p.doc_id, p.pos, p.tok FROM pos_tok p
+  ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+), reb AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+  coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+  coalesce(reb.clean_text, '') AS clean_text
+FROM toks_t t LEFT JOIN reb USING (doc_id)
+""",
     "monthly_running_revenue": """
 WITH monthly AS (
   SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
@@ -2851,6 +2892,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_repetition": q_doc_repetition,
+    # new r5: duplicate-ngram REMOVAL (oracle-backed; rotate into the
+    # window next round)
+    "doc_strip_dup_ngrams": q_doc_strip_dup_ngrams,
     "events_asof_error": q_events_asof_error,
     "rollup_daily": q_rollup_daily,
     "cust_no_orders": q_cust_no_orders,

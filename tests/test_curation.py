@@ -311,3 +311,32 @@ def test_duplicate_ngram_coverage_two_pass_matches_persisted(spark):
     }
     assert a == b == c
     assert {r[0] for r in a} == {1, 2, 3}
+
+
+def test_strip_duplicate_ngrams_removes_covered_tokens(spark):
+    """The removal twin of duplicate_ngram_coverage: tokens covered by a
+    corpus-duplicated trigram vanish; unique text and short docs pass
+    through unchanged."""
+    from mlvectordb_spark.operators.curation import strip_duplicate_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and something else entirely here"),
+            (2, "prefix words the quick brown fox suffix words"),
+            (3, "totally unrelated content lives in this document"),
+            (4, "xy"),  # shorter than k -> passthrough
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_duplicate_ngrams(docs, k=3).collect()}
+    # 'the quick brown fox' appears in docs 1 and 2 -> its trigrams are
+    # duplicated; those 4 tokens are removed from both docs
+    assert "the quick brown fox" not in out[1].clean_text
+    assert "the quick brown fox" not in out[2].clean_text
+    assert out[1].clean_text.startswith("and something else")
+    assert out[2].clean_text == "prefix words suffix words"
+    assert out[1].n_kept == out[1].n_tokens - 4
+    assert out[2].n_kept == out[2].n_tokens - 4
+    # untouched docs
+    assert out[3].clean_text == docs.filter("doc_id = 3").head().text
+    assert out[4].clean_text == "xy" and out[4].n_kept == 1
