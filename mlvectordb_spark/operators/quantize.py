@@ -92,6 +92,239 @@ def sq8_error_stats(
     )
 
 
+class PQIndex:
+    """Product quantization: split the d-dim space into `m` subspaces,
+    k-means a small codebook per subspace, store each vector as m small
+    codes (+1 double) — the standard faiss-style compression step beyond
+    SQ8 (m·log2(k_sub) bits/vector vs 8 bits/component). The reference's
+    hnswlib holds raw float32 (implementations/index.py); PQ is what a
+    100 TB deployment scans instead of the embedding column.
+
+    The twist that makes it ORACLE-CHECKABLE: encoding stores each
+    vector's reconstruction error e = ||x - x̂||, and the triangle
+    inequality gives |d(q,x) − d(q,x̂)| ≤ e — so the asymmetric-distance
+    scan yields a CERTIFIED interval [d̂−e, d̂+e] per vector. Search takes
+    tau = kth smallest upper bound, keeps every vector whose lower bound
+    clears it, and rescores that pool exactly: exact top-k on ANY data and
+    ANY codebook quality (a bad codebook only inflates the pool, never the
+    answer) — the same two-stage contract as knn_sq8 / IVF / LSH
+    search_exact, with the bound carried per-vector instead of derived
+    per-cluster.
+
+    Scale shape: fit collects a BOUNDED sample (the IVF recipe); encoding
+    and the distance scan are Arrow-batched numpy maps (codes matmul /
+    LUT gather — no shuffle, no join); the two scan stages read the
+    m-byte code column, not the d-float embedding; only the bounded pool
+    touches full precision."""
+
+    def __init__(
+        self, m: int = 8, k_sub: int = 16, seed: int = 42, max_iter: int = 15
+    ) -> None:
+        self.m = m
+        self.k_sub = k_sub
+        self.seed = seed
+        self.max_iter = max_iter
+        self.codebooks = None  # (m, k_sub, d/m) numpy
+        self.encoded: DataFrame | None = None
+        self._vec_col = "embedding"
+
+    # -- fit / encode -------------------------------------------------------
+
+    def fit(self, df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"):
+        """Train per-subspace codebooks on a bounded deterministic sample
+        (numpy Lloyd per subspace — driver-scale state, like IVF
+        centroids)."""
+        import numpy as np
+
+        cap = int(min(max(2_000, 40 * self.k_sub * self.m), 100_000))
+        n = df.count()
+        sample = df.select(F.col(vec_col).alias("v"), F.col(id_col).alias("k"))
+        if n > cap:
+            step = -(-n // cap)
+            sample = sample.filter(
+                F.pmod(F.xxhash64(F.col("k")), F.lit(step)) == 0
+            )
+        X = np.array([r.v for r in sample.select("v").collect()], dtype=np.float64)
+        d = X.shape[1]
+        if d % self.m != 0:
+            raise ValueError(f"dim {d} not divisible by m={self.m}")
+        sub = d // self.m
+        rng = np.random.default_rng(self.seed)
+        books = np.zeros((self.m, self.k_sub, sub))
+        for b in range(self.m):
+            Xb = X[:, b * sub : (b + 1) * sub]
+            k = min(self.k_sub, len(Xb))
+            cent = Xb[rng.choice(len(Xb), size=k, replace=False)]
+            for _ in range(self.max_iter):
+                dist = (
+                    (Xb * Xb).sum(axis=1)[:, None]
+                    - 2.0 * (Xb @ cent.T)
+                    + (cent * cent).sum(axis=1)[None, :]
+                )
+                assign = dist.argmin(axis=1)
+                sums = np.zeros_like(cent)
+                np.add.at(sums, assign, Xb)
+                counts = np.bincount(assign, minlength=k).astype(np.float64)
+                ok = counts > 0
+                cent[ok] = sums[ok] / counts[ok, None]
+            books[b, :k] = cent
+            if k < self.k_sub:  # degenerate tiny corpus: repeat last row
+                books[b, k:] = cent[-1]
+        self.codebooks = books
+        self._vec_col = vec_col
+        return self
+
+    def encode(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """Attach `pq_codes` (array<int>, one code per subspace) and
+        `pq_err` (double, ||x − x̂||) — a narrow Arrow-batched map, no
+        shuffle."""
+        import numpy as np
+        from pyspark.sql import types as T
+
+        assert self.codebooks is not None, "fit() first"
+        books = self.codebooks
+        m, k_sub, sub = books.shape
+        out_schema = T.StructType(
+            list(df.schema.fields)
+            + [
+                T.StructField("pq_codes", T.ArrayType(T.IntegerType())),
+                T.StructField("pq_err", T.DoubleType()),
+            ]
+        )
+
+        def encode_batches(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    pdf["pq_codes"] = []
+                    pdf["pq_err"] = []
+                    yield pdf
+                    continue
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                codes = np.zeros((len(mat), m), dtype=np.int32)
+                err_sq = np.zeros(len(mat))
+                for b in range(m):
+                    Xb = mat[:, b * sub : (b + 1) * sub]
+                    cent = books[b]
+                    dist = (
+                        (Xb * Xb).sum(axis=1)[:, None]
+                        - 2.0 * (Xb @ cent.T)
+                        + (cent * cent).sum(axis=1)[None, :]
+                    )
+                    codes[:, b] = dist.argmin(axis=1)
+                    err_sq += np.maximum(dist.min(axis=1), 0.0)
+                pdf["pq_codes"] = list(codes)
+                pdf["pq_err"] = np.sqrt(err_sq)
+                yield pdf
+
+        self.encoded = df.mapInPandas(encode_batches, schema=out_schema)
+        return self.encoded
+
+    def build(self, df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"):
+        self.fit(df, vec_col, id_col)
+        return self.encode(df, vec_col)
+
+    # -- persistence (Q23 contract) ----------------------------------------
+
+    def save(self, path: str) -> None:
+        assert self.codebooks is not None and self.encoded is not None
+        spark = self.encoded.sparkSession
+        m, k_sub, sub = self.codebooks.shape
+        rows = [
+            (b, j, [float(x) for x in self.codebooks[b, j]])
+            for b in range(m)
+            for j in range(k_sub)
+        ]
+        spark.createDataFrame(
+            rows, "b int, j int, centroid array<double>"
+        ).write.mode("overwrite").parquet(f"{path}/codebooks")
+        self.encoded.write.mode("overwrite").parquet(f"{path}/encoded")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PQIndex":
+        import numpy as np
+
+        rows = spark.read.parquet(f"{path}/codebooks").collect()
+        m = max(r.b for r in rows) + 1
+        k_sub = max(r.j for r in rows) + 1
+        sub = len(rows[0].centroid)
+        books = np.zeros((m, k_sub, sub))
+        for r in rows:
+            books[r.b, r.j] = r.centroid
+        idx = cls(m=m, k_sub=k_sub)
+        idx.codebooks = books
+        idx.encoded = spark.read.parquet(f"{path}/encoded")
+        return idx
+
+    # -- search -------------------------------------------------------------
+
+    def _with_bounds(self, qvec) -> DataFrame:
+        """Asymmetric-distance scan over the codes: attach `__dhat`
+        (d(q, x̂), via an m × k_sub lookup table computed driver-side) —
+        with pq_err this is the certified interval per vector."""
+        import numpy as np
+        from pyspark.sql import types as T
+
+        assert self.encoded is not None
+        books = self.codebooks
+        m, k_sub, sub = books.shape
+        q = np.asarray(qvec, dtype=np.float64)
+        lut = np.zeros((m, k_sub))
+        for b in range(m):
+            qb = q[b * sub : (b + 1) * sub]
+            diff = books[b] - qb[None, :]
+            lut[b] = (diff * diff).sum(axis=1)
+        out_schema = T.StructType(
+            list(self.encoded.schema.fields)
+            + [T.StructField("__dhat", T.DoubleType())]
+        )
+
+        def scan_batches(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    pdf["__dhat"] = []
+                    yield pdf
+                    continue
+                codes = np.stack(pdf["pq_codes"].to_numpy()).astype(np.int64)
+                dsq = lut[np.arange(m)[None, :], codes].sum(axis=1)
+                pdf["__dhat"] = np.sqrt(np.maximum(dsq, 0.0))
+                yield pdf
+
+        return self.encoded.mapInPandas(scan_batches, schema=out_schema)
+
+    def search_exact(
+        self,
+        qvec,
+        k: int,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """EXACT top-k (squared L2) through the PQ codes: tau = kth
+        smallest (d̂ + e) upper bound (one TakeOrdered over the code scan),
+        pool = everything whose lower bound max(0, d̂ − e) clears tau
+        (padded by the score-rounding granularity), exact rescore of the
+        pool. Certified by the per-vector triangle inequality — see the
+        class docstring."""
+        from mlvectordb_spark.operators.knn import knn
+
+        bounded = self._with_bounds(qvec)
+        ub_rows = (
+            bounded.select((F.col("__dhat") + F.col("pq_err")).alias("ub"))
+            .orderBy(F.col("ub").asc())
+            .limit(k)
+            .collect()
+        )
+        if len(ub_rows) < k:
+            cand = bounded  # tiny corpus: rescore everything, still exact
+        else:
+            tau = float(ub_rows[-1]["ub"])
+            tau_sq = tau * tau + 1e-3  # rounded-tie pad, the shared contract
+            lb = F.greatest(F.lit(0.0), F.col("__dhat") - F.col("pq_err"))
+            cand = bounded.filter(lb * lb <= F.lit(tau_sq))
+        return knn(
+            cand, qvec, k, vec_col=vec_col, id_col=id_col, metric="l2"
+        ).drop("__dhat")
+
+
 def knn_sq8(
     emb: DataFrame,
     qdf: DataFrame,

@@ -1267,6 +1267,48 @@ def session_lsh(spark: SparkSession, sf_dir: str, bucket_length: float = 0.5,
     return idx
 
 
+_PQ_SESSIONS: dict[tuple, object] = {}
+
+
+def session_pq(spark: SparkSession, sf_dir: str, m: int = 8, k_sub: int = 16,
+               seed: int = 42):
+    """Build-once PQ per (session, sf_dir): fit codebooks, encode, save,
+    reload — queries scan the persisted code column (the session_ivf/
+    session_lsh convention)."""
+    import tempfile
+
+    from mlvectordb_spark.operators.quantize import PQIndex
+
+    key = (spark.sparkContext.applicationId, sf_dir, m, k_sub, seed)
+    idx = _PQ_SESSIONS.get(key)
+    if idx is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = PQIndex(m=m, k_sub=k_sub, seed=seed)
+        idx.build(emb)
+        path = tempfile.mkdtemp(prefix="pq_session_")
+        idx.save(path)
+        idx = PQIndex.load(spark, path)
+        _PQ_SESSIONS[key] = idx
+    return idx
+
+
+def q_ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-k through product-quantized codes: the asymmetric-
+    distance scan yields a certified interval [d̂−e, d̂+e] per vector (e =
+    stored reconstruction error, triangle inequality); tau = kth smallest
+    upper bound, rescore everything whose lower bound clears it
+    (`PQIndex.search_exact`). Exact on any data and any codebook quality,
+    so the oracle is the brute-force top-k SQL — the fourth index family
+    (after SQ8/IVF/LSH) with a certified-exact, oracle-checked serving
+    path. Reference analog: the hnswlib approximate-search surface
+    (implementations/index.py:91-129), served from 8 codes+1 double per
+    vector instead of 64 floats."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    idx = session_pq(spark, sf_dir)
+    return idx.search_exact(qvec, KNN_K).select("vec_id", "label", "score")
+
+
 def q_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT top-k through the LSH layout (round-4 verdict #1 — the last
     index family without a driver-checked oracle row): probe the standard
@@ -2005,6 +2047,15 @@ LIMIT {KNN_K}
     # exact by construction (certified cluster pruning) -> the brute-force
     # top-k SQL is its oracle
     "ann_ivf_exact": f"""
+WITH q AS {_Q_CTE}
+SELECT vec_id, label, round({_sql_l2sq('embedding', 'qv')}, 4) AS score
+FROM embeddings, q
+ORDER BY score ASC, vec_id ASC
+LIMIT {KNN_K}
+""",
+    # exact by construction (per-vector reconstruction-error bounds) ->
+    # same brute-force oracle as ann_ivf_exact
+    "ann_pq_exact": f"""
 WITH q AS {_Q_CTE}
 SELECT vec_id, label, round({_sql_l2sq('embedding', 'qv')}, 4) AS score
 FROM embeddings, q
@@ -2892,9 +2943,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_repetition": q_doc_repetition,
-    # new r5: duplicate-ngram REMOVAL (oracle-backed; rotate into the
-    # window next round)
+    # new r5: duplicate-ngram REMOVAL + certified-exact PQ search
+    # (oracle-backed; rotate into the window next round)
     "doc_strip_dup_ngrams": q_doc_strip_dup_ngrams,
+    "ann_pq_exact": q_ann_pq_exact,
     "events_asof_error": q_events_asof_error,
     "rollup_daily": q_rollup_daily,
     "cust_no_orders": q_cust_no_orders,

@@ -371,3 +371,70 @@ def test_knn_join_exact_equals_brute_force_batch(spark, emb):
         ).collect()
     }
     assert got == exact
+
+
+def test_pq_search_exact_equals_brute_force(spark, emb, qvec):
+    """PQ search_exact (ADC scan + per-vector error bounds + exact
+    rescore) returns IDENTICAL rows to brute force — the oracle contract
+    of ann_pq_exact."""
+    from mlvectordb_spark.operators.quantize import PQIndex
+
+    idx = PQIndex(m=8, k_sub=16, seed=42)
+    idx.build(emb)
+    exact = [
+        (r.vec_id, r.score) for r in knn(emb, qvec, 10, metric="l2").collect()
+    ]
+    got = [(r.vec_id, r.score) for r in idx.search_exact(qvec, 10).collect()]
+    assert got == exact
+
+
+def test_pq_save_load_roundtrip_answers_identically(spark, emb, qvec, tmp_path):
+    from mlvectordb_spark.operators.quantize import PQIndex
+
+    idx = PQIndex(m=8, k_sub=16, seed=42)
+    idx.build(emb)
+    before = [(r.vec_id, r.score) for r in idx.search_exact(qvec, 10).collect()]
+    idx.save(str(tmp_path / "pq"))
+    loaded = PQIndex.load(spark, str(tmp_path / "pq"))
+    after = [(r.vec_id, r.score) for r in loaded.search_exact(qvec, 10).collect()]
+    assert before == after
+
+
+def test_pq_bounds_prune_on_clustered_data(spark):
+    """On clustered data a good codebook yields tight error bounds: the
+    certified pool excludes most of the corpus — and the answer is still
+    exact. Also covers the tiny-corpus degenerate path (n < k -> rescore
+    everything)."""
+    import numpy as np
+
+    from mlvectordb_spark.operators.quantize import PQIndex
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(8, 16)) * 30.0
+    rows = [
+        (i, [float(x) for x in centers[i % 8] + rng.normal(size=16) * 0.3])
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = PQIndex(m=4, k_sub=16, seed=42)
+    idx.build(df)
+    q = [float(x) for x in centers[1]]
+    exact = [r.vec_id for r in knn(df, q, 10, metric="l2").collect()]
+    got = [r.vec_id for r in idx.search_exact(q, 10).collect()]
+    assert got == exact
+    # pool bound: recompute the certified pool size and require real pruning
+    bounded = idx._with_bounds(q)
+    from pyspark.sql import functions as SF
+    ub = [r.ub for r in bounded.select((SF.col("__dhat") + SF.col("pq_err")).alias("ub")).orderBy("ub").limit(10).collect()]
+    tau_sq = ub[-1] ** 2 + 1e-3
+    lb = SF.greatest(SF.lit(0.0), SF.col("__dhat") - SF.col("pq_err"))
+    pool_n = bounded.filter(lb * lb <= SF.lit(tau_sq)).count()
+    assert pool_n < 400, pool_n  # most of the 800 rows certified away
+
+    # degenerate: corpus smaller than k -> full rescore, still correct
+    tiny = spark.createDataFrame(rows[:5], "vec_id long, embedding array<double>")
+    idx2 = PQIndex(m=4, k_sub=4, seed=42)
+    idx2.build(tiny)
+    got_tiny = [r.vec_id for r in idx2.search_exact(q, 10).collect()]
+    exact_tiny = [r.vec_id for r in knn(tiny, q, 10, metric="l2").collect()]
+    assert got_tiny == exact_tiny
