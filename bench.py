@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mlvectordb_spark.queries import QUERIES, session_ivf, session_lsh, session_pq
+from mlvectordb_spark.queries import QUERIES, session_ivf, session_ivfpq, session_lsh, session_pq
 from mlvectordb_spark.session import get_spark
 
 HEADLINE = [
@@ -66,6 +66,7 @@ HEADLINE = [
     "hybrid_ivf_exact",
     "ann_ivf_batch",
     "ann_pq_exact",
+    "ann_ivfpq_exact",
 ]
 
 
@@ -85,6 +86,7 @@ def main() -> None:
     session_ivf(spark, sf_dir)
     session_lsh(spark, sf_dir)
     session_pq(spark, sf_dir)
+    session_ivfpq(spark, sf_dir)
 
     # best-of-2 with the retries a full pass apart: this container shares
     # its host, and a neighbor stealing CPU for ~a minute otherwise bills a

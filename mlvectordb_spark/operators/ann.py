@@ -711,6 +711,131 @@ class LSHIndex:
         )
 
 
+class IVFPQIndex:
+    """IVF + PQ — the standard large-scale ANN architecture (faiss
+    IVF*,PQ*): KMeans partitions give partition-pruned probes, PQ codes
+    give an 8×-smaller scan INSIDE the probed clusters, and BOTH layers
+    carry certified bounds, so the composed search is still EXACT:
+
+    1. cluster pruning (`IVFIndex._certified_probes`): the probe set
+       provably contains every true top-k member;
+    2. code scan over ONLY the probed clusters (partition pruning on the
+       saved layout; reads m ints + 1 double per row, not d floats);
+    3. per-vector PQ bounds (`PQIndex.certified_pool`): tau = kth
+       smallest upper bound within the probes — which bounds the GLOBAL
+       kth distance, since the probes contain the true top-k — prunes the
+       rescore pool;
+    4. exact rescore of the pool against full-precision vectors.
+
+    Codebooks encode raw vectors (not residuals — the per-vector error
+    bound ||x − x̂|| is what certifies exactness and is residual-agnostic;
+    residual encoding would shrink e and the pool, not change answers).
+    Driver state: k centroids + k radii + m·k_sub sub-centroids."""
+
+    def __init__(
+        self,
+        n_clusters: int = 16,
+        m: int = 8,
+        k_sub: int = 16,
+        seed: int = 42,
+    ) -> None:
+        from mlvectordb_spark.operators.quantize import PQIndex
+
+        self.ivf = IVFIndex(n_clusters=n_clusters, seed=seed)
+        self.pq = PQIndex(m=m, k_sub=k_sub, seed=seed)
+        self.encoded: DataFrame | None = None
+
+    def build(
+        self, df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    ) -> DataFrame:
+        clustered = self.ivf.build(df, vec_col=vec_col, id_col=id_col)
+        self.pq.fit(df, vec_col=vec_col, id_col=id_col)
+        self.encoded = self.pq.encode(clustered, vec_col=vec_col)
+        # the IVF layer's stats/searches run over the encoded table so a
+        # single physical dataset backs both layers
+        self.ivf.indexed = self.encoded
+        return self.encoded
+
+    def save(self, path: str) -> None:
+        """Persist ONE physical dataset partitioned by cluster_id (probe =
+        partition pruning) carrying codes + error + full vectors, plus the
+        driver-scale state of both layers."""
+        assert self.encoded is not None
+        spark = self.encoded.sparkSession
+        (
+            self.encoded.write.mode("overwrite")
+            .partitionBy("cluster_id")
+            .parquet(f"{path}/encoded")
+        )
+        cent_rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(self.ivf.centroids)
+        ]
+        spark.createDataFrame(
+            cent_rows, "cluster_id int, centroid array<double>"
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        radii, counts = self.ivf.cluster_stats()
+        spark.createDataFrame(
+            [(i, float(radii[i]), int(counts[i])) for i in range(len(radii))],
+            "cluster_id int, radius double, n long",
+        ).write.mode("overwrite").parquet(f"{path}/cluster_stats")
+        m, k_sub, sub = self.pq.codebooks.shape
+        spark.createDataFrame(
+            [
+                (b, j, [float(x) for x in self.pq.codebooks[b, j]])
+                for b in range(m)
+                for j in range(k_sub)
+            ],
+            "b int, j int, centroid array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFPQIndex":
+        cents = (
+            spark.read.parquet(f"{path}/centroids").orderBy("cluster_id").collect()
+        )
+        idx = cls(n_clusters=len(cents))
+        idx.ivf.centroids = np.array([r.centroid for r in cents])
+        idx.encoded = spark.read.parquet(f"{path}/encoded")
+        idx.ivf.indexed = idx.encoded
+        srows = spark.read.parquet(f"{path}/cluster_stats").collect()
+        radii = np.zeros(len(cents))
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in srows:
+            radii[int(r.cluster_id)] = float(r.radius)
+            counts[int(r.cluster_id)] = int(r.n)
+        idx.ivf._radii, idx.ivf._counts = radii, counts
+        crows = spark.read.parquet(f"{path}/codebooks").collect()
+        m = max(r.b for r in crows) + 1
+        k_sub = max(r.j for r in crows) + 1
+        books = np.zeros((m, k_sub, len(crows[0].centroid)))
+        for r in crows:
+            books[r.b, r.j] = r.centroid
+        idx.pq.codebooks = books
+        idx.pq.encoded = idx.encoded
+        return idx
+
+    def search_exact(
+        self,
+        qvec,
+        k: int,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Doubly-pruned EXACT top-k: certified cluster probes → code-only
+        scan of the probed partitions → per-vector PQ bounds → exact
+        rescore. See class docstring for why each stage preserves
+        exactness."""
+        radii, counts = self.ivf.cluster_stats(vec_col)
+        q = np.asarray(qvec, dtype=np.float64)
+        probes = self.ivf._certified_probes(q, k, radii, counts)
+        pruned = self.encoded.filter(F.col("cluster_id").isin(probes))
+        bounded = self.pq._with_bounds(qvec, df=pruned)
+        pool = self.pq.certified_pool(bounded, k)
+        return knn(
+            pool, qvec, k, vec_col=vec_col, id_col=id_col, metric="l2"
+        ).drop("__dhat")
+
+
 def recall_at_k(
     approx_df: DataFrame,
     exact_df: DataFrame,

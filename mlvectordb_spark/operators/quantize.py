@@ -257,14 +257,17 @@ class PQIndex:
 
     # -- search -------------------------------------------------------------
 
-    def _with_bounds(self, qvec) -> DataFrame:
+    def _with_bounds(self, qvec, df: DataFrame | None = None) -> DataFrame:
         """Asymmetric-distance scan over the codes: attach `__dhat`
         (d(q, x̂), via an m × k_sub lookup table computed driver-side) —
-        with pq_err this is the certified interval per vector."""
+        with pq_err this is the certified interval per vector. `df`
+        overrides the scanned table (must carry pq_codes/pq_err — the
+        IVF+PQ composition passes its cluster-pruned slice)."""
         import numpy as np
         from pyspark.sql import types as T
 
-        assert self.encoded is not None
+        src = df if df is not None else self.encoded
+        assert src is not None
         books = self.codebooks
         m, k_sub, sub = books.shape
         q = np.asarray(qvec, dtype=np.float64)
@@ -274,7 +277,7 @@ class PQIndex:
             diff = books[b] - qb[None, :]
             lut[b] = (diff * diff).sum(axis=1)
         out_schema = T.StructType(
-            list(self.encoded.schema.fields)
+            list(src.schema.fields)
             + [T.StructField("__dhat", T.DoubleType())]
         )
 
@@ -289,7 +292,7 @@ class PQIndex:
                 pdf["__dhat"] = np.sqrt(np.maximum(dsq, 0.0))
                 yield pdf
 
-        return self.encoded.mapInPandas(scan_batches, schema=out_schema)
+        return src.mapInPandas(scan_batches, schema=out_schema)
 
     def search_exact(
         self,
@@ -306,7 +309,20 @@ class PQIndex:
         class docstring."""
         from mlvectordb_spark.operators.knn import knn
 
-        bounded = self._with_bounds(qvec)
+        cand = self.certified_pool(self._with_bounds(qvec), k)
+        return knn(
+            cand, qvec, k, vec_col=vec_col, id_col=id_col, metric="l2"
+        ).drop("__dhat")
+
+    @staticmethod
+    def certified_pool(bounded: DataFrame, k: int) -> DataFrame:
+        """tau = kth smallest upper bound over a bounded scan; keep every
+        row whose lower bound clears it (padded by the score-rounding
+        granularity — the shared exact-search contract). Shared by the
+        standalone PQ search and the IVF+PQ composition (where `bounded`
+        is already cluster-pruned; tau within the certified probes still
+        bounds the GLOBAL kth distance because the probes provably contain
+        the true top-k)."""
         ub_rows = (
             bounded.select((F.col("__dhat") + F.col("pq_err")).alias("ub"))
             .orderBy(F.col("ub").asc())
@@ -314,15 +330,11 @@ class PQIndex:
             .collect()
         )
         if len(ub_rows) < k:
-            cand = bounded  # tiny corpus: rescore everything, still exact
-        else:
-            tau = float(ub_rows[-1]["ub"])
-            tau_sq = tau * tau + 1e-3  # rounded-tie pad, the shared contract
-            lb = F.greatest(F.lit(0.0), F.col("__dhat") - F.col("pq_err"))
-            cand = bounded.filter(lb * lb <= F.lit(tau_sq))
-        return knn(
-            cand, qvec, k, vec_col=vec_col, id_col=id_col, metric="l2"
-        ).drop("__dhat")
+            return bounded  # tiny corpus: rescore everything, still exact
+        tau = float(ub_rows[-1]["ub"])
+        tau_sq = tau * tau + 1e-3
+        lb = F.greatest(F.lit(0.0), F.col("__dhat") - F.col("pq_err"))
+        return bounded.filter(lb * lb <= F.lit(tau_sq))
 
 
 def knn_sq8(

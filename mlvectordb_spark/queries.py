@@ -1234,6 +1234,43 @@ def q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "score")
 
 
+_IVFPQ_SESSIONS: dict[tuple, object] = {}
+
+
+def session_ivfpq(spark: SparkSession, sf_dir: str, n_clusters: int = 16,
+                  m: int = 8, k_sub: int = 16, seed: int = 42):
+    """Build-once IVF+PQ per (session, sf_dir) — fit, encode, save
+    partitioned by cluster_id, reload (the session_ivf convention)."""
+    import tempfile
+
+    from mlvectordb_spark.operators.ann import IVFPQIndex
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_clusters, m, k_sub, seed)
+    idx = _IVFPQ_SESSIONS.get(key)
+    if idx is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = IVFPQIndex(n_clusters=n_clusters, m=m, k_sub=k_sub, seed=seed)
+        idx.build(emb)
+        path = tempfile.mkdtemp(prefix="ivfpq_session_")
+        idx.save(path)
+        idx = IVFPQIndex.load(spark, path)
+        _IVFPQ_SESSIONS[key] = idx
+    return idx
+
+
+def q_ann_ivfpq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-k through the composed IVF+PQ layout — the standard
+    large-scale ANN architecture with certification at BOTH layers:
+    triangle-inequality cluster probes (partition-pruned scan), PQ
+    asymmetric-distance bounds within the probes (code-only columns), and
+    an exact rescore of the certified pool (`IVFPQIndex.search_exact`).
+    Exact on any data, so the oracle is the brute-force top-k SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    idx = session_ivfpq(spark, sf_dir)
+    return idx.search_exact(qvec, KNN_K).select("vec_id", "label", "score")
+
+
 _LSH_SESSIONS: dict[tuple, object] = {}
 
 
@@ -2047,6 +2084,14 @@ LIMIT {KNN_K}
     # exact by construction (certified cluster pruning) -> the brute-force
     # top-k SQL is its oracle
     "ann_ivf_exact": f"""
+WITH q AS {_Q_CTE}
+SELECT vec_id, label, round({_sql_l2sq('embedding', 'qv')}, 4) AS score
+FROM embeddings, q
+ORDER BY score ASC, vec_id ASC
+LIMIT {KNN_K}
+""",
+    # exact by construction (certified at both layers) -> brute-force oracle
+    "ann_ivfpq_exact": f"""
 WITH q AS {_Q_CTE}
 SELECT vec_id, label, round({_sql_l2sq('embedding', 'qv')}, 4) AS score
 FROM embeddings, q
@@ -2947,6 +2992,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (oracle-backed; rotate into the window next round)
     "doc_strip_dup_ngrams": q_doc_strip_dup_ngrams,
     "ann_pq_exact": q_ann_pq_exact,
+    "ann_ivfpq_exact": q_ann_ivfpq_exact,
     "events_asof_error": q_events_asof_error,
     "rollup_daily": q_rollup_daily,
     "cust_no_orders": q_cust_no_orders,

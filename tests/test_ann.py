@@ -438,3 +438,35 @@ def test_pq_bounds_prune_on_clustered_data(spark):
     got_tiny = [r.vec_id for r in idx2.search_exact(q, 10).collect()]
     exact_tiny = [r.vec_id for r in knn(tiny, q, 10, metric="l2").collect()]
     assert got_tiny == exact_tiny
+
+
+def test_ivfpq_search_exact_equals_brute_force(spark, emb, qvec):
+    """The composed IVF+PQ search (cluster probes -> code scan -> PQ pool
+    -> exact rescore) returns IDENTICAL rows to brute force."""
+    from mlvectordb_spark.operators.ann import IVFPQIndex
+
+    idx = IVFPQIndex(n_clusters=8, m=8, k_sub=16, seed=42)
+    idx.build(emb)
+    exact = [
+        (r.vec_id, r.score) for r in knn(emb, qvec, 10, metric="l2").collect()
+    ]
+    got = [(r.vec_id, r.score) for r in idx.search_exact(qvec, 10).collect()]
+    assert got == exact
+
+
+def test_ivfpq_saved_index_prunes_partitions(spark, emb, qvec, tmp_path):
+    """A reloaded IVF+PQ index answers identically AND its probe scan is
+    physical partition pruning on cluster_id."""
+    from mlvectordb_spark.operators.ann import IVFPQIndex
+    from mlvectordb_spark.plans.explain import explain_query
+
+    idx = IVFPQIndex(n_clusters=8, m=8, k_sub=16, seed=42)
+    idx.build(emb)
+    before = [(r.vec_id, r.score) for r in idx.search_exact(qvec, 10).collect()]
+    idx.save(str(tmp_path / "ivfpq"))
+    loaded = IVFPQIndex.load(spark, str(tmp_path / "ivfpq"))
+    after = [(r.vec_id, r.score) for r in loaded.search_exact(qvec, 10).collect()]
+    assert before == after
+    plan = explain_query(loaded.search_exact(qvec, 10))
+    assert "PartitionFilters" in plan["raw"]
+    assert "cluster_id" in plan["raw"].split("PartitionFilters", 1)[1].split("\n")[0]
