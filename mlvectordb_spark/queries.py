@@ -1445,13 +1445,14 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal surface under the driver gate: synthetic binary corpus →
-    payload-free metadata stats + fake-feature dims (rows-only: the corpus
-    is generated, not a testdata table)."""
+    """Multimodal surface under the driver gate: synthetic binary corpus
+    (REAL WAV/BMP payloads) → real decode-and-extract features for
+    audio/image, hash fallback for opaque video (rows-only: the corpus is
+    generated, not a testdata table)."""
     from mlvectordb_spark import multimodal as MM
 
     media = MM.synthetic_media_df(spark, n=60)
-    feats = MM.fake_feature_extract(media)
+    feats = MM.real_feature_extract(media)
     return (
         feats.groupBy("modality")
         .agg(
