@@ -1497,13 +1497,12 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib LSH approximate KNN (BucketedRandomProjectionLSH)."""
-    from mlvectordb_spark.operators.ann import LSHIndex
-
+    """MLlib LSH approximate KNN (BucketedRandomProjectionLSH) — probes
+    the build-once session index (an index build is ingest-time work,
+    never query-time; the session_ivf convention)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
-    idx = LSHIndex(bucket_length=0.5, num_hash_tables=4, seed=42)
-    idx.build(emb)
+    idx = session_lsh(spark, sf_dir)
     return idx.search(qvec, KNN_K)
 
 
