@@ -820,15 +820,26 @@ class IVFPQIndex:
         k: int,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
+        pre_filter=None,
     ) -> DataFrame:
         """Doubly-pruned EXACT top-k: certified cluster probes → code-only
         scan of the probed partitions → per-vector PQ bounds → exact
         rescore. See class docstring for why each stage preserves
-        exactness."""
+        exactness.
+
+        `pre_filter` gives hybrid search through the composed layout: the
+        probe coverage counts are re-derived under the predicate (the
+        `IVFIndex.search_exact` rule — unfiltered counts could over-prune)
+        and both the code scan and the PQ tau run over matching rows only,
+        so every bound certifies the kth MATCHING neighbour."""
         radii, counts = self.ivf.cluster_stats(vec_col)
+        if pre_filter is not None:
+            counts = self.ivf._filtered_counts(pre_filter)
         q = np.asarray(qvec, dtype=np.float64)
         probes = self.ivf._certified_probes(q, k, radii, counts)
         pruned = self.encoded.filter(F.col("cluster_id").isin(probes))
+        if pre_filter is not None:
+            pruned = pruned.filter(pre_filter)
         bounded = self.pq._with_bounds(qvec, df=pruned)
         pool = self.pq.certified_pool(bounded, k)
         return knn(

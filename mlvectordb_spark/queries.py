@@ -1271,6 +1271,20 @@ def q_ann_ivfpq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search_exact(qvec, KNN_K).select("vec_id", "label", "score")
 
 
+def q_hybrid_ivfpq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid (metadata-filtered) EXACT search through the composed IVF+PQ
+    layout: filtered coverage counts pick the certified probes, the
+    code-only scan and PQ tau run over matching rows, exact rescore of the
+    certified pool. The full serving matrix point — predicate ∧ KNN on the
+    doubly-pruned flagship layout; oracle = filtered brute-force top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    idx = session_ivfpq(spark, sf_dir)
+    return idx.search_exact(
+        qvec, KNN_K, pre_filter=F.col("label") == HYBRID_LABEL
+    ).select("vec_id", "label", "score")
+
+
 _LSH_SESSIONS: dict[tuple, object] = {}
 
 
@@ -2087,6 +2101,15 @@ LIMIT {KNN_K}
 WITH q AS {_Q_CTE}
 SELECT vec_id, label, round({_sql_l2sq('embedding', 'qv')}, 4) AS score
 FROM embeddings, q
+ORDER BY score ASC, vec_id ASC
+LIMIT {KNN_K}
+""",
+    # filtered-exact through the composed layout -> filtered brute force
+    "hybrid_ivfpq_exact": f"""
+WITH q AS {_Q_CTE}
+SELECT vec_id, label, round({_sql_l2sq('embedding', 'qv')}, 4) AS score
+FROM embeddings, q
+WHERE label = {HYBRID_LABEL}
 ORDER BY score ASC, vec_id ASC
 LIMIT {KNN_K}
 """,
@@ -2993,6 +3016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_strip_dup_ngrams": q_doc_strip_dup_ngrams,
     "ann_pq_exact": q_ann_pq_exact,
     "ann_ivfpq_exact": q_ann_ivfpq_exact,
+    "hybrid_ivfpq_exact": q_hybrid_ivfpq_exact,
     "events_asof_error": q_events_asof_error,
     "rollup_daily": q_rollup_daily,
     "cust_no_orders": q_cust_no_orders,

@@ -470,3 +470,23 @@ def test_ivfpq_saved_index_prunes_partitions(spark, emb, qvec, tmp_path):
     plan = explain_query(loaded.search_exact(qvec, 10))
     assert "PartitionFilters" in plan["raw"]
     assert "cluster_id" in plan["raw"].split("PartitionFilters", 1)[1].split("\n")[0]
+
+
+def test_hybrid_ivfpq_exact_equals_filtered_brute_force(spark, emb, qvec):
+    """Filtered search through the composed IVF+PQ layout equals filtered
+    brute force — including the rare-filter shape where unfiltered counts
+    would over-prune."""
+    from mlvectordb_spark.operators.ann import IVFPQIndex
+
+    idx = IVFPQIndex(n_clusters=8, m=8, k_sub=16, seed=42)
+    idx.build(emb)
+    flt = F.col("label") == 3
+    exact = [
+        (r.vec_id, r.score)
+        for r in knn(emb.filter(flt), qvec, 10, metric="l2").collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.search_exact(qvec, 10, pre_filter=flt).collect()
+    ]
+    assert got == exact
