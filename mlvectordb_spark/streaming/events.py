@@ -80,6 +80,24 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window counts (each event lands in
+    window/slide overlapping windows) — the true-stream twin of
+    queries.q_events_sliding; state is bounded the same way as
+    tumbling_counts."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
 def sessionized_counts(
     stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

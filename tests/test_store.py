@@ -394,3 +394,18 @@ def test_upsert_df_collapses_in_batch_duplicate_ids(spark, tmp_path):
         namespace="ns",
     )
     assert store.count("ns") == 2
+
+
+def test_upsert_df_assume_unique_ids_skips_collapse(spark, tmp_path):
+    """The unique-id contract path writes without the dedup window and
+    behaves identically to the default path on a duplicate-free batch."""
+    from pyspark.sql import functions as F
+
+    store = VectorStore(spark, str(tmp_path / "upuniq"))
+    batch = spark.createDataFrame(
+        [("a", [1.0]), ("b", [2.0])], "id string, values array<double>"
+    )
+    n = store.upsert_df(batch, namespace="ns", assume_unique_ids=True)
+    assert n == 2 and store.count("ns") == 2
+    ids = {r["id"] for r in store.df().filter(F.col("namespace") == "ns").select("id").collect()}
+    assert ids == {"a", "b"}

@@ -133,3 +133,17 @@ def test_stream_sessionize_counts(spark, stream, sf_dir):
     for user_rows in by_user.values():
         for a, b in zip(user_rows, user_rows[1:]):
             assert (b.session_start - a.session_end).total_seconds() >= 0
+
+
+def test_stream_sliding_matches_batch(spark, stream, sf_dir):
+    from mlvectordb_spark.streaming.events import sliding_counts
+
+    run_to_memory_sink(sliding_counts(stream), "t_sliding", "complete")
+    got = {
+        (r.window_start, r.n_events) for r in spark.table("t_sliding").collect()
+    }
+    batch = {
+        (r.window_start, r.n_events)
+        for r in QUERIES["events_sliding"](spark, sf_dir).collect()
+    }
+    assert got == batch
