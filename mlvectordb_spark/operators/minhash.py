@@ -99,31 +99,35 @@ def band_candidate_pairs(
     disclosed recall tradeoff — the same contract as the n-gram path's
     NGRAM_BLOCK_CAP.
 
-    Scale shape: the bucket-count aggregate and the rejoin use the SAME
-    (band_idx, band_hash) keys as the candidate join itself, so no new
-    shuffle key is introduced; the count table is one row per distinct
-    band hash (never broadcast — it grows with the corpus). The sub-bucket
-    md5 is computed only where nb > 1 (cold buckets — the vast majority —
-    short-circuit to bucket 0), and the bucketed table is
-    localCheckpointed before the self-join: both join branches would
-    otherwise re-execute the whole shingle→signature→count pipeline
-    (the dedup_clusters lesson, round-3 verdict), and the materialized
-    table is ~BANDS small rows per doc — strictly smaller than the
-    shingle cache the minhash query already holds."""
+    Scale shape: the bucket count is a WINDOW over the candidate-join keys
+    themselves — ONE shuffle of the band table, no separate count
+    aggregate, no count-rejoin (those cost two extra full-table exchanges
+    in the first formulation of this cap). The sub-bucket md5 is computed
+    only where nb > 1 (cold buckets — the vast majority — short-circuit to
+    bucket 0), and the bucketed table is localCheckpointed before the
+    self-join: both join branches would otherwise re-execute the whole
+    shingle→signature→window pipeline (the dedup_clusters lesson, round-3
+    verdict), and the materialized table is ~BANDS small rows per doc —
+    strictly smaller than the shingle cache the minhash query already
+    holds. The checkpoint PRESERVES the window's (band_idx, band_hash)
+    hash-partitioning, which satisfies the 3-key join's clustering
+    requirement (a subset partitioning clusters any superset of keys), so
+    the self-join needs sorts but NO further exchange on either branch."""
     from mlvectordb_spark.operators.curation import hash_bucket_wide
+    from pyspark.sql.window import Window
 
-    nb = banded.groupBy("band_idx", "band_hash").agg(
-        F.ceil(F.count("*") / F.lit(float(cap))).cast("int").alias("nb")
-    )
+    nb = F.ceil(
+        F.count("*").over(Window.partitionBy("band_idx", "band_hash"))
+        / F.lit(float(cap))
+    ).cast("int")
     salt = F.concat(
         F.lit("mhblk:"), F.col("band_idx").cast("string"), F.lit(":")
     )
     bucket = F.when(
-        F.col("nb") > 1, hash_bucket_wide(F.col(id_col), salt) % F.col("nb")
+        nb > 1, hash_bucket_wide(F.col(id_col), salt) % nb
     ).otherwise(F.lit(0).cast("bigint"))
     bucketed = (
-        banded.join(nb, ["band_idx", "band_hash"])
-        .withColumn("bucket", bucket)
+        banded.withColumn("bucket", bucket)
         .select(id_col, "band_idx", "band_hash", "bucket")
         .localCheckpoint()
     )
