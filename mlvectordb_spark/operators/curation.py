@@ -421,6 +421,78 @@ def strip_duplicate_ngrams(
     )
 
 
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models", §A1.1 — the standard rule-based pretraining filter). Word-count
+# bounds are tightened to this corpus's scale (its docs run 10-99 tokens;
+# Gopher's 50..100k bounds would pass everything and gate nothing).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+# Gopher's "stop word" rule: a doc must contain >= 2 of these 8 markers.
+GOPHER_STOP_MARKERS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MIN_ALPHA_FRAC = 0.8
+
+
+def gopher_rules(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style rule-based quality filter: per-rule boolean flags plus
+    the conjunction, one row per document. Complements `quality_score`
+    (a soft composite for ranking) with the hard accept/reject bundle a
+    pretraining pipeline actually gates ingest on: word-count bounds,
+    mean-word-length bounds, the >= 2-stopword-marker rule, and the
+    >= 80%-alphabetic-words rule.
+
+    Scale shape: zero shuffle — every signal is a per-row expression. Mean
+    word length avoids a per-token HOF entirely: total token characters ==
+    length(text with whitespace removed), one regexp_replace inside
+    codegen. The two list_filter lambdas (marker hits, alpha-word count)
+    are interpreted but bounded by doc token count, the same budget
+    `quality_score` already spends.
+
+    Reference analog: none — the reference has no text surface; this is
+    the LLM-pipeline extension layer."""
+    toks = TX.tokens(F.col(text_col))
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_wlen = F.round(
+        F.length(F.regexp_replace(F.col(text_col), r"\s", "")).cast("double")
+        / nd,
+        4,
+    )
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*GOPHER_STOP_MARKERS)))
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / nd,
+        4,
+    )
+    out = docs.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_words"),
+        F.when(n > 0, mean_wlen).otherwise(F.lit(0.0)).alias("mean_word_len"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        F.when(n > 0, alpha_frac).otherwise(F.lit(0.0)).alias("alpha_frac"),
+    )
+    ok_wc = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    ok_wl = (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WLEN) & (
+        F.col("mean_word_len") <= GOPHER_MAX_MEAN_WLEN
+    )
+    ok_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    ok_alpha = F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC
+    return out.select(
+        "*",
+        ok_wc.alias("ok_word_count"),
+        ok_wl.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_alpha.alias("ok_alpha"),
+        (ok_wc & ok_wl & ok_stop & ok_alpha).alias("passes_gopher"),
+    )
+
+
 # counts^alpha temperature scaling — the standard multi-source mixing
 # recipe (alpha=1 keeps natural proportions, alpha->0 approaches uniform).
 MIX_ALPHA = 0.5

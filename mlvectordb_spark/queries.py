@@ -820,6 +820,18 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (operators/curation.gopher_rules):
+    per-rule boolean flags (word-count bounds, mean-word-length bounds,
+    stopword-marker rule, alphabetic-word fraction) and the accept
+    conjunction, per document. The hard ingest gate next to the soft
+    `doc_quality` ranking score."""
+    from mlvectordb_spark.operators.curation import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs)
+
+
 def q_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle as data (operators/export.py): each
     doc's shard (8-way, via `export.shard_of` — the SAME wide-hash pmod
@@ -2087,6 +2099,10 @@ FROM r GROUP BY label
 """
 
 
+from mlvectordb_spark.operators import curation as CUR  # noqa: E402
+
+_GOPHER_STOP_IN = ", ".join(f"'{w}'" for w in CUR.GOPHER_STOP_MARKERS)
+
 ORACLE_SQL: dict[str, str] = {
     "knn_l2": f"""
 WITH q AS {_Q_CTE}
@@ -2476,6 +2492,33 @@ FROM t GROUP BY lang
 """,
     "doc_lang_id": _oracle_lang_id_sql(),
     "doc_quality": _oracle_quality_sql(),
+    "doc_gopher": f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks,
+    length(regexp_replace(text, '\\s', '', 'g')) AS nchars
+  FROM documents
+), base AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_words,
+    CASE WHEN len(toks) > 0
+         THEN round(nchars::DOUBLE / len(toks), 4) ELSE 0.0 END AS mean_word_len,
+    len(list_filter(toks, x -> x IN ({_GOPHER_STOP_IN})))::BIGINT AS stop_hits,
+    CASE WHEN len(toks) > 0
+         THEN round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                    / len(toks), 4) ELSE 0.0 END AS alpha_frac
+  FROM t
+)
+SELECT *,
+  (n_words >= {CUR.GOPHER_MIN_WORDS} AND n_words <= {CUR.GOPHER_MAX_WORDS}) AS ok_word_count,
+  (mean_word_len >= {CUR.GOPHER_MIN_MEAN_WLEN} AND mean_word_len <= {CUR.GOPHER_MAX_MEAN_WLEN}) AS ok_mean_word_len,
+  (stop_hits >= {CUR.GOPHER_MIN_STOP_HITS}) AS ok_stopwords,
+  (alpha_frac >= {CUR.GOPHER_MIN_ALPHA_FRAC}) AS ok_alpha,
+  (n_words >= {CUR.GOPHER_MIN_WORDS} AND n_words <= {CUR.GOPHER_MAX_WORDS}
+   AND mean_word_len >= {CUR.GOPHER_MIN_MEAN_WLEN} AND mean_word_len <= {CUR.GOPHER_MAX_MEAN_WLEN}
+   AND stop_hits >= {CUR.GOPHER_MIN_STOP_HITS}
+   AND alpha_frac >= {CUR.GOPHER_MIN_ALPHA_FRAC}) AS passes_gopher
+FROM base
+""",
     "doc_repetition": f"""
 WITH toks_t AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
@@ -3014,6 +3057,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new r5: duplicate-ngram REMOVAL + certified-exact PQ search
     # (oracle-backed; rotate into the window next round)
     "doc_strip_dup_ngrams": q_doc_strip_dup_ngrams,
+    "doc_gopher": q_doc_gopher,
     "ann_pq_exact": q_ann_pq_exact,
     "ann_ivfpq_exact": q_ann_ivfpq_exact,
     "hybrid_ivfpq_exact": q_hybrid_ivfpq_exact,

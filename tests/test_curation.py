@@ -340,3 +340,31 @@ def test_strip_duplicate_ngrams_removes_covered_tokens(spark):
     # untouched docs
     assert out[3].clean_text == docs.filter("doc_id = 3").head().text
     assert out[4].clean_text == "xy" and out[4].n_kept == 1
+
+
+def test_gopher_rules_flags_each_rule(spark):
+    from mlvectordb_spark.operators.curation import gopher_rules
+
+    good = "the quick brown fox and the lazy dog have that with " + " ".join(
+        f"word{i}" for i in range(20)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),                              # passes everything
+            (2, "the of and that have with"),       # too few words
+            (3, "a b c " + good),                   # short words drag mean len
+            (4, " ".join(f"tok{i}" for i in range(30))),  # no stop markers
+            (5, " ".join("123" for _ in range(30))),      # non-alpha words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert out[1].passes_gopher
+    assert not out[2].ok_word_count and not out[2].passes_gopher
+    assert out[3].mean_word_len < out[1].mean_word_len
+    assert not out[4].ok_stopwords and not out[4].passes_gopher
+    assert not out[5].ok_alpha and not out[5].ok_stopwords
+    # mean word length == non-space chars / words, independent of spacing
+    r1 = out[1]
+    n_chars = len(good.replace(" ", ""))
+    assert abs(r1.mean_word_len - round(n_chars / r1.n_words, 4)) < 1e-9
