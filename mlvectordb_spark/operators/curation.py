@@ -435,6 +435,33 @@ GOPHER_MIN_STOP_HITS = 2
 GOPHER_MIN_ALPHA_FRAC = 0.8
 
 
+def quality_weighted_sample(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "qws:",
+    boost: float = 1.0,
+) -> DataFrame:
+    """Deterministic quality-WEIGHTED (importance) sampling: keep each doc
+    with probability min(1, boost * quality_score) — higher-quality text is
+    proportionally over-represented in the sample, the standard
+    quality-resampling recipe for pretraining mixes (cf. DSIR, Xie et al.
+    2023 — importance weights drive inclusion probability; here the weight
+    IS the quality score).
+
+    The coin is u = hash_bucket_wide(id, salt, 8 nibbles) / 2^32 — an
+    md5-uniform in [0, 1) keyed on ROW IDENTITY, so the decision is
+    reproducible across runs, engines, partitionings, and retries (rand()
+    is none of these), and a new salt draws a fresh sample. Zero shuffle:
+    one codegen filter. Returns kept docs with their `quality` column."""
+    u = hash_bucket_wide(F.col(id_col), salt, nibbles=8).cast(
+        "double"
+    ) / F.lit(float(16**8))
+    return docs.withColumn("quality", TX.quality_score(F.col(text_col))).filter(
+        u < F.least(F.lit(1.0), F.lit(float(boost)) * F.col("quality"))
+    )
+
+
 def gopher_rules(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -832,6 +832,23 @@ def q_doc_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(docs)
 
 
+def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling
+    (operators/curation.quality_weighted_sample): each doc kept with
+    probability equal to its quality score via an md5-uniform coin keyed
+    on doc_id — reproducible importance resampling, per-lang acceptance
+    summary."""
+    from mlvectordb_spark.operators.curation import quality_weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quality_weighted_sample(docs)
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
 def q_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle as data (operators/export.py): each
     doc's shard (8-way, via `export.shard_of` — the SAME wide-hash pmod
@@ -2492,6 +2509,20 @@ FROM t GROUP BY lang
 """,
     "doc_lang_id": _oracle_lang_id_sql(),
     "doc_quality": _oracle_quality_sql(),
+    "quality_sample": f"""
+WITH q AS ({{_QUALITY_BODY}}),
+k AS (
+  SELECT d.lang, d.doc_id, q.quality
+  FROM documents d JOIN q USING (doc_id)
+  WHERE ({{_QWS_U}}) < least(1.0, q.quality)
+)
+SELECT lang, count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS sum_doc_id,
+  round(avg(quality), 4) AS avg_quality
+FROM k GROUP BY lang
+""".replace("{_QUALITY_BODY}", _oracle_quality_sql()).replace(
+        "{_QWS_U}",
+        f"{_oracle_hash_bucket_wide('qws:', nibbles=8)}::DOUBLE / 4294967296.0",
+    ),
     "doc_gopher": f"""
 WITH t AS (
   SELECT doc_id,
@@ -3058,6 +3089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (oracle-backed; rotate into the window next round)
     "doc_strip_dup_ngrams": q_doc_strip_dup_ngrams,
     "doc_gopher": q_doc_gopher,
+    "quality_sample": q_quality_sample,
     "ann_pq_exact": q_ann_pq_exact,
     "ann_ivfpq_exact": q_ann_ivfpq_exact,
     "hybrid_ivfpq_exact": q_hybrid_ivfpq_exact,

@@ -368,3 +368,29 @@ def test_gopher_rules_flags_each_rule(spark):
     r1 = out[1]
     n_chars = len(good.replace(" ", ""))
     assert abs(r1.mean_word_len - round(n_chars / r1.n_words, 4)) < 1e-9
+
+
+def test_quality_weighted_sample_props(spark):
+    from mlvectordb_spark.operators.curation import quality_weighted_sample
+
+    rich = " ".join(f"distinct{i}" for i in range(60))      # quality ~0.97
+    poor = "the the of of " * 3                             # low diversity, stopwords
+    docs = spark.createDataFrame(
+        [(i, rich if i % 2 == 0 else poor) for i in range(200)],
+        "doc_id long, text string",
+    )
+    kept = quality_weighted_sample(docs).collect()
+    kept_ids = {r.doc_id for r in kept}
+    # deterministic: second run identical
+    again = {r.doc_id for r in quality_weighted_sample(docs).collect()}
+    assert kept_ids == again
+    # high-quality docs accepted at a visibly higher rate
+    hi = sum(1 for i in kept_ids if i % 2 == 0) / 100
+    lo = sum(1 for i in kept_ids if i % 2 == 1) / 100
+    assert hi > lo + 0.2
+    # boost=0 keeps nothing; huge boost keeps everything
+    assert quality_weighted_sample(docs, boost=0.0).count() == 0
+    assert quality_weighted_sample(docs, boost=1e9).count() == 200
+    # a different salt redraws the sample
+    other = {r.doc_id for r in quality_weighted_sample(docs, salt="qws2:").collect()}
+    assert other != kept_ids
