@@ -1372,6 +1372,68 @@ def session_pq(spark: SparkSession, sf_dir: str, m: int = 8, k_sub: int = 16,
     return idx
 
 
+_BUCKETED_SESSIONS: dict[tuple, str] = {}
+
+
+def session_bucketed(spark: SparkSession, sf_dir: str, n_buckets: int = 16):
+    """Build-once bucketed fact layout per (session, sf_dir): lineitem and
+    orders land hash-bucketed (and per-bucket sorted) on their join key in
+    the session catalog, so every later orderkey join is a zero-exchange,
+    zero-sort merge (`operators/bucketed.py` — the write-time-shuffle
+    trade every repeatedly-joined 100 TB fact table should make)."""
+    import hashlib
+    import tempfile
+
+    from mlvectordb_spark.operators.bucketed import (
+        ensure_bucket_db,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_buckets)
+    tag = _BUCKETED_SESSIONS.get(key)
+    if tag is None:
+        tag = hashlib.md5(f"{sf_dir}:{n_buckets}".encode()).hexdigest()[:8]
+        ensure_bucket_db(spark, tempfile.mkdtemp(prefix="bucketed_db_"))
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem"),
+            f"lineitem_{tag}",
+            ["l_orderkey"],
+            n_buckets,
+            ["l_orderkey"],
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"),
+            f"orders_{tag}",
+            ["o_orderkey"],
+            n_buckets,
+            ["o_orderkey"],
+        )
+        _BUCKETED_SESSIONS[key] = tag
+    return (
+        read_bucketed(spark, f"lineitem_{tag}"),
+        read_bucketed(spark, f"orders_{tag}"),
+    )
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through the CO-LOCATED bucketed layout:
+    lineitem ⋈ orders on orderkey runs with no exchange and no sort on
+    either side (both tables pre-bucketed+sorted on the key,
+    `session_bucketed`; plan-asserted in test_plan_quality). The only
+    shuffle left in the query is the 5-row priority aggregate. Oracle is
+    the same join over the raw parquet — the layout must not change a
+    single answer."""
+    li, od = session_bucketed(spark, sf_dir)
+    j = li.join(od, li.l_orderkey == od.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
 def q_ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT top-k through product-quantized codes: the asymmetric-
     distance scan yields a certified interval [d̂−e, d̂+e] per vector (e =
@@ -2509,6 +2571,12 @@ FROM t GROUP BY lang
 """,
     "doc_lang_id": _oracle_lang_id_sql(),
     "doc_quality": _oracle_quality_sql(),
+    "bucketed_join": """
+SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
     "quality_sample": f"""
 WITH q AS ({{_QUALITY_BODY}}),
 k AS (
@@ -3090,6 +3158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_strip_dup_ngrams": q_doc_strip_dup_ngrams,
     "doc_gopher": q_doc_gopher,
     "quality_sample": q_quality_sample,
+    "bucketed_join": q_bucketed_join,
     "ann_pq_exact": q_ann_pq_exact,
     "ann_ivfpq_exact": q_ann_ivfpq_exact,
     "hybrid_ivfpq_exact": q_hybrid_ivfpq_exact,

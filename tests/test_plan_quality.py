@@ -198,3 +198,37 @@ def test_ann_lsh_exact_pushes_bucket_filters_on_saved_index(spark, sf_dir):
     pushed filters (no per-query re-hash of the corpus)."""
     plan = explain_query(QUERIES["ann_lsh_exact"](spark, sf_dir))
     assert any("b0" in f for f in plan["pushed_filters"]), plan["pushed_filters"]
+
+
+def test_bucketed_join_needs_no_exchange_or_sort(spark, sf_dir):
+    """The co-located layout (operators/bucketed.py): with broadcast off —
+    the 100 TB regime, where neither fact table fits an executor — the
+    orderkey join over the pre-bucketed+sorted tables must plan as a
+    sort-merge join with ZERO Exchange and ZERO Sort on either branch."""
+    from mlvectordb_spark.queries import session_bucketed
+
+    li, od = session_bucketed(spark, sf_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = li.join(od, li.l_orderkey == od.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        # Sort elimination from the per-bucket sortBy additionally needs
+        # the one-file-per-bucket layout (write_bucketed guarantees it)
+        # AND the post-3.0 opt-in conf; with both, the merge join runs
+        # with no exchange and no sort at all.
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        j2 = li.join(od, li.l_orderkey == od.o_orderkey)
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan2, plan2
+        assert "Sort " not in plan2, plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
