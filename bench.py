@@ -19,7 +19,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mlvectordb_spark.queries import QUERIES, session_ivf, session_ivfpq, session_lsh, session_pq
+from mlvectordb_spark.queries import (
+    QUERIES,
+    session_bucketed,
+    session_ivf,
+    session_ivfpq,
+    session_lsh,
+    session_pq,
+)
 from mlvectordb_spark.session import get_spark
 
 HEADLINE = [
@@ -67,6 +74,13 @@ HEADLINE = [
     "ann_ivf_batch",
     "ann_pq_exact",
     "ann_ivfpq_exact",
+    "hybrid_ivfpq_exact",
+    # curation additions: hard rule gate, importance resampling, dup-ngram
+    # removal; plus the co-located (zero-exchange) bucketed join
+    "doc_gopher",
+    "quality_sample",
+    "doc_strip_dup_ngrams",
+    "bucketed_join",
 ]
 
 
@@ -87,6 +101,9 @@ def main() -> None:
     session_lsh(spark, sf_dir)
     session_pq(spark, sf_dir)
     session_ivfpq(spark, sf_dir)
+    # ...and the bucketed fact layout: the write-time shuffle is the
+    # ingest-time trade; bucketed_join measures the exchange-free read
+    session_bucketed(spark, sf_dir)
 
     # best-of-2 with the retries a full pass apart: this container shares
     # its host, and a neighbor stealing CPU for ~a minute otherwise bills a

@@ -3075,7 +3075,13 @@ WHERE round({_sql_cos('a.embedding', 'b.embedding')}, 4) >= {EMB_DEDUP_THRESHOLD
 #           fresh green rows in r4 (tpch_q5, cube/pivot, distinct_counts,
 #           token_freq, tumbling/sliding, session_stats, emb_doc_join,
 #           dedup_prefix_buckets, doc_lang_id/quality/fingerprint/
-#           repetition).
+#           repetition). Mid-round-5 second swap: the 7 operators built
+#           THIS round (ann_pq_exact, ann_ivfpq_exact, hybrid_ivfpq_exact,
+#           doc_strip_dup_ngrams, doc_gopher, quality_sample,
+#           bucketed_join) go in immediately — new surface deserves its
+#           driver row the round it ships — displacing 7 multi-round-green
+#           settled entries (ns_stats, metadata_query, dedup_exact,
+#           tpch_q1, tpch_q3, array_ops, events_json).
 #   51+   : oracle-backed entries resting this round (still run by
 #           tools/verify_local.py every session), then rows-only-by-design
 #           entries (KMeans/LSH/sketches aren't SQL-expressible).
@@ -3083,17 +3089,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- vector read path --
     "knn_l2": q_knn_l2,
     "hybrid_knn": q_hybrid_knn,
-    "ns_stats": q_ns_stats,
-    "metadata_query": q_metadata_query,
-    # -- SQ8 + IVF/LSH ANN (every index family oracle-gated via its
+    # -- SQ8 + IVF/LSH/PQ ANN (every index family oracle-gated via its
     #    certified-exact path) --
     "knn_sq8": q_knn_sq8,
     "ann_ivf_exact": q_ann_ivf_exact,
     "ann_lsh_exact": q_ann_lsh_exact,
     "hybrid_ivf_exact": q_hybrid_ivf_exact,
     "ann_ivf_batch": q_ann_ivf_batch,
+    "ann_pq_exact": q_ann_pq_exact,
+    "ann_ivfpq_exact": q_ann_ivfpq_exact,
+    "hybrid_ivfpq_exact": q_hybrid_ivfpq_exact,
     # -- LLM-pipeline dedup / curation family --
-    "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
@@ -3111,18 +3117,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "source_mixture": q_source_mixture,
     "source_mixture_tokens": q_source_mixture_tokens,
+    # curation additions built this round: hard rule gate, importance
+    # resampling, cross-corpus dup-ngram removal
+    "doc_gopher": q_doc_gopher,
+    "quality_sample": q_quality_sample,
+    "doc_strip_dup_ngrams": q_doc_strip_dup_ngrams,
     # -- write path / misc oracle-backed --
     "store_roundtrip": q_store_roundtrip,
-    "array_ops": q_array_ops,
-    # -- relational layer --
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
+    # -- relational layer (incl. the co-located bucketed-layout join) --
+    "bucketed_join": q_bucketed_join,
     "top_orders_per_cust": q_top_orders_per_cust,
     "cust_big_orders": q_cust_big_orders,
     "segment_setops": q_segment_setops,
     "grouping_sets": q_grouping_sets,
     "udaf_geomean": q_udaf_geomean,
-    "events_json": q_events_json,
     "events_sessionize": q_events_sessionize,
     "doc_logprob": q_doc_logprob,
     "doc_dup_ngrams": q_doc_dup_ngrams,
@@ -3139,6 +3147,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "monthly_running_revenue": q_monthly_running_revenue,
     # ---- position 51+: oracle-backed, resting this round (green driver rows
     # in r4 or earlier; still run by verify_local every session) ----
+    "ns_stats": q_ns_stats,
+    "metadata_query": q_metadata_query,
+    "dedup_exact": q_dedup_exact,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "array_ops": q_array_ops,
+    "events_json": q_events_json,
     "tpch_q5": q_tpch_q5,
     "orders_cube": q_orders_cube,
     "orders_pivot": q_orders_pivot,
@@ -3153,15 +3168,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_repetition": q_doc_repetition,
-    # new r5: duplicate-ngram REMOVAL + certified-exact PQ search
-    # (oracle-backed; rotate into the window next round)
-    "doc_strip_dup_ngrams": q_doc_strip_dup_ngrams,
-    "doc_gopher": q_doc_gopher,
-    "quality_sample": q_quality_sample,
-    "bucketed_join": q_bucketed_join,
-    "ann_pq_exact": q_ann_pq_exact,
-    "ann_ivfpq_exact": q_ann_ivfpq_exact,
-    "hybrid_ivfpq_exact": q_hybrid_ivfpq_exact,
     "events_asof_error": q_events_asof_error,
     "rollup_daily": q_rollup_daily,
     "cust_no_orders": q_cust_no_orders,
