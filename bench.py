@@ -74,6 +74,7 @@ HEADLINE = [
     "ann_ivf_batch",
     "ann_pq_exact",
     "ann_ivfpq_exact",
+    "ann_ivfpq_batch",
     "hybrid_ivfpq_exact",
     # curation additions: hard rule gate, importance resampling, dup-ngram
     # removal; plus the co-located (zero-exchange) bucketed join

@@ -846,6 +846,137 @@ class IVFPQIndex:
             pool, qvec, k, vec_col=vec_col, id_col=id_col, metric="l2"
         ).drop("__dhat")
 
+    def knn_join_exact(
+        self,
+        queries: DataFrame,
+        k: int,
+        query_vec: str = "embedding",
+        query_id: str = "query_id",
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        pre_filter=None,
+        score_decimals: int = 4,
+    ) -> DataFrame:
+        """Batch KNN through the composed IVF+PQ layout, EXACT by
+        construction — `IVFIndex.knn_join_exact`'s serving shape with the
+        PQ bound layer stacked per query:
+
+        1. per-query certified probe sets (driver math over k scalars per
+           query) union into ONE partition-pruned scan;
+        2. a single Arrow-batched ADC pass attaches d̂ per (query,
+           candidate) row — per-query m×k_sub lookup tables ride the task
+           closure (|queries|·m·k_sub doubles, driver-scale);
+        3. per-query tau = kth smallest (d̂ + pq_err) — a window over the
+           query key — prunes each query's rescore pool via the per-vector
+           triangle-inequality bound;
+        4. exact rescore of the pooled rows, per-query top-k window.
+
+        Every query's tau is taken within ITS certified probes, which
+        provably contain its true top-k, so the pool bound is global and
+        the result equals brute-force exact search (the oracle)."""
+        from pyspark.sql import Window
+        from pyspark.sql import types as T
+
+        from mlvectordb_spark.functions.vector import metric_expr
+
+        assert self.encoded is not None and self.pq.codebooks is not None
+        spark = self.encoded.sparkSession
+        radii, counts = self.ivf.cluster_stats(vec_col)
+        if pre_filter is not None:
+            counts = self.ivf._filtered_counts(pre_filter)
+        books = self.pq.codebooks
+        m, k_sub, sub = books.shape
+        qrows = queries.select(query_id, query_vec).collect()
+        pairs: list[tuple] = []
+        luts: dict = {}
+        for r in qrows:
+            q = np.asarray(r[query_vec], dtype=np.float64)
+            for c in self.ivf._certified_probes(q, k, radii, counts):
+                pairs.append((r[query_id], int(c)))
+            lut = np.zeros((m, k_sub))
+            for b in range(m):
+                diff = books[b] - q[b * sub : (b + 1) * sub][None, :]
+                lut[b] = (diff * diff).sum(axis=1)
+            luts[r[query_id]] = lut
+        probe_df = spark.createDataFrame(
+            pairs, f"{query_id} long, cluster_id int"
+        )
+        cand = self.encoded.filter(
+            F.col("cluster_id").isin(sorted({c for _, c in pairs}))
+        )
+        if pre_filter is not None:
+            cand = cand.filter(pre_filter)
+        sel = cand.join(F.broadcast(probe_df), "cluster_id").select(
+            query_id, id_col, vec_col, "pq_codes", "pq_err"
+        )
+        out_schema = T.StructType(
+            [f for f in sel.schema.fields if f.name != "pq_codes"]
+            + [T.StructField("__dhat", T.DoubleType())]
+        )
+
+        def scan_batches(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    pdf = pdf.drop(columns=["pq_codes"])
+                    pdf["__dhat"] = []
+                    yield pdf
+                    continue
+                codes = np.stack(pdf["pq_codes"].to_numpy()).astype(np.int64)
+                qids = pdf[query_id].to_numpy()
+                dh = np.zeros(len(pdf))
+                for qid in np.unique(qids):
+                    mask = qids == qid
+                    dsq = luts[qid][
+                        np.arange(m)[None, :], codes[mask]
+                    ].sum(axis=1)
+                    dh[mask] = np.sqrt(np.maximum(dsq, 0.0))
+                pdf = pdf.drop(columns=["pq_codes"])
+                pdf["__dhat"] = dh
+                yield pdf
+
+        # the bounded scan feeds two consumers (per-query tau + the pool
+        # filter); materialize it once instead of re-running the ADC pass
+        bounded = sel.mapInPandas(
+            scan_batches, schema=out_schema
+        ).localCheckpoint()
+        ub = F.col("__dhat") + F.col("pq_err")
+        wtau = Window.partitionBy(query_id).orderBy(ub.asc())
+        taus = (
+            bounded.withColumn("__rn", F.row_number().over(wtau))
+            .filter(F.col("__rn") == k)
+            .select(
+                query_id,
+                (ub * ub + F.lit(1e-3)).alias("__tau_sq"),
+            )
+        )
+        lb = F.greatest(F.lit(0.0), F.col("__dhat") - F.col("pq_err"))
+        pool = bounded.join(F.broadcast(taus), query_id, "left").filter(
+            F.col("__tau_sq").isNull() | (lb * lb <= F.col("__tau_sq"))
+        )
+        qv = spark.createDataFrame(
+            [
+                (r[query_id], [float(x) for x in r[query_vec]])
+                for r in qrows
+            ],
+            f"{query_id} long, __qvec array<double>",
+        )
+        scored = pool.join(F.broadcast(qv), query_id).select(
+            F.col(query_id),
+            F.col(id_col),
+            F.round(
+                metric_expr(F.col(vec_col), F.col("__qvec"), "l2"),
+                score_decimals,
+            ).alias("score"),
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("score").asc(), F.col(id_col).asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+
 
 def recall_at_k(
     approx_df: DataFrame,

@@ -1300,6 +1300,25 @@ def q_ann_ivfpq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search_exact(qvec, KNN_K).select("vec_id", "label", "score")
 
 
+def q_ann_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN through the composed IVF+PQ layout
+    (`IVFPQIndex.knn_join_exact`): per-query certified probes union into
+    one partition-pruned scan, a single Arrow ADC pass bounds every
+    (query, candidate) pair, per-query tau prunes the rescore pool, exact
+    rescore. Exact by construction, so the oracle is the same brute-force
+    per-query top-k SQL as ann_ivf_batch — the full serving matrix point:
+    batch × the flagship doubly-pruned layout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERY_MAX_VID).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = session_ivfpq(spark, sf_dir)
+    out = idx.knn_join_exact(
+        queries, BATCH_K, pre_filter=F.col("vec_id") >= BATCH_QUERY_MAX_VID
+    )
+    return out.select("query_id", "vec_id", "score")
+
+
 def q_hybrid_ivfpq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid (metadata-filtered) EXACT search through the composed IVF+PQ
     layout: filtered coverage counts pick the certified probes, the
@@ -2245,6 +2264,23 @@ ORDER BY score ASC, vec_id ASC
 LIMIT {KNN_K}
 """,
     # per-query certified probes -> exact per-query top-k (knn_batch shape)
+    # exact by construction through the composed layout -> same brute-force
+    # per-query top-k oracle as ann_ivf_batch
+    "ann_ivfpq_batch": f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < {BATCH_QUERY_MAX_VID}
+), scored AS (
+  SELECT qs.query_id, e.vec_id,
+         round({_sql_l2sq('e.embedding', 'qv')}, 4) AS score
+  FROM embeddings e CROSS JOIN qs
+  WHERE e.vec_id >= {BATCH_QUERY_MAX_VID}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score ASC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= {BATCH_K}
+""",
     "ann_ivf_batch": f"""
 WITH qs AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
@@ -3147,6 +3183,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "monthly_running_revenue": q_monthly_running_revenue,
     # ---- position 51+: oracle-backed, resting this round (green driver rows
     # in r4 or earlier; still run by verify_local every session) ----
+    "ann_ivfpq_batch": q_ann_ivfpq_batch,
     "ns_stats": q_ns_stats,
     "metadata_query": q_metadata_query,
     "dedup_exact": q_dedup_exact,

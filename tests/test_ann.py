@@ -490,3 +490,27 @@ def test_hybrid_ivfpq_exact_equals_filtered_brute_force(spark, emb, qvec):
         for r in idx.search_exact(qvec, 10, pre_filter=flt).collect()
     ]
     assert got == exact
+
+
+def test_ivfpq_batch_knn_equals_brute_force(spark, emb):
+    """knn_join_exact through the composed layout == per-query exact
+    top-k, including the pre_filter (queries excluded from the corpus)."""
+    from mlvectordb_spark.operators.ann import IVFPQIndex
+
+    idx = IVFPQIndex(n_clusters=8, m=8, k_sub=16, seed=42)
+    idx.build(emb)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = idx.knn_join_exact(
+        queries, 3, pre_filter=F.col("vec_id") >= 4
+    ).collect()
+    corpus = emb.filter(F.col("vec_id") >= 4)
+    for qrow in queries.collect():
+        want = knn(corpus, qrow.embedding, 3, metric="l2").collect()
+        got_q = sorted(
+            [r for r in got if r.query_id == qrow.query_id],
+            key=lambda r: (r.score, r.vec_id),
+        )
+        assert [r.vec_id for r in got_q] == [r.vec_id for r in want]
+        assert [r.score for r in got_q] == [r.score for r in want]
