@@ -195,6 +195,43 @@ def compact_bands(
     return len(fold)
 
 
+def screen_and_write(
+    batch_df: DataFrame,
+    batch_id: int,
+    bands_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int = 16,
+) -> None:
+    """One micro-batch of the accumulating-index dedup: maintenance
+    (periodic band compaction), screen against the index EXCLUDING the
+    in-flight batch id (replay safety), then the two per-batch-subdir
+    overwrites. Shared by `start_dedup_ingest` and the curated-ingest
+    composition (`streaming/curated.py`)."""
+    spark = batch_df.sparkSession
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        compact_bands(spark, bands_path, protect_batch=batch_id)
+    # One band table feeds two writes -> cache for the batch, always
+    # release (a long-running stream must not accumulate executor blocks).
+    bands_new = bands_from_shingles(
+        shingle_table(batch_df, text_col, id_col), id_col
+    ).cache()
+    try:
+        existing = read_bands_index(spark, bands_path, exclude_batch=batch_id)
+        survivors, survivor_bands = _screen_bands(
+            batch_df, bands_new, existing, id_col
+        )
+        survivors.write.mode("overwrite").parquet(
+            f"{out_path}/batch={batch_id}"
+        )
+        survivor_bands.write.mode("overwrite").parquet(
+            f"{bands_path}/batch={batch_id}"
+        )
+    finally:
+        bands_new.unpersist()
+
+
 def start_dedup_ingest(
     stream: DataFrame,
     bands_path: str,
@@ -215,27 +252,10 @@ def start_dedup_ingest(
     is folded (`compact_bands`). Returns the StreamingQuery."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            compact_bands(spark, bands_path, protect_batch=batch_id)
-        # One band table feeds two writes -> cache for the batch, always
-        # release (a long-running stream must not accumulate executor blocks).
-        bands_new = bands_from_shingles(
-            shingle_table(batch_df, text_col, id_col), id_col
-        ).cache()
-        try:
-            existing = read_bands_index(spark, bands_path, exclude_batch=batch_id)
-            survivors, survivor_bands = _screen_bands(
-                batch_df, bands_new, existing, id_col
-            )
-            survivors.write.mode("overwrite").parquet(
-                f"{out_path}/batch={batch_id}"
-            )
-            survivor_bands.write.mode("overwrite").parquet(
-                f"{bands_path}/batch={batch_id}"
-            )
-        finally:
-            bands_new.unpersist()
+        screen_and_write(
+            batch_df, batch_id, bands_path, out_path,
+            id_col=id_col, text_col=text_col, compact_every=compact_every,
+        )
 
     return (
         stream.writeStream.foreachBatch(write_batch)
