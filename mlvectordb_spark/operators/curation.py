@@ -568,3 +568,37 @@ def mixture_weights(
         F.round(weight, 6).alias("mixture_weight"),
         F.round(rate, 6).alias("sampling_rate"),
     )
+
+
+def materialize_mixture(
+    docs: DataFrame,
+    group_col: str = "source",
+    alpha: float = MIX_ALPHA,
+    text_col: str = "text",
+    weight_by: str = "docs",
+    salt: str = "mix:",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MATERIALIZE the temperature-scaled training mix that
+    `mixture_weights` prescribes: each doc joins its source's
+    sampling_rate (a |sources|-row broadcast — genuinely bounded by the
+    number of sources, not the corpus) and is kept iff its md5-uniform
+    coin clears the rate. The same deterministic, retry-idempotent coin as
+    `quality_weighted_sample`/`stratified_sample`; a new salt draws a
+    fresh epoch of the same recipe.
+
+    Scale shape: one map-side-combined aggregate to |sources| rows (inside
+    mixture_weights), one broadcast join, one codegen filter — the corpus
+    is scanned once and never shuffled."""
+    rates = mixture_weights(
+        docs, group_col=group_col, alpha=alpha,
+        text_col=text_col, weight_by=weight_by,
+    ).select(group_col, "sampling_rate")
+    u = hash_bucket_wide(F.col(id_col), salt, nibbles=8).cast(
+        "double"
+    ) / F.lit(float(16**8))
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("sampling_rate"))
+        .drop("sampling_rate")
+    )

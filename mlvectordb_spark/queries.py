@@ -832,6 +832,21 @@ def q_doc_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(docs)
 
 
+def q_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature-scaled mix MATERIALIZED
+    (operators/curation.materialize_mixture): docs sampled per-source at
+    the rates q_source_mixture prescribes, via the deterministic md5 coin;
+    per-source summary of the sampled corpus."""
+    from mlvectordb_spark.operators.curation import materialize_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = materialize_mixture(docs)
+    return kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+    )
+
+
 def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted deterministic sampling
     (operators/curation.quality_weighted_sample): each doc kept with
@@ -2613,6 +2628,22 @@ SELECT o_orderpriority, count(*)::BIGINT AS n_items,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """,
+    "mixture_materialize": f"""
+WITH c AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+), r AS (
+  SELECT source,
+    round(least(1.0, pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER ()
+                     * sum(n_docs) OVER () / n_docs), 6) AS rate
+  FROM c
+), k AS (
+  SELECT d.source, d.doc_id
+  FROM documents d JOIN r USING (source)
+  WHERE ({_oracle_hash_bucket_wide('mix:', nibbles=8)}::DOUBLE / 4294967296.0) < rate
+)
+SELECT source, count(*)::BIGINT AS n_sampled, sum(doc_id)::BIGINT AS sum_doc_id
+FROM k GROUP BY source
+""",
     "quality_sample": f"""
 WITH q AS ({{_QUALITY_BODY}}),
 k AS (
@@ -3184,6 +3215,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- position 51+: oracle-backed, resting this round (green driver rows
     # in r4 or earlier; still run by verify_local every session) ----
     "ann_ivfpq_batch": q_ann_ivfpq_batch,
+    "mixture_materialize": q_mixture_materialize,
     "ns_stats": q_ns_stats,
     "metadata_query": q_metadata_query,
     "dedup_exact": q_dedup_exact,

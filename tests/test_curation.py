@@ -394,3 +394,31 @@ def test_quality_weighted_sample_props(spark):
     # a different salt redraws the sample
     other = {r.doc_id for r in quality_weighted_sample(docs, salt="qws2:").collect()}
     assert other != kept_ids
+
+
+def test_materialize_mixture_hits_prescribed_rates(spark):
+    from mlvectordb_spark.operators.curation import (
+        materialize_mixture,
+        mixture_weights,
+    )
+
+    # a big source and a small one: temperature scaling should upsample
+    # the small source's rate toward (or onto) 1.0
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, text string, source string",
+    )
+    rates = {
+        r.source: r.sampling_rate for r in mixture_weights(docs).collect()
+    }
+    assert rates["small"] == 1.0 and rates["big"] < 1.0
+    kept = materialize_mixture(docs).groupBy("source").count().collect()
+    got = {r.source: r["count"] for r in kept}
+    # small source fully kept; big source near its prescribed rate
+    assert got["small"] == 100
+    assert abs(got["big"] / 900 - rates["big"]) < 0.05
+    # deterministic + fresh-epoch salt
+    a = {r.doc_id for r in materialize_mixture(docs).collect()}
+    b = {r.doc_id for r in materialize_mixture(docs).collect()}
+    c = {r.doc_id for r in materialize_mixture(docs, salt="mix2:").collect()}
+    assert a == b and a != c
