@@ -832,6 +832,41 @@ def q_doc_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(docs)
 
 
+VOCAB_SIZE = 64
+
+
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build a top-V token vocab from corpus
+    frequencies (ties broken by token — fully deterministic), then measure
+    per-language out-of-vocabulary rate. The standard pre-tokenizer
+    diagnostic before committing a vocab size for training.
+
+    Scale shape: the vocab build is the token_freq shuffle (map-side
+    partial counts, |distinct tokens| rows) truncated by
+    TakeOrderedAndProject; the vocab itself is V rows — genuinely bounded
+    by the chosen size, so the coverage join is a broadcast against the
+    exploded token stream, no corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(TX.tokens("text")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("__v"))
+    )
+    miss = F.when(F.col("__v").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(miss).cast("bigint").alias("n_oov"),
+            F.round(F.sum(miss) / F.count("*"), 4).alias("oov_rate"),
+        )
+    )
+
+
 def q_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The temperature-scaled mix MATERIALIZED
     (operators/curation.materialize_mixture): docs sampled per-source at
@@ -2628,6 +2663,23 @@ SELECT o_orderpriority, count(*)::BIGINT AS n_items,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """,
+    "vocab_oov": f"""
+WITH toks AS (
+  SELECT lang, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS tok
+  FROM documents
+), v AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT {VOCAB_SIZE}
+  )
+), j AS (
+  SELECT t.lang, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS miss
+  FROM toks t LEFT JOIN v ON t.tok = v.tok
+)
+SELECT lang, count(*)::BIGINT AS n_tokens, sum(miss)::BIGINT AS n_oov,
+  round(sum(miss)::DOUBLE / count(*), 4) AS oov_rate
+FROM j GROUP BY lang
+""",
     "mixture_materialize": f"""
 WITH c AS (
   SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
@@ -3216,6 +3268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in r4 or earlier; still run by verify_local every session) ----
     "ann_ivfpq_batch": q_ann_ivfpq_batch,
     "mixture_materialize": q_mixture_materialize,
+    "vocab_oov": q_vocab_oov,
     "ns_stats": q_ns_stats,
     "metadata_query": q_metadata_query,
     "dedup_exact": q_dedup_exact,
