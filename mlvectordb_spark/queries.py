@@ -581,6 +581,22 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution: every purchase within 30 minutes of a
+    view by the same user, with the lag. Batch twin of the stream-stream
+    interval join (`streaming/joins.py` — the SAME `attribution_pairs`
+    kernel runs on two watermarked streams; this oracle-checked result is
+    the specification of what the stream computes)."""
+    from mlvectordb_spark.streaming.joins import (
+        attribution_pairs,
+        split_views_purchases,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    views, purchases = split_views_purchases(ev)
+    return attribution_pairs(views, purchases)
+
+
 def q_events_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic dedup: first event per (user, type) by (ts, id) —
     dropDuplicates keeps an arbitrary row, so this is the
@@ -2576,6 +2592,14 @@ WITH starts AS (
 )
 SELECT window_start, count(*) AS n_events FROM starts GROUP BY 1
 """,
+    "events_attribution": """
+SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+  round(epoch(b.ts) - epoch(a.ts), 1) AS lag_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+""",
     "events_sessionize": """
 WITH g AS (
   SELECT user_id,
@@ -3269,6 +3293,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_batch": q_ann_ivfpq_batch,
     "mixture_materialize": q_mixture_materialize,
     "vocab_oov": q_vocab_oov,
+    "events_attribution": q_events_attribution,
     "ns_stats": q_ns_stats,
     "metadata_query": q_metadata_query,
     "dedup_exact": q_dedup_exact,

@@ -147,3 +147,28 @@ def test_stream_sliding_matches_batch(spark, stream, sf_dir):
         for r in QUERIES["events_sliding"](spark, sf_dir).collect()
     }
     assert got == batch
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path, sf_dir):
+    """The stream-stream interval join (two watermarked sources, range
+    predicate) produces exactly the batch twin's oracle-checked pairs."""
+    from mlvectordb_spark.streaming.joins import stream_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purchases")
+    ev.filter(F.col("event_type") == "view").write.parquet(vdir)
+    ev.filter(F.col("event_type") == "purchase").write.parquet(pdir)
+    schema = ev.schema
+    vs = spark.readStream.schema(schema).parquet(vdir)
+    ps = spark.readStream.schema(schema).parquet(pdir)
+    joined = stream_attribution(vs, ps)
+    run_to_memory_sink(joined, "attribution_sink")
+    got = {
+        (r.user_id, r.view_id, r.purchase_id, r.lag_s)
+        for r in spark.sql("SELECT * FROM attribution_sink").collect()
+    }
+    want = {
+        (r.user_id, r.view_id, r.purchase_id, r.lag_s)
+        for r in QUERIES["events_attribution"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0

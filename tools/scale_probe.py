@@ -37,6 +37,26 @@ def synth_embeddings(spark, n: int, dim: int = 64):
     )
 
 
+def synth_clustered_embeddings(spark, n: int, dim: int = 64, n_centers: int = 32):
+    """Well-separated Gaussian-ish clusters (center spread ~±10, noise
+    ~±0.1) — the regime where certified cluster pruning actually prunes."""
+    df = spark.range(n).select(F.col("id").alias("vec_id"))
+    c = F.pmod(F.col("vec_id"), F.lit(n_centers))
+    comps = F.array(
+        *[
+            (
+                (F.pmod(F.xxhash64(c, F.lit(i)), F.lit(2_000)) / 100.0 - F.lit(10.0))
+                + (F.pmod(F.xxhash64(F.col("vec_id"), F.lit(i + dim)), F.lit(200))
+                   / 1_000.0 - F.lit(0.1))
+            ).cast("float")
+            for i in range(dim)
+        ]
+    )
+    return df.withColumn("embedding", comps).withColumn(
+        "label", c.cast("int")
+    )
+
+
 def synth_events(spark, n: int):
     df = spark.range(n).select(F.col("id").alias("event_id"))
     return (
@@ -88,6 +108,34 @@ def main():
     timed(
         "knn_join_16q_top5",
         lambda: knn_join(emb, queries, 5, metric="l2").count(),
+        out,
+    )
+
+    # The pruned batch serving shape vs the brute-force broadcast join.
+    # Uniform data is the certified path's honest WORST case (nothing can
+    # be pruned without risking exactness), so measure both regimes:
+    idx_u = IVFIndex(n_clusters=64, seed=42)
+    idx_u.build(emb)  # ingest-time work, excluded from the timing
+    timed(
+        "ivf_batch_exact_16q_top5_uniform",
+        lambda: len(idx_u.knn_join_exact(queries, 5).collect()),
+        out,
+    )
+
+    embc = synth_clustered_embeddings(spark, n_vec).localCheckpoint(eager=True)
+    queries_c = embc.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed(
+        "knn_join_16q_top5_clustered",
+        lambda: knn_join(embc, queries_c, 5, metric="l2").count(),
+        out,
+    )
+    idx_c = IVFIndex(n_clusters=32, seed=42)
+    idx_c.build(embc)
+    timed(
+        "ivf_batch_exact_16q_top5_clustered",
+        lambda: len(idx_c.knn_join_exact(queries_c, 5).collect()),
         out,
     )
 
