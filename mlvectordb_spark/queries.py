@@ -458,6 +458,43 @@ def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quality_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score histogram over fixed [0,1) decile bins — the corpus
+    health dashboard number. Fixed bins, NOT ntile: a global ntile is a
+    single-reducer sort at any scale, while floor(quality*10) is a
+    zero-shuffle expression plus a 10-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = TX.quality_score("text")
+    bin_ = F.least(F.lit(9), F.floor(q * 10)).cast("int")
+    return (
+        docs.select(q.alias("quality"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.min("quality"), 4).alias("min_quality"),
+            F.round(F.max("quality"), 4).alias("max_quality"),
+        )
+    )
+
+
+def q_orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-status counts of q_orders_pivot back
+    to long form via DataFrame.unpivot — the wide↔long roundtrip both
+    report tooling and ML feature prep lean on. Zero extra shuffle beyond
+    the pivot's aggregate: unpivot is a per-row expand."""
+    wide = q_orders_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "o_orderpriority",
+            ["n_open", "n_filled", "n_partial"],
+            "status_col",
+            "n_orders",
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
 def q_doc_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex scalar functions: leading token + whether the doc mentions
     'spark' as a whole word."""
@@ -2549,6 +2586,18 @@ SELECT o_orderpriority,
   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_partial
 FROM orders GROUP BY o_orderpriority
 """,
+    "orders_unpivot": """
+WITH wide AS (
+  SELECT o_orderpriority,
+    sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_open,
+    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_filled,
+    sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_partial
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status_col, n_orders
+FROM wide UNPIVOT (n_orders FOR status_col IN (n_open, n_filled, n_partial))
+WHERE n_orders > 0
+""",
     "doc_regex": """
 SELECT doc_id, regexp_extract(text, '^(\\w+)', 1) AS first_word,
   regexp_matches(text, '\\bspark\\b') AS mentions_spark
@@ -2681,6 +2730,15 @@ FROM t GROUP BY lang
 """,
     "doc_lang_id": _oracle_lang_id_sql(),
     "doc_quality": _oracle_quality_sql(),
+    "doc_quality_hist": f"""
+WITH q AS ({_oracle_quality_sql()})
+SELECT least(9, floor(quality * 10))::INT AS bin,
+  count(*)::BIGINT AS n_docs,
+  round(avg(quality), 4) AS avg_quality,
+  round(min(quality), 4) AS min_quality,
+  round(max(quality), 4) AS max_quality
+FROM q GROUP BY 1
+""",
     "bucketed_join": """
 SELECT o_orderpriority, count(*)::BIGINT AS n_items,
   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -3304,6 +3362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5": q_tpch_q5,
     "orders_cube": q_orders_cube,
     "orders_pivot": q_orders_pivot,
+    "orders_unpivot": q_orders_unpivot,
     "distinct_counts": q_distinct_counts,
     "token_freq": q_token_freq,
     "events_session_stats": q_events_session_stats,
@@ -3313,6 +3372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_prefix_buckets": q_dedup_prefix_buckets,
     "doc_lang_id": q_doc_lang_id,
     "doc_quality": q_doc_quality,
+    "doc_quality_hist": q_doc_quality_hist,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_repetition": q_doc_repetition,
     "events_asof_error": q_events_asof_error,

@@ -99,3 +99,15 @@ def stream_attribution(
         purchase_stream.withWatermark("ts", watermark)
     )
     return attribution_pairs(v, p, tolerance)
+
+
+def stream_static_enrich(
+    stream: DataFrame, profile: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: enrich a live event stream with a static (or
+    slowly-refreshed) profile table. The static side is re-planned per
+    micro-batch, so a profile refresh lands without restarting the query;
+    at scale the static side is the broadcast candidate and the stream
+    never shuffles for the join. Left join — an unknown key must not drop
+    the event (the enrichment is advisory, the event is the record)."""
+    return stream.join(F.broadcast(profile), key, "left")

@@ -172,3 +172,30 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path, sf_dir):
         for r in QUERIES["events_attribution"](spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_static_enrich_matches_batch(spark, stream, sf_dir):
+    """Stream-static left join: per-user profile columns attach to every
+    streamed event exactly as they do in batch."""
+    from mlvectordb_spark.streaming.joins import stream_static_enrich
+
+    ev = load_table(spark, sf_dir, "events")
+    profile = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("lifetime_value"),
+        F.count("*").alias("n_hist_events"),
+    )
+    enriched = stream_static_enrich(stream, profile).select(
+        "event_id", "user_id", "lifetime_value", "n_hist_events"
+    )
+    run_to_memory_sink(enriched, "enrich_sink")
+    got = {
+        (r.event_id, r.user_id, r.lifetime_value, r.n_hist_events)
+        for r in spark.sql("SELECT * FROM enrich_sink").collect()
+    }
+    want = {
+        (r.event_id, r.user_id, r.lifetime_value, r.n_hist_events)
+        for r in ev.join(F.broadcast(profile), "user_id", "left")
+        .select("event_id", "user_id", "lifetime_value", "n_hist_events")
+        .collect()
+    }
+    assert got == want and len(want) > 0
