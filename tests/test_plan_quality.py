@@ -232,3 +232,35 @@ def test_bucketed_join_needs_no_exchange_or_sort(spark, sf_dir):
         spark.conf.set(
             "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
         )
+
+
+def test_gopher_and_quality_sample_are_shuffle_free(spark, sf_dir):
+    """The rule gate and the importance-sampling coin are per-row
+    expressions: no Exchange, no Join, no Window anywhere in either
+    plan."""
+    for name in ("doc_gopher",):
+        raw = explain_query(QUERIES[name](spark, sf_dir))["raw"]
+        assert "Exchange" not in raw and "Join" not in raw, name
+        assert "Window" not in raw, name
+    # quality_sample aggregates per lang after the filter -> exactly the
+    # partial->final agg exchanges, still no join/window
+    raw = explain_query(QUERIES["quality_sample"](spark, sf_dir))["raw"]
+    assert "Join" not in raw and "Window" not in raw
+    assert raw.count("Exchange") <= 2
+
+
+def test_mixture_materialize_broadcasts_rates(spark, sf_dir):
+    """The per-source rate table is |sources| rows: it must broadcast;
+    the corpus itself must not exchange for the join."""
+    plan = explain_query(QUERIES["mixture_materialize"](spark, sf_dir))
+    assert plan["uses_broadcast"]
+
+
+def test_vocab_oov_broadcasts_vocab_and_take_ordered(spark, sf_dir):
+    """The vocab build truncates via TakeOrderedAndProject (no global
+    sort of the token counts) and the V-row vocab broadcasts into the
+    coverage join."""
+    plan = explain_query(QUERIES["vocab_oov"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan["raw"]
+    assert plan["uses_broadcast"]
+    assert "Exchange rangepartitioning" not in plan["raw"]
