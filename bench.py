@@ -44,6 +44,7 @@ HEADLINE = [
     "events_tumbling",
     "events_sessionize",
     "events_asof_error",
+    "events_attribution",
     "events_session_stats",
     "doc_quality",
     "doc_fingerprint",
@@ -80,6 +81,8 @@ HEADLINE = [
     # removal; plus the co-located (zero-exchange) bucketed join
     "doc_gopher",
     "quality_sample",
+    "vocab_oov",
+    "mixture_materialize",
     "doc_strip_dup_ngrams",
     "bucketed_join",
 ]
