@@ -789,6 +789,37 @@ class IVFPQIndex:
         self.ivf.indexed = self.encoded
         return self.encoded
 
+    def add(
+        self, df_new: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    ) -> DataFrame:
+        """W8 incremental add through the composed layout: assign new
+        vectors to their nearest EXISTING centroid (IVF's no-shuffle Arrow
+        argmin — no refit) and encode them with the EXISTING codebooks
+        (PQ's Arrow map). Neither layer's certification degrades: cluster
+        radii are invalidated and recomputed lazily (a new member can
+        extend one), and the per-vector reconstruction error is computed
+        fresh for each added vector, so exactness is unconditional — only
+        PRUNING quality drifts as data shifts away from the fitted
+        centroids/codebooks, which is what the IVF drift counter tracks
+        toward the W11 rebuild trigger."""
+        assigned = self.ivf._assign(df_new.drop("cluster_id"), vec_col)
+        encoded_new = self.pq.encode(assigned, vec_col=vec_col)
+        n_new = encoded_new.count()
+        assert self.encoded is not None
+        self.encoded = self.encoded.unionByName(
+            encoded_new.select(*self.encoded.columns)
+        )
+        self.ivf.indexed = self.encoded
+        self.pq.encoded = self.encoded
+        self.ivf._added_count += n_new
+        self.ivf._radii = self.ivf._counts = None
+        return self.encoded
+
+    def is_rebuild_required(self) -> bool:
+        """W11 delegation: the composed index drifts when its IVF layer
+        does (codebook drift tracks the same distribution shift)."""
+        return self.ivf.is_rebuild_required()
+
     def save(self, path: str) -> None:
         """Persist ONE physical dataset partitioned by cluster_id (probe =
         partition pruning) carrying codes + error + full vectors, plus the

@@ -514,3 +514,29 @@ def test_ivfpq_batch_knn_equals_brute_force(spark, emb):
         )
         assert [r.vec_id for r in got_q] == [r.vec_id for r in want]
         assert [r.score for r in got_q] == [r.score for r in want]
+
+
+def test_ivfpq_incremental_add_stays_exact(spark, emb):
+    """add() assigns to existing centroids and encodes with existing
+    codebooks; search through the grown index must STILL equal brute
+    force over the union (certification is unconditional - only pruning
+    quality drifts, tracked by the rebuild trigger)."""
+    from mlvectordb_spark.operators.ann import IVFPQIndex
+
+    base = emb.filter(F.col("vec_id") < 2500)
+    extra = emb.filter(F.col("vec_id") >= 2500)
+    idx = IVFPQIndex(n_clusters=8, m=8, k_sub=16, seed=42)
+    idx.build(base)
+    assert not idx.is_rebuild_required()
+    idx.add(extra)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    got = idx.search_exact(qvec, 10).collect()
+    want = knn(emb, qvec, 10, metric="l2").collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
+    assert [round(r.score, 4) for r in got] == [
+        round(r.score, 4) for r in want
+    ]
+    # enough adds relative to the fitted corpus -> drift trigger fires
+    assert idx.is_rebuild_required() == (
+        extra.count() / base.count() >= idx.ivf.REBUILD_THRESHOLD
+    )
