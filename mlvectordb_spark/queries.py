@@ -935,6 +935,21 @@ def q_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_materialize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokens-weighted mix materialized — same deterministic coin,
+    rates from token mass instead of doc counts (the standard pretraining
+    recipe when sources differ in average document length)."""
+    from mlvectordb_spark.operators.curation import materialize_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = materialize_mixture(docs, weight_by="tokens", salt="mixtok:")
+    return kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.sum(TX.token_count("text")).cast("bigint").alias("n_tokens_sampled"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+    )
+
+
 def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted deterministic sampling
     (operators/curation.quality_weighted_sample): each doc kept with
@@ -2778,6 +2793,26 @@ WITH c AS (
 SELECT source, count(*)::BIGINT AS n_sampled, sum(doc_id)::BIGINT AS sum_doc_id
 FROM k GROUP BY source
 """,
+    "mixture_materialize_tokens": f"""
+WITH c AS (
+  SELECT source,
+    sum(len(list_filter(string_split(text, ' '), t -> t != '')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+), r AS (
+  SELECT source,
+    round(least(1.0, pow(n_tokens, 0.5) / sum(pow(n_tokens, 0.5)) OVER ()
+                     * sum(n_tokens) OVER () / n_tokens), 6) AS rate
+  FROM c
+), k AS (
+  SELECT d.source, d.doc_id,
+    len(list_filter(string_split_regex(d.text, '\\s+'), t -> t != ''))::BIGINT AS ntok
+  FROM documents d JOIN r USING (source)
+  WHERE ({_oracle_hash_bucket_wide('mixtok:', nibbles=8)}::DOUBLE / 4294967296.0) < rate
+)
+SELECT source, count(*)::BIGINT AS n_sampled, sum(ntok)::BIGINT AS n_tokens_sampled,
+  sum(doc_id)::BIGINT AS sum_doc_id
+FROM k GROUP BY source
+""",
     "quality_sample": f"""
 WITH q AS ({{_QUALITY_BODY}}),
 k AS (
@@ -3350,6 +3385,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in r4 or earlier; still run by verify_local every session) ----
     "ann_ivfpq_batch": q_ann_ivfpq_batch,
     "mixture_materialize": q_mixture_materialize,
+    "mixture_materialize_tokens": q_mixture_materialize_tokens,
     "vocab_oov": q_vocab_oov,
     "events_attribution": q_events_attribution,
     "ns_stats": q_ns_stats,
