@@ -85,6 +85,9 @@ HEADLINE = [
     "mixture_materialize",
     "doc_strip_dup_ngrams",
     "bucketed_join",
+    # lexical retrieval + hybrid fusion (one-scan BM25, bounded-list RRF)
+    "bm25_topk",
+    "hybrid_rrf",
 ]
 
 

@@ -2315,6 +2315,91 @@ FROM r GROUP BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# Lexical retrieval + hybrid rank fusion (operators/retrieval.py)
+
+BM25_TERMS = ("hash", "merge", "scan")   # the probe query for lexical search
+BM25_K = 20
+RRF_POOL = 50                            # per-ranker pool fused by RRF
+RRF_K = 10
+RRF_KRRF = 60
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over `documents` for a fixed term query — the lexical
+    half of hybrid search. One corpus scan, zero data shuffles (per-term
+    array counts + a 1-row stats broadcast; see operators/retrieval.py).
+    Reference analog: the declared search surface (README.md:288) extended
+    with the lexical scorer every hybrid deployment pairs with the vector
+    index."""
+    from mlvectordb_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, BM25_K)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval via reciprocal-rank fusion: the
+    top-RRF_POOL BM25 list and the top-RRF_POOL L2-KNN list (query =
+    QUERY_VID's embedding, corpus keyed by vec_id = doc_id as in
+    emb_doc_join), fused as Σ 1/(60+rank). Each ranker touches the corpus
+    once with its own shuffle-free plan; the fusion join runs over two
+    ≤RRF_POOL-row lists."""
+    from mlvectordb_spark.operators.retrieval import bm25_scored, rrf_fuse, with_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == QUERY_VID)
+    lex = (
+        bm25_scored(docs, BM25_TERMS)
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(RRF_POOL)
+    )
+    lex_ranked = with_rank(lex, "score", "doc_id", ascending=False)
+    vec = (
+        knn_df(emb, qdf, RRF_POOL, metric="l2")
+        .select(F.col("vec_id").alias("doc_id"), "score")
+    )
+    vec_ranked = with_rank(vec, "score", "doc_id", ascending=True)
+    return rrf_fuse(lex_ranked, vec_ranked, "doc_id", RRF_K, RRF_KRRF)
+
+
+def _sql_bm25_scored() -> str:
+    """DuckDB CTE text producing bm25(doc_id, score) for BM25_TERMS —
+    shared by the bm25_topk and hybrid_rrf oracles. Mirrors the Robertson/
+    Lucene idf (ln(1+(N−df+½)/(df+½))), k1=1.2 / b=0.75, and the Spark
+    tokenizer (single-space split, empties dropped)."""
+    from mlvectordb_spark.operators.retrieval import BM25_B, BM25_K1
+
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, t -> t = '{t}'))::DOUBLE AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    norm = f"({BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))"
+    score_terms = " + ".join(
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * {BM25_K1 + 1.0} / (tf_{i} + {norm})"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+per_doc AS (
+  SELECT doc_id, len(toks)::DOUBLE AS dl, {tf_cols}
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        FROM documents)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl, {df_cols} FROM per_doc
+), bm25 AS (
+  SELECT doc_id, {score_terms} AS score
+  FROM per_doc CROSS JOIN stats
+  WHERE {" + ".join(f"tf_{i}" for i in range(len(BM25_TERMS)))} > 0
+)"""
+
+
 from mlvectordb_spark.operators import curation as CUR  # noqa: E402
 
 _GOPHER_STOP_IN = ", ".join(f"'{w}'" for w in CUR.GOPHER_STOP_MARKERS)
@@ -3335,6 +3420,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_exact": q_ann_pq_exact,
     "ann_ivfpq_exact": q_ann_ivfpq_exact,
     "hybrid_ivfpq_exact": q_hybrid_ivfpq_exact,
+    # -- lexical retrieval + hybrid fusion --
+    "bm25_topk": q_bm25_topk,
+    "hybrid_rrf": q_hybrid_rrf,
     # -- LLM-pipeline dedup / curation family --
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3438,6 +3526,41 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_lsh_knn": q_ann_lsh_knn,
 }
+
+ORACLE_SQL["bm25_topk"] = f"""
+WITH {_sql_bm25_scored()}
+SELECT doc_id, round(score, 4) AS score
+FROM bm25
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_K}
+"""
+
+ORACLE_SQL["hybrid_rrf"] = f"""
+WITH {_sql_bm25_scored()},
+lex AS (
+  SELECT doc_id, round(score, 4) AS s FROM bm25
+  ORDER BY s DESC, doc_id ASC LIMIT {RRF_POOL}
+), lex_r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank_a
+  FROM lex
+), q AS {_Q_CTE},
+vec AS (
+  SELECT vec_id AS doc_id, round({_sql_l2sq('embedding', 'qv')}, 4) AS s
+  FROM embeddings, q ORDER BY s ASC, doc_id ASC LIMIT {RRF_POOL}
+), vec_r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s ASC, doc_id ASC) AS rank_b
+  FROM vec
+), fused AS (
+  SELECT coalesce(lex_r.doc_id, vec_r.doc_id) AS doc_id,
+         rank_a::INT AS rank_a, rank_b::INT AS rank_b,
+         round(coalesce(1.0 / ({RRF_KRRF} + rank_a), 0)
+             + coalesce(1.0 / ({RRF_KRRF} + rank_b), 0), 6) AS rrf
+  FROM lex_r FULL JOIN vec_r ON lex_r.doc_id = vec_r.doc_id
+)
+SELECT doc_id, rank_a, rank_b, rrf FROM fused
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {RRF_K}
+"""
 
 # Keep ORACLE_SQL iteration order byte-identical to QUERIES order so the gate
 # is safe under either interpretation of "first 50 entries".

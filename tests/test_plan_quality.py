@@ -264,3 +264,26 @@ def test_vocab_oov_broadcasts_vocab_and_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan["raw"]
     assert plan["uses_broadcast"]
     assert "Exchange rangepartitioning" not in plan["raw"]
+
+
+def test_bm25_single_scan_no_data_shuffle(spark, sf_dir):
+    """BM25's only exchanges are the 1-row stats aggregate (partial->final
+    + its broadcast); per-doc scoring never shuffles and the top-k is
+    TakeOrderedAndProject. No sort-merge join, no window, no explode."""
+    plan = explain_query(QUERIES["bm25_topk"](spark, sf_dir))
+    raw = plan["raw"]
+    assert "TakeOrderedAndProject" in raw
+    assert plan["uses_broadcast"]
+    assert "SortMergeJoin" not in raw and "Window" not in raw
+    assert "Generate" not in raw  # no token explode — per-row array counts
+    assert "Exchange rangepartitioning" not in raw
+
+
+def test_hybrid_rrf_fuses_bounded_lists(spark, sf_dir):
+    """The fusion join runs over two <=RRF_POOL-row ranked lists: the
+    corpus-side plans stay TakeOrdered, and the only windows are the
+    single-partition ranks over the bounded lists (never over a corpus)."""
+    plan = explain_query(QUERIES["hybrid_rrf"](spark, sf_dir))
+    raw = plan["raw"]
+    assert "TakeOrderedAndProject" in raw
+    assert "Generate" not in raw
