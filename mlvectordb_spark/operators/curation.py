@@ -386,15 +386,15 @@ def strip_duplicate_ngrams(
         F.posexplode(TX.word_shingles(F.col("__toks"), k)).alias("pos", "sh"),
     )
     freq = sh.groupBy("sh").agg(F.count("*").alias("n"))
-    covered = (
-        sh.join(freq.filter(F.col("n") >= min_dup), "sh")
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
-            ).alias("pos"),
-        )
-        .distinct()
+    # NOTE: no .distinct() on the covered set — overlapping duplicate
+    # shingles do cover positions multiply, but LEFT ANTI join semantics
+    # ignore right-side multiplicity, so deduplicating here would only add
+    # a full extra shuffle of the covered positions for the same result.
+    covered = sh.join(freq.filter(F.col("n") >= min_dup), "sh").select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("pos"),
     )
     kept = pos_tok.join(covered, [id_col, "pos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
