@@ -3562,16 +3562,49 @@ ORDER BY rrf DESC, doc_id ASC
 LIMIT {RRF_K}
 """
 
+# ---------------------------------------------------------------------------
+# Driver-window rotation (round 5). The driver oracle-checks the FIRST 50
+# registry entries each round; everything else is re-verified locally via
+# tools/verify_local.py. Policy: (a) every oracle-backed entry that has
+# never had a driver row goes in the window first; (b) then the singletons
+# longest absent from a driver row (last checked r1/r2); (c) the remaining
+# slots keep a continuity core of r4-green flagship entries. Settled
+# r4-green entries rotate to 51+ (all were re-verified locally this round).
+_WINDOW = [
+    # (a) never driver-checked, oracle-backed — 21 entries
+    "ann_lsh_exact", "hybrid_ivf_exact", "ann_ivf_batch", "ann_pq_exact",
+    "ann_ivfpq_exact", "hybrid_ivfpq_exact", "ann_ivfpq_batch",
+    "bm25_topk", "hybrid_rrf",
+    "source_mixture_tokens", "doc_gopher", "quality_sample",
+    "doc_strip_dup_ngrams", "bucketed_join", "doc_bpe_tokens",
+    "mixture_materialize", "mixture_materialize_tokens", "vocab_oov",
+    "events_attribution", "orders_unpivot", "doc_quality_hist",
+    # (b) longest-resting driver rows (r1/r2) — 9 entries
+    "knn_ip", "threshold_cosine", "median_price", "orders_rollup",
+    "label_centroids", "conditional_agg", "doc_stats",
+    "events_first_per_key", "monthly_running_revenue",
+    # (c) continuity core (green r4, the flagship operators) — 20 entries
+    "knn_l2", "hybrid_knn", "knn_sq8", "ann_ivf_exact",
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_ingest_screen", "dedup_clusters", "curation_pipeline",
+    "decontaminate", "stratified_sample", "train_shuffle", "seq_pack",
+    "source_mixture", "store_roundtrip", "top_orders_per_cust",
+    "udaf_geomean", "events_sessionize", "doc_dup_ngrams",
+]
+assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
+QUERIES = {
+    k: QUERIES[k] for k in _WINDOW + [k for k in QUERIES if k not in _WINDOW]
+}
+
 # Keep ORACLE_SQL iteration order byte-identical to QUERIES order so the gate
 # is safe under either interpretation of "first 50 entries".
 ORACLE_SQL = {k: ORACLE_SQL[k] for k in QUERIES if k in ORACLE_SQL}
 assert set(ORACLE_SQL) <= set(QUERIES), "oracle without a registered query"
 _FIRST_50 = list(QUERIES)[:50]
-# dedup_embedding_ivf sits in-window deliberately WITHOUT an oracle (KMeans
-# blocking isn't SQL-expressible): the driver records its weaker rows+schema
-# check — the cluster-blocked variant is the 100 TB path and deserves the
-# driver row (round-3 verdict #9); its kernel's oracle parity was proven by
-# the label-blocked dedup_embedding in r3.
+# dedup_embedding_ivf got its deliberate rows-only driver row in r4 (KMeans
+# blocking isn't SQL-expressible; kernel parity proven by the label-blocked
+# dedup_embedding oracle in r3) and now rests at 51+ — the round-5 window is
+# 100% oracle-backed. The set stays so a future rotation can move it back in.
 _ROWS_ONLY_IN_WINDOW = {"dedup_embedding_ivf"}
 assert all(
     k in ORACLE_SQL or k in _ROWS_ONLY_IN_WINDOW for k in _FIRST_50
