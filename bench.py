@@ -88,6 +88,9 @@ HEADLINE = [
     # lexical retrieval + hybrid fusion (one-scan BM25, bounded-list RRF)
     "bm25_topk",
     "hybrid_rrf",
+    # classification serving + sketch calibration
+    "knn_classify",
+    "minhash_sim_est",
 ]
 
 

@@ -46,13 +46,12 @@ def shingle_table(
     ).filter(F.size("sh") > 0)
 
 
-def bands_from_shingles(
+def signature_table(
     sh_df: DataFrame, id_col: str = "doc_id", sh_col: str = "sh"
 ) -> DataFrame:
-    """(id, band_idx, band_hash): LSH band table from a shingle-set table.
-    Two docs are near-dup CANDIDATES iff they share any (band_idx,
-    band_hash) — the bands×rows split (4×2 over 8 minhashes) sets the
-    similarity threshold of the collision curve."""
+    """(id, m0..m7): the 8-component minhash signature per document —
+    explode shingles to rows (codegen md5/substring), then one groupBy(id)
+    of partial mins (see module docstring for why not the HOF form)."""
     hh = F.concat(
         F.md5(F.concat(F.lit("0:"), F.col("s"))),
         F.md5(F.concat(F.lit("1:"), F.col("s"))),
@@ -64,9 +63,19 @@ def bands_from_shingles(
             for i in range(NUM_MINHASHES)
         ],
     )
-    sig_row = chunked.groupBy(id_col).agg(
+    return chunked.groupBy(id_col).agg(
         *[F.min(f"c{i}").alias(f"m{i}") for i in range(NUM_MINHASHES)]
     )
+
+
+def bands_from_shingles(
+    sh_df: DataFrame, id_col: str = "doc_id", sh_col: str = "sh"
+) -> DataFrame:
+    """(id, band_idx, band_hash): LSH band table from a shingle-set table.
+    Two docs are near-dup CANDIDATES iff they share any (band_idx,
+    band_hash) — the bands×rows split (4×2 over 8 minhashes) sets the
+    similarity threshold of the collision curve."""
+    sig_row = signature_table(sh_df, id_col, sh_col)
     sig = F.array(*[F.col(f"m{i}") for i in range(NUM_MINHASHES)])
     band_arr = F.array(
         *[

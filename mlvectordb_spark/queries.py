@@ -2316,6 +2316,116 @@ FROM r GROUP BY label
 
 
 # ---------------------------------------------------------------------------
+# KNN classification, embedding health stats, minhash estimator calibration
+
+KNN_CLASSIFY_K = 10
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label prediction — the classification serving op
+    a labeled vector store supports on top of Q2's batch KNN (reference
+    analog: find_similar + client-side vote, README.md:299's labeled-data
+    positioning). Neighbors come from the broadcast batch-KNN join
+    (corpus never shuffles); the vote is a |queries|·k-row aggregate with
+    deterministic ties (votes desc, label asc)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERY_MAX_VID).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    data = emb.filter(F.col("vec_id") >= BATCH_QUERY_MAX_VID)
+    nbrs = knn_join(data, queries, KNN_CLASSIFY_K, metric="l2")
+    votes = (
+        nbrs.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").cast("bigint").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+def q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm distribution (n, avg/min/max L2 norm) —
+    the drift/health diagnostic a store reports per namespace-analog
+    (reference analog: Q11 statistics surface, README.md:312). Pure
+    codegen array folds + one |labels|-group aggregate with map-side
+    partials; no shuffle of vector data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = V.norm2(F.col("embedding"))
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+    )
+
+
+def q_minhash_sim_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash estimator calibration: for every LSH candidate pair, the
+    signature-estimated Jaccard (matching components / 8) NEXT TO the
+    exact shingle Jaccard — the sketch-vs-truth diagnostic that sizes the
+    bands×rows tradeoff on real data. Verifies the signature kernel
+    component-by-component (dedup_minhash only checks min-hash collisions
+    through band hashes; this oracle checks each of the 8 signature
+    components via the estimate). Same bounded candidate generation as
+    dedup_minhash; the signature join adds two bounded-side enrichments."""
+    from mlvectordb_spark.operators.minhash import (
+        NUM_MINHASHES,
+        band_candidate_pairs,
+        bands_from_shingles,
+        shingle_table,
+        signature_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh = shingle_table(docs).cache()
+    pairs = band_candidate_pairs(bands_from_shingles(sh))
+    sig = signature_table(sh).select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(NUM_MINHASHES)]).alias("sig"),
+    )
+    sh_sig = sh.join(sig, "doc_id")
+    a = sh_sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = sh_sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    enriched = pairs.join(a, "doc_a").join(b, "doc_b")
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return enriched.select(
+        "doc_a",
+        "doc_b",
+        F.round(matches.cast("double") / F.lit(float(NUM_MINHASHES)), 4).alias(
+            "est_jaccard"
+        ),
+        F.round(inter / union, 4).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Lexical retrieval + hybrid rank fusion (operators/retrieval.py)
 
 BM25_TERMS = ("hash", "merge", "scan")   # the probe query for lexical search
@@ -3423,6 +3533,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- lexical retrieval + hybrid fusion --
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
+    # -- classification / embedding health / sketch calibration --
+    "knn_classify": q_knn_classify,
+    "emb_stats": q_emb_stats,
+    "minhash_sim_est": q_minhash_sim_est,
     # -- LLM-pipeline dedup / curation family --
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3562,6 +3676,102 @@ ORDER BY rrf DESC, doc_id ASC
 LIMIT {RRF_K}
 """
 
+ORACLE_SQL["knn_classify"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {BATCH_QUERY_MAX_VID}
+), scored AS (
+  SELECT query_id, vec_id, label,
+         round({_sql_l2sq('embedding', 'qv')}, 4) AS s
+  FROM embeddings, q WHERE vec_id >= {BATCH_QUERY_MAX_VID}
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY s ASC, vec_id ASC) AS rn
+  FROM scored
+), votes AS (
+  SELECT query_id, label, count(*)::BIGINT AS votes
+  FROM ranked WHERE rn <= {KNN_CLASSIFY_K}
+  GROUP BY query_id, label
+), best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+  FROM votes
+)
+SELECT query_id, label AS pred_label, votes FROM best WHERE rn = 1
+"""
+
+ORACLE_SQL["emb_stats"] = """
+WITH n AS (
+  SELECT label,
+    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+)
+SELECT label, count(*)::BIGINT AS n_vectors,
+  round(avg(nrm), 4) AS avg_norm,
+  round(min(nrm), 4) AS min_norm,
+  round(max(nrm), 4) AS max_norm
+FROM n GROUP BY label
+"""
+
+
+def _oracle_minhash_est_sql() -> str:
+    """Candidate CTE chain identical to _oracle_minhash_sql (same capped
+    band buckets), final select = component-match estimate next to the
+    exact shingle Jaccard."""
+    from mlvectordb_spark.operators.minhash import NUM_MINHASHES
+
+    sig_items = ", ".join(
+        f"list_min(list_transform(hh, h -> substr(h, {i * 8 + 1}, 8)))"
+        for i in range(NUM_MINHASHES)
+    )
+    band_items = ", ".join(
+        "md5(array_to_string(sig[{lo}:{hi}], '|'))".format(
+            lo=b * MINHASH_ROWS + 1, hi=(b + 1) * MINHASH_ROWS
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH {_shingles_cte(SHINGLE_K)},
+hh_t AS (
+  SELECT doc_id, sh,
+    list_transform(sh, s -> md5('0:' || s) || md5('1:' || s)) AS hh
+  FROM sh_t WHERE len(sh) > 0
+),
+sig_t AS (
+  SELECT doc_id, sh, [{sig_items}] AS sig FROM hh_t
+), band_t AS (
+  SELECT doc_id, sh, [{band_items}] AS bands FROM sig_t
+), band_rows AS (
+  SELECT doc_id, i - 1 AS band_idx, bands[i] AS band_hash
+  FROM band_t, UNNEST(range(1, {MINHASH_BANDS} + 1)) AS u(i)
+), bcnt AS (
+  SELECT band_idx, band_hash,
+         CAST(ceil(count(*)::DOUBLE / {MINHASH_BAND_CAP}) AS INT) AS nb
+  FROM band_rows GROUP BY band_idx, band_hash
+), bkt AS (
+  SELECT doc_id, band_idx, band_hash,
+         ({_oracle_hash_bucket_wide('', salt_sql=_MH_BLK_SALT_SQL)} % nb) AS bucket
+  FROM band_rows JOIN bcnt USING (band_idx, band_hash)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bkt a JOIN bkt b USING (band_idx, band_hash, bucket)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  round(len(list_filter(range(1, {NUM_MINHASHES} + 1),
+                        i -> sa.sig[i] = sb.sig[i]))::DOUBLE
+        / {NUM_MINHASHES}, 4) AS est_jaccard,
+  round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE,
+        4) AS jaccard
+FROM cand
+JOIN sig_t sa ON sa.doc_id = doc_a
+JOIN sig_t sb ON sb.doc_id = doc_b
+"""
+
+
+ORACLE_SQL["minhash_sim_est"] = _oracle_minhash_est_sql()
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 5). The driver oracle-checks the FIRST 50
 # registry entries each round; everything else is re-verified locally via
@@ -3574,7 +3784,8 @@ _WINDOW = [
     # (a) never driver-checked, oracle-backed — 21 entries
     "ann_lsh_exact", "hybrid_ivf_exact", "ann_ivf_batch", "ann_pq_exact",
     "ann_ivfpq_exact", "hybrid_ivfpq_exact", "ann_ivfpq_batch",
-    "bm25_topk", "hybrid_rrf",
+    "bm25_topk", "hybrid_rrf", "knn_classify", "emb_stats",
+    "minhash_sim_est",
     "source_mixture_tokens", "doc_gopher", "quality_sample",
     "doc_strip_dup_ngrams", "bucketed_join", "doc_bpe_tokens",
     "mixture_materialize", "mixture_materialize_tokens", "vocab_oov",
@@ -3588,8 +3799,7 @@ _WINDOW = [
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_ingest_screen", "dedup_clusters", "curation_pipeline",
     "decontaminate", "stratified_sample", "train_shuffle", "seq_pack",
-    "source_mixture", "store_roundtrip", "top_orders_per_cust",
-    "udaf_geomean", "events_sessionize", "doc_dup_ngrams",
+    "source_mixture", "store_roundtrip", "doc_dup_ngrams",
 ]
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
 QUERIES = {
