@@ -2,15 +2,17 @@
 
 The Spark-side plumbing — schema (MEDIA_SCHEMA), partitioning, Arrow-batched
 mapInPandas pipelines, UDF signatures, batch shapes — is real and tested.
-Decoding is REAL for the uncompressed container formats that need no
-external library: PCM16 WAV (RIFF parse) and 24-bit BMP, both pure
-numpy/struct — the synthetic corpus emits genuine WAV/BMP payloads and
+Decoding is REAL for every format a pure stdlib/numpy codec can cover:
+PCM16 WAV (RIFF chunk walk), 24-bit BMP, and 8-bit non-interlaced RGB/RGBA
+PNG (zlib inflate + full five-filter scanline unfiltering + CRC checks) —
+the synthetic corpus emits genuine WAV/BMP/PNG payloads and
 `real_feature_extract` computes actual signal features (duration, RMS,
 zero-crossing rate, FFT band energies; image dims and channel statistics).
-COMPRESSED formats (PNG/JPEG/MP4) remain import-gated stubs: PIL /
-torchaudio / av are not in this container, so `decode_media` raises
-NotImplementedError for them, and `fake_feature_extract` (deterministic
-hash features) keeps those pipelines exercisable end-to-end.
+Formats that genuinely need an external codec (JPEG/WebP/MP4) remain
+import-gated stubs: PIL / torchaudio / av are not in this container, so
+`decode_media` raises NotImplementedError for them, and
+`fake_feature_extract` (deterministic hash features) keeps those pipelines
+exercisable end-to-end.
 
 Scale posture: payloads never pass through the driver; mapInPandas streams
 Arrow batches executor-side, and `batch_rows` caps decoded bytes held per
@@ -124,6 +126,108 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return out
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Real PNG bytes (8-bit RGB, filter 0, one IDAT) from a uint8 HxWx3
+    array — stdlib zlib DEFLATE + CRC32, no imaging library."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    raw = bytearray()
+    for y in range(h):
+        raw += b"\x00" + img[y].tobytes()  # filter type 0 per scanline
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """uint8 HxW x3 (RGB) or x4 (RGBA) array from an 8-bit non-interlaced
+    PNG — a REAL decoder: chunk walk with CRC verification, zlib inflate
+    of the concatenated IDATs, and scanline unfiltering for all five
+    filter types (None/Sub/Up/Average/Paeth per the PNG spec §9)."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = len(_PNG_SIG), bytearray(), None
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + size : pos + 12 + size])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if meta is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype_id, comp, filt, interlace = meta
+    if (depth, comp, filt, interlace) != (8, 0, 0, 0) or ctype_id not in (2, 6):
+        raise ValueError("only 8-bit non-interlaced RGB/RGBA PNG supported")
+    ch = 3 if ctype_id == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("scanline data size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)], dtype=np.uint8
+        ).copy()
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up — vectorizable, no intra-row dependency
+            line = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth: left-neighbor recurrence
+            cur = line.astype(np.int16)
+            pv = prev.astype(np.int16)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                if ft == 1:
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif ft == 3:
+                    cur[x] = (cur[x] + (a + int(pv[x])) // 2) & 0xFF
+                else:
+                    b_ = int(pv[x])
+                    c_ = int(pv[x - ch]) if x >= ch else 0
+                    p = a + b_ - c_
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c_)
+                    pr = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c_)
+                    cur[x] = (cur[x] + pr) & 0xFF
+            line = cur.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = line
+        prev = out[y]
+    return out.reshape(h, w, ch)
+
+
 def synthetic_media_df(
     spark: SparkSession, n: int = 64, seed: int = 42
 ) -> DataFrame:
@@ -159,8 +263,11 @@ def synthetic_media_df(
                 ],
                 axis=-1,
             ).astype(np.uint8)
-            payload = encode_bmp(img)
-            mime = "image/bmp"
+            # alternate containers so both real image codecs are exercised
+            if (i // 3) % 2 == 0:
+                payload, mime = encode_bmp(img), "image/bmp"
+            else:
+                payload, mime = encode_png(img), "image/png"
         else:
             payload = bytes(
                 rng.integers(
@@ -187,13 +294,17 @@ def decode_media(payload: bytes, modality: str, mime_type: str | None = None):
         return decode_wav(payload)
     if modality == "image" and (mt.endswith("bmp") or payload[:2] == b"BM"):
         return decode_bmp(payload)
+    if modality == "image" and (
+        mt.endswith("png") or payload[: len(_PNG_SIG)] == _PNG_SIG
+    ):
+        return decode_png(payload)
     if modality == "image":
         try:
             from PIL import Image  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
-                "compressed-image decode requires PIL (not available in this "
-                "environment); BMP decodes natively, or use "
+                "JPEG/WebP decode requires PIL (not available in this "
+                "environment); BMP and PNG decode natively, or use "
                 "fake_feature_extract for pipeline testing"
             ) from e
     raise NotImplementedError(f"no decoder wired for modality {modality!r}")
@@ -222,9 +333,15 @@ def _audio_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def _image_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Real image features from a BMP payload: dims, per-channel mean/std,
-    and mean absolute horizontal gradient — zero-padded to `dim`."""
-    img = decode_bmp(payload).astype(np.float64) / 255.0
+    """Real image features from a BMP or PNG payload: dims, per-channel
+    mean/std, and mean absolute horizontal gradient — zero-padded to
+    `dim`."""
+    raw = (
+        decode_png(payload)
+        if payload[: len(_PNG_SIG)] == _PNG_SIG
+        else decode_bmp(payload)
+    )
+    img = raw[:, :, :3].astype(np.float64) / 255.0
     out = np.zeros(dim, dtype=np.float32)
     h, w, _ = img.shape
     out[0] = h / 256.0

@@ -31,7 +31,7 @@ def test_decode_real_for_wav_bmp_stubbed_for_compressed(media):
     assert rate == 8000
     assert abs(len(samples) / rate * 1000 - aud.duration_ms) < 1
     with pytest.raises(NotImplementedError):
-        MM.decode_media(b"\x89PNG fake", "image", "image/png")
+        MM.decode_media(b"\xff\xd8\xff fake jpeg", "image", "image/jpeg")
     with pytest.raises(NotImplementedError):
         MM.decode_media(b"", "video")
 
@@ -105,3 +105,87 @@ def test_real_features_measure_the_signal(spark, media):
     vid = media.filter(F.col("modality") == "video").first()
     v = np.asarray(out[vid.media_id].feature)
     assert (v >= 0).all() and (v < 1).all() and v.std() > 0   # hash fallback
+
+
+def _filter_scanlines(img, ftypes):
+    """Reference PNG filtering (spec §9) to exercise the decoder's
+    unfilter paths with every filter type."""
+    import numpy as np
+
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int16)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        ft = ftypes[y % len(ftypes)]
+        cur = flat[y]
+        out = np.zeros(stride, dtype=np.int16)
+        for x in range(stride):
+            a = int(cur[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out[x] = (cur[x] - pred) & 0xFF
+        raw += bytes([ft]) + out.astype(np.uint8).tobytes()
+        prev = cur
+    return bytes(raw)
+
+
+def test_png_roundtrip_and_all_filter_types():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    # encoder (filter 0) roundtrip
+    assert (MM.decode_png(MM.encode_png(img)) == img).all()
+    # hand-filtered stream cycling through ALL five filter types
+    raw = _filter_scanlines(img, ftypes=[0, 1, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", 7, 9, 8, 2, 0, 0, 0)
+    payload = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(raw))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    assert (MM.decode_png(payload) == img).all()
+    # RGBA (color type 6) with Paeth everywhere
+    rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    raw4 = _filter_scanlines(rgba, ftypes=[4])
+    ihdr4 = struct.pack(">IIBBBBB", 4, 5, 8, 6, 0, 0, 0)
+    payload4 = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr4)
+        + MM._png_chunk(b"IDAT", zlib.compress(raw4))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    assert (MM.decode_png(payload4) == rgba).all()
+    # corrupted CRC must be rejected, not silently decoded
+    bad = bytearray(MM.encode_png(img))
+    bad[len(MM._PNG_SIG) + 8] ^= 0xFF  # flip a byte inside IHDR
+    with pytest.raises(ValueError):
+        MM.decode_png(bytes(bad))
+
+
+def test_synthetic_corpus_mixes_bmp_and_png(spark):
+    media = MM.synthetic_media_df(spark, n=30)
+    imgs = media.filter(F.col("modality") == "image").collect()
+    mimes = {r.mime_type for r in imgs}
+    assert mimes == {"image/bmp", "image/png"}
+    for r in imgs:
+        arr = MM.decode_media(r.payload, "image", r.mime_type)
+        assert arr.shape == (r.height, r.width, 3)
