@@ -91,6 +91,9 @@ HEADLINE = [
     # classification serving + sketch calibration
     "knn_classify",
     "minhash_sim_est",
+    # round-5 curation: cross-doc boilerplate signal, per-source domain cap
+    "doc_cross_dup_ngrams",
+    "source_cap",
 ]
 
 

@@ -602,3 +602,107 @@ def materialize_mixture(
         .filter(u < F.col("sampling_rate"))
         .drop("sampling_rate")
     )
+
+
+def cross_doc_ngram_coverage(
+    docs: DataFrame,
+    k: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document CROSS-document duplicate n-gram coverage: the fraction
+    of a doc's token positions covered by a k-gram that occurs in at least
+    `min_docs` DISTINCT documents. Where `duplicate_ngram_coverage` counts
+    total occurrences (so within-doc repetition alone trips it), this is
+    the inter-document boilerplate signal — the n-gram-granularity
+    approximation of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): high
+    coverage means the doc's content is largely shared verbatim with other
+    documents (template text, mirrored pages, licence headers), the prime
+    candidate set for substring-level removal.
+
+    Scale shape: identical to `duplicate_ngram_coverage` — linear position
+    explode, ONE shuffle to build the per-shingle distinct-doc counts
+    (count_distinct partials combine map-side after an in-doc dedup of
+    repeated shingles), AQE-sized join back, bounded per-doc
+    count_distinct for the interval union. Docs shorter than k tokens
+    carry no shingles and are omitted, matching the within-doc twin.
+    """
+    toks = TX.tokens(text_col)
+    base = docs.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= k
+    )
+    sh = base.select(
+        F.col(id_col),
+        F.posexplode(TX.word_shingles(F.col("__toks"), k)).alias("pos", "sh"),
+    )
+    freq = sh.groupBy("sh").agg(
+        F.count_distinct(id_col).alias("n_docs")
+    )
+    cov = (
+        sh.join(freq.filter(F.col("n_docs") >= min_docs), "sh")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("cp"),
+        )
+        .groupBy(id_col)
+        .agg(F.count_distinct("cp").alias("covered"))
+    )
+    return (
+        base.select(F.col(id_col), F.size("__toks").cast("bigint").alias("n_tokens"))
+        .join(cov, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                4,
+            ).alias("shared_ngram_frac"),
+        )
+    )
+
+
+def cap_per_source(
+    docs: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "srccap:",
+) -> DataFrame:
+    """Per-source frequency cap: keep at most `cap` documents from each
+    source, chosen deterministically — the domain-cap step of web-scale
+    corpus curation (no single domain/site may dominate the training mix;
+    cf. the per-domain page caps of C4/RefinedWeb-style pipelines). The
+    kept subset is the `cap` docs with the smallest md5(salt || id) within
+    the source: a uniform hash-rank, so selection is reproducible across
+    runs, engines, partitionings, and retries, is unbiased w.r.t. any real
+    attribute, and a new salt draws a fresh epoch. Returns
+    (id, source, hash-rank) for the kept docs.
+
+    Scale shape: one shuffle on `source_col` feeding a row_number window —
+    rank demands a per-source ordering, there is no order-free exact
+    selection. Per-source work is O(n log n) in that source's docs; a
+    pathological mega-domain concentrates its whole slab on one task, the
+    same skew posture as any per-key top-k. Mitigation at 100 TB: gate the
+    window behind an approximate hash-threshold pre-filter — keep only
+    docs with hash below ~(c·cap/count)-quantile via the broadcastable
+    per-source counts, then exact-rank the survivors (exactness then needs
+    a per-source survivor-count check; this operator keeps the one-pass
+    exact form and leaves the pre-filter to `operators/skew.py` tooling).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.select(F.col(id_col), F.col(source_col), h.alias("__h"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= cap)
+        .drop("__h")
+    )

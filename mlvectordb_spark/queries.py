@@ -1990,6 +1990,30 @@ def q_doc_strip_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicate_ngrams(docs, k=SHINGLE_K)
 
 
+def q_doc_cross_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-trigram coverage: fraction of each doc's
+    token positions covered by a trigram present in >= 2 DISTINCT docs —
+    the inter-document boilerplate signal (n-gram-granularity substring
+    dedup, Lee et al. 2022), vs doc_dup_ngrams' total-occurrence twin."""
+    from mlvectordb_spark.operators.curation import cross_doc_ngram_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_doc_ngram_coverage(docs, k=SHINGLE_K, min_docs=2)
+
+
+SOURCE_CAP = 10
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency cap (domain cap): deterministically keep at
+    most SOURCE_CAP docs per source by md5 hash-rank — the C4/RefinedWeb
+    'no domain dominates the mix' curation step, retry-idempotent."""
+    from mlvectordb_spark.operators.curation import cap_per_source
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_source(docs, cap=SOURCE_CAP, salt="srccap:")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the n-gram
     Jaccard candidate pairs, labeling each clustered doc with the min doc
@@ -3142,6 +3166,38 @@ SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
 FROM toks_t t LEFT JOIN cov USING (doc_id)
 WHERE len(t.toks) >= {SHINGLE_K}
 """,
+    "doc_cross_dup_ngrams": f"""
+WITH toks_t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+  FROM documents
+), sh_t AS (
+  SELECT doc_id, len(toks) AS n_tokens, i AS pos,
+    array_to_string(toks[i:i+{SHINGLE_K - 1}], ' ') AS sh
+  FROM toks_t, UNNEST(range(1, len(toks) - {SHINGLE_K} + 2)) AS u(i)
+  WHERE len(toks) >= {SHINGLE_K}
+), freq AS (
+  SELECT sh, count(DISTINCT doc_id) AS n_docs FROM sh_t GROUP BY sh
+), cov AS (
+  SELECT doc_id, count(DISTINCT pos + j) AS covered
+  FROM sh_t JOIN freq USING (sh), UNNEST(range(0, {SHINGLE_K})) AS v(j)
+  WHERE freq.n_docs >= 2
+  GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+  round(coalesce(cov.covered, 0)::DOUBLE / len(t.toks), 4) AS shared_ngram_frac
+FROM toks_t t LEFT JOIN cov USING (doc_id)
+WHERE len(t.toks) >= {SHINGLE_K}
+""",
+    "source_cap": f"""
+SELECT doc_id, source, rnk FROM (
+  SELECT doc_id, source,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5('srccap:' || doc_id::VARCHAR), doc_id
+    )::BIGINT AS rnk
+  FROM documents
+) WHERE rnk <= {SOURCE_CAP}
+""",
     "doc_strip_dup_ngrams": f"""
 WITH toks_t AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
@@ -3560,6 +3616,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_gopher": q_doc_gopher,
     "quality_sample": q_quality_sample,
     "doc_strip_dup_ngrams": q_doc_strip_dup_ngrams,
+    "doc_cross_dup_ngrams": q_doc_cross_dup_ngrams,
+    "source_cap": q_source_cap,
     # -- write path / misc oracle-backed --
     "store_roundtrip": q_store_roundtrip,
     # -- relational layer (incl. the co-located bucketed-layout join) --
@@ -3781,7 +3839,7 @@ ORACLE_SQL["minhash_sim_est"] = _oracle_minhash_est_sql()
 # slots keep a continuity core of r4-green flagship entries. Settled
 # r4-green entries rotate to 51+ (all were re-verified locally this round).
 _WINDOW = [
-    # (a) never driver-checked, oracle-backed — 21 entries
+    # (a) never driver-checked, oracle-backed — 26 entries
     "ann_lsh_exact", "hybrid_ivf_exact", "ann_ivf_batch", "ann_pq_exact",
     "ann_ivfpq_exact", "hybrid_ivfpq_exact", "ann_ivfpq_batch",
     "bm25_topk", "hybrid_rrf", "knn_classify", "emb_stats",
@@ -3790,16 +3848,17 @@ _WINDOW = [
     "doc_strip_dup_ngrams", "bucketed_join", "doc_bpe_tokens",
     "mixture_materialize", "mixture_materialize_tokens", "vocab_oov",
     "events_attribution", "orders_unpivot", "doc_quality_hist",
+    "doc_cross_dup_ngrams", "source_cap",
     # (b) longest-resting driver rows (r1/r2) — 9 entries
     "knn_ip", "threshold_cosine", "median_price", "orders_rollup",
     "label_centroids", "conditional_agg", "doc_stats",
     "events_first_per_key", "monthly_running_revenue",
-    # (c) continuity core (green r4, the flagship operators) — 20 entries
+    # (c) continuity core (green r4, the flagship operators) — 15 entries
     "knn_l2", "hybrid_knn", "knn_sq8", "ann_ivf_exact",
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_ingest_screen", "dedup_clusters", "curation_pipeline",
-    "decontaminate", "stratified_sample", "train_shuffle", "seq_pack",
-    "source_mixture", "store_roundtrip", "doc_dup_ngrams",
+    "decontaminate", "train_shuffle", "seq_pack",
+    "store_roundtrip", "doc_dup_ngrams",
 ]
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
 QUERIES = {

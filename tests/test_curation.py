@@ -422,3 +422,54 @@ def test_materialize_mixture_hits_prescribed_rates(spark):
     b = {r.doc_id for r in materialize_mixture(docs).collect()}
     c = {r.doc_id for r in materialize_mixture(docs, salt="mix2:").collect()}
     assert a == b and a != c
+
+
+def test_cross_doc_ngram_coverage_ignores_within_doc_repeats(spark):
+    """The cross-doc variant fires only on n-grams SHARED across distinct
+    docs: a doc that repeats itself internally but shares nothing scores
+    0, while the within-doc twin (duplicate_ngram_coverage) scores it >0;
+    genuinely shared spans cover the same positions in both."""
+    from mlvectordb_spark.operators.curation import (
+        cross_doc_ngram_coverage,
+        duplicate_ngram_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb cc aa bb cc"),  # self-repeating, shared with nobody
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumps"),  # exact dup of 1
+            (3, "xx the quick brown yy zz"),  # shares one 3-gram with 1/2
+        ],
+        "doc_id long, text string",
+    )
+    cross = {r.doc_id: r for r in cross_doc_ngram_coverage(docs, k=3).collect()}
+    within = {r.doc_id: r for r in duplicate_ngram_coverage(docs, k=3).collect()}
+    assert cross[0].shared_ngram_frac == 0.0  # within-doc repeats don't count
+    assert within[0].dup_ngram_frac == 1.0  # ...but the total-occurrence twin fires
+    assert cross[1].shared_ngram_frac == 1.0 and cross[2].shared_ngram_frac == 1.0
+    assert cross[3].shared_ngram_frac == 0.5  # positions 1-3 of 6
+
+
+def test_cap_per_source_deterministic_and_exact(spark):
+    """Each source keeps exactly min(cap, n) docs; the kept set is stable
+    across recomputation (hash-ranked, not rand()) and changes with salt."""
+    from mlvectordb_spark.operators.curation import cap_per_source
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "txt") for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    out = cap_per_source(docs, cap=4)
+    per_src = {
+        r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_src == {"s0": 4, "s1": 4, "s2": 4}
+    assert out.agg(F.max("rnk")).first()[0] == 4
+    ids_a = sorted(r.doc_id for r in out.collect())
+    ids_b = sorted(r.doc_id for r in cap_per_source(docs, cap=4).collect())
+    assert ids_a == ids_b  # retry-idempotent
+    ids_c = sorted(r.doc_id for r in cap_per_source(docs, cap=4, salt="other:").collect())
+    assert ids_a != ids_c  # a new salt draws a fresh epoch
+    # cap above the source size keeps everything
+    assert cap_per_source(docs, cap=99).count() == 30
