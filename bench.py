@@ -91,9 +91,11 @@ HEADLINE = [
     # classification serving + sketch calibration
     "knn_classify",
     "minhash_sim_est",
-    # round-5 curation: cross-doc boilerplate signal, per-source domain cap
+    # round-5 curation: cross-doc boilerplate signal, per-source domain cap,
+    # quality-policy cluster survivor
     "doc_cross_dup_ngrams",
     "source_cap",
+    "dedup_keep_best",
 ]
 
 

@@ -93,3 +93,49 @@ def dedup_cluster_assignment(
     pipeline."""
     comp = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
     return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster"))
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivor selection with a QUALITY policy: for each duplicate
+    cluster, keep the single highest-quality member (ties broken by min
+    id) instead of `dedup_cluster_assignment`'s numerically-first doc —
+    the survivor rule a production corpus actually wants (when near-dups
+    differ by truncation or boilerplate, keep the best copy, cf. the
+    cluster-representative choice in RefinedWeb/SlimPajama-style
+    pipelines). Returns one row per cluster: (cluster, keep_id, quality).
+
+    Scale shape: `clusters` is proportional to the duplicate set (not the
+    corpus); the docs join brings in only clustered members, and the
+    argmax is ONE groupBy(cluster) with a map-side partial max over a
+    (quality, -id) struct — no window, no sort. The struct max is
+    deterministic under quality ties because -id strictly orders members.
+    """
+    from mlvectordb_spark.functions import text as TX
+
+    scored = clusters.join(
+        docs.select(
+            F.col(id_col), TX.quality_score(F.col(text_col)).alias("__q")
+        ),
+        id_col,
+    )
+    return (
+        scored.groupBy("cluster")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__q").alias("q"),
+                    (-F.col(id_col)).alias("negid"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "cluster",
+            (-F.col("m.negid")).cast("bigint").alias("keep_id"),
+            F.col("m.q").alias("quality"),
+        )
+    )

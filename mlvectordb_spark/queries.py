@@ -2034,6 +2034,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-policy survivor per duplicate cluster: highest
+    quality_score wins (ties → min doc id) — the production alternative to
+    dedup_clusters' min-id canonical survivor. Reuses the checkpointed
+    n-gram candidate pairs and the same component labeling."""
+    from mlvectordb_spark.operators.components import (
+        dedup_cluster_assignment,
+        keep_best_per_cluster,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    clusters = dedup_cluster_assignment(pairs)
+    return keep_best_per_cluster(clusters, docs).select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "keep_id",
+        "quality",
+    )
+
+
 def q_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 quantization quality: per-label mean/max absolute reconstruction
     error (bounded by (max-min)/510 per vector by construction)."""
@@ -3323,6 +3347,38 @@ reach(a, b) AS (
 )
 SELECT a AS doc_id, min(b)::BIGINT AS cluster FROM reach GROUP BY a
 """,
+    "dedup_keep_best": f"""
+WITH RECURSIVE {_oracle_ngram_pairs_body()},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM ngram_pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM ngram_pairs
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clus AS (
+  SELECT a AS doc_id, min(b)::BIGINT AS cluster FROM reach GROUP BY a
+),
+qual AS (
+  SELECT doc_id,
+    round(CASE WHEN len(toks) > 0 THEN
+      0.4 * least(1.0, len(toks)::DOUBLE / 50.0)
+      + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+      + 0.2 * (1.0 - len(list_filter(toks, t -> t IN ({", ".join(f"'{w}'" for w in TX.STOPWORDS)})))::DOUBLE / len(toks)::DOUBLE)
+    ELSE 0.0 END, 4) AS quality
+  FROM toks_t
+)
+SELECT cluster, keep_id, quality FROM (
+  SELECT c.cluster, c.doc_id AS keep_id, q.quality,
+    row_number() OVER (
+      PARTITION BY c.cluster ORDER BY q.quality DESC, c.doc_id ASC
+    ) AS rn
+  FROM clus c JOIN qual q USING (doc_id)
+) WHERE rn = 1
+""",
     "decontaminate": f"""
 WITH toks_t AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
@@ -3600,6 +3656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_ivf": q_dedup_embedding_ivf,  # rows-only: KMeans blocker
     "dedup_ingest_screen": q_dedup_ingest_screen,  # streaming-dedup batch twin
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "curation_pipeline": q_curation_pipeline,
     "decontaminate": q_decontaminate,
     "pii_scrub": q_pii_scrub,
@@ -3839,7 +3896,7 @@ ORACLE_SQL["minhash_sim_est"] = _oracle_minhash_est_sql()
 # slots keep a continuity core of r4-green flagship entries. Settled
 # r4-green entries rotate to 51+ (all were re-verified locally this round).
 _WINDOW = [
-    # (a) never driver-checked, oracle-backed — 26 entries
+    # (a) never driver-checked, oracle-backed — 27 entries
     "ann_lsh_exact", "hybrid_ivf_exact", "ann_ivf_batch", "ann_pq_exact",
     "ann_ivfpq_exact", "hybrid_ivfpq_exact", "ann_ivfpq_batch",
     "bm25_topk", "hybrid_rrf", "knn_classify", "emb_stats",
@@ -3848,16 +3905,16 @@ _WINDOW = [
     "doc_strip_dup_ngrams", "bucketed_join", "doc_bpe_tokens",
     "mixture_materialize", "mixture_materialize_tokens", "vocab_oov",
     "events_attribution", "orders_unpivot", "doc_quality_hist",
-    "doc_cross_dup_ngrams", "source_cap",
+    "doc_cross_dup_ngrams", "source_cap", "dedup_keep_best",
     # (b) longest-resting driver rows (r1/r2) — 9 entries
     "knn_ip", "threshold_cosine", "median_price", "orders_rollup",
     "label_centroids", "conditional_agg", "doc_stats",
     "events_first_per_key", "monthly_running_revenue",
-    # (c) continuity core (green r4, the flagship operators) — 15 entries
+    # (c) continuity core (green r4, the flagship operators) — 14 entries
     "knn_l2", "hybrid_knn", "knn_sq8", "ann_ivf_exact",
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_ingest_screen", "dedup_clusters", "curation_pipeline",
-    "decontaminate", "train_shuffle", "seq_pack",
+    "decontaminate", "train_shuffle",
     "store_roundtrip", "doc_dup_ngrams",
 ]
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50

@@ -473,3 +473,31 @@ def test_cap_per_source_deterministic_and_exact(spark):
     assert ids_a != ids_c  # a new salt draws a fresh epoch
     # cap above the source size keeps everything
     assert cap_per_source(docs, cap=99).count() == 30
+
+
+def test_keep_best_per_cluster_picks_quality_argmax(spark):
+    """Cluster survivor = highest quality_score, min-id on ties; cluster
+    labels pass through from the assignment."""
+    from mlvectordb_spark.operators.components import keep_best_per_cluster
+    from mlvectordb_spark.functions.text import quality_score
+
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)],
+        "doc_id long, cluster long",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "aa aa aa aa"),  # low diversity -> low quality
+            (1, "many distinct interesting tokens appear here today friend"),
+            (2, "aa bb aa bb"),
+            (10, "same text here"),
+            (11, "same text here"),  # identical quality -> min id (10) wins
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.cluster: r for r in keep_best_per_cluster(clusters, docs).collect()}
+    assert set(out) == {0, 10}
+    assert out[0].keep_id == 1
+    assert out[10].keep_id == 10
+    q1 = docs.filter("doc_id = 1").select(quality_score("text")).first()[0]
+    assert out[0].quality == q1
