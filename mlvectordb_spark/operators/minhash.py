@@ -68,14 +68,13 @@ def signature_table(
     )
 
 
-def bands_from_shingles(
-    sh_df: DataFrame, id_col: str = "doc_id", sh_col: str = "sh"
+def bands_from_signatures(
+    sig_row: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, band_idx, band_hash): LSH band table from a shingle-set table.
-    Two docs are near-dup CANDIDATES iff they share any (band_idx,
-    band_hash) — the bands×rows split (4×2 over 8 minhashes) sets the
-    similarity threshold of the collision curve."""
-    sig_row = signature_table(sh_df, id_col, sh_col)
+    """(id, band_idx, band_hash) from a prebuilt (id, m0..m7) signature
+    table — lets a caller that ALSO consumes the signatures (e.g. the
+    estimator-calibration query) run the md5/groupBy-min kernel once and
+    feed both consumers from it."""
     sig = F.array(*[F.col(f"m{i}") for i in range(NUM_MINHASHES)])
     band_arr = F.array(
         *[
@@ -88,6 +87,16 @@ def bands_from_shingles(
     return sig_row.select(
         F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
     )
+
+
+def bands_from_shingles(
+    sh_df: DataFrame, id_col: str = "doc_id", sh_col: str = "sh"
+) -> DataFrame:
+    """(id, band_idx, band_hash): LSH band table from a shingle-set table.
+    Two docs are near-dup CANDIDATES iff they share any (band_idx,
+    band_hash) — the bands×rows split (4×2 over 8 minhashes) sets the
+    similarity threshold of the collision curve."""
+    return bands_from_signatures(signature_table(sh_df, id_col, sh_col), id_col)
 
 
 def band_candidate_pairs(

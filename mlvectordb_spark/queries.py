@@ -2425,11 +2425,16 @@ def q_minhash_sim_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     component-by-component (dedup_minhash only checks min-hash collisions
     through band hashes; this oracle checks each of the 8 signature
     components via the estimate). Same bounded candidate generation as
-    dedup_minhash; the signature join adds two bounded-side enrichments."""
+    dedup_minhash; the signature join adds two bounded-side enrichments.
+
+    The signature table feeds BOTH the band/candidate pipeline and the
+    estimate join, so it is localCheckpointed once (8 fixed-width strings
+    per doc — strictly smaller than the shingle cache) and the md5 +
+    groupBy-min kernel runs a single time instead of once per consumer."""
     from mlvectordb_spark.operators.minhash import (
         NUM_MINHASHES,
         band_candidate_pairs,
-        bands_from_shingles,
+        bands_from_signatures,
         shingle_table,
         signature_table,
     )
@@ -2438,8 +2443,9 @@ def q_minhash_sim_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     sh = shingle_table(docs).cache()
-    pairs = band_candidate_pairs(bands_from_shingles(sh))
-    sig = signature_table(sh).select(
+    sig_row = signature_table(sh).localCheckpoint()
+    pairs = band_candidate_pairs(bands_from_signatures(sig_row))
+    sig = sig_row.select(
         "doc_id",
         F.array(*[F.col(f"m{i}") for i in range(NUM_MINHASHES)]).alias("sig"),
     )
