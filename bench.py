@@ -38,6 +38,9 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
     "top_orders_per_cust",
     "revenue_by_month",
     "events_json",

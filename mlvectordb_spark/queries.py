@@ -324,6 +324,81 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecast-revenue: pure filter + global agg over
+    lineitem — the canonical predicate-pushdown showcase (every predicate
+    reaches the parquet scan as PushedFilters; only 3 columns are read)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item report: top 20 customers by revenue
+    lost to returns in a quarter. lineitem never shuffles for the
+    customer/nation joins (broadcast dims); the final top-k is a
+    TakeOrderedAndProject, not a global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+TPCH_Q18_QTY = 300
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: orders whose total line
+    quantity exceeds a threshold, with their customers. The HAVING
+    aggregate runs FIRST on lineitem alone (map-side partials shrink it to
+    one row per order before any join); the survivor set is highly
+    selective (~0.3% of orders) but data-dependent, so it carries NO
+    broadcast hint — AQE picks broadcast from its runtime size, the same
+    contract as the dedup enrichment joins. customer is a bounded dim →
+    forced broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > TPCH_Q18_QTY)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
 def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k per group: 3 highest-value orders per customer."""
     orders = load_table(spark, sf_dir, "orders")
@@ -2787,6 +2862,40 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name
 """,
+    "tpch_q6": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    "tpch_q10": """
+SELECT c_custkey, c_name, n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    "tpch_q18": f"""
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 2) > {TPCH_Q18_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
     "top_orders_per_cust": """
 SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -3719,6 +3828,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_ops": q_array_ops,
     "events_json": q_events_json,
     "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q18": q_tpch_q18,
     "orders_cube": q_orders_cube,
     "orders_pivot": q_orders_pivot,
     "orders_unpivot": q_orders_unpivot,
@@ -3902,7 +4014,7 @@ ORACLE_SQL["minhash_sim_est"] = _oracle_minhash_est_sql()
 # slots keep a continuity core of r4-green flagship entries. Settled
 # r4-green entries rotate to 51+ (all were re-verified locally this round).
 _WINDOW = [
-    # (a) never driver-checked, oracle-backed — 27 entries
+    # (a) never driver-checked, oracle-backed — 30 entries
     "ann_lsh_exact", "hybrid_ivf_exact", "ann_ivf_batch", "ann_pq_exact",
     "ann_ivfpq_exact", "hybrid_ivfpq_exact", "ann_ivfpq_batch",
     "bm25_topk", "hybrid_rrf", "knn_classify", "emb_stats",
@@ -3912,15 +4024,15 @@ _WINDOW = [
     "mixture_materialize", "mixture_materialize_tokens", "vocab_oov",
     "events_attribution", "orders_unpivot", "doc_quality_hist",
     "doc_cross_dup_ngrams", "source_cap", "dedup_keep_best",
+    "tpch_q6", "tpch_q10", "tpch_q18",
     # (b) longest-resting driver rows (r1/r2) — 9 entries
     "knn_ip", "threshold_cosine", "median_price", "orders_rollup",
     "label_centroids", "conditional_agg", "doc_stats",
     "events_first_per_key", "monthly_running_revenue",
-    # (c) continuity core (green r4, the flagship operators) — 14 entries
-    "knn_l2", "hybrid_knn", "knn_sq8", "ann_ivf_exact",
+    # (c) continuity core (green r4, the flagship operators) — 11 entries
+    "knn_l2", "hybrid_knn", "ann_ivf_exact",
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_ingest_screen", "dedup_clusters", "curation_pipeline",
-    "decontaminate", "train_shuffle",
     "store_roundtrip", "doc_dup_ngrams",
 ]
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50

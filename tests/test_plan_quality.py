@@ -287,3 +287,33 @@ def test_hybrid_rrf_fuses_bounded_lists(spark, sf_dir):
     raw = plan["raw"]
     assert "TakeOrderedAndProject" in raw
     assert "Generate" not in raw
+
+
+def test_tpch_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the pushdown showcase: shipdate/discount/quantity filters all
+    reach the parquet scan, and the scan reads only the three columns the
+    query touches (plus none of the wide rest of lineitem)."""
+    plan = explain_query(QUERIES["tpch_q6"](spark, sf_dir))
+    pushed = " ".join(plan["pushed_filters"])
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} filter must reach the scan: {pushed}"
+    assert all("l_partkey" not in rs for rs in plan["read_schemas"])
+
+
+def test_tpch_q10_top_k_and_broadcast_dims(spark, sf_dir):
+    plan = explain_query(QUERIES["tpch_q10"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in _ops(plan)
+    assert plan["uses_broadcast"], "customer/nation dims should broadcast"
+
+
+def test_tpch_q18_no_forced_broadcast_of_aggregate(spark, sf_dir):
+    """The HAVING survivor set is data-dependent: the plan must not carry
+    a planner-forced broadcast of the lineitem aggregate (AQE may still
+    choose one at runtime from observed sizes)."""
+    from mlvectordb_spark.queries import q_tpch_q18
+    import inspect
+
+    src = inspect.getsource(q_tpch_q18)
+    assert "F.broadcast(big)" not in src
+    plan = explain_query(QUERIES["tpch_q18"](spark, sf_dir))
+    assert "l_orderkey" in plan["raw"]
