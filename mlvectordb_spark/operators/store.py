@@ -199,12 +199,7 @@ class VectorStore:
         return os.path.join(self.path, "write_version.json")
 
     def _next_version(self) -> int:
-        try:
-            with open(self._version_path, encoding="utf-8") as fh:
-                v = int(json.load(fh)["v"])
-        except (OSError, ValueError, KeyError):
-            v = 0
-        v += 1
+        v = self.current_version() + 1
         with open(self._version_path, "w", encoding="utf-8") as fh:
             json.dump({"v": v}, fh)
         return v
@@ -261,16 +256,26 @@ class VectorStore:
         if tomb is None:
             return
         remaining = tomb.join(keys, ["id", "namespace"], "left_anti")
+        n_before, n_after = tomb.count(), remaining.count()
         tmp = os.path.join(self.path, ".tomb_upsert_tmp")
         remaining.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(self.tomb_path)
         os.rename(tmp, self.tomb_path)
+        if n_after < n_before:
+            # a delete EVENT was physically erased (the resurrecting upsert
+            # supersedes it in the live view) — history before this point
+            # can no longer be reconstructed exactly
+            self._bump_history_floor()
 
     def _tombstones(self) -> DataFrame | None:
+        # write_version stamps the DELETE event for time-travel/CDC
+        # (df_as_of / changes_since); files written before tombstone
+        # versioning read the column as null ≡ version 0, the same
+        # convention as STORAGE_SCHEMA.
         try:
-            return self.spark.read.schema("id string, namespace string").parquet(
-                self.tomb_path
-            )
+            return self.spark.read.schema(
+                "id string, namespace string, write_version long"
+            ).parquet(self.tomb_path)
         except Exception:  # noqa: BLE001
             return None
 
@@ -287,6 +292,135 @@ class VectorStore:
                 F.broadcast(tomb), on=["id", "namespace"], how="left_anti"
             )
         return self._latest_wins(raw).drop("write_version")
+
+    # -- time travel / CDC ---------------------------------------------------
+    # Every mutation already carries a monotone write_version (rows since
+    # round 4, tombstones since round 5), so the store holds an event log
+    # for free: state-as-of and changes-since fall out of version-ordered
+    # latest-event-wins. History is exact back to a tracked FLOOR — the
+    # version at the last event-erasing rewrite (compaction collapses
+    # superseded versions and folds tombstones in; an upsert over a deleted
+    # id retires its tombstone). Same retention contract as Delta's
+    # time travel across VACUUM: reconstructable history is bounded by
+    # physical cleanup, and the floor makes the bound explicit instead of
+    # silently returning wrong answers.
+
+    @property
+    def _floor_path(self) -> str:
+        return os.path.join(self.path, "history_floor.json")
+
+    def current_version(self) -> int:
+        """The store's latest write version (0 = never written)."""
+        try:
+            with open(self._version_path, encoding="utf-8") as fh:
+                return int(json.load(fh)["v"])
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def history_floor(self) -> int:
+        """Oldest version `df_as_of`/`changes_since` can answer exactly."""
+        try:
+            with open(self._floor_path, encoding="utf-8") as fh:
+                return int(json.load(fh)["floor"])
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def _bump_history_floor(self) -> None:
+        with open(self._floor_path, "w", encoding="utf-8") as fh:
+            json.dump({"floor": self.current_version()}, fh)
+
+    def _check_floor(self, version: int) -> None:
+        floor = self.history_floor()
+        if version < floor:
+            raise ValueError(
+                f"history below version {floor} was physically rewritten "
+                f"(compaction / tombstone retirement); cannot answer for "
+                f"version {version}"
+            )
+
+    def df_as_of(self, version: int) -> DataFrame:
+        """The live view as it stood after write `version`: per
+        (id, namespace), the latest event at or below `version` wins — a
+        row version is visible unless superseded, a tombstone hides the
+        id. Raises if `version` predates the history floor.
+
+        Plan shape: one window over the versioned union — heavier than the
+        current-state `df()` (which skips the window for clean namespaces)
+        and intended for audit/repro reads, not the serving path."""
+        self._check_floor(version)
+        raw = self._raw()
+        if raw is None:
+            return self.spark.createDataFrame([], VECTOR_SCHEMA)
+        wv = F.coalesce(F.col("write_version"), F.lit(0))
+        events = raw.withColumn("__kind", F.lit(1))
+        tomb = self._tombstones()
+        if tomb is not None:
+            events = events.unionByName(
+                tomb.select(
+                    "id",
+                    "namespace",
+                    F.lit(None).cast("array<float>").alias("values"),
+                    F.lit(None)
+                    .cast("map<string,string>")
+                    .alias("metadata"),
+                    F.lit(None).cast("string").alias("metadata_json"),
+                    "write_version",
+                    # ties only at legacy version 0: prefer the tombstone,
+                    # matching the unversioned read path's anti-join
+                    F.lit(0).alias("__kind"),
+                )
+            )
+        w = SqlWindow.partitionBy("id", "namespace").orderBy(
+            wv.desc(), F.col("__kind").asc()
+        )
+        return (
+            events.filter(wv <= version)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col("__kind") == 1))
+            .drop("__rn", "__kind", "write_version")
+        )
+
+    def changes_since(self, version: int) -> DataFrame:
+        """CDC feed: the events needed to roll a replica of state(version)
+        forward to the current state — appended row versions as `upsert`,
+        tombstones as `delete`, each stamped with its write_version (apply
+        in version order; a later event for the same id supersedes an
+        earlier one). Raises if `version` predates the history floor —
+        events before it were physically erased, and a replica that old
+        must re-sync from a full snapshot instead (the Delta/Iceberg CDC
+        contract across VACUUM)."""
+        self._check_floor(version)
+        raw = self._raw()
+        wv = F.coalesce(F.col("write_version"), F.lit(0))
+        out = None
+        if raw is not None:
+            out = raw.filter(wv > version).select(
+                "id",
+                "namespace",
+                "values",
+                "metadata",
+                "metadata_json",
+                F.lit("upsert").alias("change_type"),
+                wv.alias("write_version"),
+            )
+        tomb = self._tombstones()
+        if tomb is not None:
+            dels = tomb.filter(wv > version).select(
+                "id",
+                "namespace",
+                F.lit(None).cast("array<float>").alias("values"),
+                F.lit(None).cast("map<string,string>").alias("metadata"),
+                F.lit(None).cast("string").alias("metadata_json"),
+                F.lit("delete").alias("change_type"),
+                wv.alias("write_version"),
+            )
+            out = dels if out is None else out.unionByName(dels)
+        if out is None:
+            schema = "id string, namespace string, values array<float>, " \
+                "metadata map<string,string>, metadata_json string, " \
+                "change_type string, write_version long"
+            return self.spark.createDataFrame([], schema)
+        return out
 
     # -- writes (W1-W4, W8) -------------------------------------------------
 
@@ -518,7 +652,9 @@ class VectorStore:
         n = present.count()
         if n == 0:
             return 0
-        present.write.mode("append").parquet(self.tomb_path)
+        present.withColumn(
+            "write_version", F.lit(self._next_version())
+        ).write.mode("append").parquet(self.tomb_path)
         self._maybe_compact_many(
             [r.namespace for r in keys.select("namespace").distinct().collect()]
         )
@@ -582,9 +718,11 @@ class VectorStore:
         ]
         if not present:
             return []
+        v = self._next_version()
         (
             self.spark.createDataFrame(
-                [(i, namespace) for i in present], "id string, namespace string"
+                [(i, namespace, v) for i in present],
+                "id string, namespace string, write_version long",
             )
             .write.mode("append")
             .parquet(self.tomb_path)
@@ -601,6 +739,8 @@ class VectorStore:
         self._drop_namespace_tombstones(namespace)
         self._clear_dirty(namespace)
         self._forget_dims(namespace)
+        if existed:
+            self._bump_history_floor()
         return existed
 
     def clear_all(self) -> bool:
@@ -608,7 +748,7 @@ class VectorStore:
         for p in (self.data_path, self.tomb_path):
             if os.path.isdir(p):
                 shutil.rmtree(p)
-        for p in (self._dirty_path, self._version_path):
+        for p in (self._dirty_path, self._version_path, self._floor_path):
             try:
                 os.remove(p)
             except OSError:
@@ -676,6 +816,8 @@ class VectorStore:
         shutil.rmtree(tmp_dir)
         self._drop_namespace_tombstones(namespace)
         self._clear_dirty(namespace)
+        # versions collapsed + tombstones folded: exact history now starts here
+        self._bump_history_floor()
 
     def optimize(
         self, namespace: str | None = None, target_file_bytes: int = 128 << 20
@@ -731,6 +873,9 @@ class VectorStore:
             self._drop_namespace_tombstones(ns)
             self._clear_dirty(ns)
             rewritten[ns] = len(files) - want
+        if rewritten:
+            # the bin-packed rewrite is a compaction: history floor moves
+            self._bump_history_floor()
         return rewritten
 
     # -- point reads (Q5-Q8) -----------------------------------------------

@@ -1680,6 +1680,60 @@ def q_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search_exact(qvec, KNN_K).select("vec_id", "label", "score")
 
 
+def q_store_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel reads under the correctness gate: three versioned
+    writes (bulk upsert → overwrite-upsert of vec_id%10 with doubled
+    values → delete of vec_id%7), then `df_as_of` at each version
+    boundary, aggregated per namespace. The oracle reconstructs all three
+    states relationally — if the event-log replay (version-ordered
+    latest-event-wins over rows ∪ tombstones) mis-ordered or leaked any
+    event, the counts/checksums diverge. rebuild_threshold=0.95 keeps
+    auto-compaction (which legitimately moves the history floor) out of
+    the gate's deterministic path; compaction itself is exercised by
+    store_roundtrip."""
+    import tempfile
+
+    from mlvectordb_spark.operators.store import VectorStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = VectorStore(
+        spark, tempfile.mkdtemp(prefix="q_ttravel_"), rebuild_threshold=0.95
+    )
+    dto = emb.select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+        F.col("vec_id"),
+        F.col("embedding").alias("values"),
+        F.concat(F.lit("ns"), F.col("label") % 3).alias("namespace"),
+    )
+    store.upsert_df(dto.drop("vec_id"))
+    v1 = store.current_version()
+    bumped = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("values"),
+        F.concat(F.lit("ns"), F.col("label") % 3).alias("namespace"),
+    )
+    store.upsert_df(bumped)
+    v2 = store.current_version()
+    store.delete_df(
+        dto.filter(F.col("vec_id") % 7 == 0).select("id", "namespace")
+    )
+    v3 = store.current_version()
+    comp1 = F.floor(F.element_at("values", 1).cast("double") * 1000)
+
+    def state(version: int, tag: str) -> DataFrame:
+        return (
+            store.df_as_of(version)
+            .groupBy("namespace")
+            .agg(
+                F.count("*").alias("n_live"),
+                F.sum(comp1).cast("bigint").alias("comp1_sum"),
+            )
+            .select(F.lit(tag).alias("version_tag"), "namespace", "n_live", "comp1_sum")
+        )
+
+    return state(v1, "v1").unionByName(state(v2, "v2")).unionByName(state(v3, "v3"))
+
+
 def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-path under the correctness gate, fully DataFrame-native: bulk
     upsert embeddings into a fresh VectorStore (stable ids via `upsert_df`,
@@ -3390,6 +3444,32 @@ SELECT label, lang, count(*) AS n, sum(n_chars)::BIGINT AS total_chars
 FROM embeddings JOIN documents ON vec_id = doc_id
 GROUP BY label, lang
 """,
+    "store_timetravel": """
+WITH base AS (
+  SELECT vec_id, 'ns' || (label % 3)::VARCHAR AS namespace,
+    embedding[1]::DOUBLE AS c1
+  FROM embeddings
+),
+v1 AS (SELECT namespace, c1 FROM base),
+v2 AS (
+  SELECT namespace,
+    CASE WHEN vec_id % 10 = 0 THEN c1 * 2 ELSE c1 END AS c1
+  FROM base
+),
+v3 AS (
+  SELECT namespace,
+    CASE WHEN vec_id % 10 = 0 THEN c1 * 2 ELSE c1 END AS c1
+  FROM base WHERE vec_id % 7 != 0
+)
+SELECT 'v1' AS version_tag, namespace, count(*)::BIGINT AS n_live,
+  sum(floor(c1 * 1000))::BIGINT AS comp1_sum FROM v1 GROUP BY namespace
+UNION ALL
+SELECT 'v2', namespace, count(*)::BIGINT,
+  sum(floor(c1 * 1000))::BIGINT FROM v2 GROUP BY namespace
+UNION ALL
+SELECT 'v3', namespace, count(*)::BIGINT,
+  sum(floor(c1 * 1000))::BIGINT FROM v3 GROUP BY namespace
+""",
     "store_roundtrip": f"""
 WITH live AS (
   SELECT 'ns' || (label % 5)::VARCHAR AS namespace, vec_id,
@@ -3792,6 +3872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_cap": q_source_cap,
     # -- write path / misc oracle-backed --
     "store_roundtrip": q_store_roundtrip,
+    "store_timetravel": q_store_timetravel,
     # -- relational layer (incl. the co-located bucketed-layout join) --
     "bucketed_join": q_bucketed_join,
     "top_orders_per_cust": q_top_orders_per_cust,
@@ -4014,7 +4095,7 @@ ORACLE_SQL["minhash_sim_est"] = _oracle_minhash_est_sql()
 # slots keep a continuity core of r4-green flagship entries. Settled
 # r4-green entries rotate to 51+ (all were re-verified locally this round).
 _WINDOW = [
-    # (a) never driver-checked, oracle-backed — 30 entries
+    # (a) never driver-checked, oracle-backed — 31 entries
     "ann_lsh_exact", "hybrid_ivf_exact", "ann_ivf_batch", "ann_pq_exact",
     "ann_ivfpq_exact", "hybrid_ivfpq_exact", "ann_ivfpq_batch",
     "bm25_topk", "hybrid_rrf", "knn_classify", "emb_stats",
@@ -4024,14 +4105,14 @@ _WINDOW = [
     "mixture_materialize", "mixture_materialize_tokens", "vocab_oov",
     "events_attribution", "orders_unpivot", "doc_quality_hist",
     "doc_cross_dup_ngrams", "source_cap", "dedup_keep_best",
-    "tpch_q6", "tpch_q10", "tpch_q18",
+    "tpch_q6", "tpch_q10", "tpch_q18", "store_timetravel",
     # (b) longest-resting driver rows (r1/r2) — 9 entries
     "knn_ip", "threshold_cosine", "median_price", "orders_rollup",
     "label_centroids", "conditional_agg", "doc_stats",
     "events_first_per_key", "monthly_running_revenue",
-    # (c) continuity core (green r4, the flagship operators) — 11 entries
+    # (c) continuity core (green r4, the flagship operators) — 10 entries
     "knn_l2", "hybrid_knn", "ann_ivf_exact",
-    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_ingest_screen", "dedup_clusters", "curation_pipeline",
     "store_roundtrip", "doc_dup_ngrams",
 ]

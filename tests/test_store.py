@@ -409,3 +409,75 @@ def test_upsert_df_assume_unique_ids_skips_collapse(spark, tmp_path):
     assert n == 2 and store.count("ns") == 2
     ids = {r["id"] for r in store.df().filter(F.col("namespace") == "ns").select("id").collect()}
     assert ids == {"a", "b"}
+
+
+def test_time_travel_reconstructs_each_version(spark, tmp_path):
+    """df_as_of(v) replays the event log: insert → upsert → delete, each
+    version boundary reconstructed exactly; changes_since(v) carries the
+    events (version-ordered upserts + deletes) to roll a replica forward."""
+    # threshold 0.95: keep auto-compaction (which legitimately moves the
+    # history floor) out of this test's way
+    store = VectorStore(spark, str(tmp_path / "tt"), rebuild_threshold=0.95)
+    store.upsert_by_id([{"id": "a", "values": [1.0, 0.0], "metadata": {"v": "1"}}])
+    v1 = store.current_version()
+    store.upsert_by_id([{"id": "a", "values": [2.0, 0.0], "metadata": {"v": "2"}}])
+    v2 = store.current_version()
+    store.upsert_by_id([{"id": "b", "values": [3.0, 0.0]}])
+    v3 = store.current_version()
+    store.delete(["a"])
+    v4 = store.current_version()
+    assert v1 < v2 < v3 < v4
+
+    at = lambda v: {
+        r.id: r.values for r in store.df_as_of(v).select("id", "values").collect()
+    }
+    assert at(v1) == {"a": [1.0, 0.0]}
+    assert at(v2) == {"a": [2.0, 0.0]}
+    assert at(v3) == {"a": [2.0, 0.0], "b": [3.0, 0.0]}
+    assert at(v4) == {"b": [3.0, 0.0]}
+    # current read agrees with as-of(current)
+    assert {r.id for r in store.df().collect()} == {"b"}
+
+    # CDC: from v2 the replica needs b's insert and a's delete, in order
+    ch = store.changes_since(v2).orderBy("write_version").collect()
+    assert [(r.id, r.change_type) for r in ch] == [("b", "upsert"), ("a", "delete")]
+    # a full feed from v0 replays everything
+    assert store.changes_since(0).count() == 4
+
+
+def test_history_floor_enforced_after_compaction(spark, tmp_path):
+    """Compaction erases event history: df_as_of/changes_since below the
+    floor must raise instead of answering wrong; at/above the floor they
+    still answer."""
+    import pytest as _pytest
+
+    store = VectorStore(spark, str(tmp_path / "ttf"))
+    store.upsert_by_id([{"id": str(i), "values": [float(i), 0.0]} for i in range(10)])
+    v1 = store.current_version()
+    store.delete([str(i) for i in range(5)])  # 50% garbage -> compaction fires
+    assert store.history_floor() > 0
+    floor = store.history_floor()
+    with _pytest.raises(ValueError):
+        store.df_as_of(floor - 1)
+    with _pytest.raises(ValueError):
+        store.changes_since(v1 - 1)
+    # the floor version itself is answerable and equals the current state
+    assert {r.id for r in store.df_as_of(store.current_version()).collect()} == {
+        str(i) for i in range(5, 10)
+    }
+
+
+def test_tombstone_retirement_bumps_floor(spark, tmp_path):
+    """An upsert over a deleted id physically retires the delete event —
+    the floor must advance so as-of can't silently mis-answer the window
+    between delete and resurrection."""
+    store = VectorStore(spark, str(tmp_path / "ttr"), rebuild_threshold=0.95)
+    store.upsert_by_id([{"id": "a", "values": [1.0, 0.0]},
+                        {"id": "b", "values": [2.0, 0.0]}])
+    store.delete(["a"])
+    assert store.history_floor() == 0  # delete alone keeps history intact
+    store.upsert_by_id([{"id": "a", "values": [9.0, 0.0]}])  # resurrect
+    assert store.history_floor() == store.current_version() - 1 or (
+        store.history_floor() > 0
+    )
+    assert {r.id for r in store.df().collect()} == {"a", "b"}
