@@ -48,6 +48,7 @@ HEADLINE = [
     "events_sessionize",
     "events_asof_error",
     "events_attribution",
+    "events_funnel",
     "events_session_stats",
     "doc_quality",
     "doc_fingerprint",

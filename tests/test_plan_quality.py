@@ -317,3 +317,11 @@ def test_tpch_q18_no_forced_broadcast_of_aggregate(spark, sf_dir):
     assert "F.broadcast(big)" not in src
     plan = explain_query(QUERIES["tpch_q18"](spark, sf_dir))
     assert "l_orderkey" in plan["raw"]
+
+
+def test_events_funnel_single_user_exchange(spark, sf_dir):
+    """The three funnel-stage windows must share ONE Exchange on user_id
+    (chained window aggregates over the same partitioning), not shuffle
+    per stage."""
+    plan = explain_query(QUERIES["events_funnel"](spark, sf_dir))
+    assert plan["raw"].count("hashpartitioning(user_id") == 1, plan["raw"]
