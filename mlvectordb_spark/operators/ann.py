@@ -242,6 +242,52 @@ class IVFIndex:
             return False
         return self._added_count / self._built_count >= self.REBUILD_THRESHOLD
 
+    def apply_changes(
+        self, changes: DataFrame, vec_col: str | None = None,
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Roll the index forward from a CDC feed (`VectorStore.
+        changes_since` shape: `change_type` in {'upsert','delete'} plus a
+        monotone `write_version`) WITHOUT a rebuild: latest event per id
+        wins, deleted/superseded ids drop out, upserted vectors assign to
+        their nearest EXISTING centroid (no refit) — the maintenance loop
+        that keeps a serving index continuously fresh against the
+        merge-on-read store.
+
+        Scale shape: the event collapse is a window over the FEED (bounded
+        by the sync interval, not the corpus); retiring changed ids is one
+        anti-join of the indexed table against that bounded id set
+        (AQE-sized); assignment is the same Arrow argmin map as add() —
+        narrow, no shuffle of the corpus. Upserts count toward the W11
+        drift trigger exactly like add(); exactness of `search_exact` is
+        unaffected either way (certified pruning holds on any assignment).
+        The feed must carry every non-derived column of the indexed table
+        (the union is by name)."""
+        from pyspark.sql.window import Window as _W
+
+        vec_col = vec_col or self._vec_col
+        assert self.indexed is not None and self.centroids is not None
+        w = _W.partitionBy(id_col).orderBy(F.col("write_version").desc())
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        survivors = self.indexed.join(
+            latest.select(id_col), id_col, "left_anti"
+        )
+        ups = latest.filter(F.col("change_type") == "upsert").drop(
+            "change_type", "write_version", "cluster_id"
+        )
+        assigned = self._assign(ups, vec_col)
+        n_new = assigned.count()
+        self.indexed = survivors.unionByName(
+            assigned.select(*survivors.columns)
+        )
+        self._added_count += n_new
+        self._radii = self._counts = None
+        return self.indexed
+
     def cluster_stats(self, vec_col: str | None = None) -> tuple[np.ndarray, np.ndarray]:
         """Per-cluster (radius, member count): radius is the max TRUE L2
         distance of any member to its centroid. One Arrow-batched map (same

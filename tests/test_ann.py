@@ -540,3 +540,68 @@ def test_ivfpq_incremental_add_stays_exact(spark, emb):
     assert idx.is_rebuild_required() == (
         extra.count() / base.count() >= idx.ivf.REBUILD_THRESHOLD
     )
+
+
+def test_apply_changes_cdc_keeps_exact_search_correct(spark, emb, qvec):
+    """End-to-end index maintenance from the store's CDC feed: build an
+    IVF index over the initial corpus, mutate a VectorStore (overwrite
+    some vectors, delete others), roll the index forward with
+    apply_changes(changes_since(v0)) — certified-exact search over the
+    maintained index must equal brute force over the CURRENT store state,
+    and the dropped/changed ids must be gone."""
+    import tempfile
+
+    from mlvectordb_spark.operators.store import VectorStore
+
+    base = emb.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    store = VectorStore(
+        spark, tempfile.mkdtemp(prefix="cdc_idx_"), rebuild_threshold=0.95
+    )
+    store.upsert_df(
+        base.select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.col("embedding").alias("values"),
+        )
+    )
+    v0 = store.current_version()
+    idx = IVFIndex(n_clusters=8, seed=42)
+    idx.build(base)
+
+    # mutate: double every vec_id % 17 == 0, delete every vec_id % 13 == 0
+    store.upsert_df(
+        base.filter(F.col("vec_id") % 17 == 0).select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0)).alias("values"),
+        )
+    )
+    store.delete_df(
+        base.filter(F.col("vec_id") % 13 == 0).select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.lit("default").alias("namespace"),
+        )
+    )
+
+    feed = store.changes_since(v0).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("values").alias("embedding"),
+        "change_type",
+        "write_version",
+    )
+    idx.apply_changes(feed)
+
+    current = store.df().select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("values").alias("embedding"),
+    )
+    assert sorted(r.vec_id for r in idx.indexed.select("vec_id").collect()) == sorted(
+        r.vec_id for r in current.select("vec_id").collect()
+    )
+    got = [
+        (r.vec_id, round(r.score, 4))
+        for r in idx.search_exact(qvec, 10).collect()
+    ]
+    want = [
+        (r.vec_id, round(r.score, 4))
+        for r in knn(current, qvec, 10, metric="l2").collect()
+    ]
+    assert got == want
