@@ -706,3 +706,44 @@ def cap_per_source(
         .filter(F.col("rnk") <= cap)
         .drop("__h")
     )
+
+
+def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One-pass column profiling (the ANALYZE-TABLE statistics a pipeline
+    inspects before trusting a new corpus drop, and the inputs a
+    cost-based optimizer wants): per column, row count, non-null count,
+    exact distinct count, and lexicographic min/max rendered as strings.
+
+    Scale shape: ONE aggregate over the table computes every metric
+    (count/min/max are algebraic with map-side partials; the exact
+    count_distincts expand the aggregate but still combine map-side);
+    the wide 1-row result is then unpivoted to one row per column with a
+    constant-size driver-side select — the corpus is scanned once and
+    only |columns| rows ever cross the wire. For approximate profiling at
+    extreme cardinalities swap count_distinct for approx_count_distinct
+    (HLL, constant memory) — the exact form is kept here so the DuckDB
+    oracle can match it bit-for-bit."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    parts = [
+        wide.select(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.col(f"__nn_{c}").cast("bigint").alias("n_nonnull"),
+            F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_value"),
+            F.col(f"__mx_{c}").alias("max_value"),
+        )
+        for c in columns
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

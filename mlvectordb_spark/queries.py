@@ -2203,6 +2203,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the documents table: one scan, one
+    aggregate, |columns| output rows (counts, exact distincts, lexicographic
+    min/max as strings)."""
+    from mlvectordb_spark.operators.curation import profile_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-policy survivor per duplicate cluster: highest
     quality_score wins (ties → min doc id) — the production alternative to
@@ -3604,6 +3614,28 @@ reach(a, b) AS (
 )
 SELECT a AS doc_id, min(b)::BIGINT AS cluster FROM reach GROUP BY a
 """,
+    "doc_profile": """
+WITH a AS (
+  SELECT count(*) AS n,
+    count(doc_id) AS nn_doc_id, count(DISTINCT doc_id) AS nd_doc_id,
+    CAST(min(doc_id) AS VARCHAR) AS mn_doc_id, CAST(max(doc_id) AS VARCHAR) AS mx_doc_id,
+    count(text) AS nn_text, count(DISTINCT text) AS nd_text,
+    CAST(min(text) AS VARCHAR) AS mn_text, CAST(max(text) AS VARCHAR) AS mx_text,
+    count(lang) AS nn_lang, count(DISTINCT lang) AS nd_lang,
+    CAST(min(lang) AS VARCHAR) AS mn_lang, CAST(max(lang) AS VARCHAR) AS mx_lang,
+    count(source) AS nn_source, count(DISTINCT source) AS nd_source,
+    CAST(min(source) AS VARCHAR) AS mn_source, CAST(max(source) AS VARCHAR) AS mx_source,
+    count(n_chars) AS nn_n_chars, count(DISTINCT n_chars) AS nd_n_chars,
+    CAST(min(n_chars) AS VARCHAR) AS mn_n_chars, CAST(max(n_chars) AS VARCHAR) AS mx_n_chars
+  FROM documents
+)
+SELECT 'doc_id' AS "column", n::BIGINT AS n_rows, nn_doc_id::BIGINT AS n_nonnull,
+  nd_doc_id::BIGINT AS n_distinct, mn_doc_id AS min_value, mx_doc_id AS max_value FROM a
+UNION ALL SELECT 'text', n::BIGINT, nn_text::BIGINT, nd_text::BIGINT, mn_text, mx_text FROM a
+UNION ALL SELECT 'lang', n::BIGINT, nn_lang::BIGINT, nd_lang::BIGINT, mn_lang, mx_lang FROM a
+UNION ALL SELECT 'source', n::BIGINT, nn_source::BIGINT, nd_source::BIGINT, mn_source, mx_source FROM a
+UNION ALL SELECT 'n_chars', n::BIGINT, nn_n_chars::BIGINT, nd_n_chars::BIGINT, mn_n_chars, mx_n_chars FROM a
+""",
     "dedup_keep_best": f"""
 WITH RECURSIVE {_oracle_ngram_pairs_body()},
 edges AS (
@@ -3914,6 +3946,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ingest_screen": q_dedup_ingest_screen,  # streaming-dedup batch twin
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
+    "doc_profile": q_doc_profile,
     "curation_pipeline": q_curation_pipeline,
     "decontaminate": q_decontaminate,
     "pii_scrub": q_pii_scrub,
@@ -4158,7 +4191,7 @@ ORACLE_SQL["minhash_sim_est"] = _oracle_minhash_est_sql()
 # slots keep a continuity core of r4-green flagship entries. Settled
 # r4-green entries rotate to 51+ (all were re-verified locally this round).
 _WINDOW = [
-    # (a) never driver-checked, oracle-backed — 32 entries
+    # (a) never driver-checked, oracle-backed — 33 entries
     "ann_lsh_exact", "hybrid_ivf_exact", "ann_ivf_batch", "ann_pq_exact",
     "ann_ivfpq_exact", "hybrid_ivfpq_exact", "ann_ivfpq_batch",
     "bm25_topk", "hybrid_rrf", "knn_classify", "emb_stats",
@@ -4169,15 +4202,16 @@ _WINDOW = [
     "events_attribution", "orders_unpivot", "doc_quality_hist",
     "doc_cross_dup_ngrams", "source_cap", "dedup_keep_best",
     "tpch_q6", "tpch_q10", "tpch_q18", "store_timetravel", "events_funnel",
+    "doc_profile",
     # (b) longest-resting driver rows (r1/r2) — 9 entries
     "knn_ip", "threshold_cosine", "median_price", "orders_rollup",
     "label_centroids", "conditional_agg", "doc_stats",
     "events_first_per_key", "monthly_running_revenue",
-    # (c) continuity core (green r4, the flagship operators) — 9 entries
+    # (c) continuity core (green r4, the flagship operators) — 8 entries
     "knn_l2", "hybrid_knn", "ann_ivf_exact",
     "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_ingest_screen", "dedup_clusters",
-    "store_roundtrip", "doc_dup_ngrams",
+    "store_roundtrip",
 ]
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
 QUERIES = {

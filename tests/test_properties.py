@@ -157,3 +157,64 @@ def test_knn_contains_self_property(spark, seed):
     probe = int(rng.integers(0, 30))
     out = knn(df, data[probe].tolist(), 1, metric="l2").collect()
     assert out[0].vec_id == probe or math.isclose(out[0].score, 0.0, abs_tol=1e-4)
+
+
+@given(
+    cap=st.integers(min_value=1, max_value=12),
+    n_sources=st.integers(min_value=1, max_value=4),
+    n_docs=st.integers(min_value=1, max_value=30),
+)
+@settings(**SETTINGS)
+def test_cap_per_source_invariants(spark, cap, n_sources, n_docs):
+    """For any cap and corpus: every source keeps exactly min(cap, |source|)
+    docs, ranks are 1..kept with no gaps, and the selection is a subset of
+    the input."""
+    from mlvectordb_spark.operators.curation import cap_per_source
+
+    rows = [(i, f"s{i % n_sources}", "t") for i in range(n_docs)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = cap_per_source(docs, cap=cap).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.rnk)
+    sizes = {s: len([x for x in rows if x[1] == s]) for s in {x[1] for x in rows}}
+    for s, n in sizes.items():
+        got = sorted(by_src.get(s, []))
+        assert got == list(range(1, min(cap, n) + 1))
+    assert {r.doc_id for r in out} <= {x[0] for x in rows}
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(**SETTINGS)
+def test_funnel_stage_counts_monotone(spark, seed):
+    """Funnel invariant on random event sets: each stage's user count is
+    <= the previous stage's (a user cannot convert without entering)."""
+    import random
+
+    rnd = random.Random(seed)
+    types = ["view", "click", "purchase", "error"]
+    rows = [
+        (i, f"u{rnd.randrange(6)}", rnd.choice(types), 1000 + rnd.randrange(500))
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, tsec long"
+    ).select("event_id", "user_id", "event_type",
+             F.timestamp_seconds("tsec").alias("ts"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    df = ev.withColumn("t1", t1)
+    t2 = F.min(F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                      F.col("ts"))).over(w)
+    df = df.withColumn("t2", t2)
+    t3 = F.min(F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                      F.col("ts"))).over(w)
+    df = df.withColumn("t3", t3)
+    r = df.agg(
+        F.count_distinct(F.when(F.col("t1").isNotNull(), F.col("user_id"))).alias("n1"),
+        F.count_distinct(F.when(F.col("t2").isNotNull(), F.col("user_id"))).alias("n2"),
+        F.count_distinct(F.when(F.col("t3").isNotNull(), F.col("user_id"))).alias("n3"),
+    ).first()
+    assert r.n1 >= r.n2 >= r.n3
