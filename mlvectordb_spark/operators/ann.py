@@ -866,6 +866,37 @@ class IVFPQIndex:
         does (codebook drift tracks the same distribution shift)."""
         return self.ivf.is_rebuild_required()
 
+    def apply_changes(
+        self, changes: DataFrame, vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """CDC maintenance through the composed layout (the IVFIndex.
+        apply_changes contract): latest event per id wins over the bounded
+        feed, changed ids retire via one anti-join, upserts re-enter
+        through add()'s assign+encode path (existing centroids and
+        codebooks — no refit). Exactness is unconditional, as with add():
+        errors are computed fresh per re-encoded vector and radii
+        recompute lazily; only pruning quality drifts, tracked by the W11
+        counter."""
+        from pyspark.sql.window import Window as _W
+
+        assert self.encoded is not None
+        w = _W.partitionBy(id_col).orderBy(F.col("write_version").desc())
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        self.encoded = self.encoded.join(
+            latest.select(id_col), id_col, "left_anti"
+        )
+        self.ivf.indexed = self.encoded
+        self.pq.encoded = self.encoded
+        ups = latest.filter(F.col("change_type") == "upsert").drop(
+            "change_type", "write_version", "cluster_id"
+        )
+        return self.add(ups, vec_col=vec_col, id_col=id_col)
+
     def save(self, path: str) -> None:
         """Persist ONE physical dataset partitioned by cluster_id (probe =
         partition pruning) carrying codes + error + full vectors, plus the

@@ -605,3 +605,42 @@ def test_apply_changes_cdc_keeps_exact_search_correct(spark, emb, qvec):
         for r in knn(current, qvec, 10, metric="l2").collect()
     ]
     assert got == want
+
+
+def test_ivfpq_apply_changes_cdc_exact(spark, emb, qvec):
+    """The composed IVF+PQ index rolled forward from a CDC feed answers
+    certified-exact search identical to brute force over the current
+    state."""
+    from mlvectordb_spark.operators.ann import IVFPQIndex
+
+    base = emb.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    idx = IVFPQIndex(n_clusters=8, m=8, k_sub=16, seed=42)
+    idx.build(base)
+
+    doubled = base.filter(F.col("vec_id") % 17 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    feed = doubled.select(
+        "vec_id", "embedding",
+        F.lit("upsert").alias("change_type"), F.lit(2).alias("write_version"),
+    ).unionByName(
+        base.filter(F.col("vec_id") % 13 == 0).select(
+            "vec_id", "embedding",
+            F.lit("delete").alias("change_type"), F.lit(3).alias("write_version"),
+        )
+    )
+    idx.apply_changes(feed)
+
+    current = base.filter(F.col("vec_id") % 13 != 0).filter(
+        F.col("vec_id") % 17 != 0
+    ).unionByName(doubled.filter(F.col("vec_id") % 13 != 0))
+    got = [
+        (r.vec_id, round(r.score, 4))
+        for r in idx.search_exact(qvec, 10).collect()
+    ]
+    want = [
+        (r.vec_id, round(r.score, 4))
+        for r in knn(current, qvec, 10, metric="l2").collect()
+    ]
+    assert got == want
