@@ -100,6 +100,9 @@ HEADLINE = [
     "doc_cross_dup_ngrams",
     "source_cap",
     "dedup_keep_best",
+    # ANALYZE-style profile, semantic decontamination screen
+    "doc_profile",
+    "decontaminate_semantic",
 ]
 
 

@@ -747,3 +747,42 @@ def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def decontaminate_semantic(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SEMANTIC eval-set decontamination: flag corpus items whose embedding
+    is within cosine `threshold` of ANY eval-set embedding — the
+    paraphrase-robust complement to the n-gram `decontaminate` (verbatim
+    collisions miss reworded benchmark leakage; embedding proximity
+    catches it). Returns (id, n_near_eval, max_sim) per flagged item.
+
+    Scale shape: the eval set is small by construction, so it BROADCASTS
+    into a brute-force similarity join — the corpus is scanned once, never
+    shuffled, and work is linear in the corpus with an |eval| constant
+    factor (the same contract as the shingle path's broadcast). At very
+    large |eval|, pre-prune with the IVF layout (`IVFIndex.search_exact`'s
+    certified probes per eval centroid) before the exact screen.
+    """
+    ev = F.broadcast(
+        eval_emb.select(F.col(vec_col).alias("__ev"))
+    )
+    from mlvectordb_spark.functions.vector import cosine_sim
+
+    sim = F.round(cosine_sim(F.col(vec_col), F.col("__ev")), 4)
+    return (
+        corpus_emb.select(id_col, vec_col)
+        .join(ev)
+        .select(F.col(id_col), sim.alias("__sim"))
+        .filter(F.col("__sim") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_near_eval"),
+            F.max("__sim").alias("max_sim"),
+        )
+    )

@@ -2203,6 +2203,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_DECON_MOD = 10      # vec_id % MOD == 0 plays the eval set
+SEM_DECON_THRESHOLD = 0.35
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-proximity decontamination: corpus vectors within cosine
+    0.35 of any eval vector (vec_id % 10 == 0 plays the eval set) — the
+    paraphrase-robust twin of the shingle-collision `decontaminate`."""
+    from mlvectordb_spark.operators.curation import decontaminate_semantic
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return decontaminate_semantic(
+        emb.filter(F.col("vec_id") % SEM_DECON_MOD != 0),
+        emb.filter(F.col("vec_id") % SEM_DECON_MOD == 0),
+        threshold=SEM_DECON_THRESHOLD,
+    )
+
+
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column profile of the documents table: one scan, one
     aggregate, |columns| output rows (counts, exact distincts, lexicographic
@@ -3614,6 +3632,22 @@ reach(a, b) AS (
 )
 SELECT a AS doc_id, min(b)::BIGINT AS cluster FROM reach GROUP BY a
 """,
+    "decontaminate_semantic": f"""
+WITH ev AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % {SEM_DECON_MOD} = 0
+), co AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % {SEM_DECON_MOD} != 0
+), s AS (
+  SELECT co.vec_id,
+    round({_sql_dot('co.v', 'ev.v')} /
+      (sqrt({_sql_dot('co.v', 'co.v')}) * sqrt({_sql_dot('ev.v', 'ev.v')})), 4) AS sim
+  FROM co, ev
+)
+SELECT vec_id, count(*)::BIGINT AS n_near_eval, max(sim) AS max_sim
+FROM s WHERE sim >= {SEM_DECON_THRESHOLD}
+GROUP BY vec_id
+""",
     "doc_profile": """
 WITH a AS (
   SELECT count(*) AS n,
@@ -3947,6 +3981,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
     "doc_profile": q_doc_profile,
+    "decontaminate_semantic": q_decontaminate_semantic,
     "curation_pipeline": q_curation_pipeline,
     "decontaminate": q_decontaminate,
     "pii_scrub": q_pii_scrub,
@@ -4191,7 +4226,7 @@ ORACLE_SQL["minhash_sim_est"] = _oracle_minhash_est_sql()
 # slots keep a continuity core of r4-green flagship entries. Settled
 # r4-green entries rotate to 51+ (all were re-verified locally this round).
 _WINDOW = [
-    # (a) never driver-checked, oracle-backed — 33 entries
+    # (a) never driver-checked, oracle-backed — 34 entries
     "ann_lsh_exact", "hybrid_ivf_exact", "ann_ivf_batch", "ann_pq_exact",
     "ann_ivfpq_exact", "hybrid_ivfpq_exact", "ann_ivfpq_batch",
     "bm25_topk", "hybrid_rrf", "knn_classify", "emb_stats",
@@ -4202,14 +4237,14 @@ _WINDOW = [
     "events_attribution", "orders_unpivot", "doc_quality_hist",
     "doc_cross_dup_ngrams", "source_cap", "dedup_keep_best",
     "tpch_q6", "tpch_q10", "tpch_q18", "store_timetravel", "events_funnel",
-    "doc_profile",
+    "doc_profile", "decontaminate_semantic",
     # (b) longest-resting driver rows (r1/r2) — 9 entries
     "knn_ip", "threshold_cosine", "median_price", "orders_rollup",
     "label_centroids", "conditional_agg", "doc_stats",
     "events_first_per_key", "monthly_running_revenue",
-    # (c) continuity core (green r4, the flagship operators) — 8 entries
+    # (c) continuity core (green r4, the flagship operators) — 7 entries
     "knn_l2", "hybrid_knn", "ann_ivf_exact",
-    "dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_minhash",
     "dedup_ingest_screen", "dedup_clusters",
     "store_roundtrip",
 ]
