@@ -41,6 +41,9 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q10",
     "tpch_q18",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q19",
     "top_orders_per_cust",
     "revenue_by_month",
     "events_json",

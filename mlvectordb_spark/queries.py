@@ -399,6 +399,84 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: LEFT outer join
+    so zero-order customers survive with count 0, then the distribution of
+    counts. Two aggregations, both algebraic (map-side partials); the
+    outer join shuffles on custkey once."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue share: one month of lineitem joined
+    to the part dim (broadcast), conditional revenue over total revenue in
+    a single aggregate — no second scan for the denominator."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate revenue: OR of three
+    (brand, size-range, quantity-range) conjunction bundles across the
+    lineitem⋈part join. The quantity bounds push to the lineitem scan as
+    one OR-filter (upper bound 36 covers all three branches); the
+    brand/size bundles evaluate post-join — the standard split of a
+    disjunction across join sides."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 36)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 40))
+        & (F.col("l_quantity").between(20, 36))
+    )
+    return joined.filter(b1 | b2 | b3).agg(
+        F.round(F.sum(rev), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k per group: 3 highest-value orders per customer."""
     orders = load_table(spark, sf_dir, "orders")
@@ -3018,6 +3096,33 @@ FROM orders
 JOIN big ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
 """,
+    "tpch_q13": """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+""",
+    "tpch_q14": """
+SELECT
+  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+  AND l_shipdate < TIMESTAMP '1997-07-01'
+""",
+    "tpch_q19": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 20 AND 36)
+""",
     "top_orders_per_cust": """
 SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -4043,6 +4148,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q19": q_tpch_q19,
     "orders_cube": q_orders_cube,
     "orders_pivot": q_orders_pivot,
     "orders_unpivot": q_orders_unpivot,
@@ -4226,7 +4334,7 @@ ORACLE_SQL["minhash_sim_est"] = _oracle_minhash_est_sql()
 # slots keep a continuity core of r4-green flagship entries. Settled
 # r4-green entries rotate to 51+ (all were re-verified locally this round).
 _WINDOW = [
-    # (a) never driver-checked, oracle-backed — 34 entries
+    # (a) never driver-checked, oracle-backed — 37 entries
     "ann_lsh_exact", "hybrid_ivf_exact", "ann_ivf_batch", "ann_pq_exact",
     "ann_ivfpq_exact", "hybrid_ivfpq_exact", "ann_ivfpq_batch",
     "bm25_topk", "hybrid_rrf", "knn_classify", "emb_stats",
@@ -4238,15 +4346,13 @@ _WINDOW = [
     "doc_cross_dup_ngrams", "source_cap", "dedup_keep_best",
     "tpch_q6", "tpch_q10", "tpch_q18", "store_timetravel", "events_funnel",
     "doc_profile", "decontaminate_semantic",
+    "tpch_q13", "tpch_q14", "tpch_q19",
     # (b) longest-resting driver rows (r1/r2) — 9 entries
     "knn_ip", "threshold_cosine", "median_price", "orders_rollup",
     "label_centroids", "conditional_agg", "doc_stats",
     "events_first_per_key", "monthly_running_revenue",
-    # (c) continuity core (green r4, the flagship operators) — 7 entries
-    "knn_l2", "hybrid_knn", "ann_ivf_exact",
-    "dedup_minhash",
-    "dedup_ingest_screen", "dedup_clusters",
-    "store_roundtrip",
+    # (c) continuity core (green r4, the flagship operators) — 4 entries
+    "knn_l2", "hybrid_knn", "dedup_minhash", "store_roundtrip",
 ]
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
 QUERIES = {
