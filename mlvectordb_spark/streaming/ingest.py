@@ -51,3 +51,67 @@ def start_vector_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+UPSERT_INGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), nullable=False),
+        T.StructField("values", T.ArrayType(T.FloatType()), nullable=True),
+        T.StructField("namespace", T.StringType(), nullable=False),
+        T.StructField("op", T.StringType(), nullable=False),  # upsert|delete
+    ]
+)
+
+
+def start_indexed_ingest(
+    stream: DataFrame,
+    store: VectorStore,
+    index,
+    checkpoint_dir: str,
+    query_name: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Mutation stream (id + values + op ∈ {upsert, delete}) into the
+    store WITH a continuously-fresh serving index: each micro-batch
+    applies its upserts/deletes through the store's versioned write paths,
+    then rolls the index forward from the store's OWN CDC feed
+    (`changes_since` → `IVFIndex.apply_changes`) — the index never reads
+    the mutation stream directly, so any writer (REST, batch, other
+    streams) funnels through the same sync and the index converges on the
+    store's truth.
+
+    Replay safety: a replayed batch re-appends the same ids at a higher
+    write_version (latest-wins collapses them) and re-applies a feed that
+    retires-then-re-adds the same ids in the index — both idempotent in
+    the read view. The index's union/anti-join lineage is truncated with a
+    localCheckpoint per batch, so a long-running stream holds a bounded
+    plan (the `operators/components.py` iteration lesson)."""
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        v0 = store.current_version()
+        ups = batch_df.filter(F.col("op") == "upsert").select(
+            "id", "values", "namespace"
+        )
+        if ups.limit(1).count():
+            store.upsert_df(ups)
+        dels = batch_df.filter(F.col("op") == "delete").select("id", "namespace")
+        if dels.limit(1).count():
+            store.delete_df(dels)
+        feed = store.changes_since(v0).select(
+            F.col("id").alias(id_col),
+            F.col("values").alias(vec_col),
+            "change_type",
+            "write_version",
+        )
+        index.apply_changes(feed, vec_col=vec_col, id_col=id_col)
+        index.indexed = index.indexed.localCheckpoint()
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -49,3 +49,82 @@ def test_stream_ingest_roundtrip(spark, tmp_path):
     # metadata_json derived executor-side matches the store's format
     row = store.df().filter(F.col("namespace") == "other").first()
     assert json.loads(row.metadata_json) == {"tag": "c"}
+
+
+def test_indexed_ingest_keeps_serving_index_fresh(spark, tmp_path):
+    """Mutation stream → store (versioned writes) → CDC feed → IVF index,
+    one sync per micro-batch: after the stream drains, certified-exact
+    search over the maintained index equals brute force over the store's
+    current state, including overwrites and deletes."""
+    import math
+
+    from mlvectordb_spark.operators.ann import IVFIndex
+    from mlvectordb_spark.operators.knn import knn
+    from mlvectordb_spark.streaming.ingest import (
+        UPSERT_INGEST_SCHEMA,
+        start_indexed_ingest,
+    )
+
+    def vec(i: int) -> list[float]:
+        return [math.cos(0.1 * i), math.sin(0.1 * i), float(i % 7)]
+
+    base = [(f"k{i}", vec(i)) for i in range(100)]
+    store = VectorStore(
+        spark, str(tmp_path / "idxstore"), rebuild_threshold=0.95
+    )
+    base_df = spark.createDataFrame(
+        [(k, v, "default") for k, v in base],
+        "id string, values array<float>, namespace string",
+    )
+    store.upsert_df(base_df)
+    idx = IVFIndex(n_clusters=4, seed=42)
+    idx.build(
+        base_df.select(
+            F.col("id").alias("vec_id"), F.col("values").alias("embedding")
+        )
+    )
+
+    src = tmp_path / "muts"
+    src.mkdir()
+    b1 = [
+        {"id": f"k{i}", "values": [x * 2.0 for x in vec(i)],
+         "namespace": "default", "op": "upsert"}
+        for i in range(0, 100, 10)
+    ]
+    b2 = [
+        {"id": f"k{i}", "values": None, "namespace": "default", "op": "delete"}
+        for i in range(0, 100, 7)
+    ] + [
+        {"id": f"new{i}", "values": vec(200 + i), "namespace": "default",
+         "op": "upsert"}
+        for i in range(3)
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+
+    stream = (
+        spark.readStream.schema(UPSERT_INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_indexed_ingest(
+        stream, store, idx, str(tmp_path / "ickpt"), "t_indexed_ingest"
+    )
+    q.awaitTermination()
+
+    current = store.df().select(
+        F.col("id").alias("vec_id"), F.col("values").alias("embedding")
+    )
+    assert sorted(r.vec_id for r in idx.indexed.select("vec_id").collect()) == sorted(
+        r.vec_id for r in current.select("vec_id").collect()
+    )
+    qv = vec(0)
+    got = [
+        (r.vec_id, round(r.score, 4))
+        for r in idx.search_exact(qv, 5, vec_col="embedding", id_col="vec_id").collect()
+    ]
+    want = [
+        (r.vec_id, round(r.score, 4))
+        for r in knn(current, qv, 5, metric="l2").collect()
+    ]
+    assert got == want
