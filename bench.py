@@ -44,6 +44,8 @@ HEADLINE = [
     "tpch_q13",
     "tpch_q14",
     "tpch_q19",
+    "tpch_q15",
+    "tpch_q17",
     "top_orders_per_cust",
     "revenue_by_month",
     "events_json",

@@ -477,6 +477,54 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier(s): quarterly revenue per supplier,
+    keep every supplier at the maximum (ties included — the spec's
+    WHERE total = (SELECT max(...)) semantics, expressed as a rank-free
+    max join: the 1-row max broadcasts back against the per-supplier
+    aggregate, never a global sort)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(rev), 2).alias("total_revenue")
+    )
+    mx = per_supp.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        per_supp.join(F.broadcast(mx), per_supp.total_revenue == F.col("__mx"))
+        .join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: lineitems whose
+    quantity is under 20% of their part's average quantity. The spec's
+    correlated scalar subquery decorrelates into ONE per-part aggregate
+    joined back (the standard Catalyst rewrite, stated explicitly) — the
+    fact table is scanned once for the averages and once for the probe,
+    never per-part."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__thresh")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k per group: 3 highest-value orders per customer."""
     orders = load_table(spark, sf_dir, "orders")
@@ -3123,6 +3171,29 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 20 AND 36)
 """,
+    "tpch_q15": """
+WITH per_supp AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM per_supp)
+""",
+    "tpch_q17": """
+WITH avg_qty AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS thresh
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+  count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_qty USING (l_partkey)
+WHERE p_brand = 'Brand#1' AND l_quantity < thresh
+""",
     "top_orders_per_cust": """
 SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -4151,6 +4222,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q13": q_tpch_q13,
     "tpch_q14": q_tpch_q14,
     "tpch_q19": q_tpch_q19,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
     "orders_cube": q_orders_cube,
     "orders_pivot": q_orders_pivot,
     "orders_unpivot": q_orders_unpivot,
