@@ -654,6 +654,57 @@ class LSHIndex:
         idx.indexed = spark.read.parquet(f"{path}/data")
         return idx
 
+    def apply_changes(
+        self, changes: DataFrame, vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """CDC maintenance for the LSH family (the IVFIndex.apply_changes
+        contract): latest event per id wins over the bounded feed, changed
+        ids retire via one anti-join, upserts re-hash through the FITTED
+        model. Unlike IVF, LSH maintenance cannot drift at all: the random
+        hyperplanes are data-independent, so hashing new rows with the
+        saved model is exactly what a fresh build would compute — no
+        rebuild trigger needed. Works on both index shapes (built:
+        __hashes/__features present; loaded: materialized b0..bN bucket
+        columns)."""
+        from pyspark.sql.window import Window as _W
+
+        assert self.model is not None and self.indexed is not None
+        w = _W.partitionBy(id_col).orderBy(F.col("write_version").desc())
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        survivors = self.indexed.join(
+            latest.select(id_col), id_col, "left_anti"
+        )
+        ups = latest.filter(F.col("change_type") == "upsert").drop(
+            "change_type", "write_version"
+        )
+        hashed = self.model.transform(
+            ups.withColumn("__features", array_to_vector(F.col(vec_col)))
+        )
+        if "__hashes" not in self.indexed.columns:
+            # bucket-materialized shape: extract b{i} from the NEW rows'
+            # hash vectors (self._bucket_col keys off self.indexed and
+            # would wrongly reference the not-yet-existing b{i} here)
+            from pyspark.ml.functions import vector_to_array
+
+            hashed = hashed.select(
+                *ups.columns,
+                *[
+                    vector_to_array(F.col("__hashes")[i])[0]
+                    .cast("long")
+                    .alias(f"b{i}")
+                    for i in range(self.num_hash_tables)
+                ],
+            )
+        self.indexed = survivors.unionByName(
+            hashed.select(*survivors.columns)
+        )
+        return self.indexed
+
     def _with_features(self, vec_col: str = "embedding") -> DataFrame:
         """self.indexed with the MLlib feature/hash columns present —
         computed on demand for the approx paths when the index came from

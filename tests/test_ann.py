@@ -644,3 +644,50 @@ def test_ivfpq_apply_changes_cdc_exact(spark, emb, qvec):
         for r in knn(current, qvec, 10, metric="l2").collect()
     ]
     assert got == want
+
+
+def test_lsh_apply_changes_cdc_exact(spark, emb, qvec, tmp_path):
+    """LSH rolled forward from a CDC feed (both shapes: freshly built and
+    bucket-materialized loaded) answers certified-exact search equal to
+    brute force over the current state."""
+    base = emb.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    doubled = base.filter(F.col("vec_id") % 17 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    feed = doubled.select(
+        "vec_id", "embedding",
+        F.lit("upsert").alias("change_type"), F.lit(2).alias("write_version"),
+    ).unionByName(
+        base.filter(F.col("vec_id") % 13 == 0).select(
+            "vec_id", "embedding",
+            F.lit("delete").alias("change_type"), F.lit(3).alias("write_version"),
+        )
+    )
+    current = base.filter(F.col("vec_id") % 13 != 0).filter(
+        F.col("vec_id") % 17 != 0
+    ).unionByName(doubled.filter(F.col("vec_id") % 13 != 0))
+    want = [
+        (r.vec_id, round(r.score, 4))
+        for r in knn(current, qvec, 10, metric="l2").collect()
+    ]
+
+    built = LSHIndex(bucket_length=0.5, num_hash_tables=4, seed=42)
+    built.build(base)
+    built.apply_changes(feed)
+    got_built = [
+        (r.vec_id, round(r.score, 4))
+        for r in built.search_exact(qvec, 10).collect()
+    ]
+    assert got_built == want
+
+    fresh = LSHIndex(bucket_length=0.5, num_hash_tables=4, seed=42)
+    fresh.build(base)
+    fresh.save(str(tmp_path / "lshidx"))
+    loaded = LSHIndex.load(spark, str(tmp_path / "lshidx"))
+    loaded.apply_changes(feed.select("vec_id", "embedding", "change_type", "write_version"))
+    got_loaded = [
+        (r.vec_id, round(r.score, 4))
+        for r in loaded.search_exact(qvec, 10).collect()
+    ]
+    assert got_loaded == want
