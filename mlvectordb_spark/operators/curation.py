@@ -627,8 +627,14 @@ def cross_doc_ngram_coverage(
     (count_distinct partials combine map-side after an in-doc dedup of
     repeated shingles), AQE-sized join back, bounded per-doc
     count_distinct for the interval union. Docs shorter than k tokens
-    carry no shingles and are omitted, matching the within-doc twin.
+    carry no shingles and are omitted, matching the within-doc twin. The
+    exploded table feeds both the frequency build and the join probe, so
+    it is persisted (spill-tolerant) rather than recomputing the
+    tokenize+shingle kernel per consumer — the same trade the within-doc
+    twin makes by default.
     """
+    from pyspark import StorageLevel
+
     toks = TX.tokens(text_col)
     base = docs.select(F.col(id_col), toks.alias("__toks")).filter(
         F.size("__toks") >= k
@@ -636,7 +642,7 @@ def cross_doc_ngram_coverage(
     sh = base.select(
         F.col(id_col),
         F.posexplode(TX.word_shingles(F.col("__toks"), k)).alias("pos", "sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     freq = sh.groupBy("sh").agg(
         F.count_distinct(id_col).alias("n_docs")
     )
