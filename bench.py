@@ -108,6 +108,8 @@ HEADLINE = [
     # ANALYZE-style profile, semantic decontamination screen
     "doc_profile",
     "decontaminate_semantic",
+    # token-budget water-filling mix
+    "mixture_budget",
 ]
 
 

@@ -820,3 +820,79 @@ def decontaminate_semantic(
             F.max("__sim").alias("max_sim"),
         )
     )
+
+
+def budget_mixture(
+    docs: DataFrame,
+    budget_frac: float,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-BUDGET mixture: given a total token budget B = budget_frac ×
+    corpus tokens and temperature-scaled target weights w_s ∝ n_s^alpha,
+    allocate t_s tokens per source as t_s = min(n_s, c·w_s) with the water
+    level c solved exactly so Σt_s = B — the epochs-per-source computation
+    a real pretraining mix needs when upweighted small sources can't cover
+    their prescribed share without repeating (mixture_weights caps rates
+    at 1 and silently under-fills the budget; this redistributes the
+    shortfall to the unsaturated sources, the Pile/DoReMi-style recipe).
+
+    Closed form, no iteration: order sources by r_s = n_s/w_s ascending —
+    as c grows, sources saturate in exactly that order — and source p is
+    saturated iff the budget left after filling all earlier (smaller-r)
+    sources to capacity already covers level r_p for everyone remaining:
+    B − Σ_{q<p} n_q ≥ r_p · Σ_{q≥p} w_q. Both sides are window cumsums
+    over the \\|sources\\|-row aggregate; c = (B − Σ_sat n)/(Σ_unsat w)
+    is then one conditional aggregate. Everything after the one
+    map-side-combined corpus aggregation runs on \\|sources\\| rows.
+
+    Returns (source, n_tokens, saturated, tokens_target, sampling_rate);
+    Σ tokens_target = B exactly (up to rounding) when budget_frac ≤ 1.
+    Feed sampling_rate into the md5-coin materializer exactly like
+    mixture_weights' rates.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError("budget_frac must be in (0, 1]")
+    counts = docs.groupBy(group_col).agg(
+        F.sum(TX.token_count(text_col)).cast("double").alias("n")
+    )
+    full = Window.partitionBy()
+    w_raw = F.pow(F.col("n"), float(alpha))
+    base = counts.select(
+        group_col,
+        "n",
+        (w_raw / F.sum(w_raw).over(full)).alias("w"),
+        (F.lit(float(budget_frac)) * F.sum("n").over(full)).alias("B"),
+    ).withColumn("r", F.col("n") / F.col("w"))
+    byr = Window.partitionBy().orderBy(F.col("r").asc(), F.col(group_col).asc())
+    cum = base.select(
+        "*",
+        (F.sum("n").over(byr) - F.col("n")).alias("n_before"),
+        (F.sum("w").over(full) - F.sum("w").over(byr) + F.col("w")).alias("w_from"),
+    ).withColumn(
+        "saturated",
+        (F.col("B") - F.col("n_before")) >= F.col("r") * F.col("w_from"),
+    )
+    # try_divide: with budget_frac=1.0 every source saturates and the
+    # unsaturated weight mass is 0 — the level is then unused (all rows
+    # take the saturated branch), so null, not an ANSI division error
+    level = cum.agg(
+        F.try_divide(
+            F.first("B")
+            - F.sum(F.when(F.col("saturated"), F.col("n")).otherwise(0.0)),
+            F.sum(F.when(~F.col("saturated"), F.col("w")).otherwise(0.0)),
+        ).alias("__c")
+    )
+    target = F.when(F.col("saturated"), F.col("n")).otherwise(
+        F.col("__c") * F.col("w")
+    )
+    return cum.crossJoin(F.broadcast(level)).select(
+        group_col,
+        F.col("n").cast("bigint").alias("n_tokens"),
+        "saturated",
+        F.round(target, 2).alias("tokens_target"),
+        F.round(target / F.col("n"), 6).alias("sampling_rate"),
+    )

@@ -2347,6 +2347,20 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BUDGET_FRAC = 0.4
+
+
+def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mix: water-filling allocation of 40% of corpus tokens
+    across sources at temperature alpha=0.5 — saturated (fully-consumed)
+    sources keep everything, the rest split the remainder by weight, with
+    the water level solved in closed form (no iteration)."""
+    from mlvectordb_spark.operators.curation import budget_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return budget_mixture(docs, budget_frac=BUDGET_FRAC, alpha=0.5)
+
+
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column profile of the documents table: one scan, one
     aggregate, |columns| output rows (counts, exact distincts, lexicographic
@@ -3824,6 +3838,36 @@ SELECT vec_id, count(*)::BIGINT AS n_near_eval, max(sim) AS max_sim
 FROM s WHERE sim >= {SEM_DECON_THRESHOLD}
 GROUP BY vec_id
 """,
+    "mixture_budget": f"""
+WITH c AS (
+  SELECT source,
+    sum(len(list_filter(string_split(text, ' '), t -> t != '')))::DOUBLE AS n
+  FROM documents GROUP BY source
+), b AS (
+  SELECT source, n,
+    pow(n, 0.5) / sum(pow(n, 0.5)) OVER () AS w,
+    {BUDGET_FRAC} * sum(n) OVER () AS bud
+  FROM c
+), rr AS (
+  SELECT *, n / w AS r FROM b
+), cumt AS (
+  SELECT *,
+    sum(n) OVER (ORDER BY r, source) - n AS n_before,
+    sum(w) OVER () - sum(w) OVER (ORDER BY r, source) + w AS w_from
+  FROM rr
+), s AS (
+  SELECT *, (bud - n_before) >= r * w_from AS saturated FROM cumt
+), lvl AS (
+  SELECT (any_value(bud)
+          - sum(CASE WHEN saturated THEN n ELSE 0 END))
+         / sum(CASE WHEN NOT saturated THEN w ELSE 0 END) AS lev
+  FROM s
+)
+SELECT source, n::BIGINT AS n_tokens, saturated,
+  round(CASE WHEN saturated THEN n ELSE lvl.lev * w END, 2) AS tokens_target,
+  round(CASE WHEN saturated THEN 1.0 ELSE lvl.lev * w / n END, 6) AS sampling_rate
+FROM s, lvl
+""",
     "doc_profile": """
 WITH a AS (
   SELECT count(*) AS n,
@@ -4157,6 +4201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
     "doc_profile": q_doc_profile,
+    "mixture_budget": q_mixture_budget,
     "decontaminate_semantic": q_decontaminate_semantic,
     "curation_pipeline": q_curation_pipeline,
     "decontaminate": q_decontaminate,

@@ -501,3 +501,31 @@ def test_keep_best_per_cluster_picks_quality_argmax(spark):
     assert out[10].keep_id == 10
     q1 = docs.filter("doc_id = 1").select(quality_score("text")).first()[0]
     assert out[0].quality == q1
+
+
+def test_budget_mixture_fills_budget_exactly(spark):
+    """Water-filling invariants: targets sum to the budget, no source
+    exceeds capacity, saturated sources are exactly the ones at capacity,
+    and frac=1.0 degrades to keep-everything."""
+    from mlvectordb_spark.operators.curation import budget_mixture
+
+    rows = []
+    did = 0
+    for s, n_docs, words in [("big", 40, 30), ("mid", 10, 20), ("tiny", 2, 5)]:
+        for _ in range(n_docs):
+            rows.append((did, s, " ".join(f"w{j}" for j in range(words))))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    total = sum({"big": 40 * 30, "mid": 10 * 20, "tiny": 2 * 5}[s]
+                for s in ("big", "mid", "tiny"))
+
+    out = {r.source: r for r in budget_mixture(docs, budget_frac=0.4).collect()}
+    assert abs(sum(r.tokens_target for r in out.values()) - 0.4 * total) < 0.05
+    for r in out.values():
+        assert r.tokens_target <= r.n_tokens + 1e-6
+        assert (r.tokens_target == r.n_tokens) == bool(r.saturated)
+    # alpha=0.5 upweights tiny sources: tiny saturates first
+    assert out["tiny"].saturated and not out["big"].saturated
+
+    full = budget_mixture(docs, budget_frac=1.0).collect()
+    assert all(r.saturated and r.sampling_rate == 1.0 for r in full)
