@@ -89,3 +89,72 @@ def user_running_stats(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- stateful ordered funnel (the streaming twin of queries.q_events_funnel)
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_OUTPUT_SCHEMA = "user_id long, t1 double, t2 double, t3 double"
+# epoch-second stage timestamps; -1.0 = stage not yet reached
+FUNNEL_STATE_SCHEMA = "t1 double, t2 double, t3 double"
+
+
+def _update_funnel(
+    key,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    t1, t2, t3 = state.get if state.exists else (-1.0, -1.0, -1.0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, et in zip(pdf["ts"], pdf["event_type"]):
+            s = ts.timestamp()
+            if et == FUNNEL_STAGES[0] and t1 < 0:
+                t1 = s
+            elif et == FUNNEL_STAGES[1] and t1 >= 0 and s > t1 and t2 < 0:
+                t2 = s
+            elif et == FUNNEL_STAGES[2] and t2 >= 0 and s > t2 and t3 < 0:
+                t3 = s
+    state.update((t1, t2, t3))
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + STATE_TTL_MS)
+    yield pd.DataFrame(
+        {"user_id": [user_id], "t1": [t1], "t2": [t2], "t3": [t3]}
+    )
+
+
+def user_funnel_stream(
+    stream: DataFrame, watermark_delay: str = WATERMARK_DELAY
+) -> DataFrame:
+    """Streaming ordered funnel view → click → purchase: per user, the
+    first view, the first click strictly after it, the first purchase
+    strictly after that — maintained ONLINE as events arrive, the
+    streaming twin of the batch `events_funnel` window chain. State is one
+    fixed 3-double tuple per user with event-time TTL eviction, so memory
+    follows the ACTIVE-user working set; each micro-batch emits the
+    updated stage row per touched user (update mode — consumers keep the
+    latest row per user).
+
+    Equals the batch funnel whenever events arrive in event-time order
+    across micro-batches (the stream-twin test's contract); within a
+    micro-batch, events are explicitly re-sorted by (ts, event_id), so
+    intra-batch disorder never changes the result. A view arriving in a
+    LATER batch than a click it precedes is the inherent streaming funnel
+    approximation — the greedy state cannot rewrite history (the batch
+    twin is the replayable source of truth, same relationship as
+    sessionize and its session_window twin)."""
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

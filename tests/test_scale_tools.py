@@ -153,3 +153,59 @@ def test_stateful_timeout_evicts_idle_keys():
     assert len(out2) == 1
     assert st2.timeout_armed == 1_000_000 + S.STATE_TTL_MS
     assert st2.value[0] == 2 and st2.value[1] == 4.0
+
+
+def test_stateful_funnel_matches_batch(spark, tmp_path):
+    """The streaming funnel's final per-user stage timestamps equal the
+    batch window-chain's t1/t2/t3 when events arrive in order (single
+    ordered source file here; intra-batch disorder is re-sorted by the
+    handler)."""
+    from pyspark.sql import Window
+
+    from mlvectordb_spark.streaming.events import read_event_stream
+    from mlvectordb_spark.streaming.stateful import user_funnel_stream
+
+    d = tmp_path / "fev"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "b1.parquet")
+    stream = read_event_stream(spark, str(d))
+    q = (
+        user_funnel_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_funnel_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "fckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (round(r.t1, 3), round(r.t2, 3), round(r.t3, 3))
+        for r in spark.table("t_funnel_state").collect()
+    }
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    df = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    df = df.withColumn("t2", t2)
+    t3 = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+    ).over(w)
+    df = df.withColumn("t3", t3)
+    to_s = lambda c: F.coalesce(F.col(c).cast("double"), F.lit(-1.0))  # noqa: E731
+    expected = {
+        r.user_id: (round(r.s1, 3), round(r.s2, 3), round(r.s3, 3))
+        for r in df.groupBy("user_id")
+        .agg(
+            F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+        )
+        .select(
+            "user_id", to_s("t1").alias("s1"), to_s("t2").alias("s2"), to_s("t3").alias("s3")
+        )
+        .collect()
+    }
+    assert got == expected
