@@ -159,18 +159,24 @@ def export_shards(
     salt: str = "epoch0:",
     n_shards: int | None = None,
     target_file_bytes: int = 256 << 20,
+    fmt: str = "parquet",
 ) -> int:
-    """Write the shuffled corpus as `n_shards` parquet shard directories
+    """Write the shuffled corpus as `n_shards` shard directories
     (`shard=K/`, one sorted file each — every shard lives wholly in one
     task after the repartition, sized via estimate_shards when not given).
     A data loader enumerates shard dirs in order; re-running with the same
     salt reproduces every shard byte-for-byte regardless of how the input
-    happened to be partitioned. Returns the shard count."""
+    happened to be partitioned. `fmt` = "parquet" (columnar, the default)
+    or "json" (JSONL shards — the format simple text-corpus loaders
+    stream without a parquet reader; same layout, same determinism).
+    Returns the shard count."""
+    if fmt not in ("parquet", "json"):
+        raise ValueError("fmt must be 'parquet' or 'json'")
     n = n_shards or estimate_shards(df, target_file_bytes)
-    (
+    writer = (
         global_shuffle(df, key_col, salt, n, keep_shard=True)
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(path)
     )
+    getattr(writer, fmt)(path)
     return n

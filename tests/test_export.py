@@ -103,3 +103,39 @@ def test_pack_sequences_tiles_the_token_stream(spark):
         df.repartition(13), "doc_id", "n_tokens", seq_len=128, n_shards=4
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_export_shards_jsonl_matches_parquet_layout(spark, tmp_path):
+    """fmt='json' writes the identical shard membership and order as the
+    parquet form — a loader switching formats sees the same corpus."""
+    import json as _json
+    from pathlib import Path
+
+    from mlvectordb_spark.operators.export import export_shards
+    from mlvectordb_spark.sources.testdata import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    n = export_shards(docs, str(tmp_path / "pq"), "doc_id", n_shards=4)
+    n2 = export_shards(
+        docs, str(tmp_path / "jl"), "doc_id", n_shards=4, fmt="json"
+    )
+    assert n == n2 == 4
+    # one file per shard -> the scan preserves the written (shuffled) order
+    pq = {
+        s: [r.doc_id for r in spark.read.parquet(
+            str(tmp_path / "pq") + f"/shard={s}").collect()]
+        for s in range(4)
+    }
+    for s in range(4):
+        files = sorted(Path(str(tmp_path / "jl") + f"/shard={s}").glob("*.json"))
+        rows = []
+        for f in files:
+            rows += [
+                _json.loads(line)["doc_id"]
+                for line in f.read_text().splitlines() if line
+            ]
+        assert rows == pq[s], f"shard {s} diverged between formats"
