@@ -859,6 +859,42 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel stage timestamps (epoch seconds; -1 = stage not
+    reached) — the batch twin the stateful streaming funnel
+    (`streaming/stateful.user_funnel_stream`) is tested against, here
+    under the driver's oracle gate so the kernel both consumers share is
+    SQL-verified. Same single user_id Exchange as events_funnel."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    df = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    df = df.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    df = df.withColumn("t3", t3)
+    return df.groupBy("user_id").agg(
+        F.first("t1").alias("__t1"),
+        F.first("t2").alias("__t2"),
+        F.first("t3").alias("__t3"),
+    ).select(
+        "user_id",
+        F.round(F.coalesce(F.col("__t1").cast("double"), F.lit(-1.0)), 3).alias("s1"),
+        F.round(F.coalesce(F.col("__t2").cast("double"), F.lit(-1.0)), 3).alias("s2"),
+        F.round(F.coalesce(F.col("__t3").cast("double"), F.lit(-1.0)), 3).alias("s3"),
+    )
+
+
 def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View→purchase attribution: every purchase within 30 minutes of a
     view by the same user, with the lag. Batch twin of the stream-stream
@@ -3326,6 +3362,26 @@ WITH starts AS (
 )
 SELECT window_start, count(*) AS n_events FROM starts GROUP BY 1
 """,
+    "events_funnel_users": """
+WITH s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+    OVER (PARTITION BY user_id) AS t1
+  FROM events
+), s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+    OVER (PARTITION BY user_id) AS t2
+  FROM s1
+), s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+    OVER (PARTITION BY user_id) AS t3
+  FROM s2
+)
+SELECT user_id,
+  round(coalesce(extract(epoch FROM any_value(t1)), -1.0), 3) AS s1,
+  round(coalesce(extract(epoch FROM any_value(t2)), -1.0), 3) AS s2,
+  round(coalesce(extract(epoch FROM any_value(t3)), -1.0), 3) AS s3
+FROM s3 GROUP BY user_id
+""",
     "events_funnel": """
 WITH s1 AS (
   SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
@@ -4253,6 +4309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_oov": q_vocab_oov,
     "events_attribution": q_events_attribution,
     "events_funnel": q_events_funnel,
+    "events_funnel_users": q_events_funnel_users,
     "ns_stats": q_ns_stats,
     "metadata_query": q_metadata_query,
     "dedup_exact": q_dedup_exact,
