@@ -2306,7 +2306,11 @@ def q_doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     of tokens in duplicated n-grams' filter)."""
     from mlvectordb_spark.operators.curation import duplicate_ngram_coverage
 
-    docs = load_table(spark, sf_dir, "documents")
+    # testdata ships one file -> fan out before the CPU-heavy shingle
+    # kernel (no-op knob on a real many-partition table)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return duplicate_ngram_coverage(docs, k=SHINGLE_K)
 
 
@@ -2317,7 +2321,9 @@ def q_doc_strip_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim."""
     from mlvectordb_spark.operators.curation import strip_duplicate_ngrams
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return strip_duplicate_ngrams(docs, k=SHINGLE_K)
 
 
@@ -2328,7 +2334,9 @@ def q_doc_cross_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup, Lee et al. 2022), vs doc_dup_ngrams' total-occurrence twin."""
     from mlvectordb_spark.operators.curation import cross_doc_ngram_coverage
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return cross_doc_ngram_coverage(docs, k=SHINGLE_K, min_docs=2)
 
 
