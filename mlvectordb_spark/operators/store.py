@@ -1091,6 +1091,44 @@ class VectorStore:
         raw = self._raw()
         return 0 if raw is None else raw.count()
 
+    def backup_incremental(self, backup_path: str, since_version: int) -> int:
+        """INCREMENTAL backup: persist the CDC feed since `since_version`
+        (the events, not a full snapshot — at 100 TB a nightly full copy is
+        the thing you can't afford; the delta is proportional to the day's
+        churn). Raises below the history floor, like `changes_since`.
+        Returns the event count. Restore side: `apply_incremental`."""
+        feed = self.changes_since(since_version)
+        feed.write.mode("overwrite").parquet(backup_path)
+        return self.spark.read.parquet(backup_path).count()
+
+    def apply_incremental(self, backup_path: str) -> int:
+        """Apply an incremental backup (a persisted CDC feed) to THIS
+        store: latest event per (id, namespace) wins — upserts replay
+        through `upsert_df`, deletes through `delete_df` — so a replica
+        seeded from a full snapshot converges to the primary's state after
+        each delta, and re-applying a delta is idempotent (latest-wins).
+        Returns the number of events applied."""
+        feed = self.spark.read.parquet(backup_path)
+        w = SqlWindow.partitionBy("id", "namespace").orderBy(
+            F.col("write_version").desc()
+        )
+        latest = (
+            feed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ups = latest.filter(F.col("change_type") == "upsert").select(
+            "id", "namespace", "values", "metadata"
+        )
+        if ups.limit(1).count():
+            self.upsert_df(ups)
+        dels = latest.filter(F.col("change_type") == "delete").select(
+            "id", "namespace"
+        )
+        if dels.limit(1).count():
+            self.delete_df(dels)
+        return latest.count()
+
     # -- search (Q1, Q3, Q4) -----------------------------------------------
 
     def find_similar(

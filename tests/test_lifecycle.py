@@ -111,3 +111,50 @@ def test_replication_mirror_and_reconcile(spark, tmp_path):
     extra.write.mode("append").parquet(paths[0])
     missing = mgr.reconcile()
     assert missing[paths[0]] == 0 and missing[paths[1]] == 2
+
+
+def test_incremental_backup_syncs_replica(spark, tmp_path):
+    """Replica = full snapshot at v0, then incremental deltas: after each
+    apply_incremental the replica's live view equals the primary's,
+    including overwrites and deletes; re-applying a delta is idempotent."""
+    from mlvectordb_spark.operators.store import VectorStore
+
+    primary = VectorStore(
+        spark, str(tmp_path / "primary"), rebuild_threshold=0.95
+    )
+    primary.upsert_by_id(
+        [{"id": f"k{i}", "values": [float(i), 1.0]} for i in range(20)]
+    )
+    primary.create_backup(str(tmp_path / "full"))
+    v0 = primary.current_version()
+
+    replica = VectorStore(
+        spark, str(tmp_path / "replica"), rebuild_threshold=0.95
+    )
+    replica.restore_from_backup(str(tmp_path / "full"))
+
+    primary.upsert_by_id(
+        [{"id": "k3", "values": [99.0, 1.0]}, {"id": "k21", "values": [21.0, 1.0]}]
+    )
+    primary.delete(["k5", "k7"])
+    n = primary.backup_incremental(str(tmp_path / "delta1"), v0)
+    assert n == 4
+
+    applied = replica.apply_incremental(str(tmp_path / "delta1"))
+    assert applied == 4
+
+    def state(store):
+        return {
+            r.id: list(r.values) for r in store.df().collect()
+        }
+
+    assert state(replica) == state(primary)
+    # idempotent: applying the same delta again changes nothing
+    replica.apply_incremental(str(tmp_path / "delta1"))
+    assert state(replica) == state(primary)
+    # floor enforcement propagates: asking for a pre-floor delta raises
+    primary.compact("default")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        primary.backup_incremental(str(tmp_path / "delta2"), v0)
