@@ -110,6 +110,7 @@ HEADLINE = [
     "decontaminate_semantic",
     # token-budget water-filling mix
     "mixture_budget",
+    "hard_negatives",
 ]
 
 

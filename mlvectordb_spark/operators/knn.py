@@ -200,3 +200,51 @@ def knn_join(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def hard_negatives(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    metric: str = "l2",
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training: for each query,
+    the k NEAREST corpus items with a DIFFERENT label — the contrastive
+    negatives that sit close in embedding space but are semantically wrong
+    (the standard hard-negative recipe for dense-retriever / metric
+    training; random negatives are too easy to teach a margin).
+
+    Same physical shape as `knn_join` (bounded query set broadcasts, the
+    corpus never shuffles for the join, per-query window top-k over
+    (rounded score, id)) with the label-mismatch predicate applied BEFORE
+    ranking — so the result is the true top-k of the filtered candidate
+    set, not a post-filtered (and possibly short) top-k."""
+    q = queries.select(
+        F.col("query_id").alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("__qlabel"),
+    )
+    score = F.round(
+        metric_expr(F.col(vec_col), F.col("__qvec"), metric), score_decimals
+    )
+    joined = (
+        data.crossJoin(F.broadcast(q))
+        .filter(F.col(label_col) != F.col("__qlabel"))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col(id_col),
+            F.col(label_col).alias("neg_label"),
+            score.alias("score"),
+        )
+    )
+    lead = F.col("score").asc() if metric_ascending(metric) else F.col("score").desc()
+    w = Window.partitionBy("query_id").orderBy(lead, F.col(id_col).asc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

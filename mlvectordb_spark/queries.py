@@ -2373,6 +2373,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: for each of the first 8 vectors, the 3
+    nearest corpus vectors carrying a DIFFERENT label (the dense-retriever
+    training recipe — near in embedding space, semantically wrong)."""
+    from mlvectordb_spark.operators.knn import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERY_MAX_VID).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negatives(emb, queries, BATCH_K)
+
+
 SEM_DECON_MOD = 10      # vec_id % MOD == 0 plays the eval set
 SEM_DECON_THRESHOLD = 0.35
 
@@ -3886,6 +3899,21 @@ reach(a, b) AS (
 )
 SELECT a AS doc_id, min(b)::BIGINT AS cluster FROM reach GROUP BY a
 """,
+    "hard_negatives": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < {BATCH_QUERY_MAX_VID}
+), scored AS (
+  SELECT q.query_id, e.vec_id, e.label AS neg_label,
+    round({_sql_l2sq('e.embedding', 'qv')}, 4) AS score,
+    row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY round({_sql_l2sq('e.embedding', 'qv')}, 4) ASC, e.vec_id ASC
+    ) AS rn
+  FROM embeddings e JOIN q ON e.label != q.qlabel
+)
+SELECT query_id, vec_id, neg_label, score FROM scored WHERE rn <= {BATCH_K}
+""",
     "decontaminate_semantic": f"""
 WITH ev AS (
   SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % {SEM_DECON_MOD} = 0
@@ -4267,6 +4295,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_profile": q_doc_profile,
     "mixture_budget": q_mixture_budget,
     "decontaminate_semantic": q_decontaminate_semantic,
+    "hard_negatives": q_hard_negatives,
     "curation_pipeline": q_curation_pipeline,
     "decontaminate": q_decontaminate,
     "pii_scrub": q_pii_scrub,
