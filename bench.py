@@ -111,6 +111,7 @@ HEADLINE = [
     # token-budget water-filling mix
     "mixture_budget",
     "hard_negatives",
+    "contrastive_triplets",
 ]
 
 

@@ -248,3 +248,80 @@ def hard_negatives(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def contrastive_triplets(
+    data: DataFrame,
+    queries: DataFrame,
+    n_neg: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    metric: str = "l2",
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Export-ready contrastive training triplets: per query (anchor), the
+    nearest SAME-label item (excluding the anchor itself) as the positive
+    and the `n_neg` nearest DIFFERENT-label items as hard negatives, each
+    row carrying the positive/negative scores and their margin — the
+    (anchor, positive, negative) tables a metric-learning / dense-retriever
+    trainer consumes directly.
+
+    Physical shape: ONE broadcast cross join of the bounded query set
+    against the corpus feeds BOTH rankings (the positive rank and the
+    negative rank are two windows over the same scored frame, same
+    partitioning — one Exchange); the final positive⋈negative join runs on
+    two ≤\\|queries\\|·n_neg-row tables. The corpus is scanned once and
+    never shuffled."""
+    q = queries.select(
+        F.col("query_id").alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("__qlabel"),
+    )
+    score = F.round(
+        metric_expr(F.col(vec_col), F.col("__qvec"), metric), score_decimals
+    )
+    scored = data.crossJoin(F.broadcast(q)).select(
+        F.col("__qid").alias("query_id"),
+        F.col(id_col),
+        F.col(label_col),
+        F.col("__qlabel"),
+        score.alias("score"),
+    )
+    lead = F.col("score").asc() if metric_ascending(metric) else F.col("score").desc()
+    wq = Window.partitionBy("query_id").orderBy(lead, F.col(id_col).asc())
+    pos = (
+        scored.filter(
+            (F.col(label_col) == F.col("__qlabel"))
+            & (F.col(id_col) != F.col("query_id"))
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col(id_col).alias("pos_id"),
+            F.col("score").alias("pos_score"),
+        )
+    )
+    neg = (
+        scored.filter(F.col(label_col) != F.col("__qlabel"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_neg)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neg_id"),
+            F.col("score").alias("neg_score"),
+            F.col("rn").alias("neg_rank"),
+        )
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id",
+        "pos_id",
+        "neg_id",
+        "neg_rank",
+        "pos_score",
+        "neg_score",
+        F.round(F.col("neg_score") - F.col("pos_score"), score_decimals).alias(
+            "margin"
+        ),
+    )

@@ -2386,6 +2386,19 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(emb, queries, BATCH_K)
 
 
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, hard-negative) training triplets with margins:
+    nearest same-label positive + 3 nearest different-label negatives per
+    anchor, from one broadcast scan of the corpus."""
+    from mlvectordb_spark.operators.knn import contrastive_triplets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERY_MAX_VID).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return contrastive_triplets(emb, queries, BATCH_K)
+
+
 SEM_DECON_MOD = 10      # vec_id % MOD == 0 plays the eval set
 SEM_DECON_THRESHOLD = 0.35
 
@@ -3899,6 +3912,31 @@ reach(a, b) AS (
 )
 SELECT a AS doc_id, min(b)::BIGINT AS cluster FROM reach GROUP BY a
 """,
+    "contrastive_triplets": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < {BATCH_QUERY_MAX_VID}
+), scored AS (
+  SELECT q.query_id, e.vec_id, e.label, q.qlabel,
+    round({_sql_l2sq('e.embedding', 'qv')}, 4) AS score
+  FROM embeddings e, q
+), pos AS (
+  SELECT query_id, vec_id AS pos_id, score AS pos_score FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score ASC, vec_id ASC) AS rn
+    FROM scored WHERE label = qlabel AND vec_id != query_id
+  ) WHERE rn = 1
+), neg AS (
+  SELECT query_id, vec_id AS neg_id, score AS neg_score, rn AS neg_rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score ASC, vec_id ASC) AS rn
+    FROM scored WHERE label != qlabel
+  ) WHERE rn <= {BATCH_K}
+)
+SELECT query_id, pos_id, neg_id, neg_rank::BIGINT AS neg_rank,
+  pos_score, neg_score, round(neg_score - pos_score, 4) AS margin
+FROM pos JOIN neg USING (query_id)
+""",
     "hard_negatives": f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
@@ -4296,6 +4334,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_budget": q_mixture_budget,
     "decontaminate_semantic": q_decontaminate_semantic,
     "hard_negatives": q_hard_negatives,
+    "contrastive_triplets": q_contrastive_triplets,
     "curation_pipeline": q_curation_pipeline,
     "decontaminate": q_decontaminate,
     "pii_scrub": q_pii_scrub,
