@@ -2465,6 +2465,30 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: the surviving corpus — every doc
+    except non-canonical duplicate-cluster members (min-id survivor per
+    cluster, singletons pass through untouched). One anti-join of the
+    corpus against the (duplicate-set-sized) non-survivor list; returns
+    (doc_id, n_chars) so the gate hashes real payload, not just ids."""
+    from mlvectordb_spark.operators.components import dedup_cluster_assignment
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    losers = (
+        dedup_cluster_assignment(pairs)
+        .filter(F.col("doc_id") != F.col("cluster"))
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
 def q_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 quantization quality: per-label mean/max absolute reconstruction
     error (bounded by (max-min)/510 per vector by construction)."""
@@ -4020,6 +4044,26 @@ UNION ALL SELECT 'lang', n::BIGINT, nn_lang::BIGINT, nd_lang::BIGINT, mn_lang, m
 UNION ALL SELECT 'source', n::BIGINT, nn_source::BIGINT, nd_source::BIGINT, mn_source, mx_source FROM a
 UNION ALL SELECT 'n_chars', n::BIGINT, nn_n_chars::BIGINT, nd_n_chars::BIGINT, mn_n_chars, mx_n_chars FROM a
 """,
+    "dedup_survivors": f"""
+WITH RECURSIVE {_oracle_ngram_pairs_body()},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM ngram_pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM ngram_pairs
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+losers AS (
+  SELECT a AS doc_id FROM (
+    SELECT a, min(b) AS cluster FROM reach GROUP BY a
+  ) WHERE a != cluster
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars
+FROM documents ANTI JOIN losers USING (doc_id)
+""",
     "dedup_keep_best": f"""
 WITH RECURSIVE {_oracle_ngram_pairs_body()},
 edges AS (
@@ -4330,6 +4374,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ingest_screen": q_dedup_ingest_screen,  # streaming-dedup batch twin
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
+    "dedup_survivors": q_dedup_survivors,
     "doc_profile": q_doc_profile,
     "mixture_budget": q_mixture_budget,
     "decontaminate_semantic": q_decontaminate_semantic,
