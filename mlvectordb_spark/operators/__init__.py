@@ -1,4 +1,6 @@
 from mlvectordb_spark.operators.knn import (
+    contrastive_triplets,
+    hard_negatives,
     hybrid_query,
     knn,
     knn_df,
@@ -14,6 +16,8 @@ __all__ = [
     "range_query",
     "threshold_query",
     "hybrid_query",
+    "hard_negatives",
+    "contrastive_triplets",
 ]
 
 # heavier modules (ann, store, dedup, scd, skew, rollup, sharding, asof) are
