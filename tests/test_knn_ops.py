@@ -82,3 +82,47 @@ def test_knn_join_topk_per_query(spark, emb_df):
         assert len(rows) == 4
         # nearest neighbour of a point is itself at distance 0
         assert rows[0].vec_id == qid or any(x.vec_id == qid for x in rows)
+
+
+def test_hard_negatives_planted_geometry(spark):
+    """The nearest same-label item is never returned; the nearest
+    different-label items come back in distance order."""
+    from mlvectordb_spark.operators.knn import hard_negatives
+
+    rows = [
+        (0, [0.0, 0.0], 0),   # anchor
+        (1, [0.1, 0.0], 0),   # same label, closest overall -> excluded
+        (2, [0.2, 0.0], 1),   # nearest negative
+        (3, [0.3, 0.0], 2),   # second negative
+        (4, [5.0, 0.0], 1),   # far negative
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = emb.filter("vec_id = 0").selectExpr(
+        "vec_id as query_id", "embedding", "label"
+    )
+    out = hard_negatives(emb, q, 2).orderBy("score").collect()
+    assert [r.vec_id for r in out] == [2, 3]
+    assert all(r.neg_label != 0 for r in out)
+
+
+def test_contrastive_triplets_structure(spark):
+    """Positive = nearest same-label (not self); every negative differs in
+    label; margin = neg_score - pos_score."""
+    from mlvectordb_spark.operators.knn import contrastive_triplets
+
+    rows = [
+        (0, [0.0, 0.0], 0),
+        (1, [1.0, 0.0], 0),    # positive (nearest same-label)
+        (2, [0.5, 0.0], 1),    # hard negative (closer than positive)
+        (3, [2.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = emb.filter("vec_id = 0").selectExpr(
+        "vec_id as query_id", "embedding", "label"
+    )
+    out = contrastive_triplets(emb, q, 2).orderBy("neg_rank").collect()
+    assert all(r.pos_id == 1 for r in out)
+    assert [r.neg_id for r in out] == [2, 3]
+    # the rank-1 negative is HARDER than the positive: negative margin
+    assert out[0].margin == round(out[0].neg_score - out[0].pos_score, 4)
+    assert out[0].margin < 0 < out[1].margin
