@@ -139,6 +139,35 @@ def main():
         out,
     )
 
+    # CDC maintenance through the built index: ~2% churn feed (1% vector
+    # overwrites + 1% deletes) applied without rebuild — the serving-index
+    # freshness loop (IVFIndex.apply_changes)
+    churn = (
+        emb.filter(F.pmod("vec_id", F.lit(100)) == 0)
+        .select(
+            "vec_id", "embedding", "label",
+            F.lit("upsert").alias("change_type"),
+            F.lit(2).alias("write_version"),
+        )
+        .unionByName(
+            emb.filter(F.pmod("vec_id", F.lit(101)) == 0).select(
+                "vec_id", "embedding", "label",
+                F.lit("delete").alias("change_type"),
+                F.lit(3).alias("write_version"),
+            )
+        )
+    )
+    timed(
+        "ivf_apply_changes_2pct_churn",
+        lambda: (idx_u.apply_changes(churn), idx_u.indexed.count())[1],
+        out,
+    )
+    timed(
+        "ivf_exact_search_post_churn",
+        lambda: len(idx_u.search_exact(qvec, 10).collect()),
+        out,
+    )
+
     ev = synth_events(spark, n_ev)
 
     def sessionize():
