@@ -738,21 +738,32 @@ def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
             F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
         ]
     wide = df.agg(*aggs)
-    parts = [
-        wide.select(
-            F.lit(c).alias("column"),
-            F.col("__n").cast("bigint").alias("n_rows"),
-            F.col(f"__nn_{c}").cast("bigint").alias("n_nonnull"),
-            F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
-            F.col(f"__mn_{c}").alias("min_value"),
-            F.col(f"__mx_{c}").alias("max_value"),
-        )
-        for c in columns
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # unpivot via ONE explode over the 1-row aggregate — a union of
+    # per-column selects re-plans the whole aggregate per branch (N scans
+    # of the table; caught by test_doc_profile_single_scan)
+    melted = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nn_{c}").cast("bigint").alias("n_nonnull"),
+                F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(
+        F.col("__n").cast("bigint").alias("n_rows"),
+        F.explode(melted).alias("m"),
+    ).select(
+        F.col("m.column").alias("column"),
+        "n_rows",
+        F.col("m.n_nonnull").alias("n_nonnull"),
+        F.col("m.n_distinct").alias("n_distinct"),
+        F.col("m.min_value").alias("min_value"),
+        F.col("m.max_value").alias("max_value"),
+    )
 
 
 def decontaminate_semantic(
@@ -876,20 +887,19 @@ def budget_mixture(
         "saturated",
         (F.col("B") - F.col("n_before")) >= F.col("r") * F.col("w_from"),
     )
+    # The level is a WINDOW over the tiny frame, not an agg + crossJoin —
+    # the join form re-planned the whole corpus aggregation for the level
+    # branch (two scans; caught by test_mixture_budget_one_corpus_aggregate).
     # try_divide: with budget_frac=1.0 every source saturates and the
     # unsaturated weight mass is 0 — the level is then unused (all rows
-    # take the saturated branch), so null, not an ANSI division error
-    level = cum.agg(
-        F.try_divide(
-            F.first("B")
-            - F.sum(F.when(F.col("saturated"), F.col("n")).otherwise(0.0)),
-            F.sum(F.when(~F.col("saturated"), F.col("w")).otherwise(0.0)),
-        ).alias("__c")
+    # take the saturated branch), so null, not an ANSI division error.
+    lev = F.try_divide(
+        F.col("B")
+        - F.sum(F.when(F.col("saturated"), F.col("n")).otherwise(0.0)).over(full),
+        F.sum(F.when(~F.col("saturated"), F.col("w")).otherwise(0.0)).over(full),
     )
-    target = F.when(F.col("saturated"), F.col("n")).otherwise(
-        F.col("__c") * F.col("w")
-    )
-    return cum.crossJoin(F.broadcast(level)).select(
+    target = F.when(F.col("saturated"), F.col("n")).otherwise(lev * F.col("w"))
+    return cum.select(
         group_col,
         F.col("n").cast("bigint").alias("n_tokens"),
         "saturated",

@@ -325,3 +325,32 @@ def test_events_funnel_single_user_exchange(spark, sf_dir):
     per stage."""
     plan = explain_query(QUERIES["events_funnel"](spark, sf_dir))
     assert plan["raw"].count("hashpartitioning(user_id") == 1, plan["raw"]
+
+
+def test_hard_negatives_broadcast_and_single_corpus_scan(spark, sf_dir):
+    """The bounded query set broadcasts; the corpus never shuffles for the
+    join (only the per-query window exchanges the scored rows)."""
+    plan = explain_query(QUERIES["hard_negatives"](spark, sf_dir))
+    assert plan["uses_broadcast"]
+    assert "SortMergeJoin" not in plan["raw"]
+
+
+def test_doc_profile_single_scan(spark, sf_dir):
+    """All column metrics come from ONE scan of documents — the unpivot
+    must not re-read the table per column."""
+    import re
+
+    plan = explain_query(QUERIES["doc_profile"](spark, sf_dir))
+    # formatted mode names each scan twice (tree line + detail block):
+    # count detail headers only
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan["raw"])) == 1, plan["raw"]
+
+
+def test_mixture_budget_one_corpus_aggregate(spark, sf_dir):
+    """The water-filling math runs over the |sources|-row aggregate: one
+    corpus scan feeds one aggregation; windows/joins touch only the tiny
+    result."""
+    import re
+
+    plan = explain_query(QUERIES["mixture_budget"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan["raw"])) == 1, plan["raw"]
