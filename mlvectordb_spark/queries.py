@@ -480,9 +480,10 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15-style top supplier(s): quarterly revenue per supplier,
     keep every supplier at the maximum (ties included — the spec's
-    WHERE total = (SELECT max(...)) semantics, expressed as a rank-free
-    max join: the 1-row max broadcasts back against the per-supplier
-    aggregate, never a global sort)."""
+    WHERE total = (SELECT max(...)) semantics, expressed as a window max
+    over the |suppliers|-row aggregate: ONE lineitem scan, no global
+    sort; the agg-then-join-the-max form re-planned the whole revenue
+    aggregation for the max branch — two fact scans)."""
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
@@ -492,9 +493,10 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = li.groupBy("l_suppkey").agg(
         F.round(F.sum(rev), 2).alias("total_revenue")
     )
-    mx = per_supp.agg(F.max("total_revenue").alias("__mx"))
+    mx = F.max("total_revenue").over(Window.partitionBy())
     return (
-        per_supp.join(F.broadcast(mx), per_supp.total_revenue == F.col("__mx"))
+        per_supp.withColumn("__mx", mx)
+        .filter(F.col("total_revenue") == F.col("__mx"))
         .join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
