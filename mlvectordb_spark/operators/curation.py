@@ -375,9 +375,18 @@ def strip_duplicate_ngrams(
     per-doc aggregate whose row size is bounded by the document itself
     (array_sort of (pos, tok) structs — no window, no global sort). The
     clean_text value is engine-independent (same tokens, same order), so
-    the DuckDB oracle hash-checks the rebuilt text verbatim."""
+    the DuckDB oracle hash-checks the rebuilt text verbatim.
+
+    The tokenized base feeds THREE consumers (position table, shingle
+    table, final length join), so it is persisted spill-tolerantly —
+    unpersisted, each consumer re-ran the tokenize kernel (plan audit:
+    4 scans), the same lesson as duplicate_ngram_coverage's default."""
+    from pyspark import StorageLevel
+
     toks = TX.tokens(text_col)
-    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    base = docs.select(F.col(id_col), toks.alias("__toks")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pos_tok = base.select(
         F.col(id_col), F.posexplode("__toks").alias("pos", "tok")
     )

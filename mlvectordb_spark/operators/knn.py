@@ -268,11 +268,13 @@ def contrastive_triplets(
     trainer consumes directly.
 
     Physical shape: ONE broadcast cross join of the bounded query set
-    against the corpus feeds BOTH rankings (the positive rank and the
-    negative rank are two windows over the same scored frame, same
-    partitioning — one Exchange); the final positive⋈negative join runs on
-    two ≤\\|queries\\|·n_neg-row tables. The corpus is scanned once and
-    never shuffled."""
+    against the corpus, scanned ONCE, join-free: the positive is a
+    struct-min window over the same-label rows, the negative rank a
+    row_number over the (query, side) partitioning — both windows sit on
+    the SAME query_id Exchange (a subset partitioning clusters any
+    superset of keys, so the second window adds only a sort). The earlier
+    positive⋈negative formulation re-planned the whole scored subtree per
+    branch — two corpus scans (plan audit)."""
     q = queries.select(
         F.col("query_id").alias("__qid"),
         F.col(vec_col).alias("__qvec"),
@@ -281,47 +283,41 @@ def contrastive_triplets(
     score = F.round(
         metric_expr(F.col(vec_col), F.col("__qvec"), metric), score_decimals
     )
-    scored = data.crossJoin(F.broadcast(q)).select(
-        F.col("__qid").alias("query_id"),
-        F.col(id_col),
-        F.col(label_col),
-        F.col("__qlabel"),
-        score.alias("score"),
-    )
-    lead = F.col("score").asc() if metric_ascending(metric) else F.col("score").desc()
-    wq = Window.partitionBy("query_id").orderBy(lead, F.col(id_col).asc())
-    pos = (
-        scored.filter(
-            (F.col(label_col) == F.col("__qlabel"))
-            & (F.col(id_col) != F.col("query_id"))
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") == 1)
+    lead_min = metric_ascending(metric)
+    scored = (
+        data.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("__qid"))  # the anchor itself
         .select(
-            "query_id",
-            F.col(id_col).alias("pos_id"),
-            F.col("score").alias("pos_score"),
+            F.col("__qid").alias("query_id"),
+            F.col(id_col),
+            (F.col(label_col) == F.col("__qlabel")).alias("__same"),
+            score.alias("score"),
         )
     )
-    neg = (
-        scored.filter(F.col(label_col) != F.col("__qlabel"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_neg)
+    # positive = extremal (score, id) struct among same-label rows; struct
+    # ordering is lexicographic, so id breaks score ties deterministically
+    wq = Window.partitionBy("query_id")
+    pos_struct = F.struct(F.col("score"), F.col(id_col))
+    pos_pick = (F.min if lead_min else F.max)(
+        F.when(F.col("__same"), pos_struct)
+    ).over(wq)
+    lead = F.col("score").asc() if lead_min else F.col("score").desc()
+    w_side = Window.partitionBy("query_id", "__same").orderBy(
+        lead, F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__pos", pos_pick)
+        .withColumn("rn", F.row_number().over(w_side))
+        .filter(~F.col("__same") & (F.col("rn") <= n_neg))
         .select(
             "query_id",
+            F.col("__pos")[id_col].alias("pos_id"),
             F.col(id_col).alias("neg_id"),
-            F.col("score").alias("neg_score"),
             F.col("rn").alias("neg_rank"),
+            F.col("__pos")["score"].alias("pos_score"),
+            F.col("score").alias("neg_score"),
+            F.round(
+                F.col("score") - F.col("__pos")["score"], score_decimals
+            ).alias("margin"),
         )
-    )
-    return pos.join(neg, "query_id").select(
-        "query_id",
-        "pos_id",
-        "neg_id",
-        "neg_rank",
-        "pos_score",
-        "neg_score",
-        F.round(F.col("neg_score") - F.col("pos_score"), score_decimals).alias(
-            "margin"
-        ),
     )

@@ -1400,6 +1400,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "bucket", hash_bucket_wide(F.col("doc_id"), "ngramblk:") % F.col("nb")
         )
+        # both self-join branches consume this table: materialize it ONCE
+        # (the minhash path's checkpoint lesson) — unchecked, each branch
+        # re-executes the tokenize+shingle kernel AND the prefix-count
+        # aggregate (plan audit: 4 scans -> 2 kernel runs)
+        .localCheckpoint()
     )
     a = base.select(
         "prefix", "bucket", F.col("doc_id").alias("doc_a"),
@@ -2282,14 +2287,27 @@ def q_dedup_ingest_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     odd doc_ids the incoming micro-batch. Survivors = odd docs whose bands
     collide with neither the corpus index nor a smaller-id batchmate.
     Driver-checks the exact screening semantics the streaming query runs
-    per micro-batch — the same shared kernel, no stream required."""
-    from mlvectordb_spark.streaming.dedup import screen
+    per micro-batch — the same shared kernel, no stream required. Both
+    band tables are localCheckpointed here, playing the roles their
+    streaming counterparts' materializations play (the index is parquet
+    on disk, the batch bands are cached per micro-batch in
+    screen_and_write) — unchecked, _screen_bands' four references re-ran
+    the shingle/md5 kernel per branch (plan audit: 10 scans)."""
+    from mlvectordb_spark.streaming.dedup import _screen_bands
 
-    docs = load_table(spark, sf_dir, "documents")
-    corpus_bands = bands_from_shingles(
-        shingle_table(docs.filter(F.col("doc_id") % 2 == 0))
-    ).select("band_idx", "band_hash")
-    survivors, _ = screen(docs.filter(F.col("doc_id") % 2 == 1), corpus_bands)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    corpus_bands = (
+        bands_from_shingles(
+            shingle_table(docs.filter(F.col("doc_id") % 2 == 0))
+        )
+        .select("band_idx", "band_hash")
+        .localCheckpoint()
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    bands_new = bands_from_shingles(shingle_table(batch)).localCheckpoint()
+    survivors, _ = _screen_bands(batch, bands_new, corpus_bands, "doc_id")
     return survivors.select("doc_id")
 
 
