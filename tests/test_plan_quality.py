@@ -354,3 +354,32 @@ def test_mixture_budget_one_corpus_aggregate(spark, sf_dir):
 
     plan = explain_query(QUERIES["mixture_budget"](spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan["raw"])) == 1, plan["raw"]
+
+
+def test_scan_count_budgets(spark, sf_dir):
+    """Re-planned shared subtrees show up as extra parquet scans (a
+    DataFrame referenced twice re-executes its whole lineage — the
+    round-5 plan audit caught five entries doing corpus-kernel work per
+    branch). Budget = physical scans allowed per entry; a regression
+    above budget means someone un-materialized a shared subtree."""
+    import re
+
+    budgets = {
+        "dedup_ngram_jaccard": 2,      # docs kernel + checkpointed base read
+        "doc_strip_dup_ngrams": 2,     # persisted base + length join re-read
+        "contrastive_triplets": 2,     # corpus scan + broadcast query scan
+        "hard_negatives": 2,
+        "doc_profile": 1,
+        "mixture_budget": 1,
+        "tpch_q15": 2,                 # lineitem + supplier
+        "events_funnel": 1,
+        "doc_cross_dup_ngrams": 3,     # persisted explode + base rejoin
+        "source_cap": 1,
+    }
+    over = {}
+    for name, budget in budgets.items():
+        plan = explain_query(QUERIES[name](spark, sf_dir))
+        scans = len(re.findall(r"\(\d+\) Scan parquet", plan["raw"]))
+        if scans > budget:
+            over[name] = (scans, budget)
+    assert not over, f"entries over scan budget: {over}"
