@@ -209,3 +209,58 @@ def test_stateful_funnel_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_stateful_funnel_cross_batch_disorder_is_greedy(spark, tmp_path):
+    """Locks the DOCUMENTED approximation: a view arriving in a LATER
+    micro-batch than a click it time-precedes cannot rewrite funnel
+    history — the click was not counted (no view yet), and only a click
+    AFTER the late view's arrival-batch can advance the funnel. Within a
+    batch, disorder is re-sorted and harmless."""
+    import json
+
+    from mlvectordb_spark.streaming.stateful import (
+        FUNNEL_OUTPUT_SCHEMA,
+        user_funnel_stream,
+    )
+
+    d = tmp_path / "oo"
+    d.mkdir()
+    # batch1: click at t=2000 (no view seen yet -> ignored)
+    # batch2: view at t=1000 (time-precedes the click, arrives later)
+    #         and a purchase at t=3000 (t2 never set -> ignored)
+    b1 = [{"event_id": 1, "user_id": 7, "event_type": "click", "ts": 2000}]
+    b2 = [
+        {"event_id": 2, "user_id": 7, "event_type": "view", "ts": 1000},
+        {"event_id": 3, "user_id": 7, "event_type": "purchase", "ts": 3000},
+    ]
+    for name, rows in [("b1.json", b1), ("b2.json", b2)]:
+        (d / name).write_text("\n".join(json.dumps(r) for r in rows))
+    raw = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .select(
+            "event_id", "user_id", "event_type",
+            F.timestamp_seconds("ts").alias("ts"),
+        )
+    )
+    q = (
+        user_funnel_stream(raw)
+        .writeStream.format("memory")
+        .queryName("t_funnel_oo")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "oockpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "select * from t_funnel_oo order by t1 desc"
+    ).collect()
+    final = rows[0]
+    assert final.t1 == 1000.0   # the late view does set stage 1...
+    assert final.t2 == -1.0     # ...but the earlier click was never counted
+    assert final.t3 == -1.0    # and the purchase can't skip stage 2
