@@ -57,6 +57,28 @@ def synth_clustered_embeddings(spark, n: int, dim: int = 64, n_centers: int = 32
     )
 
 
+def synth_documents(spark, n: int, n_tokens: int = 40, vocab: int = 5_000):
+    """Deterministic synthetic corpus, generated executor-side: each doc is
+    `n_tokens` hash-drawn vocab words; every 50th doc is an exact copy of
+    its predecessor (planted duplicates so the dedup paths do real work)."""
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    base = F.when(
+        F.pmod(F.col("doc_id"), F.lit(50)) == 1, F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    words = F.array(
+        *[
+            F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(base, F.lit(i)), F.lit(vocab)).cast("string"),
+            )
+            for i in range(n_tokens)
+        ]
+    )
+    return df.withColumn("text", F.concat_ws(" ", words)).withColumn(
+        "source", F.concat(F.lit("s"), F.pmod(F.col("doc_id"), F.lit(20)).cast("string"))
+    )
+
+
 def synth_events(spark, n: int):
     df = spark.range(n).select(F.col("id").alias("event_id"))
     return (
@@ -167,6 +189,45 @@ def main():
         lambda: len(idx_u.search_exact(qvec, 10).collect()),
         out,
     )
+
+    # Text-dedup pipeline at synthetic-corpus scale (planted 2% exact dups)
+    n_docs = max(100_000, n_vec)
+    docs = synth_documents(spark, n_docs).localCheckpoint(eager=True)
+
+    def exact_dedup():
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+        return (
+            docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .count()
+        )
+
+    timed("exact_dedup_survivors", exact_dedup, out)
+
+    def minhash_candidates():
+        from mlvectordb_spark.operators.minhash import (
+            band_candidate_pairs,
+            bands_from_shingles,
+            shingle_table,
+        )
+
+        return band_candidate_pairs(
+            bands_from_shingles(shingle_table(docs))
+        ).count()
+
+    timed("minhash_lsh_candidates", minhash_candidates, out)
+
+    def decontaminate_1pct_eval():
+        from mlvectordb_spark.operators.curation import decontaminate
+
+        return decontaminate(
+            docs.filter(F.pmod("doc_id", F.lit(100)) != 0),
+            docs.filter(F.pmod("doc_id", F.lit(100)) == 0),
+        ).count()
+
+    timed("decontaminate_1pct_eval", decontaminate_1pct_eval, out)
 
     ev = synth_events(spark, n_ev)
 
