@@ -112,6 +112,8 @@ HEADLINE = [
     "mixture_budget",
     "hard_negatives",
     "contrastive_triplets",
+    # the end-to-end materialized corpus pipeline (capstone composition)
+    "pipeline_materialize",
 ]
 
 

@@ -2451,6 +2451,54 @@ def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_mixture(docs, budget_frac=BUDGET_FRAC, alpha=0.5)
 
 
+def q_pipeline_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus pipeline, materialized: Gopher hard gate →
+    exact dedup (md5 min-id survivor) → eval-set decontamination
+    (doc_id % EVAL_SET_MOD == 0 plays the held-out eval slice) → deterministic
+    train/val/test split — each stage the already-oracle-verified
+    operator, composed in the order a production pretraining corpus runs
+    them (cheap row-local gate first, then dedup, then the broadcast
+    screen, split last). Output: per-split doc counts, token totals, and
+    an id checksum of the FINAL corpus, so the gate verifies the whole
+    composition end-to-end, not just each stage in isolation.
+
+    Scale shape: the gate is row-local; dedup is the one md5 shuffle;
+    decontamination broadcasts the (small) eval shingle set; the split is
+    a per-row hash — the corpus is never joined against anything its own
+    size, and each survivor set flows to the next stage as a semi/anti
+    join against a strictly shrinking id list."""
+    from mlvectordb_spark.operators.curation import (
+        assign_split,
+        decontaminate,
+        gopher_rules,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    eval_docs = docs.filter(F.col("doc_id") % EVAL_SET_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % EVAL_SET_MOD != 0)
+    passed = gopher_rules(corpus).filter(F.col("passes_gopher")).select("doc_id")
+    s1 = corpus.join(passed, "doc_id", "left_semi")
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    s2 = (
+        s1.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    flagged = decontaminate(s2, eval_docs).select("doc_id")
+    s3 = s2.join(flagged, "doc_id", "left_anti")
+    return (
+        assign_split(s3, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TX.token_count("text")).cast("bigint").alias("total_tokens"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        )
+    )
+
+
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column profile of the documents table: one scan, one
     aggregate, |columns| output rows (counts, exact distincts, lexicographic
@@ -4042,6 +4090,57 @@ SELECT source, n::BIGINT AS n_tokens, saturated,
   round(CASE WHEN saturated THEN 1.0 ELSE lvl.lev * w / n END, 6) AS sampling_rate
 FROM s, lvl
 """,
+    "pipeline_materialize": f"""
+WITH eval_d AS (
+  SELECT * FROM documents WHERE doc_id % {EVAL_SET_MOD} = 0
+), corpus AS (
+  SELECT * FROM documents WHERE doc_id % {EVAL_SET_MOD} != 0
+), gt AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks,
+    length(regexp_replace(text, '\\s', '', 'g')) AS nchars
+  FROM corpus
+), s1 AS (
+  SELECT doc_id, text, toks FROM gt
+  WHERE len(toks) >= {CUR.GOPHER_MIN_WORDS} AND len(toks) <= {CUR.GOPHER_MAX_WORDS}
+    AND len(toks) > 0
+    AND round(nchars::DOUBLE / len(toks), 4) >= {CUR.GOPHER_MIN_MEAN_WLEN}
+    AND round(nchars::DOUBLE / len(toks), 4) <= {CUR.GOPHER_MAX_MEAN_WLEN}
+    AND len(list_filter(toks, x -> x IN ({_GOPHER_STOP_IN}))) >= {CUR.GOPHER_MIN_STOP_HITS}
+    AND round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+              / len(toks), 4) >= {CUR.GOPHER_MIN_ALPHA_FRAC}
+), s2 AS (
+  SELECT doc_id, text, toks FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM s1
+  ) WHERE rn = 1
+), eval_sh AS (
+  SELECT DISTINCT unnest(
+    list_distinct({_SQL_SHINGLES.format(k=SHINGLE_K, km1=SHINGLE_K - 1)})
+  ) AS shingle
+  FROM (SELECT list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+        FROM eval_d)
+), flagged AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(
+      list_distinct({_SQL_SHINGLES.format(k=SHINGLE_K, km1=SHINGLE_K - 1)})
+    ) AS shingle
+    FROM s2
+  ) WHERE shingle IN (SELECT shingle FROM eval_sh)
+), s3 AS (
+  SELECT * FROM s2 ANTI JOIN flagged USING (doc_id)
+), assigned AS (
+  SELECT doc_id, len(toks) AS n_toks,
+    CASE WHEN {_oracle_hash_bucket('split:')} >= 230 THEN 'test'
+         WHEN {_oracle_hash_bucket('split:')} >= 205 THEN 'val'
+         ELSE 'train' END AS split
+  FROM s3
+)
+SELECT split, count(*)::BIGINT AS n_docs,
+  sum(n_toks)::BIGINT AS total_tokens,
+  sum(doc_id)::BIGINT AS sum_doc_id
+FROM assigned GROUP BY split
+""",
     "doc_profile": """
 WITH a AS (
   SELECT count(*) AS n,
@@ -4396,6 +4495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_survivors": q_dedup_survivors,
     "doc_profile": q_doc_profile,
+    "pipeline_materialize": q_pipeline_materialize,
     "mixture_budget": q_mixture_budget,
     "decontaminate_semantic": q_decontaminate_semantic,
     "hard_negatives": q_hard_negatives,
@@ -4661,14 +4761,14 @@ _WINDOW = [
     "events_attribution", "orders_unpivot", "doc_quality_hist",
     "doc_cross_dup_ngrams", "source_cap", "dedup_keep_best",
     "tpch_q6", "tpch_q10", "tpch_q18", "store_timetravel", "events_funnel",
-    "doc_profile", "decontaminate_semantic",
+    "doc_profile", "decontaminate_semantic", "pipeline_materialize",
     "tpch_q13", "tpch_q14", "tpch_q19",
     # (b) longest-resting driver rows (r1/r2) — 9 entries
     "knn_ip", "threshold_cosine", "median_price", "orders_rollup",
     "label_centroids", "conditional_agg", "doc_stats",
     "events_first_per_key", "monthly_running_revenue",
-    # (c) continuity core (green r4, the flagship operators) — 4 entries
-    "knn_l2", "hybrid_knn", "dedup_minhash", "store_roundtrip",
+    # (c) continuity core (green r4, the flagship operators) — 3 entries
+    "knn_l2", "hybrid_knn", "store_roundtrip",
 ]
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
 QUERIES = {
