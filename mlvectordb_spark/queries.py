@@ -2481,10 +2481,15 @@ def q_pipeline_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     passed = gopher_rules(corpus).filter(F.col("passes_gopher")).select("doc_id")
     s1 = corpus.join(passed, "doc_id", "left_semi")
     w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    # the post-dedup survivor set feeds THREE consumers (decon shingling,
+    # the anti join's left side, the split aggregation): materialize it
+    # once or each branch re-runs the gate + dedup lineage (plan audit: 5
+    # corpus scans unchecked)
     s2 = (
         s1.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        .localCheckpoint()
     )
     flagged = decontaminate(s2, eval_docs).select("doc_id")
     s3 = s2.join(flagged, "doc_id", "left_anti")
