@@ -1091,6 +1091,46 @@ class VectorStore:
         raw = self._raw()
         return 0 if raw is None else raw.count()
 
+    def history(self) -> DataFrame:
+        """Audit view of the event log: one row per write_version with its
+        upsert/delete event counts — the DESCRIBE HISTORY of the store
+        (derived from the data itself; versions below the history floor
+        may be partially collapsed by compaction, which is exactly what
+        the floor communicates). Metadata-scale output: |versions| rows
+        from two map-side-combined aggregates."""
+        wv = F.coalesce(F.col("write_version"), F.lit(0)).alias("version")
+        raw = self._raw()
+        parts = []
+        if raw is not None:
+            parts.append(
+                raw.groupBy(wv)
+                .agg(F.count("*").alias("n_upserts"))
+                .withColumn("n_deletes", F.lit(0).cast("bigint"))
+            )
+        tomb = self._tombstones()
+        if tomb is not None:
+            parts.append(
+                tomb.groupBy(wv)
+                .agg(F.count("*").alias("n_deletes"))
+                .withColumn("n_upserts", F.lit(0).cast("bigint"))
+                .select("version", "n_upserts", "n_deletes")
+            )
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "version long, n_upserts long, n_deletes long"
+            )
+        out = parts[0].select("version", "n_upserts", "n_deletes")
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return (
+            out.groupBy("version")
+            .agg(
+                F.sum("n_upserts").cast("bigint").alias("n_upserts"),
+                F.sum("n_deletes").cast("bigint").alias("n_deletes"),
+            )
+            .orderBy("version")
+        )
+
     def backup_incremental(self, backup_path: str, since_version: int) -> int:
         """INCREMENTAL backup: persist the CDC feed since `since_version`
         (the events, not a full snapshot — at 100 TB a nightly full copy is

@@ -481,3 +481,16 @@ def test_tombstone_retirement_bumps_floor(spark, tmp_path):
         store.history_floor() > 0
     )
     assert {r.id for r in store.df().collect()} == {"a", "b"}
+
+
+def test_history_counts_events_per_version(spark, tmp_path):
+    """history() is DESCRIBE HISTORY for the store: upsert/delete event
+    counts keyed by write_version."""
+    store = VectorStore(spark, str(tmp_path / "hist"), rebuild_threshold=0.95)
+    store.upsert_by_id([{"id": "a", "values": [1.0]}, {"id": "b", "values": [2.0]}])
+    store.upsert_by_id([{"id": "a", "values": [3.0]}])
+    store.delete(["b"])
+    h = {r.version: (r.n_upserts, r.n_deletes) for r in store.history().collect()}
+    assert h[1] == (2, 0)
+    assert h[2] == (1, 0)
+    assert h[3] == (0, 1)
