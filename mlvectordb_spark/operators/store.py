@@ -1190,6 +1190,37 @@ class VectorStore:
                 f"{namespace!r} dimension {ns_dim}"
             )
         df = self.df().filter(F.col("namespace") == namespace)
+        return self._search_frame(
+            df, query_values, top_k, metric, metadata_filter
+        )
+
+    def find_similar_as_of(
+        self,
+        query_values: Sequence[float],
+        top_k: int,
+        version: int,
+        namespace: str = DEFAULT_NAMESPACE,
+        metric: str = "cosine",
+        metadata_filter: Mapping[str, str] | None = None,
+    ) -> list[dict[str, Any]]:
+        """Q1 against a HISTORICAL state: the same exact-KNN serving path
+        run over `df_as_of(version)` — "what would this query have
+        returned before yesterday's ingest" for audit and incident repro.
+        Same floor contract as every time-travel read; the as-of window
+        makes this an audit path, not the hot serving path."""
+        df = self.df_as_of(version).filter(F.col("namespace") == namespace)
+        return self._search_frame(
+            df, query_values, top_k, metric, metadata_filter
+        )
+
+    def _search_frame(
+        self,
+        df: DataFrame,
+        query_values: Sequence[float],
+        top_k: int,
+        metric: str,
+        metadata_filter: Mapping[str, str] | None,
+    ) -> list[dict[str, Any]]:
         if metadata_filter:
             for k, v in metadata_filter.items():
                 df = df.filter(F.col("metadata")[k] == str(v))

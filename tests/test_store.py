@@ -494,3 +494,29 @@ def test_history_counts_events_per_version(spark, tmp_path):
     assert h[1] == (2, 0)
     assert h[2] == (1, 0)
     assert h[3] == (0, 1)
+
+
+def test_find_similar_as_of_serves_historical_state(spark, tmp_path):
+    """Time-travel serving: the same query answered against version v
+    returns the PRE-overwrite neighbor, against current state the new one."""
+    store = VectorStore(spark, str(tmp_path / "ttq"), rebuild_threshold=0.95)
+    store.upsert_by_id(
+        [
+            {"id": "near", "values": [1.0, 0.0]},
+            {"id": "far", "values": [0.0, 5.0]},
+        ]
+    )
+    v1 = store.current_version()
+    # overwrite: 'near' moves away, 'far' moves next to the query
+    store.upsert_by_id(
+        [
+            {"id": "near", "values": [0.0, 9.0]},
+            {"id": "far", "values": [1.0, 0.1]},
+        ]
+    )
+    q = [1.0, 0.0]
+    now = store.find_similar(q, 1, metric="l2")
+    then = store.find_similar_as_of(q, 1, version=v1, metric="l2")
+    assert now[0]["id"] == "far"
+    assert then[0]["id"] == "near"
+    assert then[0]["values"] == [1.0, 0.0]
