@@ -154,6 +154,41 @@ class EngineService:
 
     # -- introspection ------------------------------------------------------
 
+    def search_as_of(
+        self,
+        query: Sequence[float],
+        top_k: int,
+        version: int,
+        namespace: str,
+        metric: str = "cosine",
+    ) -> list[dict[str, Any]]:
+        """Time-travel search: the same serving contract as `search`,
+        answered against the store state at `version` (audit/repro path;
+        raises below the history floor like every time-travel read)."""
+        if not 1 <= top_k <= self.MAX_TOP_K:
+            raise ValueError(f"top_k must be in [1, {self.MAX_TOP_K}]")
+        with self.stats.track("knn_as_of"):
+            return self.store.find_similar_as_of(
+                query, top_k, version, namespace, metric
+            )
+
+    def history(self) -> dict[str, Any]:
+        """Event-log audit: per write_version upsert/delete counts plus
+        the current version and history floor (the exact-replay bound)."""
+        rows = self.store.history().collect()
+        return {
+            "current_version": self.store.current_version(),
+            "history_floor": self.store.history_floor(),
+            "versions": [
+                {
+                    "version": int(r.version),
+                    "n_upserts": int(r.n_upserts),
+                    "n_deletes": int(r.n_deletes),
+                }
+                for r in rows
+            ],
+        }
+
     def namespaces(self) -> list[str]:
         return self.store.list_namespaces()
 
@@ -282,6 +317,21 @@ def create_app(service: EngineService):
     @app.get("/statistics")
     def statistics():
         return guard(service.statistics)
+
+    @app.post("/search/asof")
+    def search_asof(body: dict, namespace: str = "default"):
+        return guard(
+            service.search_as_of,
+            body["query"],
+            body.get("top_k", 10),
+            body["version"],
+            namespace,
+            body.get("metric", "cosine"),
+        )
+
+    @app.get("/history")
+    def history():
+        return guard(service.history)
 
     @app.get("/health")
     def health():

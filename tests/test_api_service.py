@@ -114,6 +114,9 @@ EXPECTED_ROUTES = {
     ("GET", "/statistics"),
     ("GET", "/health"),
     ("POST", "/log/level"),
+    # beyond-reference time-travel surface (round 5)
+    ("POST", "/search/asof"),
+    ("GET", "/history"),
 }
 
 
@@ -179,3 +182,29 @@ def test_adapter_routes_drive_service_end_to_end(svc, fake_fastapi):
     with pytest.raises(fake_fastapi.HTTPException) as ei:
         app.routes[("POST", "/search")]({"query": [1.0, 0.1], "top_k": 0})
     assert ei.value.status_code == 400
+
+
+def test_search_as_of_and_history_surface(spark, tmp_path):
+    """The service exposes the time-travel serving path and the event-log
+    audit with version/floor framing."""
+    from mlvectordb_spark.operators.store import VectorStore
+
+    store = VectorStore(spark, str(tmp_path / "svc_tt"), rebuild_threshold=0.95)
+    svc = EngineService(store)
+    store.upsert_by_id([{"id": "a", "values": [1.0, 0.0]}])
+    v1 = store.current_version()
+    store.upsert_by_id([{"id": "a", "values": [0.0, 1.0]}])
+
+    then = svc.search_as_of([1.0, 0.0], 1, v1, "default", metric="l2")
+    assert then[0]["values"] == [1.0, 0.0]
+    now = svc.search([1.0, 0.0], 1, "default", metric="l2")
+    assert now[0]["values"] == [0.0, 1.0]
+
+    h = svc.history()
+    assert h["current_version"] == 2 and h["history_floor"] == 0
+    assert [v["n_upserts"] for v in h["versions"]] == [1, 1]
+    # serving guardrails apply to the time-travel path too
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        svc.search_as_of([1.0, 0.0], 0, v1, "default")
