@@ -506,13 +506,20 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-style small-quantity-order revenue: lineitems whose
     quantity is under 20% of their part's average quantity. The spec's
     correlated scalar subquery decorrelates into ONE per-part aggregate
-    joined back (the standard Catalyst rewrite, stated explicitly) — the
-    fact table is scanned once for the averages and once for the probe,
-    never per-part."""
+    joined back (the standard Catalyst rewrite, stated explicitly).
+    Both the per-part average AND the probe side are first left-semi
+    joined against the broadcast Brand#1 partkeys, so the per-part
+    aggregate's hash table holds only qualifying parts (~4% of the
+    catalog) instead of every part — at 100 TB the unfiltered form is a
+    full-fact-table aggregate feeding a 25×-too-large hash table for
+    rows the brand join immediately discards (the r5 plan defect)."""
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#1"
     )
-    li = load_table(spark, sf_dir, "lineitem")
+    brand_keys = F.broadcast(part.select("p_partkey"))
+    li = load_table(spark, sf_dir, "lineitem").join(
+        brand_keys, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
     avg_qty = li.groupBy("l_partkey").agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("__thresh")
     )
@@ -821,18 +828,19 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel analysis view → click → purchase: per user, the
-    first view, the first click strictly AFTER that view, the first
-    purchase strictly after that click; report per-stage user counts and
-    conversion. The product-analytics staple (cf. window-funnel operators
-    in ClickHouse/Flink SQL) as ONE shuffle: all three stage timestamps
-    are per-user window aggregates over the SAME user partitioning
-    (chained selects — each stage may reference the previous stage's
-    column), so Catalyst plans a single Exchange on user_id and three
-    Window operators over it, then a global conditional-count aggregate.
-    No self-joins, no per-stage passes over the fact table."""
-    ev = load_table(spark, sf_dir, "events")
+def _funnel_user_stage_times(ev: DataFrame) -> DataFrame:
+    """Shared ordered-funnel kernel view → click → purchase, reduced to
+    USER grain: one row per user_id with nullable t1/t2/t3 timestamps —
+    the first view, the first click strictly AFTER that view, the first
+    purchase strictly after that click. All three stage timestamps are
+    per-user window aggregates over the SAME user partitioning (chained
+    selects — each stage may reference the previous stage's column), so
+    Catalyst plans a single Exchange on user_id and three Window
+    operators over it; the grain-reducing groupBy(user_id) reuses that
+    hash partitioning (no second Exchange). No self-joins, no per-stage
+    passes over the fact table. Consumed by q_events_funnel,
+    q_events_funnel_users, and the stateful streaming funnel's batch
+    oracle (`streaming/stateful.user_funnel_stream`)."""
     w = Window.partitionBy("user_id")
     t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     df = ev.withColumn("t1", t1)
@@ -850,14 +858,32 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).over(w)
     df = df.withColumn("t3", t3)
-    n1 = F.count_distinct(F.when(F.col("t1").isNotNull(), F.col("user_id")))
-    n2 = F.count_distinct(F.when(F.col("t2").isNotNull(), F.col("user_id")))
-    n3 = F.count_distinct(F.when(F.col("t3").isNotNull(), F.col("user_id")))
-    return df.agg(
-        n1.cast("bigint").alias("n_view"),
-        n2.cast("bigint").alias("n_view_click"),
-        n3.cast("bigint").alias("n_view_click_purchase"),
-        F.round(n3.cast("double") / n1, 4).alias("conversion"),
+    # t1/t2/t3 are per-user window constants, so first() is deterministic.
+    return df.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis view → click → purchase: per-stage user
+    counts and conversion. The product-analytics staple (cf.
+    window-funnel operators in ClickHouse/Flink SQL). Counts run at USER
+    grain over the shared `_funnel_user_stage_times` kernel, so the
+    final aggregate is plain non-null count()s — one row per user, NO
+    count_distinct, hence no Catalyst Expand tripling event rows through
+    the aggregation (the r5 plan defect). Single user_id Exchange for
+    the whole query (plan-asserted in test_plan_quality)."""
+    ev = load_table(spark, sf_dir, "events")
+    users = _funnel_user_stage_times(ev)
+    return users.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_view_click_purchase"),
+        F.round(
+            F.count("t3").cast("double") / F.count("t1"), 4
+        ).alias("conversion"),
     )
 
 
@@ -868,27 +894,11 @@ def q_events_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the driver's oracle gate so the kernel both consumers share is
     SQL-verified. Same single user_id Exchange as events_funnel."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
-    df = ev.withColumn("t1", t1)
-    t2 = F.min(
-        F.when(
-            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
-            F.col("ts"),
-        )
-    ).over(w)
-    df = df.withColumn("t2", t2)
-    t3 = F.min(
-        F.when(
-            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
-            F.col("ts"),
-        )
-    ).over(w)
-    df = df.withColumn("t3", t3)
-    return df.groupBy("user_id").agg(
-        F.first("t1").alias("__t1"),
-        F.first("t2").alias("__t2"),
-        F.first("t3").alias("__t3"),
+    return _funnel_user_stage_times(ev).select(
+        F.col("t1").alias("__t1"),
+        F.col("t2").alias("__t2"),
+        F.col("t3").alias("__t3"),
+        "user_id",
     ).select(
         "user_id",
         F.round(F.coalesce(F.col("__t1").cast("double"), F.lit(-1.0)), 3).alias("s1"),

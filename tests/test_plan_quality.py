@@ -325,6 +325,27 @@ def test_events_funnel_single_user_exchange(spark, sf_dir):
     per stage."""
     plan = explain_query(QUERIES["events_funnel"](spark, sf_dir))
     assert plan["raw"].count("hashpartitioning(user_id") == 1, plan["raw"]
+    # r6: counts run at user grain (plain non-null count()s over the shared
+    # user-stage kernel) — no count_distinct, so no Expand tripling event
+    # rows through the final aggregate (the r5 plan defect).
+    assert "Expand" not in plan["raw"], plan["raw"]
+
+
+def test_tpch_q17_brand_filter_below_aggregate(spark, sf_dir):
+    """The per-part average must aggregate ONLY Brand#1 lineitems: the
+    broadcast left-semi brand join sits BELOW the partial_avg hash
+    aggregate, so the agg hash table holds ~4% of the part catalog
+    instead of all of it (the r5 plan defect)."""
+    plan = explain_query(QUERIES["tpch_q17"](spark, sf_dir))
+    raw = plan["raw"]
+    assert "LeftSemi" in raw, raw
+    # The nested tree prints children below their parent: the avg branch's
+    # LeftSemi must appear after (deeper than) the partial_avg aggregate.
+    df = QUERIES["tpch_q17"](spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    agg_idx = tree.find("partial_avg")
+    assert agg_idx != -1, tree
+    assert "LeftSemi" in tree[agg_idx:], tree[agg_idx:]
 
 
 def test_hard_negatives_broadcast_and_single_corpus_scan(spark, sf_dir):
