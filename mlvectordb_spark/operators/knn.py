@@ -295,12 +295,19 @@ def contrastive_triplets(
         )
     )
     # positive = extremal (score, id) struct among same-label rows; struct
-    # ordering is lexicographic, so id breaks score ties deterministically
+    # ordering is lexicographic (min over a sort key that inverts the score
+    # for descending metrics), so the MIN id breaks score ties for every
+    # metric direction — the same id-ascending tie convention as all other
+    # top-k paths. Anchors with no same-label corpus item have a null
+    # positive struct and are dropped (a triplet needs a positive).
     wq = Window.partitionBy("query_id")
-    pos_struct = F.struct(F.col("score"), F.col(id_col))
-    pos_pick = (F.min if lead_min else F.max)(
-        F.when(F.col("__same"), pos_struct)
-    ).over(wq)
+    sort_score = F.col("score") if lead_min else -F.col("score")
+    pos_struct = F.struct(
+        sort_score.alias("__s"),
+        F.col(id_col).alias("__pid"),
+        F.col("score").alias("__pscore"),
+    )
+    pos_pick = F.min(F.when(F.col("__same"), pos_struct)).over(wq)
     lead = F.col("score").asc() if lead_min else F.col("score").desc()
     w_side = Window.partitionBy("query_id", "__same").orderBy(
         lead, F.col(id_col).asc()
@@ -308,16 +315,20 @@ def contrastive_triplets(
     return (
         scored.withColumn("__pos", pos_pick)
         .withColumn("rn", F.row_number().over(w_side))
-        .filter(~F.col("__same") & (F.col("rn") <= n_neg))
+        .filter(
+            ~F.col("__same")
+            & (F.col("rn") <= n_neg)
+            & F.col("__pos").isNotNull()
+        )
         .select(
             "query_id",
-            F.col("__pos")[id_col].alias("pos_id"),
+            F.col("__pos")["__pid"].alias("pos_id"),
             F.col(id_col).alias("neg_id"),
             F.col("rn").alias("neg_rank"),
-            F.col("__pos")["score"].alias("pos_score"),
+            F.col("__pos")["__pscore"].alias("pos_score"),
             F.col("score").alias("neg_score"),
             F.round(
-                F.col("score") - F.col("__pos")["score"], score_decimals
+                F.col("score") - F.col("__pos")["__pscore"], score_decimals
             ).alias("margin"),
         )
     )

@@ -91,13 +91,22 @@ def metadata_json_expr(col):
 
 
 def shape_ingest_df(
-    df: DataFrame, namespace: str | None = None, with_ids: bool = False
+    df: DataFrame,
+    namespace: str | None = None,
+    with_ids: bool = False,
+    extra_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Shape an arbitrary DTO DataFrame (`values` array column, optional
     `metadata` map / `namespace` / `id` columns) into the storage schema —
     entirely executor-side: uuid() per row, float casting, metadata_json
     derivation. The shared kernel of the bulk (`insert_df`/`upsert_df`) and
-    streaming (`streaming/ingest.py`) write paths."""
+    streaming (`streaming/ingest.py`) write paths.
+
+    A precomputed `metadata_json` column, when present, is carried through
+    verbatim instead of being re-derived from the flat map — the CDC feed
+    carries the primary's exact json.dumps (which a flat-map re-derivation
+    cannot reproduce for nested metadata), and a replica replaying that
+    feed must not diverge on JSON-path queries."""
     if namespace is not None:
         df = df.withColumn("namespace", F.lit(str(namespace)))
     elif "namespace" not in df.columns:
@@ -110,6 +119,12 @@ def shape_ingest_df(
         df = df.withColumn("id", F.expr("uuid()"))
     if "metadata" not in df.columns:
         df = df.withColumn("metadata", F.lit(None).cast("map<string,string>"))
+    if "metadata_json" in df.columns:
+        mj = F.coalesce(F.col("metadata_json").cast("string"), F.lit("{}"))
+    else:
+        mj = F.when(
+            F.col("metadata").isNotNull(), metadata_json_expr(F.col("metadata"))
+        ).otherwise(F.lit("{}"))
     return df.select(
         "id",
         "namespace",
@@ -118,11 +133,8 @@ def shape_ingest_df(
             F.col("metadata").cast("map<string,string>"),
             F.create_map().cast("map<string,string>"),
         ).alias("metadata"),
-        F.when(
-            F.col("metadata").isNotNull(), metadata_json_expr(F.col("metadata"))
-        )
-        .otherwise(F.lit("{}"))
-        .alias("metadata_json"),
+        mj.alias("metadata_json"),
+        *[F.col(c) for c in (extra_cols or [])],
     )
 
 
@@ -592,6 +604,7 @@ class VectorStore:
     def upsert_df(
         self, df: DataFrame, namespace: str | None = None,
         assume_unique_ids: bool = False,
+        order_col: str | None = None,
     ) -> int:
         """TRUE bulk upsert keyed on the `id` column — merge-on-read: ONE
         appending write of the shaped batch stamped with a monotone
@@ -603,23 +616,38 @@ class VectorStore:
         defers is exactly what the 20% compaction trigger bounds.
 
         Duplicate ids WITHIN one batch share a single write_version, so
-        they are collapsed here before the append (last row in batch order
-        wins — the upsert_by_id convention); otherwise the latest-wins
-        window would pick a nondeterministic winner, and a first batch
-        into an empty store would keep both rows visible (round-4 advice).
-        The collapse is one window shuffle over the batch; callers that
-        guarantee unique ids per batch (the common bulk-ingest contract)
-        can skip it with `assume_unique_ids=True`."""
-        shaped = shape_ingest_df(df, namespace, with_ids=True)
+        they are collapsed here before the append; otherwise the
+        latest-wins window would pick a nondeterministic winner, and a
+        first batch into an empty store would keep both rows visible
+        (round-4 advice). The collapse is one window shuffle over the
+        batch; callers that guarantee unique ids per batch (the common
+        bulk-ingest contract) can skip it with `assume_unique_ids=True`.
+
+        Which duplicate wins: pass `order_col` (a column of the INPUT df;
+        highest value wins, id-ascending on ties) for a layout-independent
+        winner — e.g. a sequence number or event timestamp. Without it the
+        collapse falls back to "last row in batch order" via
+        `monotonically_increasing_id()`, which is deterministic FOR A GIVEN
+        PHYSICAL PLAN but depends on the input's partition layout: the same
+        logical batch arriving repartitioned can resolve differently. Batches
+        that may carry duplicate ids should supply `order_col`."""
+        shaped = shape_ingest_df(
+            df, namespace, with_ids=True,
+            extra_cols=[order_col] if order_col else None,
+        )
         if not assume_unique_ids:
-            w = SqlWindow.partitionBy("namespace", "id").orderBy(
-                F.monotonically_increasing_id().desc()
-            )
+            if order_col:
+                order = [F.col(order_col).desc()]
+            else:
+                order = [F.monotonically_increasing_id().desc()]
+            w = SqlWindow.partitionBy("namespace", "id").orderBy(*order)
             shaped = (
                 shaped.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
+        if order_col:
+            shaped = shaped.drop(order_col)
         n, dims = self._check_dims_df(shaped)
         had_data = self._raw() is not None
         (
@@ -1157,11 +1185,16 @@ class VectorStore:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        # metadata_json rides along verbatim (shape_ingest_df keeps a
+        # precomputed column): re-deriving it from the flat map diverges
+        # from the primary's json.dumps for nested metadata, breaking
+        # JSON-path queries on the replica. `latest` is unique per
+        # (id, namespace) already, so skip the in-batch collapse.
         ups = latest.filter(F.col("change_type") == "upsert").select(
-            "id", "namespace", "values", "metadata"
+            "id", "namespace", "values", "metadata", "metadata_json"
         )
         if ups.limit(1).count():
-            self.upsert_df(ups)
+            self.upsert_df(ups, assume_unique_ids=True)
         dels = latest.filter(F.col("change_type") == "delete").select(
             "id", "namespace"
         )
@@ -1208,6 +1241,16 @@ class VectorStore:
         returned before yesterday's ingest" for audit and incident repro.
         Same floor contract as every time-travel read; the as-of window
         makes this an audit path, not the hot serving path."""
+        # same guard as find_similar: a wrong-dimension query must raise
+        # the documented ValueError, not an opaque executor arithmetic
+        # error. The dims manifest tracks the namespace's (immutable)
+        # dimension, so the current value applies to historical states too.
+        ns_dim = self.dimension(namespace)
+        if ns_dim is not None and ns_dim != len(query_values):
+            raise ValueError(
+                f"query dimension {len(query_values)} != namespace "
+                f"{namespace!r} dimension {ns_dim}"
+            )
         df = self.df_as_of(version).filter(F.col("namespace") == namespace)
         return self._search_frame(
             df, query_values, top_k, metric, metadata_filter

@@ -59,8 +59,49 @@ UPSERT_INGEST_SCHEMA = T.StructType(
         T.StructField("values", T.ArrayType(T.FloatType()), nullable=True),
         T.StructField("namespace", T.StringType(), nullable=False),
         T.StructField("op", T.StringType(), nullable=False),  # upsert|delete
+        # event order within a micro-batch: a batch carrying delete(k) then
+        # upsert(k) (a resurrect) must end with k live — without a sequence
+        # the batch-apply order (all upserts, then all deletes) would pick
+        # delete-wins regardless of stream order.
+        T.StructField("seq", T.LongType(), nullable=False),
     ]
 )
+
+
+def resync_index(store: VectorStore, index, vec_col: str, id_col: str) -> None:
+    """Full index resync from the store's CURRENT state — the fallback when
+    the CDC floor moved past a replica's version (compaction physically
+    erased the events it needed; the Delta/Iceberg contract across VACUUM).
+
+    Expressed as one synthetic CDC feed through the index's own
+    `apply_changes`: every live row as an upsert (retire-and-reassign) plus
+    a delete for every indexed id the store no longer holds — so the same
+    maintenance kernel serves both the incremental and the catch-up path,
+    for any index family that speaks the feed (IVF, IVF+PQ, LSH). One store
+    scan + one anti-join of the index's id column; no refit."""
+    from pyspark.sql import functions as F
+
+    v = store.current_version()
+    snap = store.df().select(
+        F.col("id").alias(id_col),
+        F.col("values").alias(vec_col),
+        F.lit("upsert").alias("change_type"),
+        F.lit(v).cast("long").alias("write_version"),
+    )
+    vec_type = dict(zip(index.indexed.schema.names, index.indexed.schema.fields))[
+        vec_col
+    ].dataType
+    stale = (
+        index.indexed.select(id_col)
+        .join(snap.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.lit(None).cast(vec_type).alias(vec_col),
+            F.lit("delete").alias("change_type"),
+            F.lit(v).cast("long").alias("write_version"),
+        )
+    )
+    index.apply_changes(snap.unionByName(stale), vec_col=vec_col, id_col=id_col)
 
 
 def start_indexed_ingest(
@@ -86,26 +127,56 @@ def start_indexed_ingest(
     retires-then-re-adds the same ids in the index — both idempotent in
     the read view. The index's union/anti-join lineage is truncated with a
     localCheckpoint per batch, so a long-running stream holds a bounded
-    plan (the `operators/components.py` iteration lesson)."""
+    plan (the `operators/components.py` iteration lesson).
+
+    Intra-batch order: the stream's `seq` field decides — only the LATEST
+    op per (id, namespace) applies, so delete(k) then upsert(k) in one
+    micro-batch resurrects k (and the reverse deletes it), matching what
+    per-event application would produce.
+
+    Floor safety: routine writes can move the CDC floor past the batch's
+    start version — upsert_df retires a tombstone when a deleted id is
+    re-upserted, and the 20% auto-compaction trigger fires from both write
+    paths; either would make `changes_since(v0)` raise and kill the
+    stream. When the floor has moved, the batch falls back to a FULL index
+    resync from the store's current state (`resync_index`) instead of the
+    incremental feed — the same snapshot-then-delta contract a CDC replica
+    follows across VACUUM."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as _W
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         v0 = store.current_version()
-        ups = batch_df.filter(F.col("op") == "upsert").select(
+        # latest op per key in stream order (seq): one window over the
+        # micro-batch, bounded by the trigger interval.
+        w = _W.partitionBy("id", "namespace").orderBy(F.col("seq").desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ups = latest.filter(F.col("op") == "upsert").select(
             "id", "values", "namespace"
         )
         if ups.limit(1).count():
-            store.upsert_df(ups)
-        dels = batch_df.filter(F.col("op") == "delete").select("id", "namespace")
+            store.upsert_df(ups, assume_unique_ids=True)
+        dels = latest.filter(F.col("op") == "delete").select("id", "namespace")
         if dels.limit(1).count():
             store.delete_df(dels)
-        feed = store.changes_since(v0).select(
-            F.col("id").alias(id_col),
-            F.col("values").alias(vec_col),
-            "change_type",
-            "write_version",
-        )
-        index.apply_changes(feed, vec_col=vec_col, id_col=id_col)
+        if store.history_floor() > v0:
+            resync_index(store, index, vec_col=vec_col, id_col=id_col)
+        else:
+            try:
+                feed = store.changes_since(v0).select(
+                    F.col("id").alias(id_col),
+                    F.col("values").alias(vec_col),
+                    "change_type",
+                    "write_version",
+                )
+                index.apply_changes(feed, vec_col=vec_col, id_col=id_col)
+            except ValueError:
+                # floor raced past v0 between the check and the read
+                resync_index(store, index, vec_col=vec_col, id_col=id_col)
         index.indexed = index.indexed.localCheckpoint()
 
     return (

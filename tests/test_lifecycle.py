@@ -158,3 +158,44 @@ def test_incremental_backup_syncs_replica(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         primary.backup_incremental(str(tmp_path / "delta2"), v0)
+
+
+def test_incremental_replica_preserves_nested_metadata_json(spark, tmp_path):
+    """Round-5 advice (medium): the CDC feed carries the primary's exact
+    metadata_json; the replay must not re-derive it from the flat map (the
+    flat map cannot represent nesting), or JSON-path queries diverge on
+    the replica."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from mlvectordb_spark.operators.store import VectorStore
+
+    primary = VectorStore(spark, str(tmp_path / "p2"), rebuild_threshold=0.95)
+    primary.upsert_by_id([{"id": "seed", "values": [0.0, 0.0]}])
+    primary.create_backup(str(tmp_path / "full2"))
+    v0 = primary.current_version()
+    replica = VectorStore(spark, str(tmp_path / "r2b"), rebuild_threshold=0.95)
+    replica.restore_from_backup(str(tmp_path / "full2"))
+
+    nested = {"a": {"b": [1, 2, {"c": "deep"}]}, "n": 3}
+    primary.upsert_by_id(
+        [{"id": "k-nested", "values": [1.0, 2.0], "metadata": nested}]
+    )
+    primary.backup_incremental(str(tmp_path / "d2"), v0)
+    replica.apply_incremental(str(tmp_path / "d2"))
+
+    def mj(store):
+        return _json.loads(
+            store.df().filter(F.col("id") == "k-nested").first().metadata_json
+        )
+
+    assert mj(replica) == mj(primary) == nested
+    # JSON-path query agrees across primary and replica
+    for s in (primary, replica):
+        got = (
+            s.df()
+            .filter(F.get_json_object("metadata_json", "$.a.b[2].c") == "deep")
+            .count()
+        )
+        assert got == 1

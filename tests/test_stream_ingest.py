@@ -88,19 +88,54 @@ def test_indexed_ingest_keeps_serving_index_fresh(spark, tmp_path):
     src.mkdir()
     b1 = [
         {"id": f"k{i}", "values": [x * 2.0 for x in vec(i)],
-         "namespace": "default", "op": "upsert"}
+         "namespace": "default", "op": "upsert", "seq": i}
         for i in range(0, 100, 10)
     ]
-    b2 = [
-        {"id": f"k{i}", "values": None, "namespace": "default", "op": "delete"}
-        for i in range(0, 100, 7)
-    ] + [
-        {"id": f"new{i}", "values": vec(200 + i), "namespace": "default",
-         "op": "upsert"}
-        for i in range(3)
+    b2 = (
+        [
+            {"id": f"k{i}", "values": None, "namespace": "default",
+             "op": "delete", "seq": 100 + i}
+            for i in range(0, 100, 7)
+        ]
+        + [
+            {"id": f"new{i}", "values": vec(200 + i), "namespace": "default",
+             "op": "upsert", "seq": 300 + i}
+            for i in range(3)
+        ]
+        # intra-batch order must follow seq, not op grouping:
+        # delete-then-upsert resurrects k5 ...
+        + [
+            {"id": "k5", "values": None, "namespace": "default",
+             "op": "delete", "seq": 400},
+            {"id": "k5", "values": vec(500), "namespace": "default",
+             "op": "upsert", "seq": 401},
+            # ... and upsert-then-delete removes k11
+            {"id": "k11", "values": vec(600), "namespace": "default",
+             "op": "upsert", "seq": 410},
+            {"id": "k11", "values": None, "namespace": "default",
+             "op": "delete", "seq": 411},
+        ]
+    )
+    # b3 re-upserts k7 (deleted in b2): tombstone retirement bumps the CDC
+    # floor past the batch's start version, forcing the full-resync
+    # fallback instead of killing the stream (round-5 advice, high).
+    b3 = [
+        {"id": "k7", "values": vec(700), "namespace": "default",
+         "op": "upsert", "seq": 500},
     ]
-    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
-    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+    # FileStreamSource orders batches by modification time — written
+    # back-to-back the three files can share an mtime and process out of
+    # order; pin strictly increasing mtimes.
+    import os
+    import time
+
+    now = time.time()
+    for off, (name, recs) in enumerate(
+        [("b1.json", b1), ("b2.json", b2), ("b3.json", b3)]
+    ):
+        p = src / name
+        p.write_text("\n".join(json.dumps(r) for r in recs))
+        os.utime(p, (now + off * 10, now + off * 10))
 
     stream = (
         spark.readStream.schema(UPSERT_INGEST_SCHEMA)
@@ -115,8 +150,12 @@ def test_indexed_ingest_keeps_serving_index_fresh(spark, tmp_path):
     current = store.df().select(
         F.col("id").alias("vec_id"), F.col("values").alias("embedding")
     )
+    live = {r.vec_id for r in current.select("vec_id").collect()}
+    assert "k5" in live, "delete-then-upsert in one batch must resurrect"
+    assert "k11" not in live, "upsert-then-delete in one batch must delete"
+    assert "k7" in live, "floor bump must fall back to resync, not kill"
     assert sorted(r.vec_id for r in idx.indexed.select("vec_id").collect()) == sorted(
-        r.vec_id for r in current.select("vec_id").collect()
+        live
     )
     qv = vec(0)
     got = [
