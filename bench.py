@@ -114,7 +114,35 @@ HEADLINE = [
     "contrastive_triplets",
     # the end-to-end materialized corpus pipeline (capstone composition)
     "pipeline_materialize",
+    # r6: the store serving path routed through an attached index
+    "store_indexed_search",
 ]
+
+
+def _recall_tail(spark, sf_dir: str) -> dict[str, float]:
+    """Recall@k of the approximate probes, tracked round-over-round next to
+    their latencies (round-5 verdict #9): the numbers already gate pytest
+    (tests/test_ann.py) but were invisible in BENCH_r*.json."""
+    from pyspark.sql import functions as F
+
+    from mlvectordb_spark.operators.ann import recall_at_k
+    from mlvectordb_spark.operators.knn import knn
+    from mlvectordb_spark.queries import KNN_K, QUERY_VID
+    from mlvectordb_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    exact = knn(emb, qvec, KNN_K, metric="l2")
+    out: dict[str, float] = {}
+    ivf = session_ivf(spark, sf_dir)
+    for nprobe in (1, 4):
+        approx = ivf.search(qvec, KNN_K, nprobe=nprobe, metric="l2")
+        out[f"recall_ivf_nprobe{nprobe}"] = round(recall_at_k(approx, exact), 3)
+    lsh = session_lsh(spark, sf_dir)
+    out["recall_lsh"] = round(
+        recall_at_k(lsh.search(qvec, KNN_K), exact), 3
+    )
+    return out
 
 
 def main() -> None:
@@ -155,6 +183,7 @@ def main() -> None:
             # table) must not bill their memory footprint to later entries
             spark.catalog.clearCache()
     total = sum(timings.values())
+    recall = _recall_tail(spark, sf_dir)
 
     print(
         json.dumps(
@@ -163,6 +192,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "recall": recall,
                 "sf": sf,
             }
         )

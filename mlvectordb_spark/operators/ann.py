@@ -1173,6 +1173,96 @@ class IVFPQIndex:
         )
 
 
+class NamespaceIndexFamily:
+    """Per-namespace index isolation — the reference's unit of index
+    isolation is the namespace (`implementations/index.py:19,32-48`: one
+    hnswlib graph per namespace, created lazily, independent
+    dimensionality). Here: one index member per namespace, created
+    lazily from `factory`, with build/apply_changes routed by the feed's
+    namespace column. Driver state stays k × |namespaces| centroid
+    scalars — the same class of object as the reference's per-namespace
+    graph metadata.
+
+    Works with any member family that speaks the build/apply_changes/
+    search_exact protocol (IVFIndex, IVFPQIndex, LSHIndex)."""
+
+    def __init__(self, factory=None) -> None:
+        self.factory = factory if factory is not None else (lambda: IVFIndex())
+        self.members: dict[str, object] = {}
+
+    def namespaces(self) -> list[str]:
+        return sorted(self.members)
+
+    def member(self, namespace: str):
+        idx = self.members.get(namespace)
+        if idx is None:
+            raise KeyError(f"no index for namespace {namespace!r}")
+        return idx
+
+    def build(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        ns_col: str = "namespace",
+    ) -> None:
+        """One member per namespace present in `df`. |namespaces| fits the
+        driver by the same argument as the reference's index dict; each
+        member build is a partition-pruned Spark job over its slice."""
+        for ns in [r[0] for r in df.select(ns_col).distinct().collect()]:
+            idx = self.factory()
+            idx.build(
+                df.filter(F.col(ns_col) == ns).drop(ns_col),
+                vec_col=vec_col,
+                id_col=id_col,
+            )
+            self.members[ns] = idx
+
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        ns_col: str = "namespace",
+    ) -> None:
+        """Route a CDC feed (`VectorStore.changes_since` shape plus the
+        namespace column) to the per-namespace members. A namespace seen
+        for the first time creates its member lazily from the feed's
+        upserts (reference `_get_or_create_index`, index.py:32-48);
+        namespaces absent from the feed are untouched — per-namespace
+        isolation of maintenance, unlike the reference's rebuild which
+        drops every other namespace's index (the documented
+        query_processor.py:58-61 bug we do not replicate)."""
+        for ns in [r[0] for r in changes.select(ns_col).distinct().collect()]:
+            sub = changes.filter(F.col(ns_col) == ns).drop(ns_col)
+            idx = self.members.get(ns)
+            if idx is None:
+                idx = self.factory()
+                live = sub.filter(F.col("change_type") == "upsert").drop(
+                    "change_type", "write_version"
+                )
+                idx.build(live, vec_col=vec_col, id_col=id_col)
+                self.members[ns] = idx
+            else:
+                idx.apply_changes(sub, vec_col=vec_col, id_col=id_col)
+
+    def search_exact(
+        self,
+        namespace: str,
+        qvec,
+        k: int,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        pre_filter=None,
+    ) -> DataFrame:
+        """Exact certified search within ONE namespace's member — other
+        namespaces' members are never touched (isolation, reference
+        tests/test_query_processor.py:70-85)."""
+        return self.member(namespace).search_exact(
+            qvec, k, vec_col=vec_col, id_col=id_col, pre_filter=pre_filter
+        )
+
+
 def recall_at_k(
     approx_df: DataFrame,
     exact_df: DataFrame,

@@ -152,6 +152,11 @@ class VectorStore:
         self.data_path = os.path.join(path, "vectors")
         self.tomb_path = os.path.join(path, "tombstones")
         self.rebuild_threshold = rebuild_threshold
+        # per-namespace serving indexes (attach_index): session-scoped
+        # routing state, not persisted — an index family persists itself
+        # via its own save/load.
+        self._serving: dict[str, Any] = {}
+        self._serving_synced_at: dict[str, int] = {}
         os.makedirs(path, exist_ok=True)
 
     # -- dims manifest -------------------------------------------------------
@@ -1202,6 +1207,118 @@ class VectorStore:
             self.delete_df(dels)
         return latest.count()
 
+    # -- serving indexes (Q1 through W8-W11's derived structures) ----------
+
+    def attach_index(
+        self,
+        namespace: str,
+        index: Any,
+        vec_col: str = "values",
+        id_col: str = "id",
+    ) -> None:
+        """Attach a serving index to ONE namespace: `find_similar` then
+        routes that namespace's reads through `index.search_exact`
+        (certified pruning — still exact) instead of a full-namespace
+        scan. The reference analog is `QueryProcessor.find_similar`
+        delegating to `Index.search`
+        (implementations/query_processor.py:26-33); the unit of
+        attachment is the namespace, the reference's unit of index
+        isolation (implementations/index.py:19,32-48). At 100 TB the
+        flagship read must prune, not scan — a saved IVF index partitioned
+        by cluster_id turns the probe set into physical partition
+        pruning."""
+        self._serving[namespace] = (index, vec_col, id_col)
+        self._serving_synced_at[namespace] = self.current_version()
+
+    def detach_index(self, namespace: str) -> None:
+        self._serving.pop(namespace, None)
+        self._serving_synced_at.pop(namespace, None)
+
+    def attached_index(self, namespace: str):
+        entry = self._serving.get(namespace)
+        return entry[0] if entry is not None else None
+
+    def build_index(self, namespace: str, factory=None) -> Any:
+        """Build an index over the namespace's CURRENT live rows and attach
+        it (W8/W10 + attach in one step). Default family: IVF sized at
+        ~sqrt(n) clusters, the standard IVF heuristic."""
+        from mlvectordb_spark.operators.ann import IVFIndex
+
+        slice_df = (
+            self.df()
+            .filter(F.col("namespace") == namespace)
+            .select("id", "values")
+        )
+        if factory is None:
+            n = slice_df.count()
+            k = max(1, min(256, int(n ** 0.5)))
+            idx = IVFIndex(n_clusters=k)
+        else:
+            idx = factory()
+        idx.build(slice_df, vec_col="values", id_col="id")
+        self.attach_index(namespace, idx, vec_col="values", id_col="id")
+        return idx
+
+    def sync_indexes(self) -> None:
+        """Roll every attached index forward from the store's CDC feed
+        (`changes_since` → `apply_changes`), per namespace — the batch
+        twin of `streaming.ingest.start_indexed_ingest`'s per-micro-batch
+        sync. If the floor moved past a namespace's last synced version
+        (compaction erased the events), that namespace falls back to a
+        full resync from current state — same snapshot-then-delta contract
+        as a CDC replica across VACUUM."""
+        for ns, (index, vec_col, id_col) in list(self._serving.items()):
+            v0 = self._serving_synced_at.get(ns, 0)
+            try:
+                if self.history_floor() > v0:
+                    raise ValueError("floor moved")
+                feed = (
+                    self.changes_since(v0)
+                    .filter(F.col("namespace") == ns)
+                    .select(
+                        F.col("id").alias(id_col),
+                        F.col("values").alias(vec_col),
+                        "change_type",
+                        "write_version",
+                    )
+                )
+                index.apply_changes(feed, vec_col=vec_col, id_col=id_col)
+            except ValueError:
+                self._resync_index(ns, index, vec_col, id_col)
+            self._serving_synced_at[ns] = self.current_version()
+
+    def _resync_index(self, namespace: str, index, vec_col: str, id_col: str) -> None:
+        """Full per-namespace resync as one synthetic CDC feed through the
+        index's own apply_changes (catch-up and incremental share the
+        maintenance kernel)."""
+        v = self.current_version()
+        snap = (
+            self.df()
+            .filter(F.col("namespace") == namespace)
+            .select(
+                F.col("id").alias(id_col),
+                F.col("values").alias(vec_col),
+                F.lit("upsert").alias("change_type"),
+                F.lit(v).cast("long").alias("write_version"),
+            )
+        )
+        vec_type = {
+            f.name: f.dataType for f in index.indexed.schema.fields
+        }[vec_col]
+        stale = (
+            index.indexed.select(id_col)
+            .join(snap.select(id_col), id_col, "left_anti")
+            .select(
+                F.col(id_col),
+                F.lit(None).cast(vec_type).alias(vec_col),
+                F.lit("delete").alias("change_type"),
+                F.lit(v).cast("long").alias("write_version"),
+            )
+        )
+        index.apply_changes(
+            snap.unionByName(stale), vec_col=vec_col, id_col=id_col
+        )
+
     # -- search (Q1, Q3, Q4) -----------------------------------------------
 
     def find_similar(
@@ -1211,20 +1328,73 @@ class VectorStore:
         namespace: str = DEFAULT_NAMESPACE,
         metric: str = "cosine",
         metadata_filter: Mapping[str, str] | None = None,
+        mode: str = "auto",
     ) -> list[dict[str, Any]]:
         """Q1: exact KNN + enrichment. Unlike the reference (which ignores
         the per-query metric — SURVEY.md fact #2), the metric genuinely
         selects the kernel. `metadata_filter` gives the declared hybrid
-        query (Q15). top_k clamps naturally via limit (Q3)."""
+        query (Q15). top_k clamps naturally via limit (Q3).
+
+        `mode`: "auto" routes through the namespace's attached index when
+        one exists and can serve the query exactly (l2, no metadata
+        filter — the index carries no metadata columns), else brute
+        force; "indexed" requires the index and raises when it can't
+        serve; "exact" always scans. Indexed serving is still EXACT
+        (certified pruning), scores rounded to the index's 4-decimal
+        granularity."""
         ns_dim = self.dimension(namespace)
         if ns_dim is not None and ns_dim != len(query_values):
             raise ValueError(
                 f"query dimension {len(query_values)} != namespace "
                 f"{namespace!r} dimension {ns_dim}"
             )
+        if mode not in ("auto", "exact", "indexed"):
+            raise ValueError(f"unknown mode {mode!r}")
+        entry = self._serving.get(namespace)
+        indexable = entry is not None and metric == "l2" and not metadata_filter
+        if mode == "indexed":
+            if entry is None:
+                raise ValueError(f"no index attached to namespace {namespace!r}")
+            if not indexable:
+                raise ValueError(
+                    "indexed serving requires metric='l2' and no metadata_filter"
+                )
+        if indexable and mode != "exact":
+            df = self._indexed_search_df(namespace, query_values, top_k)
+            rows = df.collect()
+            return [
+                {
+                    "id": r.id,
+                    "values": list(r.values),
+                    "metadata": dict(r.metadata or {}),
+                    "score": float(r.score),
+                }
+                for r in rows
+            ]
         df = self.df().filter(F.col("namespace") == namespace)
         return self._search_frame(
             df, query_values, top_k, metric, metadata_filter
+        )
+
+    def _indexed_search_df(
+        self, namespace: str, query_values: Sequence[float], top_k: int
+    ) -> DataFrame:
+        """The indexed serving plan: certified pruned top-k from the
+        attached index, then the reference's two-step enrichment
+        (query_processor.py:37-49) — a broadcast join of the ≤k-row hit
+        list back to the store re-attaches values/metadata, silently
+        dropping ids missing from storage, ranking preserved."""
+        index, vec_col, id_col = self._serving[namespace]
+        hits = index.search_exact(
+            [float(x) for x in query_values], top_k,
+            vec_col=vec_col, id_col=id_col,
+        ).select(F.col(id_col).cast("string").alias("id"), "score")
+        ns_df = self.df().filter(F.col("namespace") == namespace)
+        return (
+            ns_df.join(F.broadcast(hits), "id")
+            .orderBy(F.col("score").asc(), F.col("id").asc())
+            .limit(top_k)
+            .select("id", "values", "metadata", "score")
         )
 
     def find_similar_as_of(

@@ -2034,6 +2034,68 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.unionByName(fs)
 
 
+def q_store_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store's flagship read THROUGH an attached per-namespace index
+    (round-5 verdict missing #2): a two-namespace store, a
+    NamespaceIndexFamily of IVF members built from the initial state and
+    attached per namespace, then a CDC maintenance cycle (true-upsert
+    overwrite of vec_id%10 with doubled values, delete of vec_id%7 →
+    `sync_indexes` rolls each member forward from `changes_since`), and
+    finally `find_similar(mode="indexed")` in ns0 — certified cluster
+    pruning instead of a full-namespace scan, still EXACT, so the oracle
+    is the relational top-k over the mutated ns0 state. Isolation: the
+    ns1 member is attached too and must never contribute rows (reference
+    tests/test_query_processor.py:70-85; analog of QueryProcessor.
+    find_similar delegating to Index.search, query_processor.py:26-33)."""
+    import tempfile
+
+    from mlvectordb_spark.operators.ann import IVFIndex, NamespaceIndexFamily
+    from mlvectordb_spark.operators.store import VectorStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = VectorStore(
+        spark, tempfile.mkdtemp(prefix="q_idxserve_"), rebuild_threshold=0.95
+    )
+    dto = emb.select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+        F.col("vec_id"),
+        F.col("embedding").alias("values"),
+        F.concat(F.lit("ns"), F.col("label") % 2).alias("namespace"),
+    )
+    store.upsert_df(dto.drop("vec_id"))
+    fam = NamespaceIndexFamily(factory=lambda: IVFIndex(n_clusters=8, seed=42))
+    fam.build(
+        store.df().select("id", "values", "namespace"),
+        vec_col="values",
+        id_col="id",
+    )
+    for ns in fam.namespaces():
+        store.attach_index(ns, fam.member(ns), vec_col="values", id_col="id")
+    # CDC maintenance cycle: overwrite + delete, then roll the members
+    # forward from the store's own feed
+    bumped = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("values"),
+        F.concat(F.lit("ns"), F.col("label") % 2).alias("namespace"),
+    )
+    store.upsert_df(bumped)
+    store.delete_df(
+        dto.filter(F.col("vec_id") % 7 == 0).select("id", "namespace")
+    )
+    store.sync_indexes()
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    hits = store.find_similar(
+        [float(x) for x in qvec],
+        top_k=KNN_K,
+        namespace="ns0",
+        metric="l2",
+        mode="indexed",
+    )
+    return spark.createDataFrame(
+        [(h["id"], float(h["score"])) for h in hits], "id string, score double"
+    )
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal surface under the driver gate: synthetic binary corpus
     (REAL WAV/BMP payloads) → real decode-and-extract features for
@@ -3978,6 +4040,20 @@ SELECT '__find_similar' AS namespace,
   sum(floor(vals[1]::DOUBLE * 1000))::BIGINT AS comp1_sum
 FROM topk
 """,
+    "store_indexed_search": f"""
+WITH live AS (
+  SELECT 'v' || vec_id::VARCHAR AS id,
+    CASE WHEN vec_id % 10 = 0
+         THEN list_transform(embedding, x -> x * 2)
+         ELSE embedding END AS vals
+  FROM embeddings
+  WHERE vec_id % 7 != 0 AND label % 2 = 0
+), q AS {_Q_CTE}
+SELECT id, round({_sql_l2sq('vals', 'qv')}, 4) AS score
+FROM live, q
+ORDER BY round({_sql_l2sq('vals', 'qv')}, 4) ASC, id ASC
+LIMIT {KNN_K}
+""",
     "median_price": """
 SELECT l_returnflag, round(median(l_extendedprice), 4) AS median_price,
   round(min(l_extendedprice), 2) AS min_price,
@@ -4535,6 +4611,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_cap": q_source_cap,
     # -- write path / misc oracle-backed --
     "store_roundtrip": q_store_roundtrip,
+    "store_indexed_search": q_store_indexed_search,
     "store_timetravel": q_store_timetravel,
     # -- relational layer (incl. the co-located bucketed-layout join) --
     "bucketed_join": q_bucketed_join,
@@ -4757,32 +4834,38 @@ JOIN sig_t sb ON sb.doc_id = doc_b
 ORACLE_SQL["minhash_sim_est"] = _oracle_minhash_est_sql()
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation (round 5). The driver oracle-checks the FIRST 50
+# Driver-window rotation (round 6). The driver oracle-checks the FIRST 50
 # registry entries each round; everything else is re-verified locally via
 # tools/verify_local.py. Policy: (a) every oracle-backed entry that has
-# never had a driver row goes in the window first; (b) then the singletons
-# longest absent from a driver row (last checked r1/r2); (c) the remaining
-# slots keep a continuity core of r4-green flagship entries. Settled
-# r4-green entries rotate to 51+ (all were re-verified locally this round).
+# never had a driver row goes in the window first — this round that closes
+# the last verification gap (after r6 every oracle-backed entry has a
+# driver row); (b) entries whose kernels CHANGED this round re-verify under
+# the driver; (c) then the longest-resting driver rows (last checked
+# r2/r3); (d) the rest of the slots rotate through the r4 cohort; (e) a
+# small continuity core of flagship entries.
 _WINDOW = [
-    # (a) never driver-checked, oracle-backed — 37 entries
-    "ann_lsh_exact", "hybrid_ivf_exact", "ann_ivf_batch", "ann_pq_exact",
-    "ann_ivfpq_exact", "hybrid_ivfpq_exact", "ann_ivfpq_batch",
-    "bm25_topk", "hybrid_rrf", "knn_classify", "emb_stats",
-    "minhash_sim_est",
-    "source_mixture_tokens", "doc_gopher", "quality_sample",
-    "doc_strip_dup_ngrams", "bucketed_join", "doc_bpe_tokens",
-    "mixture_materialize", "mixture_materialize_tokens", "vocab_oov",
-    "events_attribution", "orders_unpivot", "doc_quality_hist",
-    "doc_cross_dup_ngrams", "source_cap", "dedup_keep_best",
-    "tpch_q6", "tpch_q10", "tpch_q18", "store_timetravel", "events_funnel",
-    "doc_profile", "decontaminate_semantic", "pipeline_materialize",
-    "tpch_q13", "tpch_q14", "tpch_q19",
-    # (b) longest-resting driver rows (r1/r2) — 9 entries
-    "knn_ip", "threshold_cosine", "median_price", "orders_rollup",
-    "label_centroids", "conditional_agg", "doc_stats",
-    "events_first_per_key", "monthly_running_revenue",
-    # (c) continuity core (green r4, the flagship operators) — 3 entries
+    # (a) never driver-checked, oracle-backed — 8 entries (incl. the new
+    # store_indexed_search serving-path entry)
+    "tpch_q15", "tpch_q17", "events_funnel_users", "mixture_budget",
+    "hard_negatives", "contrastive_triplets", "dedup_survivors",
+    "store_indexed_search",
+    # (b) kernels changed in r6 (funnel Expand fix; IVF family reused by
+    # the store serving path; store write-path touch-ups) — 3 entries
+    "events_funnel", "ann_ivf_exact", "store_timetravel",
+    # (c) longest-resting driver rows (r2/r3) — 20 entries
+    "revenue_by_month", "part_like", "udf_token_count", "lineitem_enrich",
+    "doc_regex", "orders_above_cust_avg", "lineitem_having",
+    "top_event_types_per_user",
+    "events_asof_error", "rollup_daily", "cust_no_orders", "knn_cosine",
+    "range_l2", "knn_batch", "normalize", "pairwise_dist", "point_read",
+    "multi_get", "sq8_error", "dedup_embedding",
+    # (d) r4-cohort rotation — 16 entries
+    "knn_sq8", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_ingest_screen", "dedup_clusters", "curation_pipeline",
+    "decontaminate", "pii_scrub", "stratified_sample", "data_split",
+    "train_shuffle", "seq_pack", "tfidf_terms", "doc_chunks",
+    "dedup_exact",
+    # (e) continuity core (the flagship operators) — 3 entries
     "knn_l2", "hybrid_knn", "store_roundtrip",
 ]
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
@@ -4797,7 +4880,7 @@ assert set(ORACLE_SQL) <= set(QUERIES), "oracle without a registered query"
 _FIRST_50 = list(QUERIES)[:50]
 # dedup_embedding_ivf got its deliberate rows-only driver row in r4 (KMeans
 # blocking isn't SQL-expressible; kernel parity proven by the label-blocked
-# dedup_embedding oracle in r3) and now rests at 51+ — the round-5 window is
+# dedup_embedding oracle in r3) and rests at 51+ — the round-6 window is
 # 100% oracle-backed. The set stays so a future rotation can move it back in.
 _ROWS_ONLY_IN_WINDOW = {"dedup_embedding_ivf"}
 assert all(

@@ -52,11 +52,20 @@ def _update_user_stats(
     for pdf in pdfs:
         # event-time order within the batch for a deterministic EWMA
         pdf = pdf.sort_values(["ts", "event_id"])
-        for v in pdf["value"]:
-            v = float(v)
-            n += 1
-            total += v
-            ewma = v if ewma is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * ewma
+        vals = pdf["value"].astype(float)
+        if len(vals):
+            n += int(len(vals))
+            total += float(vals.sum())
+            # vectorized order-dependent recurrence: ewm(adjust=False)
+            # computes s_t = α·v_t + (1-α)·s_{t-1}; the carry-in state is
+            # prepended so the first batch element folds against it
+            if ewma is not None:
+                vals = pd.concat(
+                    [pd.Series([float(ewma)]), vals], ignore_index=True
+                )
+            ewma = float(
+                vals.ewm(alpha=EWMA_ALPHA, adjust=False).mean().iloc[-1]
+            )
     state.update((n, total, ewma if ewma is not None else 0.0))
     # re-arm the eviction clock: this key survives until the watermark
     # passes TTL beyond the last batch that touched it

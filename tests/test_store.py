@@ -567,3 +567,140 @@ def test_find_similar_as_of_serves_historical_state(spark, tmp_path):
     assert now[0]["id"] == "far"
     assert then[0]["id"] == "near"
     assert then[0]["values"] == [1.0, 0.0]
+
+
+def test_indexed_serving_matches_exact_and_isolates_namespaces(spark, tmp_path):
+    """Round-5 verdict tasks 4+5: find_similar(mode="indexed") through a
+    per-namespace attached index equals the brute-force path on the same
+    state; the other namespace's member never contributes rows; and a
+    CDC cycle (overwrite + delete + sync_indexes) keeps the routed read
+    exact. Mirrors reference tests/test_query_processor.py:70-85
+    (isolation) and :52-67 (ranking vs independent oracle)."""
+    import math
+
+    from mlvectordb_spark.operators.ann import IVFIndex, NamespaceIndexFamily
+
+    def vec(i):
+        return [math.cos(0.3 * i), math.sin(0.3 * i), float(i % 5)]
+
+    store = VectorStore(spark, str(tmp_path / "serve"), rebuild_threshold=0.95)
+    rows = [
+        {"id": f"a{i}", "values": vec(i), "namespace": "nsA"} for i in range(40)
+    ] + [
+        {"id": f"b{i}", "values": vec(i), "namespace": "nsB"} for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(r["id"], r["values"], r["namespace"]) for r in rows],
+        "id string, values array<float>, namespace string",
+    )
+    store.upsert_df(df)
+
+    fam = NamespaceIndexFamily(factory=lambda: IVFIndex(n_clusters=3, seed=7))
+    fam.build(
+        store.df().select("id", "values", "namespace"),
+        vec_col="values", id_col="id",
+    )
+    assert fam.namespaces() == ["nsA", "nsB"]
+    for ns in fam.namespaces():
+        store.attach_index(ns, fam.member(ns), vec_col="values", id_col="id")
+
+    from pyspark.sql import functions as F
+
+    from mlvectordb_spark.operators.knn import knn
+
+    def brute(k):
+        # same rounded-score + id ordering convention as the indexed path
+        ns_df = store.df().filter(F.col("namespace") == "nsA").select(
+            "id", "values"
+        )
+        return [
+            (r.id, round(r.score, 4))
+            for r in knn(
+                ns_df, q, k, vec_col="values", id_col="id", metric="l2"
+            ).collect()
+        ]
+
+    q = vec(3)
+    got = store.find_similar(q, 5, namespace="nsA", metric="l2", mode="indexed")
+    assert [(h["id"], round(h["score"], 4)) for h in got] == brute(5)
+    # isolation: every hit comes from nsA's member, never nsB's
+    assert all(h["id"].startswith("a") for h in got)
+    # nsB's member is untouched by nsA's maintenance below (reference bug
+    # query_processor.py:58-61 — rebuild wiping other namespaces — must
+    # NOT be replicated)
+    b_ids_before = sorted(
+        r.id for r in fam.member("nsB").indexed.select("id").collect()
+    )
+
+    # CDC cycle: overwrite a3, delete a1, sync only rolls members forward
+    store.upsert_df(
+        spark.createDataFrame(
+            [("a3", [9.0, 9.0, 9.0], "nsA")],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    store.delete_df(
+        spark.createDataFrame([("a1", "nsA")], "id string, namespace string")
+    )
+    store.sync_indexes()
+    got2 = store.find_similar(q, 5, namespace="nsA", metric="l2", mode="indexed")
+    assert [(h["id"], round(h["score"], 4)) for h in got2] == brute(5)
+    assert all(h["id"] != "a1" for h in got2)
+    b_ids_after = sorted(
+        r.id for r in fam.member("nsB").indexed.select("id").collect()
+    )
+    assert b_ids_after == b_ids_before
+
+    # mode contract: auto falls back to exact for unsupported metrics /
+    # filters; indexed raises
+    cos = store.find_similar(q, 3, namespace="nsA", metric="cosine")
+    assert len(cos) == 3
+    with pytest.raises(ValueError, match="indexed serving"):
+        store.find_similar(q, 3, namespace="nsA", metric="cosine", mode="indexed")
+    with pytest.raises(ValueError, match="no index attached"):
+        store.find_similar(q, 3, namespace="nsC", metric="l2", mode="indexed")
+
+
+def test_index_family_lazy_namespace_from_feed(spark, tmp_path):
+    """A namespace first seen in a CDC feed creates its member lazily from
+    the feed's upserts (reference _get_or_create_index, index.py:32-48)."""
+    from pyspark.sql import functions as F
+
+    from mlvectordb_spark.operators.ann import IVFIndex, NamespaceIndexFamily
+
+    fam = NamespaceIndexFamily(factory=lambda: IVFIndex(n_clusters=2, seed=1))
+    feed = spark.createDataFrame(
+        [
+            ("x1", [1.0, 0.0], "fresh", "upsert", 1),
+            ("x2", [0.0, 1.0], "fresh", "upsert", 1),
+            ("x3", [0.5, 0.5], "fresh", "upsert", 2),
+        ],
+        "id string, values array<float>, namespace string, "
+        "change_type string, write_version long",
+    )
+    fam.apply_changes(feed, vec_col="values", id_col="id")
+    assert fam.namespaces() == ["fresh"]
+    got = fam.search_exact("fresh", [1.0, 0.0], 2, vec_col="values", id_col="id")
+    assert [r.id for r in got.select("id").collect()] == ["x1", "x3"]
+
+
+def test_compaction_mid_df_as_of_raises_not_mixed_state(spark, tmp_path):
+    """Round-5 verdict #10: a df_as_of plan captured BEFORE a compaction
+    must not silently return a mixed state once the compaction rewrites
+    the partition under it — consuming it raises (the physical files it
+    referenced are gone), and re-requesting the version raises the
+    documented floor ValueError."""
+    store = VectorStore(spark, str(tmp_path / "midc"), rebuild_threshold=0.95)
+    store.upsert_by_id(
+        [{"id": f"k{i}", "values": [float(i), 0.0]} for i in range(10)]
+    )
+    v1 = store.current_version()
+    store.upsert_by_id([{"id": "k1", "values": [99.0, 0.0]}])
+    hist = store.df_as_of(v1)  # plan pinned to pre-compaction files
+    store.compact("default")   # physically rewrites; floor moves past v1
+    with pytest.raises(Exception):
+        # a mixed/partial state would surface here as wrong rows — the
+        # contract is an error instead (missing input files)
+        hist.collect()
+    with pytest.raises(ValueError, match="history below"):
+        store.df_as_of(v1)
