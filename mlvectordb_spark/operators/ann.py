@@ -212,9 +212,13 @@ class IVFIndex:
         self.centroids = self._fit_centroids(df, vec_col, id_col)
         self._vec_col = vec_col
         self.indexed = self._assign(df, vec_col)
-        self._built_count = self.indexed.count()
         self._added_count = 0
         self._radii = self._counts = None
+        # eager stats: ONE pass computes radii+counts (build-time work, so
+        # the first search is probe-only), and built_count falls out of the
+        # counts — no separate count() action
+        _, counts = self.cluster_stats(vec_col)
+        self._built_count = int(counts.sum())
         return self.indexed
 
     def add(
@@ -232,7 +236,10 @@ class IVFIndex:
         n_new = assigned.count()
         self.indexed = self.indexed.unionByName(assigned.select(*self.indexed.columns))
         self._added_count += n_new
-        self._radii = self._counts = None  # new members can extend a radius
+        # radii grow-only over the bounded batch (no full-corpus recompute
+        # on next search); counts refresh lazily via the cheap aggregate
+        self._grow_radii(assigned, vec_col)
+        self._counts = None
         return self.indexed
 
     def is_rebuild_required(self) -> bool:
@@ -285,20 +292,17 @@ class IVFIndex:
             assigned.select(*survivors.columns)
         )
         self._added_count += n_new
-        self._radii = self._counts = None
+        # deletes only shrink true radii (stale value stays a valid upper
+        # bound); upserts grow them over the bounded batch. Counts refresh
+        # lazily (cheap cluster_id-only aggregate).
+        self._grow_radii(assigned, vec_col)
+        self._counts = None
         return self.indexed
 
-    def cluster_stats(self, vec_col: str | None = None) -> tuple[np.ndarray, np.ndarray]:
-        """Per-cluster (radius, member count): radius is the max TRUE L2
-        distance of any member to its centroid. One Arrow-batched map (same
-        matmul shape as _assign) + a k-row aggregate — k scalars on the
-        driver, same class of state as the centroids themselves. Cached on
-        the object; invalidated by add() (new members can extend a
-        radius)."""
-        assert self.indexed is not None and self.centroids is not None
-        if self._radii is not None and self._counts is not None:
-            return self._radii, self._counts
-        vec_col = vec_col or self._vec_col
+    def _radius_rows(self, df: DataFrame, vec_col: str):
+        """Per-cluster (max member-to-centroid distance, count) over `df` —
+        the Arrow matmul kernel shared by the full stats pass and the
+        bounded incremental update."""
         cent = self.centroids
 
         def dist_batches(batches):
@@ -318,14 +322,58 @@ class IVFIndex:
                     }
                 )
 
-        stats = (
-            self.indexed.mapInPandas(
-                dist_batches, schema="cluster_id long, cdist double"
-            )
+        return (
+            df.mapInPandas(dist_batches, schema="cluster_id long, cdist double")
             .groupBy("cluster_id")
             .agg(F.max("cdist").alias("radius"), F.count("*").alias("n"))
             .collect()
         )
+
+    def _grow_radii(self, batch: DataFrame, vec_col: str) -> None:
+        """Incremental radius maintenance over a BOUNDED assigned batch
+        (add / apply_changes upserts): radii only grow — a new member can
+        extend its cluster's radius; a delete can only shrink the true
+        radius, so the cached value stays a valid UPPER bound and
+        certified pruning stays exact (just marginally less tight until
+        the next full stats pass). This keeps CDC maintenance from
+        forcing a full-corpus radius recompute on the next search — at
+        continuous-ingest scale the stats pass would otherwise re-read
+        the whole corpus every sync cycle (1M×64d measurement: ~12 s per
+        post-churn search repaying the pass, tools/scale_probe.py)."""
+        if self._radii is None:
+            return
+        for r in self._radius_rows(batch, vec_col):
+            j = int(r.cluster_id)
+            if float(r.radius) > self._radii[j]:
+                self._radii[j] = float(r.radius)
+
+    def cluster_stats(self, vec_col: str | None = None) -> tuple[np.ndarray, np.ndarray]:
+        """Per-cluster (radius, member count): radius is the max TRUE L2
+        distance of any member to its centroid. One Arrow-batched map (same
+        matmul shape as _assign) + a k-row aggregate — k scalars on the
+        driver, same class of state as the centroids themselves. Cached on
+        the object. After add()/apply_changes() the radii stay warm via the
+        grow-only update; only the COUNTS go stale and refresh here with a
+        column-pruned cluster_id aggregate (no vector decode, no Python) —
+        counts must be exact because tau's coverage argument needs them
+        (overstating could under-cover k and break certification)."""
+        assert self.indexed is not None and self.centroids is not None
+        if self._radii is not None and self._counts is not None:
+            return self._radii, self._counts
+        vec_col = vec_col or self._vec_col
+        cent = self.centroids
+        if self._radii is not None and self._counts is None:
+            rows = (
+                self.indexed.groupBy("cluster_id")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            counts = np.zeros(len(cent), dtype=np.int64)
+            for r in rows:
+                counts[int(r.cluster_id)] = int(r.n)
+            self._counts = counts
+            return self._radii, self._counts
+        stats = self._radius_rows(self.indexed, vec_col)
         radii = np.zeros(len(cent), dtype=np.float64)
         counts = np.zeros(len(cent), dtype=np.int64)
         for r in stats:
@@ -909,8 +957,25 @@ class IVFPQIndex:
         self.ivf.indexed = self.encoded
         self.pq.encoded = self.encoded
         self.ivf._added_count += n_new
-        self.ivf._radii = self.ivf._counts = None
+        # same grow-only stats maintenance as IVFIndex.add: radii extend
+        # over the bounded encoded batch, counts refresh lazily
+        self.ivf._grow_radii(encoded_new, vec_col)
+        self.ivf._counts = None
         return self.encoded
+
+    @property
+    def indexed(self) -> DataFrame | None:
+        """Protocol alias for the composed index's one physical dataset
+        (the encoded table) — lets maintenance code (NamespaceIndexFamily,
+        streaming ingest resync, store attach) treat every index family
+        uniformly through `.indexed`."""
+        return self.encoded
+
+    @indexed.setter
+    def indexed(self, df: DataFrame) -> None:
+        self.encoded = df
+        self.ivf.indexed = df
+        self.pq.encoded = df
 
     def is_rebuild_required(self) -> bool:
         """W11 delegation: the composed index drifts when its IVF layer

@@ -2063,7 +2063,14 @@ def q_store_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("ns"), F.col("label") % 2).alias("namespace"),
     )
     store.upsert_df(dto.drop("vec_id"))
-    fam = NamespaceIndexFamily(factory=lambda: IVFIndex(n_clusters=8, seed=42))
+    # cheap fit: certified pruning is EXACT for any centroid quality, so
+    # the gate entry spends few Lloyd iterations (search quality, not
+    # correctness, is what better centroids would buy)
+    fam = NamespaceIndexFamily(
+        factory=lambda: IVFIndex(
+            n_clusters=8, seed=42, max_iter=4, init_mode="random"
+        )
+    )
     fam.build(
         store.df().select("id", "values", "namespace"),
         vec_col="values",
