@@ -76,13 +76,54 @@ class EngineService:
         namespace: str,
         metric: str = "cosine",
         metadata_filter: Mapping[str, str] | None = None,
+        mode: str = "auto",
     ) -> list[dict[str, Any]]:
+        """The flagship read. `mode="auto"` (default) routes through the
+        namespace's attached serving index when it can answer exactly
+        (l2, no metadata filter) — the reference's QueryProcessor →
+        Index.search delegation (query_processor.py:26-33); at 100 TB the
+        read prunes instead of scanning the namespace. "exact" forces the
+        scan, "indexed" requires the index."""
         if not 1 <= top_k <= self.MAX_TOP_K:
             raise ValueError(f"top_k must be in [1, {self.MAX_TOP_K}]")
         with self.stats.track("knn"):
             return self.store.find_similar(
-                query, top_k, namespace, metric, metadata_filter
+                query, top_k, namespace, metric, metadata_filter, mode=mode
             )
+
+    # -- serving-index lifecycle (W8-W11 + Q23 through the REST surface) ----
+
+    def build_index(self, namespace: str) -> dict[str, Any]:
+        """Build + attach a serving index over the namespace's current
+        rows (reference `build_index`, README.md:239-241)."""
+        with self.stats.track("index_build"):
+            idx = self.store.build_index(namespace)
+        return {
+            "status": "success",
+            "namespace": namespace,
+            "index": type(idx).__name__,
+            "synced_at": self.store._serving_synced_at.get(namespace),
+        }
+
+    def sync_indexes(self) -> dict[str, Any]:
+        """Roll every attached index forward from the store's CDC feed."""
+        with self.stats.track("index_sync"):
+            self.store.sync_indexes()
+        return {"status": "success", "synced_at": dict(self.store._serving_synced_at)}
+
+    def index_info(self) -> dict[str, Any]:
+        """Per-namespace serving-index status: family, last synced store
+        version, and the W11 drift flag."""
+        out = {}
+        for ns, (idx, _vc, _ic) in self.store._serving.items():
+            out[ns] = {
+                "index": type(idx).__name__,
+                "synced_at": self.store._serving_synced_at.get(ns),
+                "rebuild_required": bool(
+                    getattr(idx, "is_rebuild_required", lambda: False)()
+                ),
+            }
+        return {"indexes": out, "store_version": self.store.current_version()}
 
     def range_query(
         self, query: Sequence[float], radius: float, namespace: str
@@ -261,7 +302,20 @@ def create_app(service: EngineService):
             namespace,
             body.get("metric", "cosine"),
             body.get("filter"),
+            body.get("mode", "auto"),
         )
+
+    @app.post("/index/build")
+    def index_build(namespace: str = "default"):
+        return guard(service.build_index, namespace)
+
+    @app.post("/index/sync")
+    def index_sync():
+        return guard(service.sync_indexes)
+
+    @app.get("/index/info")
+    def index_info():
+        return guard(service.index_info)
 
     @app.delete("/vectors")
     def delete(body: dict, namespace: str = "default"):

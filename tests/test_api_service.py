@@ -117,6 +117,10 @@ EXPECTED_ROUTES = {
     # beyond-reference time-travel surface (round 5)
     ("POST", "/search/asof"),
     ("GET", "/history"),
+    # serving-index lifecycle (round 6): build/attach, CDC sync, status
+    ("POST", "/index/build"),
+    ("POST", "/index/sync"),
+    ("GET", "/index/info"),
 }
 
 
@@ -208,3 +212,40 @@ def test_search_as_of_and_history_surface(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         svc.search_as_of([1.0, 0.0], 0, v1, "default")
+
+
+def test_indexed_serving_through_service(spark, tmp_path):
+    """Round-6: POST /index/build attaches a serving index, the default
+    /search mode then routes through it (still exact), /index/sync rolls
+    it forward after writes, /index/info reports status."""
+    import math
+
+    store = VectorStore(spark, str(tmp_path / "svc_idx"), rebuild_threshold=0.95)
+    svc = EngineService(store)
+    store.upsert_by_id(
+        [
+            {"id": f"k{i}", "values": [math.cos(0.4 * i), math.sin(0.4 * i)]}
+            for i in range(30)
+        ]
+    )
+    built = svc.build_index("default")
+    assert built["status"] == "success" and built["index"] == "IVFIndex"
+    info = svc.index_info()
+    assert info["indexes"]["default"]["synced_at"] == store.current_version()
+
+    q = [math.cos(0.4 * 3), math.sin(0.4 * 3)]
+    got = svc.search(q, 3, "default", metric="l2")  # auto → indexed
+    assert got[0]["id"] == "k3"
+    # exact mode agrees on the membership
+    exact = svc.search(q, 3, "default", metric="l2", mode="exact")
+    assert {h["id"] for h in got} == {h["id"] for h in exact}
+
+    # write + sync keeps the routed read fresh
+    store.upsert_by_id([{"id": "knew", "values": q}])
+    svc.sync_indexes()
+    got2 = svc.search(q, 2, "default", metric="l2", mode="indexed")
+    assert {h["id"] for h in got2} == {"k3", "knew"}
+    # stats counters recorded the index ops
+    snap = svc.statistics()
+    assert snap["index_build_queries"] == 1
+    assert snap["index_sync_queries"] == 1
