@@ -46,6 +46,11 @@ HEADLINE = [
     "tpch_q19",
     "tpch_q15",
     "tpch_q17",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q22",
     "top_orders_per_cust",
     "revenue_by_month",
     "events_json",

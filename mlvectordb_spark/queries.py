@@ -534,6 +534,145 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority checking: orders placed in 1996 with
+    at least one lineitem shipped AFTER the order date (the fixture has no
+    l_commitdate, so ship-after-order stands in for the spec's
+    commit<receipt), counted per priority. The EXISTS decorrelates to ONE
+    left-semi join on orderkey with the inequality as a join condition —
+    the fact table is never aggregated before the semi filter, and only
+    (orderkey, shipdate) ship to the join."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    qualified = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        qualified.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style volume shipping between two nations: revenue flowing
+    supplier-nation → customer-nation for the (NATION_1, NATION_2) pair in
+    either direction, per ship year. All four dimension hops (supplier,
+    nation×2, customer via orders) broadcast; the fact table shuffles
+    exactly once — for the orderkey join against orders (AQE-sized), never
+    for a dimension."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style priority-class counts per shipping class: the
+    fixture has no l_shipmode, so l_returnflag stands in as the class;
+    high = {1-URGENT, 2-HIGH} priorities, low = the rest, for one ship
+    year. One orderkey join (priority arrives from orders), then a
+    conditional aggregation — map-side partials, |classes| rows out."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier-count by part attributes: distinct
+    suppliers per (brand, type, size) over the lineitem part↔supplier
+    associations (the fixture has no partsupp table), excluding Brand#5
+    and restricting to four sizes. The part predicate broadcasts and
+    prunes the fact scan BEFORE the count_distinct shuffle; output is
+    |attribute groups| rows."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_size").isin(1, 4, 7, 10))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style global sales opportunity: customers with account
+    balance above the average POSITIVE balance and NO LARGE orders
+    (o_totalprice > 300000 — the plain no-orders form is vacuous at the
+    fixture's 10 orders/customer density), grouped by nation (the
+    fixture's analog of the phone country code). The scalar subquery is a
+    1-row aggregate broadcast into the filter; the no-large-orders test
+    is one left-anti join against the (filtered, projected) orders
+    keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k per group: 3 highest-value orders per customer."""
     orders = load_table(spark, sf_dir, "orders")
@@ -3454,6 +3593,63 @@ JOIN part ON l_partkey = p_partkey
 JOIN avg_qty USING (l_partkey)
 WHERE p_brand = 'Brand#1' AND l_quantity < thresh
 """,
+    "tpch_q4": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    "tpch_q7": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  year(l_shipdate) AS l_year,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+""",
+    "tpch_q12": """
+SELECT l_returnflag,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+    AS high_line_count,
+  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    "tpch_q16": """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#5' AND p_size IN (1, 4, 7, 10)
+GROUP BY p_brand, p_type, p_size
+""",
+    "tpch_q22": """
+SELECT c_nationkey, count(*) AS numcust,
+  round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c.c_custkey AND o_totalprice > 300000
+  )
+GROUP BY c_nationkey
+""",
     "top_orders_per_cust": """
 SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -4666,6 +4862,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q19": q_tpch_q19,
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q22": q_tpch_q22,
     "orders_cube": q_orders_cube,
     "orders_pivot": q_orders_pivot,
     "orders_unpivot": q_orders_unpivot,
@@ -4866,12 +5067,13 @@ _WINDOW = [
     "events_asof_error", "rollup_daily", "cust_no_orders", "knn_cosine",
     "range_l2", "knn_batch", "normalize", "pairwise_dist", "point_read",
     "multi_get", "sq8_error", "dedup_embedding",
-    # (d) r4-cohort rotation — 16 entries
+    # (a') new in r6, never driver-checked — 5 entries (these outrank the
+    # r4 rotation below)
+    "tpch_q4", "tpch_q7", "tpch_q12", "tpch_q16", "tpch_q22",
+    # (d) r4-cohort rotation — 11 entries
     "knn_sq8", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_ingest_screen", "dedup_clusters", "curation_pipeline",
-    "decontaminate", "pii_scrub", "stratified_sample", "data_split",
-    "train_shuffle", "seq_pack", "tfidf_terms", "doc_chunks",
-    "dedup_exact",
+    "decontaminate", "pii_scrub", "train_shuffle", "dedup_exact",
     # (e) continuity core (the flagship operators) — 3 entries
     "knn_l2", "hybrid_knn", "store_roundtrip",
 ]
