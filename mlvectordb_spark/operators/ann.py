@@ -85,6 +85,7 @@ class IVFIndex:
         seed: int = 42,
         max_iter: int = 20,
         init_mode: str = "k-means||",
+        eager_stats: bool = True,
     ) -> None:
         self.n_clusters = n_clusters
         self.seed = seed
@@ -93,6 +94,10 @@ class IVFIndex:
         # (dedup), where partition quality barely moves recall; search
         # indexes keep the k-means|| default.
         self.init_mode = init_mode
+        # SEARCH indexes precompute the certified-pruning bounds in the
+        # build pass (first query is probe-only); BLOCKING-only users
+        # (dedup) never search, so they skip the radius pass entirely.
+        self.eager_stats = eager_stats
         self.centroids: np.ndarray | None = None  # (k, dim) — driver-side
         self.indexed: DataFrame | None = None
         self._built_count = 0
@@ -214,11 +219,14 @@ class IVFIndex:
         self.indexed = self._assign(df, vec_col)
         self._added_count = 0
         self._radii = self._counts = None
-        # eager stats: ONE pass computes radii+counts (build-time work, so
-        # the first search is probe-only), and built_count falls out of the
-        # counts — no separate count() action
-        _, counts = self.cluster_stats(vec_col)
-        self._built_count = int(counts.sum())
+        if self.eager_stats:
+            # ONE pass computes radii+counts (build-time work, so the first
+            # search is probe-only), and built_count falls out of the
+            # counts — no separate count() action
+            _, counts = self.cluster_stats(vec_col)
+            self._built_count = int(counts.sum())
+        else:
+            self._built_count = self.indexed.count()
         return self.indexed
 
     def add(

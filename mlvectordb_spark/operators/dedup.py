@@ -120,7 +120,12 @@ def embedding_near_dup_by_cluster(
     k = max(2, n // target_block_size)
     # blocking needs balanced-ish partitions, not optimal ones: random init
     # + few Lloyd iterations cuts the fit cost several-fold vs k-means||
-    idx = IVFIndex(n_clusters=k, seed=seed, max_iter=8, init_mode="random")
+    # eager_stats=False: blocking never searches, so the certified-pruning
+    # radius pass would be a wasted corpus scan
+    idx = IVFIndex(
+        n_clusters=k, seed=seed, max_iter=8, init_mode="random",
+        eager_stats=False,
+    )
     if probes <= 1:
         clustered = idx.build(df, vec_col=vec_col, id_col=id_col)
     else:
