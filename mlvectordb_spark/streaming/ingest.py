@@ -186,3 +186,48 @@ def start_indexed_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_store_ingest(
+    stream: DataFrame, store: VectorStore, checkpoint_dir: str, query_name: str
+):
+    """Mutation stream (UPSERT_INGEST_SCHEMA) into the store with EVERY
+    attached per-namespace serving index kept fresh: each micro-batch
+    applies its ops latest-per-key in stream (`seq`) order through the
+    store's versioned write paths, then `store.sync_indexes()` rolls all
+    attached members forward from the store's own CDC feed — including
+    the floor-moved full-resync fallback. The per-namespace composition
+    of `start_indexed_ingest`: attach members via
+    `VectorStore.attach_index`/`build_index` (e.g. a
+    `NamespaceIndexFamily`'s members) and any writer's changes converge
+    into every namespace's index."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as _W
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = _W.partitionBy("id", "namespace").orderBy(F.col("seq").desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ups = latest.filter(F.col("op") == "upsert").select(
+            "id", "values", "namespace"
+        )
+        if ups.limit(1).count():
+            store.upsert_df(ups, assume_unique_ids=True)
+        dels = latest.filter(F.col("op") == "delete").select("id", "namespace")
+        if dels.limit(1).count():
+            store.delete_df(dels)
+        store.sync_indexes()
+        # bound every member's union/anti-join lineage across batches
+        for _ns, (idx, _vc, _ic) in store._serving.items():
+            idx.indexed = idx.indexed.localCheckpoint()
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

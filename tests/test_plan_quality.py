@@ -443,3 +443,49 @@ def test_store_indexed_search_prunes_clusters(spark, tmp_path):
     assert any("namespace" in s for s in segs), segs
     # the ≤k-row hit list broadcasts into the enrichment join
     assert "BroadcastHashJoin" in raw or "BroadcastExchange" in raw, raw
+
+
+def test_tpch_q4_semi_join_no_pre_aggregate(spark, sf_dir):
+    """The EXISTS decorrelates to one left-semi join with the inequality
+    as a join condition — no aggregation of lineitem feeds it, and the
+    lineitem side reads only (orderkey, shipdate)."""
+    plan = explain_query(QUERIES["tpch_q4"](spark, sf_dir))
+    raw = plan["raw"]
+    assert "LeftSemi" in raw, raw
+    # the lineitem ReadSchema carries just the two needed columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<l_orderkey:[^>]*>", raw)
+    assert m and "l_shipdate" in m.group(0) and "l_quantity" not in m.group(0), raw
+
+
+def test_tpch_q7_broadcasts_all_dimension_hops(spark, sf_dir):
+    """supplier, both nation hops, and customer broadcast; the fact table
+    never range-partitions (no global sort)."""
+    plan = explain_query(QUERIES["tpch_q7"](spark, sf_dir))
+    raw = plan["raw"]
+    assert raw.count("BroadcastExchange") >= 4, raw
+    assert "Exchange rangepartitioning" not in raw
+
+
+def test_tpch_q16_part_filter_below_distinct(spark, sf_dir):
+    """The part predicate broadcasts and prunes the fact scan BEFORE the
+    count_distinct shuffle; brand/size filters reach the part scan."""
+    plan = explain_query(QUERIES["tpch_q16"](spark, sf_dir))
+    assert any(
+        "p_size" in f or "p_brand" in f for f in plan["pushed_filters"]
+    ), plan["pushed_filters"]
+    assert plan["uses_broadcast"]
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """The no-large-orders test is a left-anti join; the scalar average is
+    a broadcast 1-row aggregate, and the orders side scans only
+    (custkey, totalprice) with the price filter pushed."""
+    plan = explain_query(QUERIES["tpch_q22"](spark, sf_dir))
+    raw = plan["raw"]
+    assert "LeftAnti" in raw, raw
+    assert plan["uses_broadcast"]
+    assert any("o_totalprice" in f for f in plan["pushed_filters"]), plan[
+        "pushed_filters"
+    ]

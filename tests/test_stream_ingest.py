@@ -167,3 +167,86 @@ def test_indexed_ingest_keeps_serving_index_fresh(spark, tmp_path):
         for r in knn(current, qv, 5, metric="l2").collect()
     ]
     assert got == want
+
+
+def test_store_ingest_keeps_all_namespace_indexes_fresh(spark, tmp_path):
+    """start_store_ingest: a mutation stream spanning TWO namespaces keeps
+    every attached per-namespace index converged on the store's truth —
+    the streaming composition of attach_index + sync_indexes (round-6
+    tasks 4+5)."""
+    import math
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mlvectordb_spark.operators.ann import IVFIndex, NamespaceIndexFamily
+    from mlvectordb_spark.streaming.ingest import (
+        UPSERT_INGEST_SCHEMA,
+        start_store_ingest,
+    )
+
+    def vec(i):
+        return [math.cos(0.15 * i), math.sin(0.15 * i), float(i % 4)]
+
+    store = VectorStore(spark, str(tmp_path / "fam"), rebuild_threshold=0.95)
+    rows = [(f"a{i}", vec(i), "nsA") for i in range(40)] + [
+        (f"b{i}", vec(i + 7), "nsB") for i in range(40)
+    ]
+    store.upsert_df(
+        spark.createDataFrame(
+            rows, "id string, values array<float>, namespace string"
+        )
+    )
+    fam = NamespaceIndexFamily(factory=lambda: IVFIndex(n_clusters=3, seed=5))
+    fam.build(
+        store.df().select("id", "values", "namespace"),
+        vec_col="values", id_col="id",
+    )
+    for ns in fam.namespaces():
+        store.attach_index(ns, fam.member(ns), vec_col="values", id_col="id")
+
+    src = tmp_path / "fam_muts"
+    src.mkdir()
+    b1 = [
+        {"id": "a3", "values": [9.0, 9.0, 9.0], "namespace": "nsA",
+         "op": "upsert", "seq": 1},
+        {"id": "b5", "values": None, "namespace": "nsB", "op": "delete",
+         "seq": 2},
+        {"id": "bnew", "values": vec(99), "namespace": "nsB", "op": "upsert",
+         "seq": 3},
+    ]
+    b2 = [
+        {"id": "a1", "values": None, "namespace": "nsA", "op": "delete",
+         "seq": 10},
+    ]
+    now = time.time()
+    for off, (name, recs) in enumerate([("b1.json", b1), ("b2.json", b2)]):
+        p = src / name
+        p.write_text("\n".join(json.dumps(r) for r in recs))
+        os.utime(p, (now + off * 10, now + off * 10))
+
+    stream = (
+        spark.readStream.schema(UPSERT_INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_store_ingest(stream, store, str(tmp_path / "famckpt"), "t_fam")
+    q.awaitTermination()
+
+    for ns, prefix in (("nsA", "a"), ("nsB", "b")):
+        live = sorted(
+            r.id
+            for r in store.df().filter(F.col("namespace") == ns).select("id").collect()
+        )
+        idx_ids = sorted(
+            r.id for r in fam.member(ns).indexed.select("id").collect()
+        )
+        assert idx_ids == live, ns
+        assert all(i.startswith(prefix) or i == "bnew" for i in idx_ids), ns
+    assert "a1" not in {r.id for r in fam.member("nsA").indexed.collect()}
+    # routed serving read reflects the stream's writes, still exact
+    got = store.find_similar(
+        [9.0, 9.0, 9.0], 1, namespace="nsA", metric="l2", mode="indexed"
+    )
+    assert got[0]["id"] == "a3"
