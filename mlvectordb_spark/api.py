@@ -80,7 +80,8 @@ class EngineService:
     ) -> list[dict[str, Any]]:
         """The flagship read. `mode="auto"` (default) routes through the
         namespace's attached serving index when it can answer exactly
-        (l2, no metadata filter) — the reference's QueryProcessor →
+        (query metric matches the attached space, no metadata filter) —
+        the reference's QueryProcessor →
         Index.search delegation (query_processor.py:26-33); at 100 TB the
         read prunes instead of scanning the namespace. "exact" forces the
         scan, "indexed" requires the index."""
@@ -93,15 +94,18 @@ class EngineService:
 
     # -- serving-index lifecycle (W8-W11 + Q23 through the REST surface) ----
 
-    def build_index(self, namespace: str) -> dict[str, Any]:
+    def build_index(self, namespace: str, space: str = "l2") -> dict[str, Any]:
         """Build + attach a serving index over the namespace's current
-        rows (reference `build_index`, README.md:239-241)."""
+        rows (reference `build_index`, README.md:239-241). `space` fixes
+        the index's distance space at construction like the reference
+        ctor (implementations/index.py:18): l2 or cosine (normalized)."""
         with self.stats.track("index_build"):
-            idx = self.store.build_index(namespace)
+            idx = self.store.build_index(namespace, space=space)
         return {
             "status": "success",
             "namespace": namespace,
             "index": type(idx).__name__,
+            "space": space,
             "synced_at": self.store._serving_synced_at.get(namespace),
         }
 
@@ -115,9 +119,10 @@ class EngineService:
         """Per-namespace serving-index status: family, last synced store
         version, and the W11 drift flag."""
         out = {}
-        for ns, (idx, _vc, _ic) in self.store._serving.items():
+        for ns, (idx, _vc, _ic, space) in self.store._serving.items():
             out[ns] = {
                 "index": type(idx).__name__,
+                "space": space,
                 "synced_at": self.store._serving_synced_at.get(ns),
                 "rebuild_required": bool(
                     getattr(idx, "is_rebuild_required", lambda: False)()
@@ -306,8 +311,8 @@ def create_app(service: EngineService):
         )
 
     @app.post("/index/build")
-    def index_build(namespace: str = "default"):
-        return guard(service.build_index, namespace)
+    def index_build(namespace: str = "default", space: str = "l2"):
+        return guard(service.build_index, namespace, space)
 
     @app.post("/index/sync")
     def index_sync():

@@ -1215,6 +1215,7 @@ class VectorStore:
         index: Any,
         vec_col: str = "values",
         id_col: str = "id",
+        space: str = "l2",
     ) -> None:
         """Attach a serving index to ONE namespace: `find_similar` then
         routes that namespace's reads through `index.search_exact`
@@ -1226,8 +1227,21 @@ class VectorStore:
         isolation (implementations/index.py:19,32-48). At 100 TB the
         flagship read must prune, not scan — a saved IVF index partitioned
         by cluster_id turns the probe set into physical partition
-        pruning."""
-        self._serving[namespace] = (index, vec_col, id_col)
+        pruning.
+
+        `space` is the index's distance space, fixed at attach like the
+        reference's constructor space (`implementations/index.py:18,36`):
+        "l2" serves metric="l2" queries; "cosine" means the index was
+        built over UNIT-NORMALIZED vectors (hnswlib's cosine-space recipe)
+        and serves metric="cosine" queries exactly — ranking by L2 over
+        normalized vectors IS ranking by cosine (||q̂−x̂||² = 2−2·cos),
+        and the enrichment step recomputes the true cosine score against
+        the stored vectors. Unlike the reference, a query whose metric
+        doesn't match the attached space falls back to the honest exact
+        scan instead of silently mis-scoring (SURVEY.md fact #2)."""
+        if space not in ("l2", "cosine"):
+            raise ValueError(f"unsupported index space {space!r}")
+        self._serving[namespace] = (index, vec_col, id_col, space)
         self._serving_synced_at[namespace] = self.current_version()
 
     def detach_index(self, namespace: str) -> None:
@@ -1238,16 +1252,31 @@ class VectorStore:
         entry = self._serving.get(namespace)
         return entry[0] if entry is not None else None
 
-    def build_index(self, namespace: str, factory=None) -> Any:
+    @staticmethod
+    def _space_vec(space: str):
+        """The column expression an index in `space` holds: raw float
+        values for l2, unit-normalized doubles (cast back to float) for
+        cosine — applied identically at build, CDC sync, resync, and query
+        time so the index always sees one consistent representation."""
+        from mlvectordb_spark.functions.vector import normalize as _norm
+
+        if space == "cosine":
+            return F.transform(_norm(F.col("values")), lambda x: x.cast("float"))
+        return F.col("values")
+
+    def build_index(self, namespace: str, factory=None, space: str = "l2") -> Any:
         """Build an index over the namespace's CURRENT live rows and attach
         it (W8/W10 + attach in one step). Default family: IVF sized at
-        ~sqrt(n) clusters, the standard IVF heuristic."""
+        ~sqrt(n) clusters, the standard IVF heuristic. `space="cosine"`
+        builds over unit-normalized vectors (see attach_index)."""
         from mlvectordb_spark.operators.ann import IVFIndex
 
+        if space not in ("l2", "cosine"):
+            raise ValueError(f"unsupported index space {space!r}")
         slice_df = (
             self.df()
             .filter(F.col("namespace") == namespace)
-            .select("id", "values")
+            .select("id", self._space_vec(space).alias("values"))
         )
         if factory is None:
             n = slice_df.count()
@@ -1256,7 +1285,9 @@ class VectorStore:
         else:
             idx = factory()
         idx.build(slice_df, vec_col="values", id_col="id")
-        self.attach_index(namespace, idx, vec_col="values", id_col="id")
+        self.attach_index(
+            namespace, idx, vec_col="values", id_col="id", space=space
+        )
         return idx
 
     def sync_indexes(self) -> None:
@@ -1267,7 +1298,7 @@ class VectorStore:
         (compaction erased the events), that namespace falls back to a
         full resync from current state — same snapshot-then-delta contract
         as a CDC replica across VACUUM."""
-        for ns, (index, vec_col, id_col) in list(self._serving.items()):
+        for ns, (index, vec_col, id_col, space) in list(self._serving.items()):
             v0 = self._serving_synced_at.get(ns, 0)
             try:
                 if self.history_floor() > v0:
@@ -1277,17 +1308,22 @@ class VectorStore:
                     .filter(F.col("namespace") == ns)
                     .select(
                         F.col("id").alias(id_col),
-                        F.col("values").alias(vec_col),
+                        F.when(
+                            F.col("values").isNotNull(), self._space_vec(space)
+                        ).alias(vec_col),
                         "change_type",
                         "write_version",
                     )
                 )
                 index.apply_changes(feed, vec_col=vec_col, id_col=id_col)
             except ValueError:
-                self._resync_index(ns, index, vec_col, id_col)
+                self._resync_index(ns, index, vec_col, id_col, space)
             self._serving_synced_at[ns] = self.current_version()
 
-    def _resync_index(self, namespace: str, index, vec_col: str, id_col: str) -> None:
+    def _resync_index(
+        self, namespace: str, index, vec_col: str, id_col: str,
+        space: str = "l2",
+    ) -> None:
         """Full per-namespace resync as one synthetic CDC feed through the
         index's own apply_changes (catch-up and incremental share the
         maintenance kernel)."""
@@ -1297,7 +1333,7 @@ class VectorStore:
             .filter(F.col("namespace") == namespace)
             .select(
                 F.col("id").alias(id_col),
-                F.col("values").alias(vec_col),
+                self._space_vec(space).alias(vec_col),
                 F.lit("upsert").alias("change_type"),
                 F.lit(v).cast("long").alias("write_version"),
             )
@@ -1336,12 +1372,14 @@ class VectorStore:
         query (Q15). top_k clamps naturally via limit (Q3).
 
         `mode`: "auto" routes through the namespace's attached index when
-        one exists and can serve the query exactly (l2, no metadata
-        filter — the index carries no metadata columns), else brute
-        force; "indexed" requires the index and raises when it can't
-        serve; "exact" always scans. Indexed serving is still EXACT
-        (certified pruning), scores rounded to the index's 4-decimal
-        granularity."""
+        one exists and can serve the query exactly (query metric matches
+        the attached space — l2 or cosine — and no metadata filter, since
+        the index carries no metadata columns), else brute force;
+        "indexed" requires the index and raises when it can't serve;
+        "exact" always scans. Indexed serving is still EXACT (certified
+        pruning; cosine space ranks by L2 over normalized vectors, an
+        exact monotone equivalent), scores rounded to the index's
+        4-decimal granularity."""
         ns_dim = self.dimension(namespace)
         if ns_dim is not None and ns_dim != len(query_values):
             raise ValueError(
@@ -1351,13 +1389,18 @@ class VectorStore:
         if mode not in ("auto", "exact", "indexed"):
             raise ValueError(f"unknown mode {mode!r}")
         entry = self._serving.get(namespace)
-        indexable = entry is not None and metric == "l2" and not metadata_filter
+        indexable = (
+            entry is not None
+            and metric == entry[3]
+            and not metadata_filter
+        )
         if mode == "indexed":
             if entry is None:
                 raise ValueError(f"no index attached to namespace {namespace!r}")
             if not indexable:
                 raise ValueError(
-                    "indexed serving requires metric='l2' and no metadata_filter"
+                    f"indexed serving requires metric={entry[3]!r} (the "
+                    "attached space) and no metadata_filter"
                 )
         if indexable and mode != "exact":
             df = self._indexed_search_df(namespace, query_values, top_k)
@@ -1383,16 +1426,39 @@ class VectorStore:
         attached index, then the reference's two-step enrichment
         (query_processor.py:37-49) — a broadcast join of the ≤k-row hit
         list back to the store re-attaches values/metadata, silently
-        dropping ids missing from storage, ranking preserved."""
-        index, vec_col, id_col = self._serving[namespace]
+        dropping ids missing from storage, ranking preserved.
+
+        Cosine space: the query normalizes like the indexed vectors, the
+        index ranks by L2 over the normalized pair (monotone-equivalent
+        to cosine: ||q̂−x̂||² = 2−2·cos), and the enrichment recomputes
+        the TRUE cosine against the stored raw vectors with the same
+        kernel as the brute path — so the reported score is identical to
+        metric="cosine" brute force, ordered descending."""
+        index, vec_col, id_col, space = self._serving[namespace]
+        q = [float(x) for x in query_values]
+        if space == "cosine":
+            import math
+
+            qn = math.sqrt(sum(x * x for x in q)) or 1.0
+            q = [x / qn for x in q]
         hits = index.search_exact(
-            [float(x) for x in query_values], top_k,
-            vec_col=vec_col, id_col=id_col,
+            q, top_k, vec_col=vec_col, id_col=id_col
         ).select(F.col(id_col).cast("string").alias("id"), "score")
         ns_df = self.df().filter(F.col("namespace") == namespace)
+        joined = ns_df.join(F.broadcast(hits), "id")
+        if space == "cosine":
+            from mlvectordb_spark.functions.vector import metric_expr
+
+            qlit = F.array(*[F.lit(float(x)) for x in query_values])
+            true_cos = F.round(
+                metric_expr(F.col("values"), qlit, "cosine"), 4
+            )
+            joined = joined.drop("score").withColumn("score", true_cos)
+            order = [F.col("score").desc(), F.col("id").asc()]
+        else:
+            order = [F.col("score").asc(), F.col("id").asc()]
         return (
-            ns_df.join(F.broadcast(hits), "id")
-            .orderBy(F.col("score").asc(), F.col("id").asc())
+            joined.orderBy(*order)
             .limit(top_k)
             .select("id", "values", "metadata", "score")
         )

@@ -2242,6 +2242,54 @@ def q_store_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_store_indexed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-SPACE indexed serving (reference `Index(space="cosine")`,
+    implementations/index.py:18,36 — hnswlib's cosine space normalizes
+    vectors and searches L2): `build_index(space="cosine")` builds the
+    per-namespace IVF over unit-normalized vectors, `find_similar(metric=
+    "cosine", mode="indexed")` normalizes the query, certified-prunes in
+    normalized-L2 space (an exact monotone equivalent of cosine:
+    ||q̂−x̂||² = 2−2·cos), and the enrichment recomputes the TRUE cosine
+    against the stored raw vectors. The oracle mirrors both stages:
+    selection by rounded normalized-L2 + id, scores as rounded true
+    cosine. Unlike the reference (which ignores the per-query metric —
+    SURVEY.md fact #2), a mismatched metric here falls back to the honest
+    exact scan rather than mis-scoring."""
+    import tempfile
+
+    from mlvectordb_spark.operators.ann import IVFIndex
+    from mlvectordb_spark.operators.store import VectorStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = VectorStore(
+        spark, tempfile.mkdtemp(prefix="q_idxcos_"), rebuild_threshold=0.95
+    )
+    dto = emb.select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+        F.col("embedding").alias("values"),
+        F.concat(F.lit("ns"), F.col("label") % 2).alias("namespace"),
+    )
+    store.upsert_df(dto)
+    store.build_index(
+        "ns0",
+        factory=lambda: IVFIndex(
+            n_clusters=8, seed=42, max_iter=4, init_mode="random"
+        ),
+        space="cosine",
+    )
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    hits = store.find_similar(
+        [float(x) for x in qvec],
+        top_k=KNN_K,
+        namespace="ns0",
+        metric="cosine",
+        mode="indexed",
+    )
+    return spark.createDataFrame(
+        [(h["id"], float(h["score"])) for h in hits], "id string, score double"
+    )
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal surface under the driver gate: synthetic binary corpus
     (REAL WAV/BMP payloads) → real decode-and-extract features for
@@ -4257,6 +4305,28 @@ FROM live, q
 ORDER BY round({_sql_l2sq('vals', 'qv')}, 4) ASC, id ASC
 LIMIT {KNN_K}
 """,
+    "store_indexed_cosine": f"""
+WITH live AS (
+  SELECT 'v' || vec_id::VARCHAR AS id, embedding AS vals
+  FROM embeddings WHERE label % 2 = 0
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv,
+    list_transform(embedding::DOUBLE[], x -> x / sqrt({_sql_dot('embedding', 'embedding')})) AS qnv
+  FROM embeddings WHERE vec_id = {QUERY_VID}
+), norm AS (
+  -- mirror the engine's representation: normalized components stored as
+  -- FLOAT in the index, compared in DOUBLE
+  SELECT id, vals,
+    list_transform(vals, x ->
+      ((x::DOUBLE / sqrt({_sql_dot('vals', 'vals')}))::FLOAT)::DOUBLE) AS nv
+  FROM live
+), sel AS (
+  SELECT id, vals FROM norm, q
+  ORDER BY round({_sql_l2sq('nv', 'qnv')}, 4) ASC, id ASC
+  LIMIT {KNN_K}
+)
+SELECT id, round({_sql_cos('vals', 'qv')}, 4) AS score FROM sel, q
+""",
     "median_price": """
 SELECT l_returnflag, round(median(l_extendedprice), 4) AS median_price,
   round(min(l_extendedprice), 2) AS min_price,
@@ -4815,6 +4885,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- write path / misc oracle-backed --
     "store_roundtrip": q_store_roundtrip,
     "store_indexed_search": q_store_indexed_search,
+    "store_indexed_cosine": q_store_indexed_cosine,
     "store_timetravel": q_store_timetravel,
     # -- relational layer (incl. the co-located bucketed-layout join) --
     "bucketed_join": q_bucketed_join,
@@ -5070,10 +5141,11 @@ _WINDOW = [
     # (a') new in r6, never driver-checked — 5 entries (these outrank the
     # r4 rotation below)
     "tpch_q4", "tpch_q7", "tpch_q12", "tpch_q16", "tpch_q22",
-    # (d) r4-cohort rotation — 11 entries
+    "store_indexed_cosine",
+    # (d) r4-cohort rotation — 10 entries
     "knn_sq8", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_ingest_screen", "dedup_clusters", "curation_pipeline",
-    "decontaminate", "pii_scrub", "train_shuffle", "dedup_exact",
+    "decontaminate", "pii_scrub", "dedup_exact",
     # (e) continuity core (the flagship operators) — 3 entries
     "knn_l2", "hybrid_knn", "store_roundtrip",
 ]

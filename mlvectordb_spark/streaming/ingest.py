@@ -221,7 +221,7 @@ def start_store_ingest(
             store.delete_df(dels)
         store.sync_indexes()
         # bound every member's union/anti-join lineage across batches
-        for _ns, (idx, _vc, _ic) in store._serving.items():
+        for _ns, (idx, _vc, _ic, _sp) in store._serving.items():
             idx.indexed = idx.indexed.localCheckpoint()
 
     return (

@@ -704,3 +704,66 @@ def test_compaction_mid_df_as_of_raises_not_mixed_state(spark, tmp_path):
         hist.collect()
     with pytest.raises(ValueError, match="history below"):
         store.df_as_of(v1)
+
+
+def test_indexed_cosine_space_matches_brute_force(spark, tmp_path):
+    """An index attached with space="cosine" (built over unit-normalized
+    vectors — the hnswlib cosine-space recipe, implementations/index.py:18,
+    36) serves metric="cosine" queries exactly: same members and same true
+    cosine scores as the brute-force path, kept fresh through a CDC sync."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mlvectordb_spark.operators.ann import IVFIndex
+    from mlvectordb_spark.operators.knn import knn
+
+    def vec(i):
+        # varied magnitudes so cosine and l2 rankings genuinely differ
+        m = 0.5 + (i % 5)
+        return [m * math.cos(0.37 * i), m * math.sin(0.37 * i), m * 0.2 * (i % 3)]
+
+    store = VectorStore(spark, str(tmp_path / "cosserve"), rebuild_threshold=0.95)
+    store.upsert_df(
+        spark.createDataFrame(
+            [(f"c{i}", vec(i), "default") for i in range(50)],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    store.build_index(
+        "default",
+        factory=lambda: IVFIndex(n_clusters=3, seed=3),
+        space="cosine",
+    )
+    q = vec(11)
+
+    def brute(k):
+        ns_df = store.df().select("id", "values")
+        return [
+            (r.id, round(r.score, 4))
+            for r in knn(
+                ns_df, q, k, vec_col="values", id_col="id", metric="cosine"
+            ).collect()
+        ]
+
+    got = store.find_similar(q, 5, metric="cosine", mode="indexed")
+    assert [(h["id"], round(h["score"], 4)) for h in got] == brute(5)
+    # l2 queries against a cosine-space index fall back (auto) / raise (indexed)
+    assert store.find_similar(q, 2, metric="l2")  # auto → brute, still serves
+    with pytest.raises(ValueError, match="indexed serving"):
+        store.find_similar(q, 2, metric="l2", mode="indexed")
+
+    # CDC cycle: overwrite + delete, sync, still exact in cosine space
+    store.upsert_df(
+        spark.createDataFrame(
+            [("c3", [x * 3.0 for x in vec(40)], "default")],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    store.delete_df(
+        spark.createDataFrame([("c7", "default")], "id string, namespace string")
+    )
+    store.sync_indexes()
+    got2 = store.find_similar(q, 5, metric="cosine", mode="indexed")
+    assert [(h["id"], round(h["score"], 4)) for h in got2] == brute(5)
+    assert all(h["id"] != "c7" for h in got2)
