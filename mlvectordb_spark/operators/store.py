@@ -1365,11 +1365,19 @@ class VectorStore:
         metric: str = "cosine",
         metadata_filter: Mapping[str, str] | None = None,
         mode: str = "auto",
+        nprobe: int = 4,
     ) -> list[dict[str, Any]]:
         """Q1: exact KNN + enrichment. Unlike the reference (which ignores
         the per-query metric — SURVEY.md fact #2), the metric genuinely
         selects the kernel. `metadata_filter` gives the declared hybrid
         query (Q15). top_k clamps naturally via limit (Q3).
+
+        `mode="approx"` is the reference's ACTUAL serving behavior (HNSW
+        with ef=50 — recall < 1.0): probe only the `nprobe` nearest
+        clusters of the attached index, trading recall for latency.
+        Requires an attached index whose space matches the metric; recall
+        is measured against the exact path by `recall_at_k`
+        (tests/test_ann.py) and the bench recall tail.
 
         `mode`: "auto" routes through the namespace's attached index when
         one exists and can serve the query exactly (query metric matches
@@ -1386,7 +1394,7 @@ class VectorStore:
                 f"query dimension {len(query_values)} != namespace "
                 f"{namespace!r} dimension {ns_dim}"
             )
-        if mode not in ("auto", "exact", "indexed"):
+        if mode not in ("auto", "exact", "indexed", "approx"):
             raise ValueError(f"unknown mode {mode!r}")
         entry = self._serving.get(namespace)
         indexable = (
@@ -1394,7 +1402,7 @@ class VectorStore:
             and metric == entry[3]
             and not metadata_filter
         )
-        if mode == "indexed":
+        if mode in ("indexed", "approx"):
             if entry is None:
                 raise ValueError(f"no index attached to namespace {namespace!r}")
             if not indexable:
@@ -1403,7 +1411,10 @@ class VectorStore:
                     "attached space) and no metadata_filter"
                 )
         if indexable and mode != "exact":
-            df = self._indexed_search_df(namespace, query_values, top_k)
+            df = self._indexed_search_df(
+                namespace, query_values, top_k,
+                nprobe=nprobe if mode == "approx" else None,
+            )
             rows = df.collect()
             return [
                 {
@@ -1420,7 +1431,11 @@ class VectorStore:
         )
 
     def _indexed_search_df(
-        self, namespace: str, query_values: Sequence[float], top_k: int
+        self,
+        namespace: str,
+        query_values: Sequence[float],
+        top_k: int,
+        nprobe: int | None = None,
     ) -> DataFrame:
         """The indexed serving plan: certified pruned top-k from the
         attached index, then the reference's two-step enrichment
@@ -1441,9 +1456,18 @@ class VectorStore:
 
             qn = math.sqrt(sum(x * x for x in q)) or 1.0
             q = [x / qn for x in q]
-        hits = index.search_exact(
-            q, top_k, vec_col=vec_col, id_col=id_col
-        ).select(F.col(id_col).cast("string").alias("id"), "score")
+        if nprobe is not None:
+            # approximate probe (mode="approx"): the reference's HNSW-like
+            # recall/latency dial — nprobe plays ef's role
+            hits = index.search(
+                q, top_k, nprobe=nprobe, vec_col=vec_col, id_col=id_col,
+                metric="l2",
+            )
+        else:
+            hits = index.search_exact(
+                q, top_k, vec_col=vec_col, id_col=id_col
+            )
+        hits = hits.select(F.col(id_col).cast("string").alias("id"), "score")
         ns_df = self.df().filter(F.col("namespace") == namespace)
         joined = ns_df.join(F.broadcast(hits), "id")
         if space == "cosine":

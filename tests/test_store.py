@@ -767,3 +767,82 @@ def test_indexed_cosine_space_matches_brute_force(spark, tmp_path):
     got2 = store.find_similar(q, 5, metric="cosine", mode="indexed")
     assert [(h["id"], round(h["score"], 4)) for h in got2] == brute(5)
     assert all(h["id"] != "c7" for h in got2)
+
+
+def test_any_index_family_serves_through_store(spark, tmp_path):
+    """The attach protocol is family-agnostic: IVF+PQ and LSH members both
+    serve find_similar(mode="indexed") exactly (every family exposes
+    build/apply_changes/search_exact/.indexed)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mlvectordb_spark.operators.ann import IVFPQIndex, LSHIndex
+    from mlvectordb_spark.operators.knn import knn
+
+    def vec(i):
+        return [
+            math.cos(0.21 * i), math.sin(0.21 * i),
+            math.cos(0.11 * i + 1.0), float(i % 6),
+        ]
+
+    store = VectorStore(spark, str(tmp_path / "famserve"), rebuild_threshold=0.95)
+    store.upsert_df(
+        spark.createDataFrame(
+            [(f"k{i}", vec(i), "default") for i in range(64)],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    q = vec(9)
+
+    def brute(k):
+        ns_df = store.df().select("id", "values")
+        return [
+            (r.id, round(r.score, 4))
+            for r in knn(
+                ns_df, q, k, vec_col="values", id_col="id", metric="l2"
+            ).collect()
+        ]
+
+    want = brute(5)
+    for factory in (
+        lambda: IVFPQIndex(n_clusters=4, m=4, k_sub=8, seed=2),
+        lambda: LSHIndex(bucket_length=0.7, num_hash_tables=3, seed=2),
+    ):
+        store.build_index("default", factory=factory)
+        got = store.find_similar(q, 5, metric="l2", mode="indexed")
+        assert [(h["id"], round(h["score"], 4)) for h in got] == want, factory
+
+
+def test_approx_mode_probes_subset(spark, tmp_path):
+    """mode="approx" (the reference's real HNSW behavior — recall < 1.0):
+    nprobe clusters probed, result members always a subset of the corpus
+    with exact scores, and nprobe=all-clusters converges to exact."""
+    import math
+
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    def vec(i):
+        return [math.cos(0.3 * i), math.sin(0.3 * i), float(i % 5)]
+
+    store = VectorStore(spark, str(tmp_path / "approx"), rebuild_threshold=0.95)
+    store.upsert_df(
+        spark.createDataFrame(
+            [(f"k{i}", vec(i), "default") for i in range(60)],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    store.build_index(
+        "default", factory=lambda: IVFIndex(n_clusters=6, seed=4)
+    )
+    q = vec(3)
+    exact = store.find_similar(q, 5, metric="l2", mode="indexed")
+    # probing every cluster is exact by construction
+    full = store.find_similar(q, 5, metric="l2", mode="approx", nprobe=6)
+    assert [h["id"] for h in full] == [h["id"] for h in exact]
+    # a 1-probe search returns k results from the nearest cluster only —
+    # possibly lower recall, never an error, scores still true distances
+    one = store.find_similar(q, 5, metric="l2", mode="approx", nprobe=1)
+    assert len(one) == 5
+    exact_ids = {h["id"] for h in exact}
+    assert len({h["id"] for h in one} & exact_ids) >= 1
