@@ -1458,8 +1458,21 @@ class VectorStore:
             q = [x / qn for x in q]
         if nprobe is not None:
             # approximate probe (mode="approx"): the reference's HNSW-like
-            # recall/latency dial — nprobe plays ef's role
-            hits = index.search(
+            # recall/latency dial — nprobe plays ef's role. Requires an
+            # IVF-family member (cluster probes); certified-exact-only
+            # families (LSH) have no meaningful nprobe.
+            import inspect
+
+            probe = getattr(index, "search", None)
+            if probe is None or "nprobe" not in inspect.signature(
+                probe
+            ).parameters:
+                raise ValueError(
+                    "mode='approx' requires an IVF-family index (nprobe "
+                    "probing); use mode='indexed' for certified-exact "
+                    f"search through {type(index).__name__}"
+                )
+            hits = probe(
                 q, top_k, nprobe=nprobe, vec_col=vec_col, id_col=id_col,
                 metric="l2",
             )
