@@ -241,12 +241,11 @@ class IVFIndex:
         deleted/total the same way, index.py:85-89)."""
         assert self.indexed is not None and self.centroids is not None
         assigned = self._assign(df_new.drop("cluster_id"), vec_col)
-        n_new = assigned.count()
+        # one job: count the batch AND grow the cached radii over it (no
+        # full-corpus recompute on next search); counts refresh lazily
+        n_new = self._absorb_batch_stats(assigned, vec_col)
         self.indexed = self.indexed.unionByName(assigned.select(*self.indexed.columns))
         self._added_count += n_new
-        # radii grow-only over the bounded batch (no full-corpus recompute
-        # on next search); counts refresh lazily via the cheap aggregate
-        self._grow_radii(assigned, vec_col)
         self._counts = None
         return self.indexed
 
@@ -295,15 +294,14 @@ class IVFIndex:
             "change_type", "write_version", "cluster_id"
         )
         assigned = self._assign(ups, vec_col)
-        n_new = assigned.count()
+        # one job counts the upsert batch and grows the cached radii over
+        # it; deletes only shrink true radii (stale value stays a valid
+        # upper bound). Counts refresh lazily (cheap cluster_id aggregate).
+        n_new = self._absorb_batch_stats(assigned, vec_col)
         self.indexed = survivors.unionByName(
             assigned.select(*survivors.columns)
         )
         self._added_count += n_new
-        # deletes only shrink true radii (stale value stays a valid upper
-        # bound); upserts grow them over the bounded batch. Counts refresh
-        # lazily (cheap cluster_id-only aggregate).
-        self._grow_radii(assigned, vec_col)
         self._counts = None
         return self.indexed
 
@@ -337,23 +335,28 @@ class IVFIndex:
             .collect()
         )
 
-    def _grow_radii(self, batch: DataFrame, vec_col: str) -> None:
-        """Incremental radius maintenance over a BOUNDED assigned batch
-        (add / apply_changes upserts): radii only grow — a new member can
-        extend its cluster's radius; a delete can only shrink the true
-        radius, so the cached value stays a valid UPPER bound and
-        certified pruning stays exact (just marginally less tight until
-        the next full stats pass). This keeps CDC maintenance from
-        forcing a full-corpus radius recompute on the next search — at
-        continuous-ingest scale the stats pass would otherwise re-read
-        the whole corpus every sync cycle (1M×64d measurement: ~12 s per
-        post-churn search repaying the pass, tools/scale_probe.py)."""
+    def _absorb_batch_stats(self, batch: DataFrame, vec_col: str) -> int:
+        """ONE job over a BOUNDED assigned batch (add / apply_changes
+        upserts) that both counts it (the W11 drift increment) and grows
+        the cached radii: a new member can extend its cluster's radius; a
+        delete can only shrink the true radius, so the cached value stays
+        a valid UPPER bound and certified pruning stays exact (just
+        marginally less tight until the next full stats pass). This keeps
+        CDC maintenance from forcing a full-corpus radius recompute on
+        the next search — at continuous-ingest scale the stats pass would
+        otherwise re-read the whole corpus every sync cycle (1M×64d
+        measurement: ~12 s per post-churn search repaying the pass,
+        tools/scale_probe.py). Returns the batch row count. When no radii
+        are cached, falls back to a bare count (no vector decode)."""
         if self._radii is None:
-            return
+            return batch.count()
+        n = 0
         for r in self._radius_rows(batch, vec_col):
             j = int(r.cluster_id)
+            n += int(r.n)
             if float(r.radius) > self._radii[j]:
                 self._radii[j] = float(r.radius)
+        return n
 
     def cluster_stats(self, vec_col: str | None = None) -> tuple[np.ndarray, np.ndarray]:
         """Per-cluster (radius, member count): radius is the max TRUE L2
@@ -957,7 +960,8 @@ class IVFPQIndex:
         toward the W11 rebuild trigger."""
         assigned = self.ivf._assign(df_new.drop("cluster_id"), vec_col)
         encoded_new = self.pq.encode(assigned, vec_col=vec_col)
-        n_new = encoded_new.count()
+        # one job: count + grow-only radius update over the bounded batch
+        n_new = self.ivf._absorb_batch_stats(encoded_new, vec_col)
         assert self.encoded is not None
         self.encoded = self.encoded.unionByName(
             encoded_new.select(*self.encoded.columns)
@@ -965,9 +969,6 @@ class IVFPQIndex:
         self.ivf.indexed = self.encoded
         self.pq.encoded = self.encoded
         self.ivf._added_count += n_new
-        # same grow-only stats maintenance as IVFIndex.add: radii extend
-        # over the bounded encoded batch, counts refresh lazily
-        self.ivf._grow_radii(encoded_new, vec_col)
         self.ivf._counts = None
         return self.encoded
 
