@@ -101,29 +101,37 @@ class EngineService:
         ctor (implementations/index.py:18): l2 or cosine (normalized)."""
         with self.stats.track("index_build"):
             idx = self.store.build_index(namespace, space=space)
+        st = self.store.serving_status()[namespace]
         return {
             "status": "success",
             "namespace": namespace,
             "index": type(idx).__name__,
             "space": space,
-            "synced_at": self.store._serving_synced_at.get(namespace),
+            "synced_at": st["synced_at"],
         }
 
     def sync_indexes(self) -> dict[str, Any]:
         """Roll every attached index forward from the store's CDC feed."""
         with self.stats.track("index_sync"):
             self.store.sync_indexes()
-        return {"status": "success", "synced_at": dict(self.store._serving_synced_at)}
+        return {
+            "status": "success",
+            "synced_at": {
+                ns: st["synced_at"]
+                for ns, st in self.store.serving_status().items()
+            },
+        }
 
     def index_info(self) -> dict[str, Any]:
         """Per-namespace serving-index status: family, last synced store
         version, and the W11 drift flag."""
         out = {}
-        for ns, (idx, _vc, _ic, space) in self.store._serving.items():
+        for ns, st in self.store.serving_status().items():
+            idx = st["index"]
             out[ns] = {
                 "index": type(idx).__name__,
-                "space": space,
-                "synced_at": self.store._serving_synced_at.get(ns),
+                "space": st["space"],
+                "synced_at": st["synced_at"],
                 "rebuild_required": bool(
                     getattr(idx, "is_rebuild_required", lambda: False)()
                 ),

@@ -256,6 +256,23 @@ class IVFIndex:
             return False
         return self._added_count / self._built_count >= self.REBUILD_THRESHOLD
 
+    def note_full_resync(self, n_live: int) -> None:
+        """Restart the W11 drift counters after a full resync: the
+        maintained state IS the new baseline (catch-up volume is not
+        drift), sized at the resynced live count."""
+        self._built_count = max(1, int(n_live))
+        self._added_count = 0
+
+    def refresh_stats(self, vec_col: str | None = None) -> None:
+        """Recompute the certified-pruning bounds from scratch (one Arrow
+        pass). The incremental grow-only radius update never SHRINKS a
+        radius, so a long-lived index under heavy overwrite/delete churn
+        accumulates slack — still exact, but the probe sets widen toward
+        a full scan. Call this periodically (or at rebuild cadence) to
+        restore tightness; build() and save() do it implicitly."""
+        self._radii = self._counts = None
+        self.cluster_stats(vec_col)
+
     def apply_changes(
         self, changes: DataFrame, vec_col: str | None = None,
         id_col: str = "vec_id",
@@ -991,6 +1008,12 @@ class IVFPQIndex:
         does (codebook drift tracks the same distribution shift)."""
         return self.ivf.is_rebuild_required()
 
+    def note_full_resync(self, n_live: int) -> None:
+        self.ivf.note_full_resync(n_live)
+
+    def refresh_stats(self, vec_col: str | None = None) -> None:
+        self.ivf.refresh_stats(vec_col)
+
     def apply_changes(
         self, changes: DataFrame, vec_col: str = "embedding",
         id_col: str = "vec_id",
@@ -1247,6 +1270,47 @@ class IVFPQIndex:
         )
 
 
+def resync_index_from_snapshot(
+    index, snap: DataFrame, vec_col: str, id_col: str, write_version: int
+) -> None:
+    """Full index resync from an authoritative live snapshot — the
+    fallback when the CDC floor moved past the index's synced version
+    (compaction physically erased the events it needed; the
+    Delta/Iceberg contract across VACUUM). `snap` carries one row per
+    live vector: (id_col, vec_col, change_type='upsert', write_version),
+    already in the index's representation (the caller applies any space
+    normalization).
+
+    Expressed as one synthetic CDC feed through the index's own
+    `apply_changes` — the same maintenance kernel serves catch-up and
+    incremental, for any family that speaks the feed (IVF, IVF+PQ, LSH):
+    every live row as an upsert (retire-and-reassign) plus a delete for
+    every indexed id the snapshot no longer holds. One snapshot scan +
+    one anti-join of the index's id column; no refit. Afterwards the
+    drift counters restart at the snapshot size — a resync is a fresh
+    baseline, not drift (without the reset, absorbing the snapshot as
+    adds trips is_rebuild_required() permanently on every floor-forced
+    resync)."""
+    vec_type = {f.name: f.dataType for f in index.indexed.schema.fields}[
+        vec_col
+    ]
+    wv = int(write_version)
+    stale = (
+        index.indexed.select(id_col)
+        .join(snap.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.lit(None).cast(vec_type).alias(vec_col),
+            F.lit("delete").alias("change_type"),
+            F.lit(wv).cast("long").alias("write_version"),
+        )
+    )
+    index.apply_changes(snap.unionByName(stale), vec_col=vec_col, id_col=id_col)
+    note = getattr(index, "note_full_resync", None)
+    if note is not None:
+        note(snap.count())
+
+
 class NamespaceIndexFamily:
     """Per-namespace index isolation — the reference's unit of index
     isolation is the namespace (`implementations/index.py:19,32-48`: one
@@ -1307,13 +1371,28 @@ class NamespaceIndexFamily:
         isolation of maintenance, unlike the reference's rebuild which
         drops every other namespace's index (the documented
         query_processor.py:58-61 bug we do not replicate)."""
+        from pyspark.sql.window import Window as _W
+
         for ns in [r[0] for r in changes.select(ns_col).distinct().collect()]:
             sub = changes.filter(F.col(ns_col) == ns).drop(ns_col)
             idx = self.members.get(ns)
             if idx is None:
                 idx = self.factory()
-                live = sub.filter(F.col("change_type") == "upsert").drop(
-                    "change_type", "write_version"
+                # a brand-new member builds from the feed's LIVE state:
+                # latest event per id wins (same collapse apply_changes
+                # performs), and ids whose latest event is a delete never
+                # enter — a feed can legitimately carry
+                # upsert(x,v1) → upsert(x,v2) → delete(y)
+                w = _W.partitionBy(id_col).orderBy(
+                    F.col("write_version").desc()
+                )
+                live = (
+                    sub.withColumn("__rn", F.row_number().over(w))
+                    .filter(
+                        (F.col("__rn") == 1)
+                        & (F.col("change_type") == "upsert")
+                    )
+                    .drop("__rn", "change_type", "write_version")
                 )
                 idx.build(live, vec_col=vec_col, id_col=id_col)
                 self.members[ns] = idx
@@ -1331,10 +1410,13 @@ class NamespaceIndexFamily:
     ) -> DataFrame:
         """Exact certified search within ONE namespace's member — other
         namespaces' members are never touched (isolation, reference
-        tests/test_query_processor.py:70-85)."""
-        return self.member(namespace).search_exact(
-            qvec, k, vec_col=vec_col, id_col=id_col, pre_filter=pre_filter
-        )
+        tests/test_query_processor.py:70-85). `pre_filter` forwards only
+        when given: families without filtered-search support (LSH) still
+        serve unfiltered queries."""
+        kwargs = {"vec_col": vec_col, "id_col": id_col}
+        if pre_filter is not None:
+            kwargs["pre_filter"] = pre_filter
+        return self.member(namespace).search_exact(qvec, k, **kwargs)
 
 
 def recall_at_k(

@@ -95,6 +95,7 @@ def shape_ingest_df(
     namespace: str | None = None,
     with_ids: bool = False,
     extra_cols: Sequence[str] | None = None,
+    keep_metadata_json: bool = False,
 ) -> DataFrame:
     """Shape an arbitrary DTO DataFrame (`values` array column, optional
     `metadata` map / `namespace` / `id` columns) into the storage schema —
@@ -102,11 +103,15 @@ def shape_ingest_df(
     derivation. The shared kernel of the bulk (`insert_df`/`upsert_df`) and
     streaming (`streaming/ingest.py`) write paths.
 
-    A precomputed `metadata_json` column, when present, is carried through
-    verbatim instead of being re-derived from the flat map — the CDC feed
-    carries the primary's exact json.dumps (which a flat-map re-derivation
-    cannot reproduce for nested metadata), and a replica replaying that
-    feed must not diverge on JSON-path queries."""
+    `keep_metadata_json=True` carries a precomputed `metadata_json` column
+    through verbatim instead of re-deriving it from the flat map — the CDC
+    feed carries the primary's exact json.dumps (which a flat-map
+    re-derivation cannot reproduce for nested metadata), and a replica
+    replaying that feed must not diverge on JSON-path queries. It is
+    OPT-IN (only `apply_incremental` uses it): on the normal write paths
+    the invariant "metadata_json is derived from metadata" must hold even
+    when a caller's frame happens to carry a stale metadata_json column
+    (e.g. one read back from `df()` and modified via the map)."""
     if namespace is not None:
         df = df.withColumn("namespace", F.lit(str(namespace)))
     elif "namespace" not in df.columns:
@@ -119,7 +124,7 @@ def shape_ingest_df(
         df = df.withColumn("id", F.expr("uuid()"))
     if "metadata" not in df.columns:
         df = df.withColumn("metadata", F.lit(None).cast("map<string,string>"))
-    if "metadata_json" in df.columns:
+    if keep_metadata_json and "metadata_json" in df.columns:
         mj = F.coalesce(F.col("metadata_json").cast("string"), F.lit("{}"))
     else:
         mj = F.when(
@@ -610,6 +615,7 @@ class VectorStore:
         self, df: DataFrame, namespace: str | None = None,
         assume_unique_ids: bool = False,
         order_col: str | None = None,
+        keep_metadata_json: bool = False,
     ) -> int:
         """TRUE bulk upsert keyed on the `id` column — merge-on-read: ONE
         appending write of the shaped batch stamped with a monotone
@@ -639,6 +645,7 @@ class VectorStore:
         shaped = shape_ingest_df(
             df, namespace, with_ids=True,
             extra_cols=[order_col] if order_col else None,
+            keep_metadata_json=keep_metadata_json,
         )
         if not assume_unique_ids:
             if order_col:
@@ -1199,7 +1206,7 @@ class VectorStore:
             "id", "namespace", "values", "metadata", "metadata_json"
         )
         if ups.limit(1).count():
-            self.upsert_df(ups, assume_unique_ids=True)
+            self.upsert_df(ups, assume_unique_ids=True, keep_metadata_json=True)
         dels = latest.filter(F.col("change_type") == "delete").select(
             "id", "namespace"
         )
@@ -1252,6 +1259,21 @@ class VectorStore:
         entry = self._serving.get(namespace)
         return entry[0] if entry is not None else None
 
+    def serving_status(self) -> dict[str, dict[str, Any]]:
+        """Public per-namespace serving-index status (the API layer's view
+        — keeps the internal entry layout private): index object, its
+        space, and the store version it was last synced at."""
+        return {
+            ns: {
+                "index": idx,
+                "vec_col": vec_col,
+                "id_col": id_col,
+                "space": space,
+                "synced_at": self._serving_synced_at.get(ns),
+            }
+            for ns, (idx, vec_col, id_col, space) in self._serving.items()
+        }
+
     @staticmethod
     def _space_vec(space: str):
         """The column expression an index in `space` holds: raw float
@@ -1285,6 +1307,11 @@ class VectorStore:
         else:
             idx = factory()
         idx.build(slice_df, vec_col="values", id_col="id")
+        # materialize: the built plan lazily scans the store's parquet
+        # files, which the next compaction physically deletes — a served
+        # index must not reference store files (the streaming ingest's
+        # per-batch checkpoint, applied at build and every sync)
+        idx.indexed = idx.indexed.localCheckpoint()
         self.attach_index(
             namespace, idx, vec_col="values", id_col="id", space=space
         )
@@ -1318,15 +1345,21 @@ class VectorStore:
                 index.apply_changes(feed, vec_col=vec_col, id_col=id_col)
             except ValueError:
                 self._resync_index(ns, index, vec_col, id_col, space)
+            # cut the union/anti-join lineage AND detach the plan from the
+            # store's parquet files before compaction can delete them
+            index.indexed = index.indexed.localCheckpoint()
             self._serving_synced_at[ns] = self.current_version()
 
     def _resync_index(
         self, namespace: str, index, vec_col: str, id_col: str,
         space: str = "l2",
     ) -> None:
-        """Full per-namespace resync as one synthetic CDC feed through the
-        index's own apply_changes (catch-up and incremental share the
-        maintenance kernel)."""
+        """Full per-namespace resync via the shared snapshot kernel
+        (`ann.resync_index_from_snapshot` — catch-up and incremental
+        share the maintenance path), with the namespace slice already in
+        the index's space representation."""
+        from mlvectordb_spark.operators.ann import resync_index_from_snapshot
+
         v = self.current_version()
         snap = (
             self.df()
@@ -1338,22 +1371,7 @@ class VectorStore:
                 F.lit(v).cast("long").alias("write_version"),
             )
         )
-        vec_type = {
-            f.name: f.dataType for f in index.indexed.schema.fields
-        }[vec_col]
-        stale = (
-            index.indexed.select(id_col)
-            .join(snap.select(id_col), id_col, "left_anti")
-            .select(
-                F.col(id_col),
-                F.lit(None).cast(vec_type).alias(vec_col),
-                F.lit("delete").alias("change_type"),
-                F.lit(v).cast("long").alias("write_version"),
-            )
-        )
-        index.apply_changes(
-            snap.unionByName(stale), vec_col=vec_col, id_col=id_col
-        )
+        resync_index_from_snapshot(index, snap, vec_col, id_col, v)
 
     # -- search (Q1, Q3, Q4) -----------------------------------------------
 
@@ -1402,6 +1420,14 @@ class VectorStore:
             and metric == entry[3]
             and not metadata_filter
         )
+        if indexable and mode == "auto":
+            # read-your-writes: auto NEVER serves a stale index — if the
+            # store advanced past the index's last sync, fall back to the
+            # exact scan (one metadata-file read to check; call
+            # sync_indexes() to restore routed serving). Explicit
+            # mode="indexed"/"approx" serves the index as-synced.
+            if self._serving_synced_at.get(namespace, -1) != self.current_version():
+                indexable = False
         if mode in ("indexed", "approx"):
             if entry is None:
                 raise ValueError(f"no index attached to namespace {namespace!r}")
@@ -1483,14 +1509,19 @@ class VectorStore:
         hits = hits.select(F.col(id_col).cast("string").alias("id"), "score")
         ns_df = self.df().filter(F.col("namespace") == namespace)
         joined = ns_df.join(F.broadcast(hits), "id")
-        if space == "cosine":
-            from mlvectordb_spark.functions.vector import metric_expr
+        # the reported score is always recomputed against the STORE's
+        # vectors (the index selected; the store scores) — so even a
+        # deliberately as-synced indexed read never pairs a row with a
+        # score computed from a superseded vector version
+        from mlvectordb_spark.functions.vector import metric_expr
 
-            qlit = F.array(*[F.lit(float(x)) for x in query_values])
-            true_cos = F.round(
-                metric_expr(F.col("values"), qlit, "cosine"), 4
-            )
-            joined = joined.drop("score").withColumn("score", true_cos)
+        qlit = F.array(*[F.lit(float(x)) for x in query_values])
+        out_metric = "cosine" if space == "cosine" else "l2"
+        true_score = F.round(
+            metric_expr(F.col("values"), qlit, out_metric), 4
+        )
+        joined = joined.drop("score").withColumn("score", true_score)
+        if space == "cosine":
             order = [F.col("score").desc(), F.col("id").asc()]
         else:
             order = [F.col("score").asc(), F.col("id").asc()]

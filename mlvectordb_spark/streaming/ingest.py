@@ -69,17 +69,17 @@ UPSERT_INGEST_SCHEMA = T.StructType(
 
 
 def resync_index(store: VectorStore, index, vec_col: str, id_col: str) -> None:
-    """Full index resync from the store's CURRENT state — the fallback when
-    the CDC floor moved past a replica's version (compaction physically
-    erased the events it needed; the Delta/Iceberg contract across VACUUM).
-
-    Expressed as one synthetic CDC feed through the index's own
-    `apply_changes`: every live row as an upsert (retire-and-reassign) plus
-    a delete for every indexed id the store no longer holds — so the same
-    maintenance kernel serves both the incremental and the catch-up path,
-    for any index family that speaks the feed (IVF, IVF+PQ, LSH). One store
-    scan + one anti-join of the index's id column; no refit."""
+    """Full index resync from the store's CURRENT state (all namespaces,
+    raw values — the standalone-index shape `start_indexed_ingest`
+    maintains) — the fallback when the CDC floor moved past the index's
+    synced version. Delegates to the shared snapshot kernel
+    (`operators.ann.resync_index_from_snapshot`), which also restarts the
+    W11 drift counters: catch-up volume is a fresh baseline, not drift.
+    Space-aware per-namespace resync lives in
+    `VectorStore._resync_index` (same kernel, normalized snapshot)."""
     from pyspark.sql import functions as F
+
+    from mlvectordb_spark.operators.ann import resync_index_from_snapshot
 
     v = store.current_version()
     snap = store.df().select(
@@ -88,20 +88,33 @@ def resync_index(store: VectorStore, index, vec_col: str, id_col: str) -> None:
         F.lit("upsert").alias("change_type"),
         F.lit(v).cast("long").alias("write_version"),
     )
-    vec_type = dict(zip(index.indexed.schema.names, index.indexed.schema.fields))[
-        vec_col
-    ].dataType
-    stale = (
-        index.indexed.select(id_col)
-        .join(snap.select(id_col), id_col, "left_anti")
-        .select(
-            F.col(id_col),
-            F.lit(None).cast(vec_type).alias(vec_col),
-            F.lit("delete").alias("change_type"),
-            F.lit(v).cast("long").alias("write_version"),
-        )
+    resync_index_from_snapshot(index, snap, vec_col, id_col, v)
+
+
+def apply_mutation_batch(store: VectorStore, batch_df: DataFrame) -> None:
+    """Apply one UPSERT_INGEST_SCHEMA micro-batch to the store: only the
+    LATEST op per (id, namespace) in stream (`seq`) order applies — so
+    delete-then-upsert in one batch resurrects and the reverse deletes,
+    matching per-event application. One window over the micro-batch
+    (bounded by the trigger interval); `latest` is unique per key, so the
+    upsert skips the in-batch collapse. Shared by both ingest loops."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("id", "namespace").orderBy(F.col("seq").desc())
+    latest = (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    index.apply_changes(snap.unionByName(stale), vec_col=vec_col, id_col=id_col)
+    ups = latest.filter(F.col("op") == "upsert").select(
+        "id", "values", "namespace"
+    )
+    if ups.limit(1).count():
+        store.upsert_df(ups, assume_unique_ids=True)
+    dels = latest.filter(F.col("op") == "delete").select("id", "namespace")
+    if dels.limit(1).count():
+        store.delete_df(dels)
 
 
 def start_indexed_ingest(
@@ -143,26 +156,10 @@ def start_indexed_ingest(
     incremental feed — the same snapshot-then-delta contract a CDC replica
     follows across VACUUM."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window as _W
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         v0 = store.current_version()
-        # latest op per key in stream order (seq): one window over the
-        # micro-batch, bounded by the trigger interval.
-        w = _W.partitionBy("id", "namespace").orderBy(F.col("seq").desc())
-        latest = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        ups = latest.filter(F.col("op") == "upsert").select(
-            "id", "values", "namespace"
-        )
-        if ups.limit(1).count():
-            store.upsert_df(ups, assume_unique_ids=True)
-        dels = latest.filter(F.col("op") == "delete").select("id", "namespace")
-        if dels.limit(1).count():
-            store.delete_df(dels)
+        apply_mutation_batch(store, batch_df)
         if store.history_floor() > v0:
             resync_index(store, index, vec_col=vec_col, id_col=id_col)
         else:
@@ -201,28 +198,11 @@ def start_store_ingest(
     `VectorStore.attach_index`/`build_index` (e.g. a
     `NamespaceIndexFamily`'s members) and any writer's changes converge
     into every namespace's index."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window as _W
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        w = _W.partitionBy("id", "namespace").orderBy(F.col("seq").desc())
-        latest = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        ups = latest.filter(F.col("op") == "upsert").select(
-            "id", "values", "namespace"
-        )
-        if ups.limit(1).count():
-            store.upsert_df(ups, assume_unique_ids=True)
-        dels = latest.filter(F.col("op") == "delete").select("id", "namespace")
-        if dels.limit(1).count():
-            store.delete_df(dels)
+        apply_mutation_batch(store, batch_df)
+        # sync_indexes checkpoints each member's lineage internally
         store.sync_indexes()
-        # bound every member's union/anti-join lineage across batches
-        for _ns, (idx, _vc, _ic, _sp) in store._serving.items():
-            idx.indexed = idx.indexed.localCheckpoint()
 
     return (
         stream.writeStream.foreachBatch(write_batch)

@@ -846,3 +846,118 @@ def test_approx_mode_probes_subset(spark, tmp_path):
     assert len(one) == 5
     exact_ids = {h["id"] for h in exact}
     assert len({h["id"] for h in one} & exact_ids) >= 1
+
+
+def test_auto_mode_never_serves_stale_index(spark, tmp_path):
+    """Review r6: mode="auto" (the REST default) must preserve
+    read-your-writes — after a write that the index has not synced, auto
+    falls back to the exact scan; explicit mode="indexed" serves the
+    index as-synced; sync_indexes restores routed serving."""
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    store = VectorStore(spark, str(tmp_path / "stale"), rebuild_threshold=0.95)
+    store.upsert_df(
+        spark.createDataFrame(
+            [(f"k{i}", [float(i), 0.0], "default") for i in range(20)],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    store.build_index("default", factory=lambda: IVFIndex(n_clusters=2, seed=1))
+    # unsynced write: a brand-new nearest neighbour
+    store.upsert_df(
+        spark.createDataFrame(
+            [("fresh", [100.0, 0.0], "default")],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    q = [100.0, 0.0]
+    auto = store.find_similar(q, 1, metric="l2")  # auto → exact fallback
+    assert auto[0]["id"] == "fresh", "auto must see the unsynced write"
+    stale = store.find_similar(q, 1, metric="l2", mode="indexed")
+    assert stale[0]["id"] != "fresh", "indexed serves as-synced"
+    store.sync_indexes()
+    routed = store.find_similar(q, 1, metric="l2", mode="indexed")
+    assert routed[0]["id"] == "fresh"
+    # and auto routes through the index again once synced
+    assert store.find_similar(q, 1, metric="l2")[0]["id"] == "fresh"
+
+
+def test_indexed_serving_survives_compaction(spark, tmp_path):
+    """Review r6: the attached index must not reference the store's parquet
+    files — a routine auto-compaction (default 20% trigger) physically
+    rewrites the partition; the serving read must keep working through
+    build → churn → compaction → sync → search."""
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    store = VectorStore(spark, str(tmp_path / "compserve"))  # default 0.2
+    store.upsert_df(
+        spark.createDataFrame(
+            [(f"k{i}", [float(i), 1.0], "default") for i in range(30)],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    store.build_index("default", factory=lambda: IVFIndex(n_clusters=2, seed=1))
+    # churn >20% of the namespace: overwrites + deletes fire compaction
+    store.upsert_df(
+        spark.createDataFrame(
+            [(f"k{i}", [float(i), 9.0], "default") for i in range(10)],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    store.delete_df(
+        spark.createDataFrame(
+            [(f"k{i}", "default") for i in range(20, 28)],
+            "id string, namespace string",
+        )
+    )
+    assert store.history_floor() > 0, "compaction should have fired"
+    store.sync_indexes()  # floor moved → full resync path
+    got = store.find_similar([3.0, 9.0], 3, metric="l2", mode="indexed")
+    assert got[0]["id"] == "k3" and round(got[0]["values"][1]) == 9
+    assert all(not h["id"].startswith("k2") or h["id"] == "k2" for h in got)
+    # resync is a fresh baseline, not drift (review finding #4)
+    idx = store.attached_index("default")
+    assert not idx.is_rebuild_required()
+
+
+def test_family_lazy_create_collapses_feed(spark, tmp_path):
+    """Review r6: a namespace first seen in a CDC feed builds from the
+    feed's LIVE state — latest event per id wins and ids whose latest
+    event is a delete never enter."""
+    from mlvectordb_spark.operators.ann import IVFIndex, NamespaceIndexFamily
+
+    fam = NamespaceIndexFamily(factory=lambda: IVFIndex(n_clusters=2, seed=1))
+    feed = spark.createDataFrame(
+        [
+            ("x1", [1.0, 0.0], "fresh", "upsert", 1),
+            ("x1", [0.0, 2.0], "fresh", "upsert", 2),   # supersedes
+            ("x2", [5.0, 5.0], "fresh", "upsert", 1),
+            ("x2", None, "fresh", "delete", 3),          # latest = delete
+            ("x3", [0.5, 0.5], "fresh", "upsert", 2),
+        ],
+        "id string, values array<float>, namespace string, "
+        "change_type string, write_version long",
+    )
+    fam.apply_changes(feed, vec_col="values", id_col="id")
+    idx = fam.member("fresh")
+    rows = {r.id: list(r.values) for r in idx.indexed.collect()}
+    assert set(rows) == {"x1", "x3"}, rows
+    assert rows["x1"] == [0.0, 2.0], "superseded version must not win"
+
+
+def test_family_lsh_member_serves_unfiltered(spark, tmp_path):
+    """Review r6: NamespaceIndexFamily with LSH members works for
+    unfiltered search (pre_filter forwards only when given)."""
+    from mlvectordb_spark.operators.ann import LSHIndex, NamespaceIndexFamily
+
+    fam = NamespaceIndexFamily(
+        factory=lambda: LSHIndex(bucket_length=0.7, num_hash_tables=3, seed=9)
+    )
+    df = spark.createDataFrame(
+        [(f"v{i}", [float(i), float(i % 3)], "only") for i in range(20)],
+        "id string, values array<float>, namespace string",
+    )
+    fam.build(df, vec_col="values", id_col="id")
+    got = fam.search_exact("only", [4.0, 1.0], 3, vec_col="values", id_col="id")
+    ids = [r.id for r in got.select("id").collect()]
+    assert ids[0] == "v4" and len(ids) == 3
