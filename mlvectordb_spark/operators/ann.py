@@ -1418,6 +1418,43 @@ class NamespaceIndexFamily:
             kwargs["pre_filter"] = pre_filter
         return self.member(namespace).search_exact(qvec, k, **kwargs)
 
+    def save(self, path: str) -> None:
+        """Q23 per-namespace persistence (reference save_index,
+        README.md:239-241, with the namespace as the unit of isolation):
+        each member saves under `<path>/<ns-quoted>/` via its own save()
+        (IVF: cluster-partitioned parquet + centroids + drift counters +
+        pruning bounds; LSH: model + materialized buckets), plus a tiny
+        manifest mapping namespaces to member class names."""
+        import json as _json
+        import os as _os
+        from urllib.parse import quote
+
+        _os.makedirs(path, exist_ok=True)
+        manifest = {}
+        for ns, idx in self.members.items():
+            sub = quote(ns, safe="")
+            idx.save(_os.path.join(path, sub))
+            manifest[ns] = {"dir": sub, "cls": type(idx).__name__}
+        with open(_os.path.join(path, "family.json"), "w", encoding="utf-8") as fh:
+            _json.dump(manifest, fh)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "NamespaceIndexFamily":
+        """Restore every member from the manifest; member classes resolve
+        from this module by the saved class name."""
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(path, "family.json"), encoding="utf-8") as fh:
+            manifest = _json.load(fh)
+        fam = cls()
+        for ns, meta in manifest.items():
+            member_cls = globals()[meta["cls"]]
+            fam.members[ns] = member_cls.load(
+                spark, _os.path.join(path, meta["dir"])
+            )
+        return fam
+
 
 def recall_at_k(
     approx_df: DataFrame,

@@ -691,3 +691,46 @@ def test_lsh_apply_changes_cdc_exact(spark, emb, qvec, tmp_path):
         for r in loaded.search_exact(qvec, 10).collect()
     ]
     assert got_loaded == want
+
+
+def test_namespace_family_save_load_roundtrip(spark, tmp_path):
+    """Q23 at the family grain: per-namespace members persist and reload
+    (IVF members via their cluster-partitioned layout), and a reloaded
+    family serves the same certified-exact results with isolation
+    intact."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mlvectordb_spark.operators.ann import IVFIndex, NamespaceIndexFamily
+
+    def vec(i):
+        return [math.cos(0.2 * i), math.sin(0.2 * i), float(i % 4)]
+
+    df = spark.createDataFrame(
+        [(f"a{i}", vec(i), "ns/a") for i in range(25)]
+        + [(f"b{i}", vec(i + 3), "ns b") for i in range(25)],
+        "id string, values array<float>, namespace string",
+    )
+    fam = NamespaceIndexFamily(factory=lambda: IVFIndex(n_clusters=2, seed=6))
+    fam.build(df, vec_col="values", id_col="id")
+    q = vec(7)
+    want = [
+        (r.id, round(r.score, 4))
+        for r in fam.search_exact(
+            "ns/a", q, 4, vec_col="values", id_col="id"
+        ).collect()
+    ]
+    fam.save(str(tmp_path / "famsave"))
+    fam2 = NamespaceIndexFamily.load(spark, str(tmp_path / "famsave"))
+    assert fam2.namespaces() == sorted(["ns/a", "ns b"])
+    got = [
+        (r.id, round(r.score, 4))
+        for r in fam2.search_exact(
+            "ns/a", q, 4, vec_col="values", id_col="id"
+        ).collect()
+    ]
+    assert got == want
+    assert all(i.startswith("a") for i, _ in got)
+    # drift counters travel (reference: reloaded index keeps W11 live)
+    assert not fam2.member("ns/a").is_rebuild_required()
