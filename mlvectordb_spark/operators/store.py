@@ -1245,7 +1245,13 @@ class VectorStore:
         and the enrichment step recomputes the true cosine score against
         the stored vectors. Unlike the reference, a query whose metric
         doesn't match the attached space falls back to the honest exact
-        scan instead of silently mis-scoring (SURVEY.md fact #2)."""
+        scan instead of silently mis-scoring (SURVEY.md fact #2).
+
+        The attached index's `.indexed` plan must NOT lazily reference the
+        store's own parquet files (compaction rewrites them): attach a
+        SAVED/loaded index or a checkpointed one. `build_index` and every
+        `sync_indexes` cycle checkpoint automatically; only a hand-built
+        index derived from `store.df()` needs the caller's care."""
         if space not in ("l2", "cosine"):
             raise ValueError(f"unsupported index space {space!r}")
         self._serving[namespace] = (index, vec_col, id_col, space)
