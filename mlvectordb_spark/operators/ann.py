@@ -268,8 +268,10 @@ class IVFIndex:
         pass). The incremental grow-only radius update never SHRINKS a
         radius, so a long-lived index under heavy overwrite/delete churn
         accumulates slack — still exact, but the probe sets widen toward
-        a full scan. Call this periodically (or at rebuild cadence) to
-        restore tightness; build() and save() do it implicitly."""
+        a full scan. build() computes fresh stats; save() persists
+        whatever is CACHED (call refresh_stats first when persisting a
+        long-churned index); a floor-forced full resync
+        (resync_index_from_snapshot) refreshes implicitly."""
         self._radii = self._counts = None
         self.cluster_stats(vec_col)
 
@@ -315,6 +317,9 @@ class IVFIndex:
         # it; deletes only shrink true radii (stale value stays a valid
         # upper bound). Counts refresh lazily (cheap cluster_id aggregate).
         n_new = self._absorb_batch_stats(assigned, vec_col)
+        # consumed by resync_index_from_snapshot to size the fresh drift
+        # baseline without re-counting the snapshot
+        self.last_applied_upserts = n_new
         self.indexed = survivors.unionByName(
             assigned.select(*survivors.columns)
         )
@@ -979,6 +984,7 @@ class IVFPQIndex:
         encoded_new = self.pq.encode(assigned, vec_col=vec_col)
         # one job: count + grow-only radius update over the bounded batch
         n_new = self.ivf._absorb_batch_stats(encoded_new, vec_col)
+        self.last_applied_upserts = n_new
         assert self.encoded is not None
         self.encoded = self.encoded.unionByName(
             encoded_new.select(*self.encoded.columns)
@@ -1308,7 +1314,14 @@ def resync_index_from_snapshot(
     index.apply_changes(snap.unionByName(stale), vec_col=vec_col, id_col=id_col)
     note = getattr(index, "note_full_resync", None)
     if note is not None:
-        note(snap.count())
+        # apply_changes counted the snapshot's upserts already — reuse it
+        n_live = getattr(index, "last_applied_upserts", None)
+        note(n_live if n_live is not None else snap.count())
+    # a full resync is also the natural stats-refresh point: grow-only
+    # radii never shrink, so restore tightness while the corpus is in hand
+    refresh = getattr(index, "refresh_stats", None)
+    if refresh is not None:
+        refresh(vec_col)
 
 
 class NamespaceIndexFamily:
@@ -1394,6 +1407,12 @@ class NamespaceIndexFamily:
                     )
                     .drop("__rn", "change_type", "write_version")
                 )
+                if not live.limit(1).count():
+                    # every id's latest event is a delete: nothing live to
+                    # index — the member is created by a later feed that
+                    # carries live rows (building on empty would crash the
+                    # k-means fit)
+                    continue
                 idx.build(live, vec_col=vec_col, id_col=id_col)
                 self.members[ns] = idx
             else:
@@ -1425,6 +1444,7 @@ class NamespaceIndexFamily:
         (IVF: cluster-partitioned parquet + centroids + drift counters +
         pruning bounds; LSH: model + materialized buckets), plus a tiny
         manifest mapping namespaces to member class names."""
+        import hashlib as _hashlib
         import json as _json
         import os as _os
         from urllib.parse import quote
@@ -1432,22 +1452,33 @@ class NamespaceIndexFamily:
         _os.makedirs(path, exist_ok=True)
         manifest = {}
         for ns, idx in self.members.items():
-            sub = quote(ns, safe="")
+            # quoted name for readability + md5 suffix so namespaces that
+            # differ only in case cannot collide on case-insensitive
+            # filesystems
+            sub = (
+                quote(ns, safe="")[:64]
+                + "-"
+                + _hashlib.md5(ns.encode("utf-8")).hexdigest()[:8]
+            )
             idx.save(_os.path.join(path, sub))
             manifest[ns] = {"dir": sub, "cls": type(idx).__name__}
         with open(_os.path.join(path, "family.json"), "w", encoding="utf-8") as fh:
             _json.dump(manifest, fh)
 
     @classmethod
-    def load(cls, spark, path: str) -> "NamespaceIndexFamily":
+    def load(cls, spark, path: str, factory=None) -> "NamespaceIndexFamily":
         """Restore every member from the manifest; member classes resolve
-        from this module by the saved class name."""
+        from this module by the saved class name. Pass the SAME `factory`
+        the family was built with — lazy creation of namespaces first seen
+        after the reload uses it (persistence cannot capture a lambda, so
+        omitting it silently reverts new members to the default
+        IVFIndex())."""
         import json as _json
         import os as _os
 
         with open(_os.path.join(path, "family.json"), encoding="utf-8") as fh:
             manifest = _json.load(fh)
-        fam = cls()
+        fam = cls(factory=factory)
         for ns, meta in manifest.items():
             member_cls = globals()[meta["cls"]]
             fam.members[ns] = member_cls.load(

@@ -162,6 +162,13 @@ class VectorStore:
         # via its own save/load.
         self._serving: dict[str, Any] = {}
         self._serving_synced_at: dict[str, int] = {}
+        # per-namespace last-write version, maintained by THIS object's
+        # write paths: lets the serving router check staleness per
+        # namespace instead of against the global version (a write to ns B
+        # must not knock ns A's auto-mode queries off its fresh index).
+        # Session-scoped like _serving; namespaces written by another
+        # process/object fall back to the conservative global check.
+        self._ns_mutated_at: dict[str, int] = {}
         os.makedirs(path, exist_ok=True)
 
     # -- dims manifest -------------------------------------------------------
@@ -485,6 +492,15 @@ class VectorStore:
                     f"got {d}, namespace holds {existing}-dim vectors"
                 )
 
+    def _note_ns_write(self, namespaces: Iterable[str] | None) -> None:
+        """Record that the listed namespaces (None = unknown → every
+        attached namespace, conservatively) changed at the current
+        version — consumed by the serving router's staleness check."""
+        v = self.current_version()
+        targets = list(namespaces) if namespaces is not None else list(self._serving)
+        for ns in targets:
+            self._ns_mutated_at[ns] = v
+
     def _append(self, rows: list[Row]) -> None:
         self._check_dims(rows)
         (
@@ -495,6 +511,7 @@ class VectorStore:
             .parquet(self.data_path)
         )
         self._record_dims({r.namespace: len(r.values) for r in rows})
+        self._note_ns_write({r.namespace for r in rows})
 
     def insert(
         self,
@@ -609,6 +626,7 @@ class VectorStore:
         )
         if dims:
             self._record_dims(dims)
+        self._note_ns_write(list(dims) if dims else None)
         return n
 
     def upsert_df(
@@ -674,6 +692,7 @@ class VectorStore:
             self._mark_dirty(affected)
             self._maybe_compact_many(affected)
         self._record_dims(dims)
+        self._note_ns_write(affected)
         return n
 
     def delete_df(self, keys: DataFrame) -> int:
@@ -695,9 +714,11 @@ class VectorStore:
         present.withColumn(
             "write_version", F.lit(self._next_version())
         ).write.mode("append").parquet(self.tomb_path)
-        self._maybe_compact_many(
-            [r.namespace for r in keys.select("namespace").distinct().collect()]
-        )
+        affected = [
+            r.namespace for r in keys.select("namespace").distinct().collect()
+        ]
+        self._maybe_compact_many(affected)
+        self._note_ns_write(affected)
         return n
 
     def _maybe_compact_many(self, namespaces: Sequence[str]) -> None:
@@ -768,6 +789,7 @@ class VectorStore:
             .parquet(self.tomb_path)
         )
         self._maybe_compact(namespace)
+        self._note_ns_write([namespace])
         return present
 
     def delete_namespace(self, namespace: str = DEFAULT_NAMESPACE) -> bool:
@@ -781,6 +803,7 @@ class VectorStore:
         self._forget_dims(namespace)
         if existed:
             self._bump_history_floor()
+        self._note_ns_write([namespace])
         return existed
 
     def clear_all(self) -> bool:
@@ -794,6 +817,7 @@ class VectorStore:
             except OSError:
                 pass
         self._forget_dims()
+        self._note_ns_write(None)
         return True
 
     def _drop_namespace_tombstones(self, namespace: str) -> None:
@@ -1333,6 +1357,17 @@ class VectorStore:
         as a CDC replica across VACUUM."""
         for ns, (index, vec_col, id_col, space) in list(self._serving.items()):
             v0 = self._serving_synced_at.get(ns, 0)
+            cur = self.current_version()
+            if v0 == cur:
+                continue  # nothing happened anywhere since the last sync
+            last_write = self._ns_mutated_at.get(ns)
+            if last_write is not None and last_write <= v0 <= cur:
+                # this namespace is untouched since its sync: advance the
+                # bookmark without paying an empty-feed apply + checkpoint
+                # (the full corpus would otherwise re-materialize per
+                # namespace on every no-op sync)
+                self._serving_synced_at[ns] = cur
+                continue
             try:
                 if self.history_floor() > v0:
                     raise ValueError("floor moved")
@@ -1427,12 +1462,25 @@ class VectorStore:
             and not metadata_filter
         )
         if indexable and mode == "auto":
-            # read-your-writes: auto NEVER serves a stale index — if the
-            # store advanced past the index's last sync, fall back to the
-            # exact scan (one metadata-file read to check; call
-            # sync_indexes() to restore routed serving). Explicit
+            # read-your-writes: auto NEVER serves a stale index — if this
+            # namespace was written past the index's last sync, fall back
+            # to the exact scan (call sync_indexes() to restore routed
+            # serving). Staleness is judged PER NAMESPACE from the write
+            # paths' tracker, so a write to another namespace does not
+            # knock this one off its fresh index; namespaces with no
+            # tracked write history (e.g. mutated by another process) use
+            # the conservative global-version check. Explicit
             # mode="indexed"/"approx" serves the index as-synced.
-            if self._serving_synced_at.get(namespace, -1) != self.current_version():
+            synced = self._serving_synced_at.get(namespace, -1)
+            cur = self.current_version()
+            last_write = self._ns_mutated_at.get(namespace)
+            if last_write is None:
+                fresh = synced == cur
+            else:
+                # also catches a version RESET (clear_all/restore):
+                # synced > cur means the index predates a wipe
+                fresh = last_write <= synced <= cur
+            if not fresh:
                 indexable = False
         if mode in ("indexed", "approx"):
             if entry is None:

@@ -125,6 +125,7 @@ def start_indexed_ingest(
     query_name: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    since_version: int | None = None,
 ):
     """Mutation stream (id + values + op ∈ {upsert, delete}) into the
     store WITH a continuously-fresh serving index: each micro-batch
@@ -154,26 +155,47 @@ def start_indexed_ingest(
     stream. When the floor has moved, the batch falls back to a FULL index
     resync from the store's current state (`resync_index`) instead of the
     incremental feed — the same snapshot-then-delta contract a CDC replica
-    follows across VACUUM."""
+    follows across VACUUM.
+
+    Convergence across writers: the sync bookmark starts at
+    `since_version` (default: the store version when the stream starts —
+    the index must be current as of then) and CARRIES FORWARD batch to
+    batch, so events written by OTHER writers between micro-batches are
+    picked up by the next batch's feed instead of being silently skipped
+    (re-reading current_version at each batch start would step over
+    them)."""
     from pyspark.sql import functions as F
 
+    bookmark = {
+        "v": store.current_version() if since_version is None else int(since_version)
+    }
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        v0 = store.current_version()
+        v0 = bookmark["v"]
         apply_mutation_batch(store, batch_df)
+        # capture the sync ceiling BEFORE reading the feed: events landing
+        # after this point belong to the NEXT batch's feed (the bookmark
+        # only advances to versions this feed provably covered)
+        v1 = store.current_version()
         if store.history_floor() > v0:
             resync_index(store, index, vec_col=vec_col, id_col=id_col)
         else:
             try:
-                feed = store.changes_since(v0).select(
-                    F.col("id").alias(id_col),
-                    F.col("values").alias(vec_col),
-                    "change_type",
-                    "write_version",
+                feed = (
+                    store.changes_since(v0)
+                    .filter(F.col("write_version") <= F.lit(v1))
+                    .select(
+                        F.col("id").alias(id_col),
+                        F.col("values").alias(vec_col),
+                        "change_type",
+                        "write_version",
+                    )
                 )
                 index.apply_changes(feed, vec_col=vec_col, id_col=id_col)
             except ValueError:
                 # floor raced past v0 between the check and the read
                 resync_index(store, index, vec_col=vec_col, id_col=id_col)
+        bookmark["v"] = v1
         index.indexed = index.indexed.localCheckpoint()
 
     return (

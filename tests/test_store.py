@@ -961,3 +961,113 @@ def test_family_lsh_member_serves_unfiltered(spark, tmp_path):
     got = fam.search_exact("only", [4.0, 1.0], 3, vec_col="values", id_col="id")
     ids = [r.id for r in got.select("id").collect()]
     assert ids[0] == "v4" and len(ids) == 3
+
+
+def test_family_lazy_create_skips_all_deleted_feed(spark, tmp_path):
+    """Review r6 #2: a first-seen namespace whose feed collapses to zero
+    live rows (latest event per id is a delete) must not attempt an empty
+    k-means build — no member is created until live rows arrive."""
+    from mlvectordb_spark.operators.ann import IVFIndex, NamespaceIndexFamily
+
+    fam = NamespaceIndexFamily(factory=lambda: IVFIndex(n_clusters=2, seed=1))
+    dead = spark.createDataFrame(
+        [
+            ("y1", [1.0, 0.0], "ghost", "upsert", 1),
+            ("y1", None, "ghost", "delete", 2),
+        ],
+        "id string, values array<float>, namespace string, "
+        "change_type string, write_version long",
+    )
+    fam.apply_changes(dead, vec_col="values", id_col="id")
+    assert fam.namespaces() == []
+    live = spark.createDataFrame(
+        [("y2", [1.0, 1.0], "ghost", "upsert", 3),
+         ("y3", [2.0, 0.0], "ghost", "upsert", 3)],
+        "id string, values array<float>, namespace string, "
+        "change_type string, write_version long",
+    )
+    fam.apply_changes(live, vec_col="values", id_col="id")
+    assert fam.namespaces() == ["ghost"]
+    assert {r.id for r in fam.member("ghost").indexed.collect()} == {"y2", "y3"}
+
+
+def test_auto_staleness_is_per_namespace(spark, tmp_path):
+    """Review r6 #3: a write to namespace B must not knock namespace A's
+    auto-mode queries off A's fresh index; and a no-op sync_indexes must
+    not re-apply/checkpoint untouched namespaces."""
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    store = VectorStore(spark, str(tmp_path / "perns"), rebuild_threshold=0.95)
+    for ns in ("A", "B"):
+        store.upsert_df(
+            spark.createDataFrame(
+                [(f"{ns}{i}", [float(i), 0.0], ns) for i in range(12)],
+                "id string, values array<float>, namespace string",
+            )
+        )
+    for ns in ("A", "B"):
+        store.build_index(ns, factory=lambda: IVFIndex(n_clusters=2, seed=1))
+    # poison A's index by dropping its best match for the probe below: if
+    # auto still ROUTES through the index (as it must — A is fresh), the
+    # dropped row is invisible; a fallback to exact would see it
+    idxA = store.attached_index("A")
+    from pyspark.sql import functions as F
+
+    idxA.indexed = idxA.indexed.filter(F.col("id") != "A5").localCheckpoint()
+    store.upsert_df(  # write ONLY to B
+        spark.createDataFrame(
+            [("Bnew", [50.0, 0.0], "B")],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    got = store.find_similar([5.0, 0.0], 1, namespace="A", metric="l2")
+    assert got[0]["id"] != "A5", "A must still route through its fresh index"
+    # a write to A flips it to the exact fallback
+    store.upsert_df(
+        spark.createDataFrame(
+            [("A99", [99.0, 0.0], "A")],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    got2 = store.find_similar([5.0, 0.0], 1, namespace="A", metric="l2")
+    assert got2[0]["id"] == "A5", "stale A must fall back to the exact scan"
+
+    # no-op sync: only touched namespaces pay an apply — A's member
+    # apply_changes fires (A was written), B's must not (B unchanged since
+    # its member synced at the Bnew write? B WAS written after attach, so
+    # first sync applies; after that a second sync is a pure no-op for both)
+    store.sync_indexes()
+    calls = []
+    for ns in ("A", "B"):
+        m = store.attached_index(ns)
+        orig = m.apply_changes
+        m.apply_changes = lambda *a, _ns=ns, **k: calls.append(_ns)
+    store.sync_indexes()  # nothing written since → zero applies
+    assert calls == [], calls
+
+
+def test_family_load_takes_factory_for_lazy_creation(spark, tmp_path):
+    """Review r6 #4: a reloaded family uses the caller-resupplied factory
+    for namespaces first seen after the reload."""
+    from mlvectordb_spark.operators.ann import IVFIndex, NamespaceIndexFamily
+
+    fam = NamespaceIndexFamily(factory=lambda: IVFIndex(n_clusters=3, seed=7))
+    df = spark.createDataFrame(
+        [(f"k{i}", [float(i), 1.0], "first") for i in range(10)],
+        "id string, values array<float>, namespace string",
+    )
+    fam.build(df, vec_col="values", id_col="id")
+    fam.save(str(tmp_path / "famf"))
+    fam2 = NamespaceIndexFamily.load(
+        spark, str(tmp_path / "famf"),
+        factory=lambda: IVFIndex(n_clusters=3, seed=7),
+    )
+    feed = spark.createDataFrame(
+        [("n1", [0.0, 1.0], "later", "upsert", 1),
+         ("n2", [1.0, 1.0], "later", "upsert", 1)],
+        "id string, values array<float>, namespace string, "
+        "change_type string, write_version long",
+    )
+    fam2.apply_changes(feed, vec_col="values", id_col="id")
+    assert fam2.member("later").n_clusters == 3
+    assert fam2.member("later").seed == 7
