@@ -1676,6 +1676,28 @@ def q_monthly_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_monthly_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-frame window (the §2.4 frame variant the running-total
+    entry doesn't cover): 3-month trailing moving average and the
+    LAG-based month-over-month delta over the monthly revenue trend. The
+    windows run over the |months|-row aggregate, never order-grain data —
+    the same one-small-window posture as monthly_running_revenue."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w3 = Window.orderBy("month").rowsBetween(-2, 0)
+    wlag = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.avg("revenue").over(w3), 2).alias("ma3"),
+        F.round(
+            F.col("revenue") - F.lag("revenue", 1).over(wlag), 2
+        ).alias("mom_delta"),
+    )
+
+
 def q_top_event_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N per group over an aggregate: each user's 2 most frequent event
     types (agg → window rank → filter)."""
@@ -4211,6 +4233,18 @@ SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
   coalesce(reb.clean_text, '') AS clean_text
 FROM toks_t t LEFT JOIN reb USING (doc_id)
 """,
+    "monthly_moving_avg": """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+    round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+  round(avg(revenue) OVER (
+    ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3,
+  round(revenue - lag(revenue, 1) OVER (ORDER BY month), 2) AS mom_delta
+FROM monthly
+""",
     "monthly_running_revenue": """
 WITH monthly AS (
   SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
@@ -4908,6 +4942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stats": q_doc_stats,
     "events_first_per_key": q_events_first_per_key,
     "monthly_running_revenue": q_monthly_running_revenue,
+    "monthly_moving_avg": q_monthly_moving_avg,
     # ---- position 51+: oracle-backed, resting this round (green driver rows
     # in r4 or earlier; still run by verify_local every session) ----
     "ann_ivfpq_batch": q_ann_ivfpq_batch,
