@@ -673,6 +673,260 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier: for small parts (p_type =
+    'SMALL', p_size <= 5), the ASIA supplier(s) offering the lowest
+    implied unit price. The fixture has no partsupp, so the part↔supplier
+    offer table is synthesized from lineitem as min(l_extendedprice /
+    l_quantity) per (part, supplier) — the observed best unit price. The
+    spec's correlated MIN subquery decorrelates into a window min over
+    the already-reduced offer table: ONE fact shuffle (the offer groupBy);
+    part / supplier / nation / region all broadcast; the window runs over
+    |qualifying parts × ASIA suppliers| rows, not the fact table."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 5)
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("__unit"),
+    )
+    offers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(F.broadcast(asia_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(F.min("__unit"), 4).alias("supply_cost"),
+            F.first("s_name").alias("s_name"),
+            F.first("s_acctbal").alias("s_acctbal"),
+            F.first("n_name").alias("n_name"),
+        )
+    )
+    mn = F.min("supply_cost").over(Window.partitionBy("l_partkey"))
+    return (
+        offers.withColumn("__mn", mn)
+        .filter(F.col("supply_cost") == F.col("__mn"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("l_partkey").alias("p_partkey"), "supply_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: NATION_1's share of ECONOMY-
+    part revenue sold into the ASIA customer market, per order year
+    (1996–1997). Five dimension hops — part (type filter), supplier →
+    nation (share numerator), customer → nation → region (market) — ALL
+    broadcast; the fact table shuffles once for the orderkey join.
+    Numerator and denominator come out of ONE conditional aggregate, not
+    two scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    mkt_nat = (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(F.col("n_nationkey").alias("mkt_key"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(mkt_nat), F.col("c_nationkey") == F.col("mkt_key"), "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit: profit per supplier nation per
+    order year for parts whose name contains 'widget'. The fixture has no
+    partsupp supply cost, so cost is synthesized as 0.5 × p_retailprice ×
+    l_quantity (documented constant margin). part / supplier / nation
+    broadcast; the fact shuffles once on orderkey (the order-date hop),
+    then one algebraic aggregate at (nation, year) grain. The per-term
+    profit is rounded to 4 decimals and summed as DECIMAL so the result
+    is exact under any summation order (the signed-term cancellation
+    otherwise lands double sums on opposite sides of the cent boundary
+    between engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    ).select("p_partkey", "p_retailprice")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.round(profit, 4).cast("decimal(24,4)")).cast("double"),
+                2,
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock: per-part traded value through
+    NATION_1 suppliers, keeping parts whose value exceeds 0.1% of the
+    national total. Value is sum(l_extendedprice) over the nation's
+    lineitems (the fixture's analog of ps_supplycost × ps_availqty). The
+    spec's scalar-subquery threshold is a window sum over the ALREADY
+    AGGREGATED |parts| rows — one fact semi-join + one groupBy shuffle,
+    no second scan for the total."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nat_supp = supp.join(
+        F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    per_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
+    )
+    total = F.sum("part_value").over(Window.partitionBy())
+    return (
+        per_part.withColumn("__total", total)
+        .filter(F.col("part_value") > F.lit(0.001) * F.col("__total"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style excess-volume suppliers: ASIA suppliers who moved
+    more than 30 units of any one 'small…' part during 1997. The spec's
+    nested availqty>0.5×shipped test becomes a per-(supplier, part)
+    volume aggregate over the prefix-filtered fact (the fixture has no
+    partsupp/availqty), a HAVING threshold, and a left-semi join into the
+    supplier dim. Part and region-supplier dims broadcast; one reduced
+    groupBy shuffle."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    big_pairs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 30)
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .join(big_pairs, supp.s_suppkey == big_pairs.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers who kept orders waiting: ASIA suppliers
+    that were the SOLE late supplier on a multi-supplier finished order
+    (late = shipped >100 days after the order date; the fixture has no
+    commit/receipt dates). The spec's EXISTS + NOT-EXISTS double self-join
+    collapses into per-(order, supplier) late flags (one reduced groupBy)
+    plus per-order supplier/late counts (one window over the SAME reduced
+    grain) — the fact table is never self-joined. Supplier / nation /
+    region broadcast; numwait per supplier, worst first."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS")
+                ).cast("int")
+            ).alias("__late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        base.withColumn("__n_supp", F.count("*").over(w))
+        .withColumn("__n_late", F.sum("__late").over(w))
+        .filter(
+            (F.col("__late") == 1)
+            & (F.col("__n_supp") > 1)
+            & (F.col("__n_late") == 1)
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        flagged.join(F.broadcast(asia_supp), flagged.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
 def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k per group: 3 highest-value orders per customer."""
     orders = load_table(spark, sf_dir, "orders")
@@ -3720,6 +3974,110 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   )
 GROUP BY c_nationkey
 """,
+    "tpch_q2": """
+WITH asia_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), offers AS (
+  SELECT l_partkey, l_suppkey,
+    round(min(l_extendedprice / l_quantity), 4) AS supply_cost,
+    any_value(s_name) AS s_name, any_value(s_acctbal) AS s_acctbal,
+    any_value(n_name) AS n_name
+  FROM lineitem
+  JOIN asia_supp ON l_suppkey = s_suppkey
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_type = 'SMALL' AND p_size <= 5)
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, supply_cost
+FROM offers
+WHERE supply_cost = (SELECT min(o2.supply_cost) FROM offers o2
+                     WHERE o2.l_partkey = offers.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    "tpch_q8": """
+SELECT year(o_orderdate) AS o_year,
+  round(sum(CASE WHEN sn.n_name = 'NATION_1'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY year(o_orderdate)
+""",
+    "tpch_q9": """
+SELECT sn.n_name AS nation, year(o_orderdate) AS o_year,
+  round(sum(round(l_extendedprice * (1 - l_discount)
+                  - 0.5 * p_retailprice * l_quantity, 4)::DECIMAL(24,4)
+            )::DOUBLE, 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY sn.n_name, year(o_orderdate)
+""",
+    "tpch_q11": """
+WITH per_part AS (
+  SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1')
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, part_value
+FROM per_part
+WHERE part_value > 0.001 * (SELECT sum(part_value) FROM per_part)
+""",
+    "tpch_q20": """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 30)
+""",
+    "tpch_q21": """
+WITH base AS (
+  SELECT l_orderkey, l_suppkey,
+    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 100 DAY
+             THEN 1 ELSE 0 END) AS supp_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+), per_ord AS (
+  SELECT *,
+    count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+    sum(supp_late) OVER (PARTITION BY l_orderkey) AS n_late
+  FROM base
+)
+SELECT s_name, count(*) AS numwait
+FROM per_ord
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE supp_late = 1 AND n_supp > 1 AND n_late = 1 AND r_name = 'ASIA'
+GROUP BY s_name
+""",
     "top_orders_per_cust": """
 SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -4973,6 +5331,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q12": q_tpch_q12,
     "tpch_q16": q_tpch_q16,
     "tpch_q22": q_tpch_q22,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
     "orders_cube": q_orders_cube,
     "orders_pivot": q_orders_pivot,
     "orders_unpivot": q_orders_unpivot,
