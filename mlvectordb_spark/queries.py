@@ -480,10 +480,13 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15-style top supplier(s): quarterly revenue per supplier,
     keep every supplier at the maximum (ties included — the spec's
-    WHERE total = (SELECT max(...)) semantics, expressed as a window max
-    over the |suppliers|-row aggregate: ONE lineitem scan, no global
-    sort; the agg-then-join-the-max form re-planned the whole revenue
-    aggregation for the max branch — two fact scans)."""
+    WHERE total = (SELECT max(...)) semantics). The per-supplier revenue
+    frame (already |suppliers|-reduced) is persisted so the fact table
+    scans ONCE; the scalar max is a plain agg over the cached frame,
+    broadcast-cross-joined back. The earlier window-max form
+    (`F.max(...).over(Window.partitionBy())`) funneled every supplier
+    through a single WindowExec partition — a one-task sort at 100×
+    scale — while this shape keeps both jobs tiny and parallel."""
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
@@ -492,10 +495,10 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_supp = li.groupBy("l_suppkey").agg(
         F.round(F.sum(rev), 2).alias("total_revenue")
-    )
-    mx = F.max("total_revenue").over(Window.partitionBy())
+    ).persist()
+    mx = per_supp.agg(F.max("total_revenue").alias("__mx"))
     return (
-        per_supp.withColumn("__mx", mx)
+        per_supp.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("__mx"))
         .join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
@@ -817,9 +820,12 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     NATION_1 suppliers, keeping parts whose value exceeds 0.1% of the
     national total. Value is sum(l_extendedprice) over the nation's
     lineitems (the fixture's analog of ps_supplycost × ps_availqty). The
-    spec's scalar-subquery threshold is a window sum over the ALREADY
-    AGGREGATED |parts| rows — one fact semi-join + one groupBy shuffle,
-    no second scan for the total."""
+    spec's scalar-subquery threshold is a plain agg over the ALREADY
+    AGGREGATED (persisted) |parts| frame, broadcast-cross-joined back —
+    one fact semi-join + one groupBy shuffle, no second fact scan for
+    the total, and no single-partition WindowExec (the earlier
+    `F.sum(...).over(Window.partitionBy())` form sorted every part in
+    the catalog on one task — the r6 scale defect)."""
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
     nat_supp = supp.join(
@@ -830,10 +836,10 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
-    )
-    total = F.sum("part_value").over(Window.partitionBy())
+    ).persist()
+    total = per_part.agg(F.sum("part_value").alias("__total"))
     return (
-        per_part.withColumn("__total", total)
+        per_part.join(F.broadcast(total))
         .filter(F.col("part_value") > F.lit(0.001) * F.col("__total"))
         .select(F.col("l_partkey").alias("p_partkey"), "part_value")
         .orderBy(F.col("part_value").desc(), "p_partkey")
@@ -2564,6 +2570,275 @@ def q_store_indexed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(h["id"], float(h["score"])) for h in hits], "id string, score double"
     )
+
+
+_STORE_IDX_SESSIONS: dict[tuple, tuple] = {}
+
+
+def session_store_indexed(spark: SparkSession, sf_dir: str):
+    """Build-once indexed STORE per (session, sf_dir): the full
+    `store_indexed_search` lifecycle — two-namespace upsert, per-namespace
+    IVF family, attach, overwrite/delete CDC cycle, sync — runs a single
+    time, like the ANN `session_*` fixtures (index construction is
+    ingest-time work). The bench probe entry (`store_indexed_probe`) then
+    measures the steady-state serving cost: one bounded CDC batch + one
+    incremental sync + the routed read — instead of billing two KMeans
+    fits and the initial bulk load to every probe (round-6 verdict #3).
+    Returns (store, query_vector)."""
+    import tempfile
+
+    from mlvectordb_spark.operators.ann import IVFIndex, NamespaceIndexFamily
+    from mlvectordb_spark.operators.store import VectorStore
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _STORE_IDX_SESSIONS.get(key)
+    if got is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        store = VectorStore(
+            spark, tempfile.mkdtemp(prefix="session_idxstore_"),
+            rebuild_threshold=0.95,
+        )
+        dto = emb.select(
+            F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+            F.col("vec_id"),
+            F.col("embedding").alias("values"),
+            F.concat(F.lit("ns"), F.col("label") % 2).alias("namespace"),
+        )
+        store.upsert_df(dto.drop("vec_id"))
+        fam = NamespaceIndexFamily(
+            factory=lambda: IVFIndex(
+                n_clusters=8, seed=42, max_iter=4, init_mode="random"
+            )
+        )
+        fam.build(
+            store.df().select("id", "values", "namespace"),
+            vec_col="values",
+            id_col="id",
+        )
+        for ns in fam.namespaces():
+            store.attach_index(
+                ns, fam.member(ns), vec_col="values", id_col="id"
+            )
+        bumped = emb.filter(F.col("vec_id") % 10 == 0).select(
+            F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0)).alias("values"),
+            F.concat(F.lit("ns"), F.col("label") % 2).alias("namespace"),
+        )
+        store.upsert_df(bumped)
+        store.delete_df(
+            dto.filter(F.col("vec_id") % 7 == 0).select("id", "namespace")
+        )
+        store.sync_indexes()
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == QUERY_VID)
+            .select("embedding")
+            .head()[0]
+        ]
+        got = (store, qvec)
+        _STORE_IDX_SESSIONS[key] = got
+    return got
+
+
+def q_store_indexed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE indexed serving (the bench twin of
+    `store_indexed_search`, which gates the full lifecycle): against the
+    session store (built once, `session_store_indexed`), apply one bounded
+    CDC batch (fixed-id ×3 overwrite — idempotent, so repeated bench
+    passes converge to the same state), roll the indexes forward with one
+    incremental `sync_indexes` (feed-bounded apply, not a rebuild), and
+    run the routed `find_similar(mode="indexed")` read. This is the
+    number a serving deployment lives on: probe + bounded maintenance,
+    with store build + KMeans fits amortized to ingest where they
+    belong."""
+    store, qvec = session_store_indexed(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 100 == 3).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("values"),
+        F.concat(F.lit("ns"), F.col("label") % 2).alias("namespace"),
+    )
+    store.upsert_df(batch)
+    store.sync_indexes()
+    hits = store.find_similar(
+        qvec, top_k=KNN_K, namespace="ns0", metric="l2", mode="indexed"
+    )
+    return spark.createDataFrame(
+        [(h["id"], float(h["score"])) for h in hits], "id string, score double"
+    )
+
+
+def q_store_replica_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica JSON-path parity across an incremental sync cycle (the
+    round-6 ADVICE medium finding, driver-gated): a primary ingests
+    NESTED metadata through the dict API (`upsert_by_id` — metadata_json
+    = json.dumps of the nested dict; the flat map necessarily stringifies
+    the nesting), a replica seeds from a FULL backup, the primary then
+    overwrites + deletes, and the replica applies the incremental CDC
+    backup. The answer — a JSON-path aggregation over the REPLICA's
+    metadata_json — matches the oracle only if `apply_incremental`
+    carried the primary's exact json verbatim (`store.py` keep_
+    metadata_json): re-deriving json from the flattened map on the
+    replica would return NULL for every `$.nested.*` path."""
+    import tempfile
+
+    from mlvectordb_spark.operators.store import VectorStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (
+        emb.filter(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # high compaction threshold: the entry's churn (20% overwrite + 11%
+    # delete) must NOT trip mid-cycle compaction on the primary, which
+    # would erase the CDC events below v0 and (correctly) fail
+    # backup_incremental with the history-floor error — the retention
+    # contract a real deployment sizes its delta cadence around
+    primary = VectorStore(
+        spark, tempfile.mkdtemp(prefix="q_repl_p_"), rebuild_threshold=0.95
+    )
+    replica = VectorStore(
+        spark, tempfile.mkdtemp(prefix="q_repl_r_"), rebuild_threshold=0.95
+    )
+    primary.upsert_by_id(
+        [
+            {
+                "id": f"v{r.vec_id}",
+                "values": [float(x) for x in r.embedding],
+                "metadata": {
+                    "nested": {
+                        "parity": int(r.vec_id) % 2,
+                        "vid": int(r.vec_id),
+                    }
+                },
+            }
+            for r in base
+        ],
+        namespace="main",
+    )
+    v0 = primary.current_version()
+    full = tempfile.mkdtemp(prefix="q_repl_full_")
+    primary.create_backup(full)
+    replica.restore_from_backup(full)
+    # primary moves on: nested-metadata overwrite of %5 ids, delete of %9
+    primary.upsert_by_id(
+        [
+            {
+                "id": f"v{r.vec_id}",
+                "values": [float(x) for x in r.embedding],
+                "metadata": {
+                    "nested": {
+                        "parity": int(r.vec_id) % 3,
+                        "vid": int(r.vec_id),
+                    }
+                },
+            }
+            for r in base
+            if int(r.vec_id) % 5 == 0
+        ],
+        namespace="main",
+    )
+    primary.delete(
+        [f"v{r.vec_id}" for r in base if int(r.vec_id) % 9 == 0],
+        namespace="main",
+    )
+    delta = tempfile.mkdtemp(prefix="q_repl_delta_")
+    primary.backup_incremental(delta, since_version=v0)
+    replica.apply_incremental(delta)
+    rep = replica.df().filter(F.col("namespace") == "main")
+    return (
+        rep.select(
+            F.get_json_object("metadata_json", "$.nested.parity")
+            .cast("int")
+            .alias("parity"),
+            F.get_json_object("metadata_json", "$.nested.vid")
+            .cast("long")
+            .alias("vid"),
+        )
+        .groupBy("parity")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("vid").alias("sum_vid"),
+        )
+        .orderBy("parity")
+    )
+
+
+def q_store_indexed_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative contracts of indexed serving, driver-gated the way
+    `sq8_error` gates SQ8 (round-6 verdict #9): `mode="indexed"` with a
+    metric that doesn't match the attached space must raise the
+    documented ValueError (`find_similar` — unlike the reference, which
+    silently serves the wrong metric, SURVEY.md fact #2), as must an
+    unattached namespace, a wrong-dimension query, and an unknown mode.
+    Each check contributes a constant row only when the contract held;
+    the tail proves the index still serves the VALID read (exact top-k,
+    relational oracle)."""
+    import tempfile
+
+    from mlvectordb_spark.operators.ann import IVFIndex
+    from mlvectordb_spark.operators.store import VectorStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = VectorStore(spark, tempfile.mkdtemp(prefix="q_idxerr_"))
+    store.upsert_df(
+        emb.select(
+            F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+            F.col("embedding").alias("values"),
+        ),
+        namespace="main",
+    )
+    store.build_index(
+        "main",
+        factory=lambda: IVFIndex(
+            n_clusters=8, seed=42, max_iter=4, init_mode="random"
+        ),
+        space="l2",
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == QUERY_VID)
+        .select("embedding")
+        .head()[0]
+    ]
+    checks: list[tuple[str, float]] = []
+
+    def expect_raise(name: str, fn) -> None:
+        try:
+            fn()
+        except ValueError:
+            checks.append((f"check:{name}", 1.0))
+
+    expect_raise(
+        "metric_mismatch_raises",
+        lambda: store.find_similar(
+            qvec, top_k=5, namespace="main", metric="cosine", mode="indexed"
+        ),
+    )
+    expect_raise(
+        "no_index_raises",
+        lambda: store.find_similar(
+            qvec, top_k=5, namespace="ghost", metric="l2", mode="indexed"
+        ),
+    )
+    expect_raise(
+        "dim_mismatch_raises",
+        lambda: store.find_similar(
+            qvec + [0.0], top_k=5, namespace="main", metric="l2"
+        ),
+    )
+    expect_raise(
+        "unknown_mode_raises",
+        lambda: store.find_similar(
+            qvec, top_k=5, namespace="main", metric="l2", mode="fastest"
+        ),
+    )
+    hits = store.find_similar(
+        qvec, top_k=5, namespace="main", metric="l2", mode="indexed"
+    )
+    rows = checks + [(h["id"], float(h["score"])) for h in hits]
+    return spark.createDataFrame(rows, "item string, val double")
 
 
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4719,6 +4994,60 @@ WITH live AS (
 )
 SELECT id, round({_sql_cos('vals', 'qv')}, 4) AS score FROM sel, q
 """,
+    # steady-state probe against the SESSION store: fixture state (×2 bump
+    # of %10, delete of %7) plus the probe entry's idempotent ×3 overwrite
+    # of %100==3 ids (which also resurrects deleted ones — an upsert
+    # retires the tombstone). ::FLOAT mirrors the store's float storage.
+    "store_indexed_probe": f"""
+WITH live AS (
+  SELECT 'v' || vec_id::VARCHAR AS id,
+    CASE WHEN vec_id % 100 = 3
+         THEN list_transform(embedding, x -> (x * 3)::FLOAT)
+         WHEN vec_id % 10 = 0
+         THEN list_transform(embedding, x -> (x * 2)::FLOAT)
+         ELSE embedding END AS vals
+  FROM embeddings
+  WHERE label % 2 = 0 AND (vec_id % 100 = 3 OR vec_id % 7 != 0)
+), q AS {_Q_CTE}
+SELECT id, round({_sql_l2sq('vals', 'qv')}, 4) AS score
+FROM live, q
+ORDER BY round({_sql_l2sq('vals', 'qv')}, 4) ASC, id ASC
+LIMIT {KNN_K}
+""",
+    # the replica's state after full-snapshot seed + incremental CDC apply:
+    # %5 ids re-written with parity = vid%3, %9 ids deleted; the JSON-path
+    # extraction works only because apply_incremental carries the
+    # primary's nested metadata_json verbatim
+    "store_replica_json": """
+WITH live AS (
+  SELECT vec_id,
+    (CASE WHEN vec_id % 5 = 0 THEN vec_id % 3 ELSE vec_id % 2 END)::INTEGER
+      AS parity
+  FROM embeddings
+  WHERE vec_id < 200 AND vec_id % 9 != 0
+)
+SELECT parity, count(*) AS n_docs, sum(vec_id)::BIGINT AS sum_vid
+FROM live GROUP BY parity ORDER BY parity
+""",
+    # four contract rows appear only if the documented ValueError fired;
+    # the tail is the still-working exact indexed read over the full
+    # single-namespace store
+    "store_indexed_errors": f"""
+WITH live AS (
+  SELECT 'v' || vec_id::VARCHAR AS id, embedding AS vals FROM embeddings
+), q AS {_Q_CTE},
+hits AS (
+  SELECT id AS item, round({_sql_l2sq('vals', 'qv')}, 4) AS val
+  FROM live, q
+  ORDER BY round({_sql_l2sq('vals', 'qv')}, 4) ASC, id ASC
+  LIMIT 5
+)
+SELECT item, val FROM hits
+UNION ALL SELECT 'check:metric_mismatch_raises', 1.0
+UNION ALL SELECT 'check:no_index_raises', 1.0
+UNION ALL SELECT 'check:dim_mismatch_raises', 1.0
+UNION ALL SELECT 'check:unknown_mode_raises', 1.0
+""",
     "median_price": """
 SELECT l_returnflag, round(median(l_extendedprice), 4) AS median_price,
   round(min(l_extendedprice), 2) AS min_price,
@@ -5279,6 +5608,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "store_indexed_search": q_store_indexed_search,
     "store_indexed_cosine": q_store_indexed_cosine,
     "store_timetravel": q_store_timetravel,
+    # r7: steady-state probe vs the session store, replica JSON-path parity
+    # across incremental sync, indexed-serving negative contracts
+    "store_indexed_probe": q_store_indexed_probe,
+    "store_replica_json": q_store_replica_json,
+    "store_indexed_errors": q_store_indexed_errors,
     # -- relational layer (incl. the co-located bucketed-layout join) --
     "bucketed_join": q_bucketed_join,
     "top_orders_per_cust": q_top_orders_per_cust,
@@ -5512,41 +5846,39 @@ JOIN sig_t sb ON sb.doc_id = doc_b
 ORACLE_SQL["minhash_sim_est"] = _oracle_minhash_est_sql()
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation (round 6). The driver oracle-checks the FIRST 50
+# Driver-window rotation (round 7). The driver oracle-checks the FIRST 50
 # registry entries each round; everything else is re-verified locally via
 # tools/verify_local.py. Policy: (a) every oracle-backed entry that has
 # never had a driver row goes in the window first — this round that closes
-# the last verification gap (after r6 every oracle-backed entry has a
-# driver row); (b) entries whose kernels CHANGED this round re-verify under
-# the driver; (c) then the longest-resting driver rows (last checked
-# r2/r3); (d) the rest of the slots rotate through the r4 cohort; (e) a
-# small continuity core of flagship entries.
+# the LAST such gap (the six r6 TPC-H additions + monthly_moving_avg; after
+# r7 every oracle-backed entry has a driver row); (a') entries NEW this
+# round; (b) entries whose kernels CHANGED this round re-verify under the
+# driver (the q11/q15 window-scalar fix; the store serving/staleness/
+# enrichment changes; IVF & IVFPQ save/load meta changes — every entry that
+# reads a reloaded session index); (c) the longest-resting driver rows
+# (last checked r4); (e) a small continuity core of flagship entries.
 _WINDOW = [
-    # (a) never driver-checked, oracle-backed — 8 entries (incl. the new
-    # store_indexed_search serving-path entry)
-    "tpch_q15", "tpch_q17", "events_funnel_users", "mixture_budget",
-    "hard_negatives", "contrastive_triplets", "dedup_survivors",
-    "store_indexed_search",
-    # (b) kernels changed in r6 (funnel Expand fix; IVF family reused by
-    # the store serving path; store write-path touch-ups) — 3 entries
-    "events_funnel", "ann_ivf_exact", "store_timetravel",
-    # (c) longest-resting driver rows (r2/r3) — 20 entries
-    "revenue_by_month", "part_like", "udf_token_count", "lineitem_enrich",
-    "doc_regex", "orders_above_cust_avg", "lineitem_having",
-    "top_event_types_per_user",
-    "events_asof_error", "rollup_daily", "cust_no_orders", "knn_cosine",
-    "range_l2", "knn_batch", "normalize", "pairwise_dist", "point_read",
-    "multi_get", "sq8_error", "dedup_embedding",
-    # (a') new in r6, never driver-checked — 5 entries (these outrank the
-    # r4 rotation below)
-    "tpch_q4", "tpch_q7", "tpch_q12", "tpch_q16", "tpch_q22",
-    "store_indexed_cosine",
-    # (d) r4-cohort rotation — 10 entries
-    "knn_sq8", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_ingest_screen", "dedup_clusters", "curation_pipeline",
-    "decontaminate", "pii_scrub", "dedup_exact",
-    # (e) continuity core (the flagship operators) — 3 entries
-    "knn_l2", "hybrid_knn", "store_roundtrip",
+    # (a) never driver-checked, oracle-backed — 7 entries (q11 post-fix)
+    "tpch_q2", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q20", "tpch_q21",
+    "monthly_moving_avg",
+    # (a') new in r7 — 3 entries
+    "store_indexed_probe", "store_replica_json", "store_indexed_errors",
+    # (b) kernels changed in r7 — 9 entries
+    "tpch_q15", "store_indexed_search", "store_indexed_cosine",
+    "store_roundtrip", "store_timetravel", "ann_ivf_exact", "ann_ivf_batch",
+    "hybrid_ivf_exact", "ann_ivfpq_exact",
+    # (c) longest-resting driver rows (r4) — 29 entries
+    "array_ops", "cust_big_orders", "data_split", "dedup_prefix_buckets",
+    "distinct_counts", "doc_chunks", "doc_dup_ngrams", "doc_fingerprint",
+    "doc_lang_id", "doc_logprob", "doc_quality", "doc_repetition",
+    "emb_doc_join", "events_json", "events_session_stats",
+    "events_sessionize", "events_sliding", "events_tumbling",
+    "grouping_sets", "metadata_query", "ns_stats", "orders_cube",
+    "orders_pivot", "segment_setops", "seq_pack", "source_mixture",
+    "stratified_sample", "tfidf_terms", "token_freq",
+    # (e) continuity core (the flagship operators) — 2 entries
+    # (store_roundtrip, the usual third, is already in (b))
+    "knn_l2", "hybrid_knn",
 ]
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
 QUERIES = {
