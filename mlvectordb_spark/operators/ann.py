@@ -727,8 +727,8 @@ class IVFIndex:
             {min(int(p), self.n_clusters) for p in nprobes if p >= 1}
         )
         sample = (
-            self.indexed.select(F.col(id_col).alias("__k"), F.col(vec_col).alias("__v"))
-            .orderBy(F.xxhash64(F.col("__k").cast("string")))
+            self.indexed.select(F.col(id_col).alias("qk"), F.col(vec_col).alias("qv"))
+            .orderBy(F.xxhash64(F.col("qk").cast("string")))
             .limit(n_queries)
             .collect()
         )
@@ -737,7 +737,7 @@ class IVFIndex:
             return self._recall_curve
         totals = {p: 0.0 for p in nprobes}
         for row in sample:
-            q = [float(x) for x in row.__v]
+            q = [float(x) for x in row.qv]
             exact = self.search_exact(q, k, vec_col=vec_col, id_col=id_col)
             exact_ids = {r[0] for r in exact.select(id_col).collect()}
             if not exact_ids:

@@ -734,3 +734,101 @@ def test_namespace_family_save_load_roundtrip(spark, tmp_path):
     assert all(i.startswith("a") for i, _ in got)
     # drift counters travel (reference: reloaded index keeps W11 live)
     assert not fam2.member("ns/a").is_rebuild_required()
+
+
+def test_ivf_load_restores_vec_col(spark, tmp_path):
+    """Round-6 ADVICE: an index built over a non-default vector column
+    (e.g. the store's 'values') must restore that column name on load —
+    otherwise refresh_stats()/apply_changes()/save() default to the ctor
+    'embedding' and crash on the reloaded layout."""
+    df = spark.createDataFrame(
+        [(f"k{i}", [float(i), float(i % 3)]) for i in range(40)],
+        "id string, values array<float>",
+    )
+    idx = IVFIndex(n_clusters=4, seed=5)
+    idx.build(df, vec_col="values", id_col="id")
+    idx.save(str(tmp_path / "ivf_vc"))
+    loaded = IVFIndex.load(spark, str(tmp_path / "ivf_vc"))
+    assert loaded._vec_col == "values"
+    # the paths that default to self._vec_col must work on the reload
+    loaded.refresh_stats()
+    feed = spark.createDataFrame(
+        [("k100", [100.0, 1.0], "upsert", 1)],
+        "id string, values array<float>, change_type string, "
+        "write_version long",
+    )
+    loaded.apply_changes(feed, id_col="id")  # vec_col defaulted
+    assert loaded.indexed.filter(F.col("id") == "k100").count() == 1
+
+
+def test_ivfpq_save_load_keeps_drift_and_vec_col(spark, emb, tmp_path):
+    """IVFPQIndex now persists the same meta as IVFIndex: drift counters
+    (is_rebuild_required stays live across persistence) and the
+    build-time vector column."""
+    from mlvectordb_spark.operators.ann import IVFPQIndex
+
+    idx = IVFPQIndex(n_clusters=4, m=8, k_sub=8, seed=3)
+    idx.build(emb.filter(F.col("vec_id") < 400))
+    idx.save(str(tmp_path / "ivfpq_meta"))
+    loaded = IVFPQIndex.load(spark, str(tmp_path / "ivfpq_meta"))
+    assert loaded.ivf._built_count == idx.ivf._built_count
+    assert loaded.ivf._vec_col == "embedding"
+    assert not loaded.is_rebuild_required()
+    loaded.add(emb.filter(F.col("vec_id") >= 400))  # 100/400 = 25%
+    assert loaded.is_rebuild_required()
+
+
+def test_recall_curve_measure_select_and_persist(spark, emb, qvec, tmp_path):
+    """Round-6 verdict missing #2 (pytest gate): the measured nprobe→recall
+    curve is monotone non-decreasing, nprobe_for_recall picks the smallest
+    nprobe meeting the target (full-probe fallback when unreachable,
+    ValueError when never measured), and the curve survives save/load."""
+    idx = IVFIndex(n_clusters=8, seed=42)
+    idx.build(emb)
+    with pytest.raises(ValueError):
+        idx.nprobe_for_recall(0.9)
+    curve = idx.measure_recall_curve(k=10, n_queries=4, nprobes=[1, 4, 8])
+    assert set(curve) == {1, 4, 8}
+    assert all(0.0 <= v <= 1.0 for v in curve.values())
+    # full probe over every cluster is exact → recall 1.0 by construction
+    assert curve[8] == 1.0
+    picked = idx.nprobe_for_recall(0.9)
+    assert picked == min(p for p, r in curve.items() if r >= 0.9)
+    # an unreachable target falls back to probing everything
+    assert idx.nprobe_for_recall(1.1) == idx.n_clusters
+    idx.save(str(tmp_path / "ivf_curve"))
+    loaded = IVFIndex.load(spark, str(tmp_path / "ivf_curve"))
+    assert loaded._recall_curve == curve
+    assert loaded.nprobe_for_recall(0.9) == picked
+
+
+def test_family_drift_counters_survive_save_load_cdc(spark, tmp_path):
+    """Round-6 verdict #10: NamespaceIndexFamily.load then apply_changes
+    from a feed written AFTER the save — per-namespace drift counters
+    survive the round-trip and keep counting."""
+    from mlvectordb_spark.operators.ann import NamespaceIndexFamily
+
+    fam = NamespaceIndexFamily(factory=lambda: IVFIndex(n_clusters=2, seed=9))
+    df = spark.createDataFrame(
+        [(f"a{i}", [float(i), 1.0], "nsA") for i in range(10)]
+        + [(f"b{i}", [float(i), 2.0], "nsB") for i in range(10)],
+        "id string, values array<float>, namespace string",
+    )
+    fam.build(df, vec_col="values", id_col="id")
+    fam.save(str(tmp_path / "famcdc"))
+    fam2 = NamespaceIndexFamily.load(
+        spark, str(tmp_path / "famcdc"),
+        factory=lambda: IVFIndex(n_clusters=2, seed=9),
+    )
+    assert fam2.member("nsA")._built_count == 10
+    assert fam2.member("nsA")._added_count == 0
+    # post-reload CDC into nsA only: its counter moves, nsB's does not
+    feed = spark.createDataFrame(
+        [(f"a_new{i}", [50.0 + i, 1.0], "nsA", "upsert", 1) for i in range(2)],
+        "id string, values array<float>, namespace string, "
+        "change_type string, write_version long",
+    )
+    fam2.apply_changes(feed, vec_col="values", id_col="id")
+    assert fam2.member("nsA")._added_count == 2
+    assert fam2.member("nsB")._added_count == 0
+    assert fam2.member("nsA").is_rebuild_required()  # 2/10 = 20% >= 0.2

