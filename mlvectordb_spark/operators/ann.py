@@ -721,38 +721,9 @@ class IVFIndex:
         this again (`nprobe_for_recall`)."""
         assert self.indexed is not None and self.centroids is not None
         vec_col = vec_col or self._vec_col
-        if nprobes is None:
-            nprobes = [1, 2, 4, 8, 16]
-        nprobes = sorted(
-            {min(int(p), self.n_clusters) for p in nprobes if p >= 1}
+        self._recall_curve = _measure_recall_curve(
+            self, k, n_queries, nprobes, vec_col, id_col, self.n_clusters
         )
-        sample = (
-            self.indexed.select(F.col(id_col).alias("qk"), F.col(vec_col).alias("qv"))
-            .orderBy(F.xxhash64(F.col("qk").cast("string")))
-            .limit(n_queries)
-            .collect()
-        )
-        if not sample:
-            self._recall_curve = {p: 1.0 for p in nprobes}
-            return self._recall_curve
-        totals = {p: 0.0 for p in nprobes}
-        for row in sample:
-            q = [float(x) for x in row.qv]
-            exact = self.search_exact(q, k, vec_col=vec_col, id_col=id_col)
-            exact_ids = {r[0] for r in exact.select(id_col).collect()}
-            if not exact_ids:
-                for p in nprobes:
-                    totals[p] += 1.0
-                continue
-            for p in nprobes:
-                approx = self.search(
-                    q, k, nprobe=p, vec_col=vec_col, id_col=id_col
-                )
-                got = {r[0] for r in approx.select(id_col).collect()}
-                totals[p] += len(got & exact_ids) / len(exact_ids)
-        self._recall_curve = {
-            p: totals[p] / len(sample) for p in nprobes
-        }
         return self._recall_curve
 
     def nprobe_for_recall(self, target: float) -> int:
@@ -761,15 +732,67 @@ class IVFIndex:
         measured point reaches it. Raises if the curve was never measured
         — a serving router must not silently guess (the round-6 verdict's
         'auto→approx silently eats a 30% recall cliff')."""
-        if self._recall_curve is None:
-            raise ValueError(
-                "no measured recall curve: call measure_recall_curve() "
-                "(or load() an index saved after measuring)"
+        return _nprobe_for_recall(
+            self._recall_curve, target, self.n_clusters
+        )
+
+
+def _measure_recall_curve(
+    index,
+    k: int,
+    n_queries: int,
+    nprobes: Sequence[int] | None,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int,
+) -> dict[int, float]:
+    """The recall-calibration kernel shared by IVFIndex and IVFPQIndex:
+    mean recall@k of `index.search(nprobe=...)` vs `index.search_exact`
+    over a deterministic xxhash-selected sample of the index's own rows.
+    Requires only the family protocol (indexed / search / search_exact)."""
+    if nprobes is None:
+        nprobes = [1, 2, 4, 8, 16]
+    nprobes = sorted({min(int(p), n_clusters) for p in nprobes if p >= 1})
+    sample = (
+        index.indexed.select(
+            F.col(id_col).alias("qk"), F.col(vec_col).alias("qv")
+        )
+        .orderBy(F.xxhash64(F.col("qk").cast("string")))
+        .limit(n_queries)
+        .collect()
+    )
+    if not sample:
+        return {p: 1.0 for p in nprobes}
+    totals = {p: 0.0 for p in nprobes}
+    for row in sample:
+        q = [float(x) for x in row.qv]
+        exact = index.search_exact(q, k, vec_col=vec_col, id_col=id_col)
+        exact_ids = {r[0] for r in exact.select(id_col).collect()}
+        if not exact_ids:
+            for p in nprobes:
+                totals[p] += 1.0
+            continue
+        for p in nprobes:
+            approx = index.search(
+                q, k, nprobe=p, vec_col=vec_col, id_col=id_col
             )
-        for p in sorted(self._recall_curve):
-            if self._recall_curve[p] >= target:
-                return p
-        return self.n_clusters
+            got = {r[0] for r in approx.select(id_col).collect()}
+            totals[p] += len(got & exact_ids) / len(exact_ids)
+    return {p: totals[p] / len(sample) for p in nprobes}
+
+
+def _nprobe_for_recall(
+    curve: dict[int, float] | None, target: float, n_clusters: int
+) -> int:
+    if curve is None:
+        raise ValueError(
+            "no measured recall curve: call measure_recall_curve() "
+            "(or load() an index saved after measuring)"
+        )
+    for p in sorted(curve):
+        if curve[p] >= target:
+            return p
+    return n_clusters
 
 
 class LSHIndex:
@@ -1056,6 +1079,12 @@ class IVFPQIndex:
         self.ivf = IVFIndex(n_clusters=n_clusters, seed=seed)
         self.pq = PQIndex(m=m, k_sub=k_sub, seed=seed)
         self.encoded: DataFrame | None = None
+        # measured nprobe → recall@k (same contract as IVFIndex)
+        self._recall_curve: dict[int, float] | None = None
+
+    @property
+    def n_clusters(self) -> int:
+        return self.ivf.n_clusters
 
     def build(
         self, df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
@@ -1195,6 +1224,14 @@ class IVFPQIndex:
             )],
             "built_count long, added_count long, vec_col string",
         ).write.mode("overwrite").parquet(f"{path}/meta")
+        if self._recall_curve:
+            spark.createDataFrame(
+                [
+                    (int(p), float(r))
+                    for p, r in sorted(self._recall_curve.items())
+                ],
+                "nprobe int, recall double",
+            ).write.mode("overwrite").parquet(f"{path}/recall_curve")
 
     @classmethod
     def load(cls, spark, path: str) -> "IVFPQIndex":
@@ -1229,7 +1266,64 @@ class IVFPQIndex:
         except Exception:  # noqa: BLE001 — pre-meta layout: counts from stats
             idx.ivf._built_count = int(counts.sum())
             idx.ivf._added_count = 0
+        try:
+            rrows = spark.read.parquet(f"{path}/recall_curve").collect()
+            if rrows:
+                idx._recall_curve = {
+                    int(r.nprobe): float(r.recall) for r in rrows
+                }
+        except Exception:  # noqa: BLE001 — curve never measured/saved
+            pass
         return idx
+
+    def search(
+        self,
+        qvec,
+        k: int,
+        nprobe: int = 4,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        metric: str = "l2",
+    ) -> DataFrame:
+        """APPROXIMATE fixed-nprobe probe through the composed layout —
+        the `IVFIndex.search` analog (nprobe plays hnswlib's ef): scan
+        only the nprobe nearest clusters and rescore their rows exactly
+        on the full-precision vectors the encoded table carries. Recall
+        < 1.0 is possible by construction; certified exactness stays with
+        `search_exact`. Gives the PQ family the same recall/latency dial
+        (and `measure_recall_curve`/`nprobe_for_recall` calibration) as
+        the plain IVF family, so a store's `mode="approx"` +
+        `target_recall` serving works against either."""
+        assert self.encoded is not None
+        probes = self.ivf._probe_clusters(qvec, nprobe)
+        cand = self.encoded.filter(F.col("cluster_id").isin(probes))
+        return knn(
+            cand, qvec, k, vec_col=vec_col, id_col=id_col, metric=metric
+        )
+
+    def measure_recall_curve(
+        self,
+        k: int = 10,
+        n_queries: int = 8,
+        nprobes: Sequence[int] | None = None,
+        vec_col: str | None = None,
+        id_col: str = "vec_id",
+    ) -> dict[int, float]:
+        """IVFIndex.measure_recall_curve through the composed layout —
+        the shared `_measure_recall_curve` kernel over this object's
+        search/search_exact; cached and persisted by save()."""
+        assert self.encoded is not None
+        vec_col = vec_col or self.ivf._vec_col
+        self._recall_curve = _measure_recall_curve(
+            self, k, n_queries, nprobes, vec_col, id_col, self.n_clusters
+        )
+        return self._recall_curve
+
+    def nprobe_for_recall(self, target: float) -> int:
+        """See IVFIndex.nprobe_for_recall — same contract."""
+        return _nprobe_for_recall(
+            self._recall_curve, target, self.n_clusters
+        )
 
     def search_exact(
         self,

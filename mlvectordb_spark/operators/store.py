@@ -823,6 +823,11 @@ class VectorStore:
                 os.remove(p)
             except OSError:
                 pass
+        # the version counter restarts at 0: session version numbers from
+        # before the reset would otherwise alias post-reset versions and
+        # make an external writer's v1/v2/... look session-accounted to
+        # the serving freshness check
+        self._session_versions.clear()
         self._forget_dims()
         self._note_ns_write(None)
         return True

@@ -2653,10 +2653,15 @@ def q_store_indexed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     belong."""
     store, qvec = session_store_indexed(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    batch = emb.filter(F.col("vec_id") % 100 == 3).select(
+    # the batch targets ONLY the queried namespace: ns1's member then pays
+    # a feed-emptiness metadata check instead of a full apply+checkpoint —
+    # the per-namespace isolation the sync path exists to provide
+    batch = emb.filter(
+        (F.col("vec_id") % 100 == 3) & (F.col("label") % 2 == 0)
+    ).select(
         F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
         F.transform("embedding", lambda x: x * F.lit(3.0)).alias("values"),
-        F.concat(F.lit("ns"), F.col("label") % 2).alias("namespace"),
+        F.lit("ns0").alias("namespace"),
     )
     store.upsert_df(batch)
     store.sync_indexes()

@@ -832,3 +832,24 @@ def test_family_drift_counters_survive_save_load_cdc(spark, tmp_path):
     assert fam2.member("nsA")._added_count == 2
     assert fam2.member("nsB")._added_count == 0
     assert fam2.member("nsA").is_rebuild_required()  # 2/10 = 20% >= 0.2
+
+
+def test_ivfpq_approx_search_and_recall_curve(spark, emb, qvec, tmp_path):
+    """The PQ family now carries the same recall/latency dial as plain
+    IVF: fixed-nprobe `search` (full probe ≡ exact), the shared
+    calibration kernel, and curve persistence through save/load."""
+    from mlvectordb_spark.operators.ann import IVFPQIndex
+
+    idx = IVFPQIndex(n_clusters=8, m=8, k_sub=8, seed=3)
+    idx.build(emb)
+    exact_ids = {r.vec_id for r in idx.search_exact(qvec, 10).collect()}
+    full = {r.vec_id for r in idx.search(qvec, 10, nprobe=8).collect()}
+    assert full == exact_ids
+    curve = idx.measure_recall_curve(k=10, n_queries=3, nprobes=[1, 8])
+    assert curve[8] == 1.0
+    assert idx.nprobe_for_recall(1.0) in (1, 8)
+    idx.save(str(tmp_path / "ivfpq_curve"))
+    from mlvectordb_spark.operators.ann import IVFPQIndex as _P
+
+    loaded = _P.load(spark, str(tmp_path / "ivfpq_curve"))
+    assert loaded._recall_curve == curve

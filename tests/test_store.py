@@ -1271,3 +1271,38 @@ def test_find_similar_target_recall(spark, tmp_path):
         mode="approx", target_recall=1.0,
     )
     assert {h["id"] for h in full} == {h["id"] for h in exact}
+
+
+def test_target_recall_through_ivfpq_member(spark, tmp_path):
+    """mode='approx' + target_recall serves through an attached IVFPQ
+    member too — the PQ family speaks the same search(nprobe)/curve
+    protocol as plain IVF."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mlvectordb_spark.operators.ann import IVFPQIndex
+
+    store = VectorStore(spark, str(tmp_path / "pqtr"), rebuild_threshold=0.95)
+    store.upsert_df(
+        spark.createDataFrame(
+            [
+                (
+                    f"k{i}",
+                    [float(i % 13), float(i % 7), float(i % 3), float(i)],
+                    "A",
+                )
+                for i in range(160)
+            ],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    store.build_index(
+        "A", factory=lambda: IVFPQIndex(n_clusters=4, m=4, k_sub=8, seed=6)
+    )
+    got = store.find_similar(
+        [5.0, 3.0, 1.0, 80.0], 5, namespace="A", metric="l2",
+        mode="approx", target_recall=1.0,
+    )
+    exact = store.find_similar(
+        [5.0, 3.0, 1.0, 80.0], 5, namespace="A", metric="l2", mode="indexed"
+    )
+    assert {h["id"] for h in got} == {h["id"] for h in exact}

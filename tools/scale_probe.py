@@ -274,6 +274,63 @@ def main():
             out,
         )
 
+        # store-ROUTED serving at the same scale: the full find_similar
+        # path = certified IVF probe + enrichment against the store. The
+        # r7 enrichment pushes the ≤k hit ids into the store scan as an
+        # IN-list (parquet row-group skipping) instead of broadcast-
+        # joining against a full-namespace scan — this stage is the
+        # before/after evidence for that hot-path read.
+        import tempfile
+
+        from mlvectordb_spark.operators.store import VectorStore
+
+        store = VectorStore(
+            spark, tempfile.mkdtemp(prefix="probe_store_"),
+            rebuild_threshold=0.95,
+        )
+        dto = embs.select(
+            F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+            F.col("embedding").alias("values"),
+        )
+        timed(
+            "store_ingest_1m",
+            lambda: store.upsert_df(dto, namespace="serve",
+                                    assume_unique_ids=True),
+            out,
+        )
+        timed(
+            "store_build_attach_ivf64",
+            lambda: (
+                store.build_index(
+                    "serve",
+                    factory=lambda: IVFIndex(n_clusters=64, seed=42),
+                ),
+                1,
+            )[1],
+            out,
+        )
+        qlist = [float(x) for x in qv]
+        timed(
+            "store_find_similar_indexed_top10",
+            lambda: len(
+                store.find_similar(
+                    qlist, 10, namespace="serve", metric="l2",
+                    mode="indexed",
+                )
+            ),
+            out,
+        )
+        timed(
+            "store_find_similar_indexed_top10_repeat",
+            lambda: len(
+                store.find_similar(
+                    qlist, 10, namespace="serve", metric="l2",
+                    mode="indexed",
+                )
+            ),
+            out,
+        )
+
     # Text-dedup pipeline at synthetic-corpus scale (planted 2% exact dups)
     n_docs = max(100_000, n_vec)
     docs = synth_documents(spark, n_docs).localCheckpoint(eager=True)
