@@ -721,10 +721,14 @@ class IVFIndex:
         this again (`nprobe_for_recall`)."""
         assert self.indexed is not None and self.centroids is not None
         vec_col = vec_col or self._vec_col
-        self._recall_curve = _measure_recall_curve(
+        curve = _measure_recall_curve(
             self, k, n_queries, nprobes, vec_col, id_col, self.n_clusters
         )
-        return self._recall_curve
+        # an empty measurement (empty index) is not cached: a later call —
+        # after rows arrive via CDC — re-measures instead of serving a
+        # stale nothing
+        self._recall_curve = curve or None
+        return curve
 
     def nprobe_for_recall(self, target: float) -> int:
         """Smallest measured nprobe whose recall@k meets `target`; falls
@@ -762,10 +766,18 @@ def _measure_recall_curve(
         .collect()
     )
     if not sample:
-        return {p: 1.0 for p in nprobes}
+        # an EMPTY index measures nothing: return an empty curve, which
+        # nprobe_for_recall resolves to the full-probe fallback (exact
+        # coverage) — fabricating recall 1.0 here would be cached and
+        # persisted, then silently under-probe once rows arrive
+        return {}
     totals = {p: 0.0 for p in nprobes}
     for row in sample:
         q = [float(x) for x in row.qv]
+        # deliberately NOT recall_at_k(approx, exact): that helper
+        # re-collects the exact frame per comparison — here the exact ids
+        # collect once per query and serve every nprobe point (|nprobes|×
+        # fewer exact-search jobs over the calibration loop)
         exact = index.search_exact(q, k, vec_col=vec_col, id_col=id_col)
         exact_ids = {r[0] for r in exact.select(id_col).collect()}
         if not exact_ids:
@@ -789,6 +801,8 @@ def _nprobe_for_recall(
             "no measured recall curve: call measure_recall_curve() "
             "(or load() an index saved after measuring)"
         )
+    # an empty curve (measured over an empty index) falls through to the
+    # full-probe fallback — conservative, never under-probing
     for p in sorted(curve):
         if curve[p] >= target:
             return p
@@ -1314,10 +1328,11 @@ class IVFPQIndex:
         search/search_exact; cached and persisted by save()."""
         assert self.encoded is not None
         vec_col = vec_col or self.ivf._vec_col
-        self._recall_curve = _measure_recall_curve(
+        curve = _measure_recall_curve(
             self, k, n_queries, nprobes, vec_col, id_col, self.n_clusters
         )
-        return self._recall_curve
+        self._recall_curve = curve or None
+        return curve
 
     def nprobe_for_recall(self, target: float) -> int:
         """See IVFIndex.nprobe_for_recall — same contract."""

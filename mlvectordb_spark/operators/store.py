@@ -828,8 +828,15 @@ class VectorStore:
         # make an external writer's v1/v2/... look session-accounted to
         # the serving freshness check
         self._session_versions.clear()
+        # serving indexes reference the WIPED content and their synced-at
+        # bookmarks alias post-reset version numbers (a post-reset write
+        # reaching the old bookmark value would read as fresh) — a
+        # truncate invalidates every attached index; rebuild/re-attach
+        # after repopulating (restore_from_backup documents the same)
+        self._serving.clear()
+        self._serving_synced_at.clear()
+        self._ns_mutated_at.clear()
         self._forget_dims()
-        self._note_ns_write(None)
         return True
 
     def _drop_namespace_tombstones(self, namespace: str) -> None:
@@ -1152,7 +1159,15 @@ class VectorStore:
     def restore_from_backup(self, backup_path: str) -> int:
         """Q22: replace current contents with a backup snapshot — a
         distributed copy (read → partitioned write), never a driver
-        materialization."""
+        materialization.
+
+        Serving indexes DETACH as part of the truncate (clear_all):
+        restored rows land with a reset version counter and no CDC
+        events, so no incremental sync could ever reconcile a pre-restore
+        index with the restored state — the only honest options are
+        detach (taken here; reads fall back to the exact scan) or a full
+        rebuild, which the caller does with build_index/attach_index once
+        the restore completes."""
         backup = (
             self.spark.read.schema(VECTOR_SCHEMA)
             .parquet(backup_path)
@@ -1164,12 +1179,6 @@ class VectorStore:
             .partitionBy("namespace")
             .parquet(self.data_path)
         )
-        # restored rows land with NULL write_version (≡ 0) without going
-        # through _append, so the serving staleness tracker must be told
-        # explicitly — otherwise an attached index keeps serving pre-restore
-        # content as fresh (round-6 ADVICE). None = every attached
-        # namespace, conservatively (the restore may touch any of them).
-        self._note_ns_write(None)
         raw = self._raw()
         return 0 if raw is None else raw.count()
 
@@ -1516,6 +1525,19 @@ class VectorStore:
             )
         if mode not in ("auto", "exact", "indexed", "approx"):
             raise ValueError(f"unknown mode {mode!r}")
+        if target_recall is not None:
+            # a quality contract only the approx dial can honor: every
+            # other mode is already exact — silently ignoring the option
+            # there would let a caller believe it did something
+            if mode != "approx":
+                raise ValueError(
+                    "target_recall applies only to mode='approx' "
+                    f"(got mode={mode!r}; the other modes are exact)"
+                )
+            if not (0.0 < target_recall <= 1.0):
+                raise ValueError(
+                    f"target_recall must be in (0, 1], got {target_recall}"
+                )
         entry = self._serving.get(namespace)
         indexable = (
             entry is not None
@@ -1583,7 +1605,12 @@ class VectorStore:
                     index.measure_recall_curve(
                         k=max(10, top_k), vec_col=entry[1], id_col=entry[2]
                     )
-                nprobe = curve_fn(target_recall)
+                if getattr(index, "_recall_curve", None) is None:
+                    # measuring an EMPTY index yields no curve: probe
+                    # everything (trivially meets any target on nothing)
+                    nprobe = index.n_clusters
+                else:
+                    nprobe = curve_fn(target_recall)
             df = self._indexed_search_df(
                 namespace, query_values, top_k,
                 nprobe=nprobe if mode == "approx" else None,
@@ -1625,11 +1652,22 @@ class VectorStore:
         metric="cosine" brute force, ordered descending."""
         index, vec_col, id_col, space = self._serving[namespace]
         q = [float(x) for x in query_values]
+        fetch_k = top_k
         if space == "cosine":
             import math
 
             qn = math.sqrt(sum(x * x for x in q)) or 1.0
             q = [x / qn for x in q]
+            # selection runs in rounded normalized-L2 while the FINAL rank
+            # below is by rounded true cosine against the raw stored
+            # vectors — two roundings whose tie groups straddle different
+            # boundaries. Over-fetching pads the candidate set so a row
+            # that final-ranks into the top-k cannot be cut by a
+            # selection-side rounding tie at the k boundary (it would take
+            # 32+ rows inside one 1e-4 rounding band to defeat this); the
+            # l2 space needs none — selection and final rank share one
+            # metric there, so parity is exact by construction.
+            fetch_k = top_k + 32
         if nprobe is not None:
             # approximate probe (mode="approx"): the reference's HNSW-like
             # recall/latency dial — nprobe plays ef's role. Requires an
@@ -1647,21 +1685,22 @@ class VectorStore:
                     f"search through {type(index).__name__}"
                 )
             hits = probe(
-                q, top_k, nprobe=nprobe, vec_col=vec_col, id_col=id_col,
+                q, fetch_k, nprobe=nprobe, vec_col=vec_col, id_col=id_col,
                 metric="l2",
             )
         else:
             hits = index.search_exact(
-                q, top_k, vec_col=vec_col, id_col=id_col
+                q, fetch_k, vec_col=vec_col, id_col=id_col
             )
-        # the hit list is bounded (≤k rows): collect the ids and push an
-        # IN-list predicate into the store scan so parquet row-group
-        # stats skip everything but the hit rows — without it the
-        # enrichment re-scans the full namespace per query, the one
-        # non-pruned read left on the serving hot path (round-6 verdict
-        # #4). The former broadcast-join enrichment was pure filtering
-        # anyway (the index's score column is discarded and recomputed
-        # below), so the IN-list replaces it outright.
+        # the hit list is bounded (≤k rows): for serving-scale k, collect
+        # the ids and push an IN-list predicate into the store scan so
+        # parquet row-group stats skip everything but the hit rows —
+        # without it the enrichment re-scans the full namespace per query,
+        # the one non-pruned read left on the serving hot path (round-6
+        # verdict #4). The broadcast-join form survives as the fallback
+        # for batch-export-sized k, where inlining tens of thousands of
+        # ids into one In() expression would bloat the plan instead of
+        # helping the scan.
         hit_ids = [
             str(r[0]) for r in hits.select(F.col(id_col)).collect()
         ]
@@ -1670,11 +1709,14 @@ class VectorStore:
                 [], "id string, values array<float>, "
                 "metadata map<string,string>, score double"
             )
-        joined = (
-            self.df()
-            .filter(F.col("namespace") == namespace)
-            .filter(F.col("id").isin(hit_ids))
-        )
+        ns_df = self.df().filter(F.col("namespace") == namespace)
+        if len(hit_ids) <= 1024:
+            joined = ns_df.filter(F.col("id").isin(hit_ids))
+        else:
+            id_frame = self.spark.createDataFrame(
+                [(i,) for i in hit_ids], "id string"
+            )
+            joined = ns_df.join(F.broadcast(id_frame), "id")
         # the reported score is always recomputed against the STORE's
         # vectors (the index selected; the store scores) — so even a
         # deliberately as-synced indexed read never pairs a row with a

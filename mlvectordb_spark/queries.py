@@ -493,9 +493,14 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01"))
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # lazy localCheckpoint, not persist: same one-materialization reuse
+    # across the scalar and filter branches, but the blocks are released
+    # by GC when the frame goes out of scope — a persist() here would pin
+    # a fresh cache entry per invocation for the app's lifetime (r7
+    # review)
     per_supp = li.groupBy("l_suppkey").agg(
         F.round(F.sum(rev), 2).alias("total_revenue")
-    ).persist()
+    ).localCheckpoint(eager=False)
     mx = per_supp.agg(F.max("total_revenue").alias("__mx"))
     return (
         per_supp.join(F.broadcast(mx))
@@ -832,11 +837,14 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
     ).select("s_suppkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    # lazy localCheckpoint over persist: see q_tpch_q15 — one
+    # materialization shared by both branches, blocks GC-released instead
+    # of pinned in the cache manager per invocation
     per_part = (
         li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     total = per_part.agg(F.sum("part_value").alias("__total"))
     return (
         per_part.join(F.broadcast(total))
@@ -4993,11 +5001,16 @@ WITH live AS (
       ((x::DOUBLE / sqrt({_sql_dot('vals', 'vals')}))::FLOAT)::DOUBLE) AS nv
   FROM live
 ), sel AS (
+  -- the engine over-fetches k+32 candidates in rounded normalized-L2
+  -- space, then FINAL-ranks by rounded true cosine (r7: pads selection
+  -- so rounding-tie boundaries can't cut a true top-k member)
   SELECT id, vals FROM norm, q
   ORDER BY round({_sql_l2sq('nv', 'qnv')}, 4) ASC, id ASC
-  LIMIT {KNN_K}
+  LIMIT {KNN_K + 32}
 )
 SELECT id, round({_sql_cos('vals', 'qv')}, 4) AS score FROM sel, q
+ORDER BY round({_sql_cos('vals', 'qv')}, 4) DESC, id ASC
+LIMIT {KNN_K}
 """,
     # steady-state probe against the SESSION store: fixture state (×2 bump
     # of %10, delete of %7) plus the probe entry's idempotent ×3 overwrite

@@ -853,3 +853,27 @@ def test_ivfpq_approx_search_and_recall_curve(spark, emb, qvec, tmp_path):
 
     loaded = _P.load(spark, str(tmp_path / "ivfpq_curve"))
     assert loaded._recall_curve == curve
+
+
+def test_recall_curve_empty_index_is_conservative(spark):
+    """r7 review: measuring over an EMPTY index must not fabricate (and
+    persist) recall 1.0 — it returns an empty curve, is not cached (a
+    later measure re-runs), and the selection helper resolves an empty
+    curve to the full-probe fallback."""
+    from mlvectordb_spark.operators.ann import (
+        _measure_recall_curve,
+        _nprobe_for_recall,
+    )
+
+    idx = IVFIndex(n_clusters=4, seed=1)
+    df = spark.createDataFrame(
+        [(f"k{i}", [float(i), 1.0]) for i in range(20)],
+        "id string, values array<float>",
+    )
+    idx.build(df, vec_col="values", id_col="id")
+    idx.indexed = idx.indexed.filter("1 = 0")  # all rows gone (CDC-deleted)
+    curve = idx.measure_recall_curve(k=5, n_queries=3, nprobes=[1, 4],
+                                     id_col="id")
+    assert curve == {}
+    assert idx._recall_curve is None, "empty measurement must not cache"
+    assert _nprobe_for_recall({}, 0.9, 4) == 4

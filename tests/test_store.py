@@ -1306,3 +1306,112 @@ def test_target_recall_through_ivfpq_member(spark, tmp_path):
         [5.0, 3.0, 1.0, 80.0], 5, namespace="A", metric="l2", mode="indexed"
     )
     assert {h["id"] for h in got} == {h["id"] for h in exact}
+
+
+def test_clear_all_detaches_serving_and_restore_resync_is_honest(
+    spark, tmp_path
+):
+    """r7 review: a truncate (clear_all / restore_from_backup) resets the
+    version counter, so surviving serving bookmarks would alias post-reset
+    version numbers — once post-reset writes reach the old synced value,
+    a pre-wipe index would read as fresh. clear_all therefore DETACHES
+    every serving index; and after a restore, even calling sync_indexes
+    (the usual staleness remedy) cannot resurrect the stale index."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    store = VectorStore(spark, str(tmp_path / "wipe"), rebuild_threshold=0.95)
+    store.upsert_df(
+        spark.createDataFrame(
+            [(f"k{i}", [float(i), 0.0], "A") for i in range(10)],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    store.build_index("A", factory=lambda: IVFIndex(n_clusters=2, seed=1))
+    backup = str(tmp_path / "wipe_bak")
+    store.create_backup(backup)
+    store.upsert_df(
+        spark.createDataFrame(
+            [("post", [500.0, 0.0], "A")],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    store.restore_from_backup(backup)
+    assert store.attached_index("A") is None, "truncate must detach serving"
+    # the reviewer's scenario: the old remedy (sync) must not bring a
+    # stale index back — there is nothing attached to mis-freshen
+    store.sync_indexes()
+    got = store.find_similar([500.0, 0.0], 1, namespace="A", metric="l2")
+    assert got[0]["id"] != "post"
+    # clear_all + same-shaped rewrites up to the old bookmark value: auto
+    # must serve CURRENT content (via exact scan — nothing attached)
+    store2 = VectorStore(spark, str(tmp_path / "wipe2"), rebuild_threshold=0.95)
+    store2.upsert_df(
+        spark.createDataFrame(
+            [("a", [1.0, 0.0], "A")],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    store2.build_index("A", factory=lambda: IVFIndex(n_clusters=1, seed=1))
+    store2.clear_all()
+    store2.upsert_df(
+        spark.createDataFrame(
+            [("b", [2.0, 0.0], "A")],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    got2 = store2.find_similar([2.0, 0.0], 1, namespace="A", metric="l2")
+    assert got2[0]["id"] == "b"
+
+
+def test_target_recall_validation(spark, tmp_path):
+    """r7 review: target_recall outside approx mode (or out of range) must
+    raise, not silently do nothing."""
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    store = VectorStore(spark, str(tmp_path / "trv"), rebuild_threshold=0.95)
+    store.upsert_df(
+        spark.createDataFrame(
+            [(f"k{i}", [float(i)], "A") for i in range(8)],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    store.build_index("A", factory=lambda: IVFIndex(n_clusters=2, seed=1))
+    with pytest.raises(ValueError):
+        store.find_similar(
+            [1.0], 2, namespace="A", metric="l2", mode="auto",
+            target_recall=0.9,
+        )
+    with pytest.raises(ValueError):
+        store.find_similar(
+            [1.0], 2, namespace="A", metric="l2", mode="approx",
+            target_recall=0.0,
+        )
+    with pytest.raises(ValueError):
+        store.find_similar(
+            [1.0], 2, namespace="A", metric="l2", mode="approx",
+            target_recall=1.5,
+        )
+
+
+def test_indexed_enrichment_large_k_uses_broadcast_fallback(spark, tmp_path):
+    """r7 review: batch-export-sized top_k must not inline thousands of
+    ids into one In() literal — above the cap the enrichment joins a
+    broadcast id frame instead, and the results stay complete."""
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    n = 1200
+    store = VectorStore(spark, str(tmp_path / "bigk"), rebuild_threshold=0.95)
+    store.upsert_df(
+        spark.createDataFrame(
+            [(f"k{i:05d}", [float(i % 50), float(i % 7)], "A") for i in range(n)],
+            "id string, values array<float>, namespace string",
+        ),
+        assume_unique_ids=True,
+    )
+    store.build_index("A", factory=lambda: IVFIndex(n_clusters=4, seed=1))
+    df = store._indexed_search_df("A", [3.0, 2.0], 1100)
+    raw = df._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in raw or "BroadcastExchange" in raw, raw
+    assert df.count() == 1100
