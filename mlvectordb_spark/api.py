@@ -92,6 +92,49 @@ class EngineService:
                 query, top_k, namespace, metric, metadata_filter, mode=mode
             )
 
+    def search_batch(
+        self,
+        queries: Mapping[str, Sequence[float]],
+        top_k: int,
+        namespace: str,
+        metric: str = "cosine",
+        mode: str = "auto",
+    ) -> list[dict[str, Any]]:
+        """Q2 batch serving: per-query top-k in ONE request — the
+        reference's batch surface is a REST loop of single searches; this
+        funnels the whole batch through one certified pruned scan
+        (`VectorStore.find_similar_batch`). Response: one entry per
+        query, matches rank-ordered."""
+        if not 1 <= top_k <= self.MAX_TOP_K:
+            raise ValueError(f"top_k must be in [1, {self.MAX_TOP_K}]")
+        if len(queries) > self.MAX_TOP_K:
+            raise ValueError(
+                f"batch larger than {self.MAX_TOP_K} queries"
+            )
+        with self.stats.track("knn_batch"):
+            df = self.store.find_similar_batch(
+                queries, top_k, namespace, metric, mode=mode
+            )
+            rows = df.collect()
+        from mlvectordb_spark.functions.vector import metric_ascending
+
+        out: dict[str, list[dict[str, Any]]] = {q: [] for q in queries}
+        for r in rows:
+            out[r.query_id].append(
+                {
+                    "id": r.id,
+                    "score": float(r.score),
+                    "values": list(r.values),
+                    "metadata": dict(r.metadata or {}),
+                }
+            )
+        asc = metric_ascending(metric)
+        for matches in out.values():
+            matches.sort(key=lambda m: (m["score"] if asc else -m["score"], m["id"]))
+        return [
+            {"query_id": qid, "matches": out[qid]} for qid in queries
+        ]
+
     # -- serving-index lifecycle (W8-W11 + Q23 through the REST surface) ----
 
     def build_index(self, namespace: str, space: str = "l2") -> dict[str, Any]:

@@ -1523,67 +1523,10 @@ class VectorStore:
                 f"query dimension {len(query_values)} != namespace "
                 f"{namespace!r} dimension {ns_dim}"
             )
-        if mode not in ("auto", "exact", "indexed", "approx"):
-            raise ValueError(f"unknown mode {mode!r}")
-        if target_recall is not None:
-            # a quality contract only the approx dial can honor: every
-            # other mode is already exact — silently ignoring the option
-            # there would let a caller believe it did something
-            if mode != "approx":
-                raise ValueError(
-                    "target_recall applies only to mode='approx' "
-                    f"(got mode={mode!r}; the other modes are exact)"
-                )
-            if not (0.0 < target_recall <= 1.0):
-                raise ValueError(
-                    f"target_recall must be in (0, 1], got {target_recall}"
-                )
-        entry = self._serving.get(namespace)
-        indexable = (
-            entry is not None
-            and metric == entry[3]
-            and not metadata_filter
+        indexable = self._serving_route(
+            namespace, metric, metadata_filter, mode, target_recall
         )
-        if indexable and mode == "auto":
-            # read-your-writes: auto NEVER serves a stale index — if this
-            # namespace was written past the index's last sync, fall back
-            # to the exact scan (call sync_indexes() to restore routed
-            # serving). Staleness is judged PER NAMESPACE from the write
-            # paths' tracker, so a THIS-SESSION write to another namespace
-            # does not knock this one off its fresh index — but the
-            # tracker is a lower bound (blind to other writers), so every
-            # version since the sync must also be accounted for by this
-            # object's own writes; any unaccounted version means an
-            # external process may have touched this namespace and only
-            # `synced == cur` proves freshness (round-6 ADVICE medium).
-            # Explicit mode="indexed"/"approx" serves the index as-synced.
-            synced = self._serving_synced_at.get(namespace, -1)
-            cur = self.current_version()
-            last_write = self._ns_mutated_at.get(namespace)
-            if synced == cur:
-                # also catches a version RESET (clear_all/restore):
-                # synced > cur means the index predates a wipe
-                fresh = True
-            elif last_write is None:
-                fresh = False
-            else:
-                fresh = (
-                    last_write <= synced <= cur
-                    and all(
-                        v in self._session_versions
-                        for v in range(synced + 1, cur + 1)
-                    )
-                )
-            if not fresh:
-                indexable = False
-        if mode in ("indexed", "approx"):
-            if entry is None:
-                raise ValueError(f"no index attached to namespace {namespace!r}")
-            if not indexable:
-                raise ValueError(
-                    f"indexed serving requires metric={entry[3]!r} (the "
-                    "attached space) and no metadata_filter"
-                )
+        entry = self._serving.get(namespace)
         if indexable and mode != "exact":
             if mode == "approx" and target_recall is not None:
                 # recall-targeted probing (the reference's serving quality
@@ -1629,6 +1572,221 @@ class VectorStore:
         return self._search_frame(
             df, query_values, top_k, metric, metadata_filter
         )
+
+    def find_similar_batch(
+        self,
+        queries: Mapping[str, Sequence[float]] | DataFrame,
+        top_k: int,
+        namespace: str = DEFAULT_NAMESPACE,
+        metric: str = "cosine",
+        mode: str = "auto",
+    ) -> DataFrame:
+        """Q2 through the STORE: per-query exact top-k over one
+        namespace, returned as a DataFrame (query_id, id, score, values,
+        metadata) — batch results never cross the driver, unlike the
+        per-query `find_similar` list (the reference's batch surface is a
+        REST loop over single queries, rest_api.py; this is its 100 TB
+        shape).
+
+        `queries`: a mapping {query_id: vector} or a DataFrame with
+        (query_id, values) columns — bounded by the serving contract
+        (query VECTORS drive driver-side probe math, like every batch-KNN
+        path here; the reference caps request sizes the same way).
+
+        Routing follows `find_similar` exactly (same freshness rules,
+        same mode semantics): when the namespace's attached index can
+        serve, the corpus side reads ONLY the union of certified probe
+        clusters (`knn_join_exact` — one pruned scan for the whole
+        batch) instead of paying |queries| full scans; reported scores
+        are always recomputed against the STORE's vectors. Cosine space
+        selects in normalized-L2 with the single-path's +32 over-fetch,
+        then final-ranks by true cosine."""
+        if isinstance(queries, DataFrame):
+            qrows = [
+                (str(r[0]), [float(x) for x in r[1]])
+                for r in queries.select("query_id", "values").collect()
+            ]
+        else:
+            qrows = [
+                (str(qid), [float(x) for x in vec])
+                for qid, vec in queries.items()
+            ]
+        if not qrows:
+            return self.spark.createDataFrame(
+                [], "query_id string, id string, score double, "
+                "values array<float>, metadata map<string,string>"
+            )
+        if len({qid for qid, _ in qrows}) != len(qrows):
+            raise ValueError("duplicate query_id in batch")
+        if mode == "approx":
+            raise ValueError(
+                "mode='approx' is a single-query dial (nprobe per probe "
+                "vector); the batch path serves exact per-query top-k — "
+                "use mode='auto'/'indexed'/'exact'"
+            )
+        ns_dim = self.dimension(namespace)
+        if ns_dim is not None:
+            for qid, vec in qrows:
+                if len(vec) != ns_dim:
+                    raise ValueError(
+                        f"query {qid!r} dimension {len(vec)} != namespace "
+                        f"{namespace!r} dimension {ns_dim}"
+                    )
+        indexable = self._serving_route(namespace, metric, None, mode)
+        ns_df = self.df().filter(F.col("namespace") == namespace)
+        ord_asc = metric_ascending(metric)
+        if indexable and mode != "exact":
+            index, vec_col, id_col, space = self._serving[namespace]
+            batch_join = getattr(index, "knn_join_exact", None)
+            if batch_join is not None:
+                fetch_k = top_k
+                if space == "cosine":
+                    import math
+
+                    fetch_k = top_k + 32  # see _indexed_search_df
+
+                    def _norm(v):
+                        n = math.sqrt(sum(x * x for x in v)) or 1.0
+                        return [x / n for x in v]
+
+                    qprep = [
+                        (i, qid, _norm(v))
+                        for i, (qid, v) in enumerate(qrows)
+                    ]
+                else:
+                    qprep = [
+                        (i, qid, v) for i, (qid, v) in enumerate(qrows)
+                    ]
+                qdf = self.spark.createDataFrame(
+                    [(i, q) for i, _, q in qprep],
+                    "__qid long, __qvec array<float>",
+                )
+                hits = batch_join(
+                    qdf, fetch_k, query_vec="__qvec", query_id="__qid",
+                    vec_col=vec_col, id_col=id_col,
+                ).select(
+                    F.col("__qid"),
+                    F.col(id_col).cast("string").alias("id"),
+                )
+                qmap = self.spark.createDataFrame(
+                    [(i, qid, v) for i, (qid, v) in enumerate(qrows)],
+                    "__qid long, query_id string, __qraw array<double>",
+                )
+                # enrichment: the hit set is ≤ |queries|×fetch_k rows —
+                # broadcast it into the namespace scan (the batch analog
+                # of the single-path IN-list), then rescore against the
+                # STORE's vectors and cut to the final per-query top-k
+                cand = (
+                    ns_df.join(F.broadcast(hits), "id")
+                    .join(F.broadcast(qmap), "__qid")
+                )
+                score = F.round(
+                    metric_expr(F.col("values"), F.col("__qraw"), metric), 4
+                )
+                lead = F.col("score").asc() if ord_asc else F.col("score").desc()
+                w = SqlWindow.partitionBy("query_id").orderBy(
+                    lead, F.col("id").asc()
+                )
+                return (
+                    cand.withColumn("score", score)
+                    .withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= top_k)
+                    .select("query_id", "id", "score", "values", "metadata")
+                )
+        # brute-force fallback: ONE broadcast of the bounded query set
+        # against the namespace scan (operators/knn.knn_join), then one
+        # id-join to re-attach values/metadata
+        from mlvectordb_spark.operators.knn import knn_join
+
+        qdf_raw = self.spark.createDataFrame(
+            qrows, "query_id string, __qvec array<float>"
+        )
+        hits = knn_join(
+            ns_df, qdf_raw, top_k,
+            data_vec="values", query_vec="__qvec",
+            data_id="id", query_id="query_id", metric=metric,
+        )
+        return (
+            hits.join(ns_df.select("id", "values", "metadata"), "id")
+            .select("query_id", "id", "score", "values", "metadata")
+        )
+
+    def _serving_route(
+        self,
+        namespace: str,
+        metric: str,
+        metadata_filter: Mapping[str, str] | None,
+        mode: str,
+        target_recall: float | None = None,
+    ) -> bool:
+        """The shared serving router of `find_similar` and
+        `find_similar_batch`: validate mode/target_recall, then decide
+        whether the read routes through the attached index.
+
+        Read-your-writes: auto NEVER serves a stale index — if the
+        namespace was written past the index's last sync, fall back to
+        the exact scan (call sync_indexes() to restore routed serving).
+        Staleness is judged PER NAMESPACE from the write paths' tracker,
+        so a THIS-SESSION write to another namespace does not knock this
+        one off its fresh index — but the tracker is a lower bound
+        (blind to other writers), so every version since the sync must
+        also be accounted for by this object's own writes; any
+        unaccounted version means an external process may have touched
+        this namespace and only `synced == cur` proves freshness
+        (round-6 ADVICE medium). Explicit mode="indexed"/"approx" serves
+        the index as-synced, raising when it cannot serve at all."""
+        if mode not in ("auto", "exact", "indexed", "approx"):
+            raise ValueError(f"unknown mode {mode!r}")
+        if target_recall is not None:
+            # a quality contract only the approx dial can honor: every
+            # other mode is already exact — silently ignoring the option
+            # there would let a caller believe it did something
+            if mode != "approx":
+                raise ValueError(
+                    "target_recall applies only to mode='approx' "
+                    f"(got mode={mode!r}; the other modes are exact)"
+                )
+            if not (0.0 < target_recall <= 1.0):
+                raise ValueError(
+                    f"target_recall must be in (0, 1], got {target_recall}"
+                )
+        entry = self._serving.get(namespace)
+        indexable = (
+            entry is not None
+            and metric == entry[3]
+            and not metadata_filter
+        )
+        if indexable and mode == "auto":
+            synced = self._serving_synced_at.get(namespace, -1)
+            cur = self.current_version()
+            last_write = self._ns_mutated_at.get(namespace)
+            if synced == cur:
+                # also catches a version RESET (clear_all/restore):
+                # synced > cur means the index predates a wipe
+                fresh = True
+            elif last_write is None:
+                fresh = False
+            else:
+                fresh = (
+                    last_write <= synced <= cur
+                    and all(
+                        v in self._session_versions
+                        for v in range(synced + 1, cur + 1)
+                    )
+                )
+            if not fresh:
+                indexable = False
+        if mode in ("indexed", "approx"):
+            if entry is None:
+                raise ValueError(
+                    f"no index attached to namespace {namespace!r}"
+                )
+            if not indexable:
+                raise ValueError(
+                    f"indexed serving requires metric={entry[3]!r} (the "
+                    "attached space) and no metadata_filter"
+                )
+        return indexable
 
     def _indexed_search_df(
         self,

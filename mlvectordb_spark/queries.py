@@ -2854,6 +2854,54 @@ def q_store_indexed_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "item string, val double")
 
 
+def q_store_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 through the STORE (round-7): one batch of queries served via
+    `find_similar_batch(mode="indexed")` — the whole batch rides ONE
+    certified pruned scan (`IVFIndex.knn_join_exact` per-query probe
+    union) plus one broadcast enrichment against the namespace, instead
+    of |queries| REST-loop single searches (the reference's only batch
+    shape, rest_api.py). Exact by construction, so the oracle is the
+    per-query relational top-k over the ns0 rows. Namespace isolation:
+    ns1 rows must never appear."""
+    import tempfile
+
+    from mlvectordb_spark.operators.ann import IVFIndex, NamespaceIndexFamily
+    from mlvectordb_spark.operators.store import VectorStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = VectorStore(
+        spark, tempfile.mkdtemp(prefix="q_batchserve_"), rebuild_threshold=0.95
+    )
+    dto = emb.select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+        F.col("embedding").alias("values"),
+        F.concat(F.lit("ns"), F.col("label") % 2).alias("namespace"),
+    )
+    store.upsert_df(dto, assume_unique_ids=True)
+    fam = NamespaceIndexFamily(
+        factory=lambda: IVFIndex(
+            n_clusters=8, seed=42, max_iter=4, init_mode="random"
+        )
+    )
+    fam.build(
+        store.df().select("id", "values", "namespace"),
+        vec_col="values",
+        id_col="id",
+    )
+    for ns in fam.namespaces():
+        store.attach_index(ns, fam.member(ns), vec_col="values", id_col="id")
+    qvecs = {
+        f"q{r.vec_id}": [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < BATCH_QUERY_MAX_VID)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    out = store.find_similar_batch(
+        qvecs, BATCH_K, namespace="ns0", metric="l2", mode="indexed"
+    )
+    return out.select("query_id", "id", "score")
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal surface under the driver gate: synthetic binary corpus
     (REAL WAV/BMP payloads) → real decode-and-extract features for
@@ -5047,6 +5095,27 @@ WITH live AS (
 SELECT parity, count(*) AS n_docs, sum(vec_id)::BIGINT AS sum_vid
 FROM live GROUP BY parity ORDER BY parity
 """,
+    # batch serving through the store: per-query exact top-k over the ns0
+    # (label%2=0) live rows for the first BATCH_QUERY_MAX_VID embeddings
+    # as queries
+    "store_batch_search": f"""
+WITH qs AS (
+  SELECT 'q' || vec_id::VARCHAR AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {BATCH_QUERY_MAX_VID}
+), live AS (
+  SELECT 'v' || vec_id::VARCHAR AS id, embedding AS vals
+  FROM embeddings WHERE label % 2 = 0
+), scored AS (
+  SELECT query_id, id,
+         round({_sql_l2sq('vals', 'qv')}, 4) AS score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round({_sql_l2sq('vals', 'qv')}, 4) ASC, id ASC
+         ) AS rn
+  FROM live, qs
+)
+SELECT query_id, id, score FROM scored WHERE rn <= {BATCH_K}
+""",
     # four contract rows appear only if the documented ValueError fired;
     # the tail is the still-working exact indexed read over the full
     # single-namespace store
@@ -5627,10 +5696,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "store_indexed_cosine": q_store_indexed_cosine,
     "store_timetravel": q_store_timetravel,
     # r7: steady-state probe vs the session store, replica JSON-path parity
-    # across incremental sync, indexed-serving negative contracts
+    # across incremental sync, indexed-serving negative contracts, batch
+    # serving through one certified pruned scan
     "store_indexed_probe": q_store_indexed_probe,
     "store_replica_json": q_store_replica_json,
     "store_indexed_errors": q_store_indexed_errors,
+    "store_batch_search": q_store_batch_search,
     # -- relational layer (incl. the co-located bucketed-layout join) --
     "bucketed_join": q_bucketed_join,
     "top_orders_per_cust": q_top_orders_per_cust,
@@ -5879,13 +5950,15 @@ _WINDOW = [
     # (a) never driver-checked, oracle-backed — 7 entries (q11 post-fix)
     "tpch_q2", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q20", "tpch_q21",
     "monthly_moving_avg",
-    # (a') new in r7 — 3 entries
+    # (a') new in r7 — 4 entries
     "store_indexed_probe", "store_replica_json", "store_indexed_errors",
+    "store_batch_search",
     # (b) kernels changed in r7 — 9 entries
     "tpch_q15", "store_indexed_search", "store_indexed_cosine",
     "store_roundtrip", "store_timetravel", "ann_ivf_exact", "ann_ivf_batch",
     "hybrid_ivf_exact", "ann_ivfpq_exact",
-    # (c) longest-resting driver rows (r4) — 29 entries
+    # (c) longest-resting driver rows (r4) — 28 entries (stratified_sample
+    # rests one more round to make room for store_batch_search)
     "array_ops", "cust_big_orders", "data_split", "dedup_prefix_buckets",
     "distinct_counts", "doc_chunks", "doc_dup_ngrams", "doc_fingerprint",
     "doc_lang_id", "doc_logprob", "doc_quality", "doc_repetition",
@@ -5893,7 +5966,7 @@ _WINDOW = [
     "events_sessionize", "events_sliding", "events_tumbling",
     "grouping_sets", "metadata_query", "ns_stats", "orders_cube",
     "orders_pivot", "segment_setops", "seq_pack", "source_mixture",
-    "stratified_sample", "tfidf_terms", "token_freq",
+    "tfidf_terms", "token_freq",
     # (e) continuity core (the flagship operators) — 2 entries
     # (store_roundtrip, the usual third, is already in (b))
     "knn_l2", "hybrid_knn",

@@ -1415,3 +1415,92 @@ def test_indexed_enrichment_large_k_uses_broadcast_fallback(spark, tmp_path):
     raw = df._jdf.queryExecution().toString()
     assert "BroadcastHashJoin" in raw or "BroadcastExchange" in raw, raw
     assert df.count() == 1100
+
+
+def test_find_similar_batch_routed_exact_and_contracts(spark, tmp_path):
+    """r7 batch serving: routed (certified batch join) equals the brute
+    exact path per query; staleness falls back like the single path; the
+    input contracts raise."""
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    store = VectorStore(spark, str(tmp_path / "batch"), rebuild_threshold=0.95)
+    store.upsert_df(
+        spark.createDataFrame(
+            [(f"k{i}", [float(i % 23), float(i % 7)], "A") for i in range(90)],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    store.build_index("A", factory=lambda: IVFIndex(n_clusters=4, seed=2))
+    qs = {"qa": [4.0, 3.0], "qb": [20.0, 1.0]}
+    routed = store.find_similar_batch(qs, 4, namespace="A", metric="l2",
+                                      mode="indexed")
+    exact = store.find_similar_batch(qs, 4, namespace="A", metric="l2",
+                                     mode="exact")
+    key = lambda df: sorted(  # noqa: E731
+        (r.query_id, r.id, r.score) for r in df.collect()
+    )
+    assert key(routed) == key(exact)
+    # single-query parity per query id
+    for qid, vec in qs.items():
+        single = store.find_similar(vec, 4, namespace="A", metric="l2")
+        assert {(h["id"], h["score"]) for h in single} == {
+            (i, s) for q, i, s in key(routed) if q == qid
+        }
+    # metadata rides along
+    assert "metadata" in routed.columns and "values" in routed.columns
+    # a write makes auto fall back (still correct, just unrouted)
+    store.upsert_df(
+        spark.createDataFrame(
+            [("fresh", [4.0, 3.0], "A")],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    auto = store.find_similar_batch(qs, 1, namespace="A", metric="l2")
+    got = {r.id for r in auto.collect() if r.query_id == "qa"}
+    assert got == {"fresh"}
+    with pytest.raises(ValueError):
+        store.find_similar_batch(qs, 2, namespace="A", metric="l2",
+                                 mode="approx")
+    with pytest.raises(ValueError):
+        store.find_similar_batch({"qa": [1.0, 2.0, 3.0]}, 2, namespace="A",
+                                 metric="l2")
+    # DataFrame input is accepted too
+    qdf = spark.createDataFrame(
+        [("qa", [4.0, 3.0])], "query_id string, values array<float>"
+    )
+    dfres = store.find_similar_batch(qdf, 2, namespace="A", metric="l2",
+                                     mode="exact")
+    assert dfres.count() == 2
+
+
+def test_api_search_batch_shape(spark, tmp_path):
+    """REST-shaped batch response: one entry per query in request order,
+    matches rank-ordered, top_k/batch caps enforced."""
+    from mlvectordb_spark.api import EngineService
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    store = VectorStore(spark, str(tmp_path / "apibatch"),
+                        rebuild_threshold=0.95)
+    svc = EngineService(store)
+    svc.store.upsert_df(
+        spark.createDataFrame(
+            [(f"k{i}", [float(i), 1.0], "default") for i in range(20)],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    svc.store.build_index(
+        "default", factory=lambda: IVFIndex(n_clusters=2, seed=1)
+    )
+    res = svc.search_batch(
+        {"q1": [5.0, 1.0], "q2": [15.0, 1.0]}, top_k=3,
+        namespace="default", metric="l2",
+    )
+    assert [e["query_id"] for e in res] == ["q1", "q2"]
+    for e in res:
+        scores = [m["score"] for m in e["matches"]]
+        assert scores == sorted(scores)
+        assert len(e["matches"]) == 3
+        assert all("metadata" in m and "values" in m for m in e["matches"])
+    assert res[0]["matches"][0]["id"] == "k5"
+    with pytest.raises(ValueError):
+        svc.search_batch({"q": [1.0, 1.0]}, top_k=0, namespace="default")
