@@ -126,6 +126,9 @@ HEADLINE = [
     # ingest-time, amortized in session_store_indexed; the full lifecycle
     # stays oracle-gated as store_indexed_search)
     "store_indexed_probe",
+    # batch serving steady-state: |queries| answers through ONE certified
+    # pruned scan + broadcast enrichment against the session store
+    "store_batch_probe",
 ]
 
 

@@ -2854,6 +2854,38 @@ def q_store_indexed_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "item string, val double")
 
 
+def q_store_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE batch serving against the session store (the bench
+    twin of `store_batch_search`, which builds its own store to gate the
+    lifecycle): re-apply `store_indexed_probe`'s idempotent CDC batch —
+    making the namespace state deterministic whatever ran before — then
+    serve the whole query batch through ONE certified pruned scan
+    (`find_similar_batch(mode="indexed")`). The number a batch-scoring
+    deployment lives on: |queries| answers for one probe-union scan plus
+    one broadcast enrichment."""
+    store, _ = session_store_indexed(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(
+        (F.col("vec_id") % 100 == 3) & (F.col("label") % 2 == 0)
+    ).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("values"),
+        F.lit("ns0").alias("namespace"),
+    )
+    store.upsert_df(batch)
+    store.sync_indexes()
+    qvecs = {
+        f"q{r.vec_id}": [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < BATCH_QUERY_MAX_VID)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    out = store.find_similar_batch(
+        qvecs, BATCH_K, namespace="ns0", metric="l2", mode="indexed"
+    )
+    return out.select("query_id", "id", "score")
+
+
 def q_store_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 through the STORE (round-7): one batch of queries served via
     `find_similar_batch(mode="indexed")` — the whole batch rides ONE
@@ -5095,6 +5127,33 @@ WITH live AS (
 SELECT parity, count(*) AS n_docs, sum(vec_id)::BIGINT AS sum_vid
 FROM live GROUP BY parity ORDER BY parity
 """,
+    # steady-state batch serving vs the SESSION store: same live state as
+    # store_indexed_probe (the entry re-applies the idempotent ×3 batch
+    # itself, so the state holds whatever ran before), per-query top-k
+    "store_batch_probe": f"""
+WITH qs AS (
+  SELECT 'q' || vec_id::VARCHAR AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {BATCH_QUERY_MAX_VID}
+), live AS (
+  SELECT 'v' || vec_id::VARCHAR AS id,
+    CASE WHEN vec_id % 100 = 3
+         THEN list_transform(embedding, x -> (x * 3)::FLOAT)
+         WHEN vec_id % 10 = 0
+         THEN list_transform(embedding, x -> (x * 2)::FLOAT)
+         ELSE embedding END AS vals
+  FROM embeddings
+  WHERE label % 2 = 0 AND (vec_id % 100 = 3 OR vec_id % 7 != 0)
+), scored AS (
+  SELECT query_id, id,
+         round({_sql_l2sq('vals', 'qv')}, 4) AS score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round({_sql_l2sq('vals', 'qv')}, 4) ASC, id ASC
+         ) AS rn
+  FROM live, qs
+)
+SELECT query_id, id, score FROM scored WHERE rn <= {BATCH_K}
+""",
     # batch serving through the store: per-query exact top-k over the ns0
     # (label%2=0) live rows for the first BATCH_QUERY_MAX_VID embeddings
     # as queries
@@ -5702,6 +5761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "store_replica_json": q_store_replica_json,
     "store_indexed_errors": q_store_indexed_errors,
     "store_batch_search": q_store_batch_search,
+    "store_batch_probe": q_store_batch_probe,
     # -- relational layer (incl. the co-located bucketed-layout join) --
     "bucketed_join": q_bucketed_join,
     "top_orders_per_cust": q_top_orders_per_cust,
