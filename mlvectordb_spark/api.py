@@ -98,6 +98,7 @@ class EngineService:
         top_k: int,
         namespace: str,
         metric: str = "cosine",
+        metadata_filter: Mapping[str, str] | None = None,
         mode: str = "auto",
     ) -> list[dict[str, Any]]:
         """Q2 batch serving: per-query top-k in ONE request — the
@@ -113,7 +114,8 @@ class EngineService:
             )
         with self.stats.track("knn_batch"):
             df = self.store.find_similar_batch(
-                queries, top_k, namespace, metric, mode=mode
+                queries, top_k, namespace, metric, metadata_filter,
+                mode=mode,
             )
             rows = df.collect()
         from mlvectordb_spark.functions.vector import metric_ascending

@@ -1579,6 +1579,7 @@ class VectorStore:
         top_k: int,
         namespace: str = DEFAULT_NAMESPACE,
         metric: str = "cosine",
+        metadata_filter: Mapping[str, str] | None = None,
         mode: str = "auto",
     ) -> DataFrame:
         """Q2 through the STORE: per-query exact top-k over one
@@ -1632,8 +1633,15 @@ class VectorStore:
                         f"query {qid!r} dimension {len(vec)} != namespace "
                         f"{namespace!r} dimension {ns_dim}"
                     )
-        indexable = self._serving_route(namespace, metric, None, mode)
+        # a metadata filter forces the exact path (the index carries no
+        # metadata columns) — the same rule as single-query serving
+        indexable = self._serving_route(
+            namespace, metric, metadata_filter, mode
+        )
         ns_df = self.df().filter(F.col("namespace") == namespace)
+        if metadata_filter:
+            for mk, mv in metadata_filter.items():
+                ns_df = ns_df.filter(F.col("metadata")[mk] == str(mv))
         ord_asc = metric_ascending(metric)
         if indexable and mode != "exact":
             index, vec_col, id_col, space = self._serving[namespace]

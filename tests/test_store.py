@@ -1504,3 +1504,40 @@ def test_api_search_batch_shape(spark, tmp_path):
     assert res[0]["matches"][0]["id"] == "k5"
     with pytest.raises(ValueError):
         svc.search_batch({"q": [1.0, 1.0]}, top_k=0, namespace="default")
+
+
+def test_find_similar_batch_metadata_filter(spark, tmp_path):
+    """Batch hybrid query: the metadata predicate forces the exact path
+    (index carries no metadata) and applies BEFORE ranking — per-query
+    top-k of the MATCHING rows, parity with single-query hybrid."""
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    store = VectorStore(spark, str(tmp_path / "bmf"), rebuild_threshold=0.95)
+    rows = [
+        (f"k{i}", [float(i)], {"cat": "a" if i % 2 == 0 else "b"}, "A")
+        for i in range(20)
+    ]
+    store.upsert_df(
+        spark.createDataFrame(
+            rows,
+            "id string, values array<float>, "
+            "metadata map<string,string>, namespace string",
+        )
+    )
+    store.build_index("A", factory=lambda: IVFIndex(n_clusters=2, seed=1))
+    got = store.find_similar_batch(
+        {"q": [7.0]}, 3, namespace="A", metric="l2",
+        metadata_filter={"cat": "a"},
+    )
+    ids = [r.id for r in got.collect()]
+    assert all(int(i[1:]) % 2 == 0 for i in ids) and len(ids) == 3
+    single = store.find_similar(
+        [7.0], 3, namespace="A", metric="l2", metadata_filter={"cat": "a"}
+    )
+    assert {h["id"] for h in single} == set(ids)
+    # mode='indexed' + filter must raise (same contract as single-query)
+    with pytest.raises(ValueError):
+        store.find_similar_batch(
+            {"q": [7.0]}, 3, namespace="A", metric="l2",
+            metadata_filter={"cat": "a"}, mode="indexed",
+        )
