@@ -711,7 +711,16 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(asia_supp), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.round(F.min("__unit"), 4).alias("supply_cost"),
+            # explicit floor-based half-up rounding instead of round():
+            # the min unit price can land exactly on a 4-decimal .5
+            # boundary (observed at sf0.1: 455.51375), where Spark's
+            # BigDecimal-exact HALF_UP and DuckDB's multiply-based round
+            # disagree on the last digit — floor(x*1e4 + 0.5)/1e4 is the
+            # same IEEE double arithmetic on both engines, so identical
+            # inputs give identical digits
+            (F.floor(F.min("__unit") * 10000 + F.lit(0.5)) / 10000).alias(
+                "supply_cost"
+            ),
             F.first("s_name").alias("s_name"),
             F.first("s_acctbal").alias("s_acctbal"),
             F.first("n_name").alias("n_name"),
@@ -4349,8 +4358,11 @@ WITH asia_supp AS (
   JOIN region ON n_regionkey = r_regionkey
   WHERE r_name = 'ASIA'
 ), offers AS (
+  -- floor-based half-up rounding, mirroring the engine (round() halves
+  -- diverge across engines at exact .5 boundaries)
   SELECT l_partkey, l_suppkey,
-    round(min(l_extendedprice / l_quantity), 4) AS supply_cost,
+    floor(min(l_extendedprice / l_quantity) * 10000 + 0.5) / 10000
+      AS supply_cost,
     any_value(s_name) AS s_name, any_value(s_acctbal) AS s_acctbal,
     any_value(n_name) AS n_name
   FROM lineitem
