@@ -238,6 +238,21 @@ class VectorStore:
         with open(self._version_path, "w", encoding="utf-8") as fh:
             json.dump({"v": v}, fh)
         self._session_versions.add(v)
+        # bound the set for long-lived writers (a streaming ingest mints
+        # one version per micro-batch for days): the freshness check only
+        # consults versions ABOVE the lowest serving bookmark — or above
+        # the current version when nothing is attached (an index attached
+        # later starts its bookmark at attach-time current) — so older
+        # entries can never be read again
+        if len(self._session_versions) > 4096:
+            floor = (
+                min(self._serving_synced_at.values())
+                if self._serving_synced_at
+                else v
+            )
+            self._session_versions = {
+                x for x in self._session_versions if x > floor
+            }
         return v
 
     @property

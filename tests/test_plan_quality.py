@@ -513,3 +513,41 @@ def test_tpch_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     assert any("o_totalprice" in f for f in plan["pushed_filters"]), plan[
         "pushed_filters"
     ]
+
+
+def test_batch_serving_prunes_clusters_and_broadcasts_enrichment(
+    spark, tmp_path
+):
+    """find_similar_batch's routed plan: the candidate scan reads only the
+    union of certified probe clusters of the SAVED layout (partition
+    pruning on cluster_id), and both the hit set and the query map enter
+    the enrichment as broadcasts — the whole batch costs one pruned scan
+    plus one namespace-pruned enrichment read."""
+    import math
+
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    store = VectorStore(spark, str(tmp_path / "bplan"), rebuild_threshold=0.95)
+    rows = [
+        (f"k{i}", [math.cos(0.3 * i), math.sin(0.3 * i), float(i % 4)], "A")
+        for i in range(80)
+    ]
+    store.upsert_df(
+        spark.createDataFrame(
+            rows, "id string, values array<float>, namespace string"
+        )
+    )
+    idx = IVFIndex(n_clusters=4, seed=7)
+    idx.build(store.df().select("id", "values"), vec_col="values", id_col="id")
+    idx.save(str(tmp_path / "bidx"))
+    loaded = IVFIndex.load(spark, str(tmp_path / "bidx"))
+    store.attach_index("A", loaded, vec_col="values", id_col="id")
+    out = store.find_similar_batch(
+        {"q0": [1.0, 0.0, 0.0], "q1": [0.0, 1.0, 2.0]}, 3,
+        namespace="A", metric="l2", mode="indexed",
+    )
+    raw = out._jdf.queryExecution().toString()
+    segs = [p.split("\n")[0] for p in raw.split("PartitionFilters")[1:]]
+    assert any("cluster_id" in s for s in segs), segs
+    assert any("namespace" in s for s in segs), segs
+    assert "BroadcastHashJoin" in raw or "BroadcastExchange" in raw, raw

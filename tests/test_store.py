@@ -1541,3 +1541,26 @@ def test_find_similar_batch_metadata_filter(spark, tmp_path):
             {"q": [7.0]}, 3, namespace="A", metric="l2",
             metadata_filter={"cat": "a"}, mode="indexed",
         )
+
+
+def test_session_version_set_is_bounded(spark, tmp_path):
+    """A long-lived writer (streaming ingest mints one version per
+    micro-batch) must not grow the session-version set unboundedly: once
+    past the cap, versions at or below the lowest serving bookmark — or
+    the current version when nothing is attached — are pruned (the
+    freshness check never consults them again)."""
+    import json
+
+    store = VectorStore(spark, str(tmp_path / "svb"), rebuild_threshold=0.95)
+    with open(store._version_path, "w", encoding="utf-8") as fh:
+        json.dump({"v": 5000}, fh)
+    store._session_versions = set(range(1, 5001))
+    store.upsert_df(
+        spark.createDataFrame(
+            [("k1", [1.0], "A")],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    # nothing attached → everything at/below current prunes; only the
+    # fresh version survives
+    assert len(store._session_versions) <= 1, len(store._session_versions)
