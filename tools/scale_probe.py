@@ -330,6 +330,22 @@ def main():
             ),
             out,
         )
+        # batch serving: 16 queries through ONE certified pruned scan +
+        # one broadcast enrichment (find_similar_batch) — compare against
+        # 16× the single routed read above
+        bqs = {
+            f"q{r.vec_id}": [float(x) for x in r.embedding]
+            for r in embs.filter(F.col("vec_id") < 16)
+            .select("vec_id", "embedding")
+            .collect()
+        }
+        timed(
+            "store_batch_16q_top5",
+            lambda: store.find_similar_batch(
+                bqs, 5, namespace="serve", metric="l2", mode="indexed"
+            ).count(),
+            out,
+        )
 
     # Text-dedup pipeline at synthetic-corpus scale (planted 2% exact dups)
     n_docs = max(100_000, n_vec)
