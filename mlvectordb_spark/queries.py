@@ -2285,6 +2285,48 @@ def session_bucketed(spark: SparkSession, sf_dir: str, n_buckets: int = 16):
     )
 
 
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout rewrite + multi-column box readback (round-7
+    lakehouse posture; operators/layout.py): rewrite lineitem clustered on
+    the Morton interleave of (l_partkey, l_suppkey) — one approxQuantile
+    pass for equi-depth bins, pure-codegen bit interleave, one range
+    shuffle — then answer a 2-D box aggregate from the rewritten table.
+    The layout changes WHICH row groups the pushed BETWEEN predicates
+    touch (footer min/max skipping on BOTH columns; measured in
+    tests/test_layout.py and the scale probe), never the result set, so
+    the oracle aggregates the raw table under the same box."""
+    import tempfile
+
+    from mlvectordb_spark.operators.layout import optimize_layout, read_box
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = tempfile.mkdtemp(prefix="q_zorder_")
+    optimize_layout(li, ["l_partkey", "l_suppkey"], path, n_files=16, bits=6)
+    # scale-relative box (non-empty at every SF's key domain); floor over
+    # exact int64 min/max in IEEE double — bit-identical in the oracle's
+    # scalar subqueries
+    import math
+
+    r = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    pk_lo = int(math.floor(r[0] + 0.05 * (r[1] - r[0])))
+    pk_hi = int(math.floor(r[0] + 0.25 * (r[1] - r[0])))
+    sk_lo = int(math.floor(r[2] + 0.10 * (r[3] - r[2])))
+    sk_hi = int(math.floor(r[2] + 0.40 * (r[3] - r[2])))
+    box = {"l_partkey": (pk_lo, pk_hi), "l_suppkey": (sk_lo, sk_hi)}
+    return (
+        read_box(spark, path, box)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue per order priority through the CO-LOCATED bucketed layout:
     lineitem ⋈ orders on orderkey runs with no exchange and no sort on
@@ -5169,6 +5211,29 @@ SELECT query_id, id, score FROM scored WHERE rn <= {BATCH_K}
     # batch serving through the store: per-query exact top-k over the ns0
     # (label%2=0) live rows for the first BATCH_QUERY_MAX_VID embeddings
     # as queries
+    # layout rewrite never changes the result set: aggregate the raw
+    # table under the same 2-D box the Spark side reads from the
+    # z-ordered rewrite
+    "layout_zorder": """
+WITH dom AS (
+  SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+         min(l_suppkey) AS smn, max(l_suppkey) AS smx
+  FROM lineitem
+), box AS (
+  SELECT CAST(floor(pmn + 0.05 * (pmx - pmn)) AS BIGINT) AS pk_lo,
+         CAST(floor(pmn + 0.25 * (pmx - pmn)) AS BIGINT) AS pk_hi,
+         CAST(floor(smn + 0.10 * (smx - smn)) AS BIGINT) AS sk_lo,
+         CAST(floor(smn + 0.40 * (smx - smn)) AS BIGINT) AS sk_hi
+  FROM dom
+)
+SELECT l_returnflag, count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem, box
+WHERE l_partkey BETWEEN pk_lo AND pk_hi
+  AND l_suppkey BETWEEN sk_lo AND sk_hi
+GROUP BY l_returnflag
+""",
     "store_batch_search": f"""
 WITH qs AS (
   SELECT 'q' || vec_id::VARCHAR AS query_id, embedding::DOUBLE[] AS qv
@@ -5774,6 +5839,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "store_indexed_errors": q_store_indexed_errors,
     "store_batch_search": q_store_batch_search,
     "store_batch_probe": q_store_batch_probe,
+    # r7b: z-order layout rewrite (multi-column row-group skipping)
+    "layout_zorder": q_layout_zorder,
     # -- relational layer (incl. the co-located bucketed-layout join) --
     "bucketed_join": q_bucketed_join,
     "top_orders_per_cust": q_top_orders_per_cust,
