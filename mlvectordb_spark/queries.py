@@ -2285,6 +2285,27 @@ def session_bucketed(spark: SparkSession, sf_dir: str, n_buckets: int = 16):
     )
 
 
+def q_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-prefiltered EXACT heavy hitters (operators/sketches.py):
+    bigrams with count >= 1.1x the mean bigram frequency. A count-min
+    sketch built in one near-shuffle-free pass certifies a candidate
+    SUPERSET (CMS never under-estimates), so only candidate occurrences
+    enter the exact groupBy — at 100 TB that keeps the billions-strong
+    distinct-value long tail out of the shuffle entirely. The final
+    counts are exact, so the oracle is the plain GROUP BY ... HAVING."""
+    import math
+
+    from mlvectordb_spark.operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    big = docs.select(
+        F.explode(TX.word_shingles(TX.tokens("text"), 2)).alias("bigram")
+    )
+    tot, dis = big.agg(F.count("*"), F.countDistinct("bigram")).collect()[0]
+    min_count = int(math.ceil(1.1 * tot / dis))
+    return heavy_hitters(big, "bigram", min_count).select("bigram", "cnt")
+
+
 def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout rewrite + multi-column box readback (round-7
     lakehouse posture; operators/layout.py): rewrite lineitem clustered on
@@ -5211,6 +5232,23 @@ SELECT query_id, id, score FROM scored WHERE rn <= {BATCH_K}
     # batch serving through the store: per-query exact top-k over the ns0
     # (label%2=0) live rows for the first BATCH_QUERY_MAX_VID embeddings
     # as queries
+    # the CMS prefilter is a certified superset prune — final counts are
+    # exact, so the oracle is the plain GROUP BY ... HAVING at the same
+    # mean-relative threshold (identical IEEE-double arithmetic)
+    "heavy_bigrams": """
+WITH t AS (
+  SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+  FROM t
+), c AS (
+  SELECT bigram, count(*) AS cnt FROM sh GROUP BY bigram
+), st AS (
+  SELECT sum(cnt) AS tot, count(*) AS dis FROM c
+)
+SELECT bigram, cnt FROM c, st WHERE cnt >= ceil(1.1 * tot / dis)
+""",
     # layout rewrite never changes the result set: aggregate the raw
     # table under the same 2-D box the Spark side reads from the
     # z-ordered rewrite
@@ -5839,8 +5877,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "store_indexed_errors": q_store_indexed_errors,
     "store_batch_search": q_store_batch_search,
     "store_batch_probe": q_store_batch_probe,
-    # r7b: z-order layout rewrite (multi-column row-group skipping)
+    # r7b: z-order layout rewrite (multi-column row-group skipping) and
+    # CMS-certified exact heavy hitters
     "layout_zorder": q_layout_zorder,
+    "heavy_bigrams": q_heavy_bigrams,
     # -- relational layer (incl. the co-located bucketed-layout join) --
     "bucketed_join": q_bucketed_join,
     "top_orders_per_cust": q_top_orders_per_cust,
