@@ -417,6 +417,85 @@ def main():
         out,
     )
 
+    # Heavy hitters where the distinct-value long tail dominates (the
+    # 100 TB shape): 10% of occurrences come from 100 hot values, the
+    # rest are one-off — the plain groupBy shuffles every distinct
+    # value, the CMS-certified prune shuffles only candidates.
+    import tempfile
+
+    n_tok = max(2_000_000, 2 * n_vec)
+    toks = (
+        spark.range(n_tok)
+        .select(
+            F.when(
+                F.pmod("id", F.lit(10)) == 0,
+                F.concat(
+                    F.lit("hot"),
+                    F.pmod(F.xxhash64("id"), F.lit(100)).cast("string"),
+                ),
+            )
+            .otherwise(F.concat(F.lit("t"), F.col("id").cast("string")))
+            .alias("token")
+        )
+        .localCheckpoint(eager=True)
+    )
+    hh_min = n_tok // 10 // 100 // 2  # half the expected hot count
+    timed(
+        "heavyhitters_plain_groupby",
+        lambda: toks.groupBy("token")
+        .count()
+        .filter(F.col("count") >= hh_min)
+        .count(),
+        out,
+    )
+
+    def hh_cms():
+        from mlvectordb_spark.operators.sketches import heavy_hitters
+
+        return heavy_hitters(toks, "token", hh_min, width=4096, depth=3).count()
+
+    timed("heavyhitters_cms_pruned", hh_cms, out)
+
+    # Z-order layout: multi-column skipping on a corpus-scale rewrite.
+    from mlvectordb_spark.operators.layout import (
+        optimize_layout,
+        pruning_stats,
+        read_box,
+        write_linear,
+    )
+
+    n_rows = max(2_000_000, n_vec)
+    tbl = spark.range(n_rows).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)).alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10_000)).alias("b"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(100_000)) / 100.0).alias("v"),
+    )
+    zdir = tempfile.mkdtemp(prefix="probe_zorder_")
+    ldir = tempfile.mkdtemp(prefix="probe_linear_")
+    timed(
+        "zorder_rewrite",
+        lambda: (optimize_layout(tbl, ["a", "b"], zdir, n_files=64, bits=6), n_rows)[1],
+        out,
+    )
+    write_linear(tbl, "a", ldir, n_files=64)
+    box2d = {"a": (1000, 2000), "b": (1000, 3000)}  # 10% x 20% box
+    slab = {"b": (1000, 3000)}  # secondary-column-only slab
+    out["zorder_read_fraction_2d"] = pruning_stats(zdir, box2d)["read_fraction"]
+    out["linear_read_fraction_2d"] = pruning_stats(ldir, box2d)["read_fraction"]
+    out["zorder_read_fraction_slab"] = pruning_stats(zdir, slab)["read_fraction"]
+    out["linear_read_fraction_slab"] = pruning_stats(ldir, slab)["read_fraction"]
+    timed(
+        "zorder_box_count",
+        lambda: read_box(spark, zdir, box2d).count(),
+        out,
+    )
+    timed(
+        "linear_box_count",
+        lambda: read_box(spark, ldir, box2d).count(),
+        out,
+    )
+
     print(json.dumps(out))
 
 
