@@ -1369,6 +1369,28 @@ def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_rollup(spark, path, grain="day")
 
 
+def q_rollup_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup (rows-only by design: Spark's
+    Datasketches HLL and DuckDB's approx_count_distinct are different
+    sketch implementations, so no cross-engine value oracle exists; the
+    merge-equality and error-bound contracts are pytest-gated in
+    tests/test_rollup.py). The hourly rollup stores an HLL sketch of
+    user_id per bucket; the daily answer UNIONS sketches — distinct users
+    per day without re-touching raw events, the only distinct-count shape
+    that stays incremental at 100 TB."""
+    import tempfile
+
+    from mlvectordb_spark.operators.rollup import build_rollup, query_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="q_hll_rollup_")
+    build_rollup(ev, path, bucket="1 hour", distinct_col="user_id")
+    daily = query_rollup(spark, path, grain="day", distinct_col="user_id")
+    return daily.select(
+        "bucket", "event_type", "n_events", "approx_distinct_user_id"
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS through the SQL API (the engine's spark.sql
     surface): per-status, per-priority, and grand-total rows in one pass."""
@@ -5976,6 +5998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_event_types_per_user": q_top_event_types_per_user,
     # ---- rows-only by design (no SQL-expressible oracle) ----
     "approx_stats": q_approx_stats,
+    "rollup_hll_daily": q_rollup_hll_daily,  # HLL impls differ across engines
     "media_stats": q_media_stats,
     "ann_ivf_knn": q_ann_ivf_knn,
     "ann_ivf_recall": q_ann_ivf_recall,
