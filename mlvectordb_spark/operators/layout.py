@@ -206,6 +206,82 @@ def pruning_stats(path: str, box: dict[str, tuple[float, float]]) -> dict:
     }
 
 
+def overlapping_files(path: str, box: dict[str, tuple[float, float]]) -> list[str]:
+    """Files whose FILE-level min/max overlaps the box (driver-side footer
+    walk, metadata-bytes per file). On a z-ordered layout this shrinks the
+    file list itself — useful when a predicate is too complex for Spark's
+    own pushdown, and it keeps the file index small on wide tables."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    keep = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        full = os.path.join(path, name)
+        meta = pq.ParquetFile(full).metadata
+        overlap = True
+        for c, (lo, hi) in box.items():
+            cmin = cmax = None
+            for rg in range(meta.num_row_groups):
+                g = meta.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema != c:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        cmin = cmax = None
+                        break
+                    mn, mx = st.min, st.max
+                    if hasattr(mn, "timestamp"):
+                        mn, mx = mn.timestamp(), mx.timestamp()
+                    mn, mx = float(mn), float(mx)
+                    cmin = mn if cmin is None else min(cmin, mn)
+                    cmax = mx if cmax is None else max(cmax, mx)
+            if cmin is not None and (cmax < lo or cmin > hi):
+                overlap = False
+                break
+        if overlap:
+            keep.append(full)
+    return keep
+
+
+def read_box_pruned(
+    spark: SparkSession, path: str, box: dict[str, tuple[float, float]]
+) -> DataFrame:
+    """`read_box`, but the scan's file list is pre-pruned from footers —
+    non-overlapping files never even enter the file index. Result set is
+    identical to `read_box` (the residual per-row filter still applies);
+    only the scanned-file count changes."""
+    files = overlapping_files(path, box)
+    if not files:
+        return read_box(spark, path, box).limit(0)
+    df = spark.read.parquet(*files)
+    for c, (lo, hi) in box.items():
+        df = df.filter(_box_pred(df, c, lo, hi))
+    return df
+
+
+def _box_pred(df: DataFrame, c: str, lo, hi) -> Column:
+    """Temporal bounds (epoch seconds) fold into literals of the COLUMN's
+    exact type (timestamp / timestamp_ntz / date) so the BETWEEN stays on
+    the bare column and reaches PushedFilters — a column-side cast would
+    defeat the skipping the layout exists to enable."""
+    dt = df.schema[c].dataType
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        lo_t = F.timestamp_seconds(F.lit(float(lo)))
+        hi_t = F.timestamp_seconds(F.lit(float(hi)))
+        if isinstance(dt, T.DateType):
+            lo_t, hi_t = F.to_date(lo_t), F.to_date(hi_t)
+        elif isinstance(dt, T.TimestampNTZType):
+            lo_t = lo_t.cast("timestamp_ntz")
+            hi_t = hi_t.cast("timestamp_ntz")
+        return F.col(c).between(lo_t, hi_t)
+    return F.col(c).between(lo, hi)
+
+
 def read_box(
     spark: SparkSession, path: str, box: dict[str, tuple[float, float]]
 ) -> DataFrame:
@@ -214,10 +290,9 @@ def read_box(
     `pruning_stats` predicts)."""
     df = spark.read.parquet(path)
     for c, (lo, hi) in box.items():
-        dt = df.schema[c].dataType
-        if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
-            pred = F.col(c).cast("double").between(lo, hi)
-        else:
-            pred = F.col(c).between(lo, hi)
-        df = df.filter(pred)
+        # timestamp/date bounds (epoch seconds) fold into typed LITERALS
+        # so the BETWEEN stays on the bare column and reaches
+        # PushedFilters — casting the COLUMN would defeat the skipping
+        # the layout exists to enable (see _box_pred)
+        df = df.filter(_box_pred(df, c, lo, hi))
     return df

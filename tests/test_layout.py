@@ -122,3 +122,64 @@ def test_rejects_string_columns(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="z-order column"):
         L.column_cuts(docs, ["lang"], bits=4)
+
+
+def test_timestamp_zorder_pushdown_and_results(spark, sf_dir):
+    """Z-order over (timestamp, numeric): the timestamp BETWEEN must reach
+    PushedFilters as a typed literal (a column-side cast would kill
+    skipping), and results must match the raw table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    zp = tempfile.mkdtemp(prefix="t_zts_")
+    L.optimize_layout(li, ["l_shipdate", "l_partkey"], zp, n_files=16, bits=5)
+    mn, mx = (
+        li.agg(
+            F.min(F.col("l_shipdate").cast("timestamp").cast("double")),
+            F.max(F.col("l_shipdate").cast("timestamp").cast("double")),
+        ).collect()[0]
+    )
+    ts_box = (mn + 0.2 * (mx - mn), mn + 0.5 * (mx - mn))
+    pk = _frac_box(li, "l_partkey", 0.1, 0.6)
+    box = {"l_shipdate": ts_box, "l_partkey": pk}
+    from mlvectordb_spark.plans.explain import explain_query
+
+    reader = L.read_box(spark, zp, box)
+    pushed = " ".join(explain_query(reader)["pushed_filters"])
+    assert "l_shipdate" in pushed and "GreaterThanOrEqual" in pushed, pushed
+    got = reader.count()
+    want = (
+        li.filter(
+            F.col("l_shipdate")
+            .cast("timestamp")
+            .between(
+                F.timestamp_seconds(F.lit(ts_box[0])),
+                F.timestamp_seconds(F.lit(ts_box[1])),
+            )
+        )
+        .filter(F.col("l_partkey").between(*pk))
+        .count()
+    )
+    assert got == want and got > 0
+
+
+def test_file_pruned_read_matches_and_shrinks(spark, layouts):
+    li, zp, _, _ = layouts
+    box = {
+        "l_partkey": _frac_box(li, "l_partkey", 0.1, 0.2),
+        "l_suppkey": _frac_box(li, "l_suppkey", 0.1, 0.3),
+    }
+    import os
+
+    n_total = sum(1 for f in os.listdir(zp) if f.endswith(".parquet"))
+    files = L.overlapping_files(zp, box)
+    assert 0 < len(files) < n_total, (len(files), n_total)
+    a = L.read_box_pruned(spark, zp, box).count()
+    b = L.read_box(spark, zp, box).count()
+    assert a == b > 0
+
+
+def test_file_pruned_read_empty_box(spark, layouts):
+    li, zp, _, _ = layouts
+    mx = li.agg(F.max("l_partkey")).collect()[0][0]
+    box = {"l_partkey": (mx + 10_000, mx + 20_000)}
+    assert L.overlapping_files(zp, box) == []
+    assert L.read_box_pruned(spark, zp, box).count() == 0
