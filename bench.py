@@ -129,6 +129,10 @@ HEADLINE = [
     # batch serving steady-state: |queries| answers through ONE certified
     # pruned scan + broadcast enrichment against the session store
     "store_batch_probe",
+    # r7b: CMS-certified exact heavy hitters (sketch prune before the
+    # count shuffle — cost tracked here, shuffle-volume evidence in
+    # SCALING.md via tools/shuffle_probe.py)
+    "heavy_bigrams",
 ]
 
 

@@ -3266,6 +3266,26 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs)
 
 
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join (the §2.4 table-function surface the
+    scalar/grouped pandas UDFs don't cover): identical chunk semantics to
+    `doc_chunks`, one input doc -> n_chunks rows, so the two entries share
+    one oracle. Row-at-a-time Python by design — the native
+    `chunk_documents` remains the hot path; this entry locks the API."""
+    from mlvectordb_spark.functions.udfs import chunk_doc_udtf
+
+    spark.udtf.register("chunk_doc", chunk_doc_udtf())
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "docs_udtf_v"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.n_tokens, c.chunk_hash
+        FROM docs_udtf_v, LATERAL chunk_doc(text, 64, 48) c
+        """
+    )
+
+
 def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (alpha=0.5) per-source mixture weights and
     deterministic sampling rates for composing a training mix."""
@@ -5913,6 +5933,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "doc_logprob": q_doc_logprob,
     "doc_dup_ngrams": q_doc_dup_ngrams,
+    # r7b: Python UDTF surface (lateral table function, oracle shared
+    # with doc_chunks)
+    "udtf_chunks": q_udtf_chunks,
     # rotated IN this round (long-resting or never driver-checked)
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "knn_ip": q_knn_ip,
@@ -6004,6 +6027,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_lsh_knn": q_ann_lsh_knn,
 }
+
+# the UDTF twin reproduces chunk_documents' exact output, so it shares the
+# doc_chunks oracle verbatim
+ORACLE_SQL["udtf_chunks"] = ORACLE_SQL["doc_chunks"]
 
 ORACLE_SQL["bm25_topk"] = f"""
 WITH {_sql_bm25_scored()}
