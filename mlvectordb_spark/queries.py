@@ -6179,25 +6179,26 @@ _WINDOW = [
     # (a) never driver-checked, oracle-backed — 7 entries (q11 post-fix)
     "tpch_q2", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q20", "tpch_q21",
     "monthly_moving_avg",
-    # (a') new in r7 — 6 entries (layout_zorder / heavy_bigrams built in
-    # the r7 continuation session; new surface gets its driver row the
-    # round it ships, displacing tfidf_terms/token_freq back to rest)
+    # (a') new in r7 — 7 entries (layout_zorder / heavy_bigrams /
+    # udtf_chunks built in the r7 continuation session; new surface gets
+    # its driver row the round it ships, displacing
+    # tfidf_terms/token_freq/seq_pack back to rest)
     "store_indexed_probe", "store_replica_json", "store_indexed_errors",
-    "store_batch_search", "layout_zorder", "heavy_bigrams",
+    "store_batch_search", "layout_zorder", "heavy_bigrams", "udtf_chunks",
     # (b) kernels changed in r7 — 9 entries
     "tpch_q15", "store_indexed_search", "store_indexed_cosine",
     "store_roundtrip", "store_timetravel", "ann_ivf_exact", "ann_ivf_batch",
     "hybrid_ivf_exact", "ann_ivfpq_exact",
-    # (c) longest-resting driver rows (r4) — 26 entries (stratified_sample,
-    # tfidf_terms, token_freq rest one more round to make room for the
-    # new-surface entries)
+    # (c) longest-resting driver rows (r4) — 25 entries (stratified_sample,
+    # tfidf_terms, token_freq, seq_pack rest one more round to make room
+    # for the new-surface entries)
     "array_ops", "cust_big_orders", "data_split", "dedup_prefix_buckets",
     "distinct_counts", "doc_chunks", "doc_dup_ngrams", "doc_fingerprint",
     "doc_lang_id", "doc_logprob", "doc_quality", "doc_repetition",
     "emb_doc_join", "events_json", "events_session_stats",
     "events_sessionize", "events_sliding", "events_tumbling",
     "grouping_sets", "metadata_query", "ns_stats", "orders_cube",
-    "orders_pivot", "segment_setops", "seq_pack", "source_mixture",
+    "orders_pivot", "segment_setops", "source_mixture",
     # (e) continuity core (the flagship operators) — 2 entries
     # (store_roundtrip, the usual third, is already in (b))
     "knn_l2", "hybrid_knn",
