@@ -142,6 +142,36 @@ def optimize_layout(
     return cuts
 
 
+def append_layout(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    cuts: dict[str, list[float]],
+    n_files: int = 4,
+    bits: int = 6,
+) -> None:
+    """Continuous-ingest maintenance: append a new batch z-clustered under
+    the SAVED cuts — no rewrite of existing files, no fresh quantile pass.
+
+    The append's files get their own narrow z-ranges, so footer skipping
+    keeps working across generations; because the cuts are frozen, the
+    batch's bins land in the same z space as the base layout (a later
+    full `optimize_layout` re-derives cuts if drift makes the old
+    equi-depth bins lopsided — the same compaction cadence as any LSM-ish
+    layout). Cost per batch: one range shuffle of the BATCH, never the
+    corpus.
+    """
+    z = zorder_key(df, cols, cuts, bits=bits).alias("__zorder")
+    (
+        df.withColumn("__zorder", z)
+        .repartitionByRange(n_files, "__zorder")
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
 def write_linear(df: DataFrame, order_col: str, path: str, n_files: int = 16) -> None:
     """Baseline single-column layout (range-sorted on one column) — the
     control arm for pruning comparisons."""

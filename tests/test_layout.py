@@ -183,3 +183,35 @@ def test_file_pruned_read_empty_box(spark, layouts):
     box = {"l_partkey": (mx + 10_000, mx + 20_000)}
     assert L.overlapping_files(zp, box) == []
     assert L.read_box_pruned(spark, zp, box).count() == 0
+
+
+def test_append_layout_keeps_pruning_and_results(spark, layouts):
+    """Continuous ingest: a batch appended under SAVED cuts lands
+    z-clustered — pruning stays engaged across generations and the box
+    result reflects both generations."""
+    li, zp, _, cuts = layouts
+    import shutil
+
+    zp2 = tempfile.mkdtemp(prefix="t_zappend_")
+    shutil.rmtree(zp2)
+    shutil.copytree(zp, zp2)
+    batch = li.filter(F.col("l_orderkey") % 7 == 0)
+    n_batch_rows = batch.count()
+    L.append_layout(batch, ["l_partkey", "l_suppkey"], zp2, cuts, n_files=4, bits=5)
+    box = {
+        "l_partkey": _frac_box(li, "l_partkey", 0.1, 0.3),
+        "l_suppkey": _frac_box(li, "l_suppkey", 0.2, 0.5),
+    }
+    base = L.read_box(spark, zp, box).count()
+    extra = (
+        batch.filter(F.col("l_partkey").between(*box["l_partkey"]))
+        .filter(F.col("l_suppkey").between(*box["l_suppkey"]))
+        .count()
+    )
+    got = L.read_box(spark, zp2, box).count()
+    assert got == base + extra and n_batch_rows > 0
+    # the appended generation must still skip: a secondary-column slab
+    # reads well under the whole (now larger) table
+    slab = {"l_suppkey": _frac_box(li, "l_suppkey", 0.1, 0.3)}
+    sz = L.pruning_stats(zp2, slab)
+    assert sz["read_fraction"] <= 0.75, sz
