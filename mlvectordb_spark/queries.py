@@ -4092,6 +4092,99 @@ per_doc AS (
 )"""
 
 
+def _merge_orders_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CDC-style feed derived from orders: price updates for
+    every 5th key (cancellations for every 20th), plus brand-new orders
+    keyed above the existing range for every 97th key."""
+    orders = load_table(spark, sf_dir, "orders")
+    # 1.25 is exactly representable in binary — the product is the same
+    # double in any engine, so no per-row rounding is needed (round(x*1.1,2)
+    # would diverge between Spark's BigDecimal-string rounding and DuckDB's
+    # scaled-arithmetic rounding on representation edge cases)
+    updates = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.25).alias("new_price"),
+        (F.col("o_orderkey") % 20 == 0).alias("cancel"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit(1000.0).alias("new_price"),
+        F.lit(False).alias("cancel"),
+    )
+    return updates.unionByName(inserts)
+
+
+def q_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (operators/merge.py): apply a CDC feed (updates +
+    cancellations + new orders) to the orders table with ANSI-MERGE
+    semantics, broadcast strategy — the target is never shuffled (left
+    join with broadcast source + key-pruned anti join for inserts).
+    Output: post-merge per-status totals. Reference analog: none (the
+    reference mutates only vectors, storage_engine.py:21-44); this is the
+    relational table-maintenance surface."""
+    from mlvectordb_spark.operators.merge import merge_into
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = _merge_orders_source(spark, sf_dir)
+    merged = merge_into(
+        orders,
+        src,
+        on="o_orderkey",
+        update_set={"o_totalprice": F.col("s.new_price")},
+        delete_condition=F.col("s.cancel"),
+        insert_set={
+            "o_totalprice": F.col("s.new_price"),
+            "o_orderstatus": F.lit("N"),
+        },
+        strategy="broadcast",
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector parity (sources/connectors.py, SURVEY.md §2.4 sources/
+    sinks): round-trip region through CSV and nation through JSON and ORC,
+    then answer from the round-tripped frames ONLY. The oracle reads the
+    original parquet — any type/value loss in a connector flips the hash.
+    CSV reads back under the writer's explicit schema (inference would be
+    lossy); JSON/ORC carry their own types."""
+    import tempfile
+
+    from mlvectordb_spark.sources.connectors import read_table, write_table
+
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="mlvdb_fmt_rt_")
+    write_table(region, f"{base}/region_csv", "csv")
+    write_table(nation, f"{base}/nation_json", "json")
+    write_table(nation, f"{base}/nation_orc", "orc")
+    r_csv = read_table(spark, f"{base}/region_csv", "csv", schema=region.schema)
+    n_json = read_table(spark, f"{base}/nation_json", "json", schema=nation.schema)
+    n_orc = read_table(spark, f"{base}/nation_orc", "orc")
+
+    def _probe(df: DataFrame, fmt: str, key: str, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(fmt).alias("fmt"),
+            F.count("*").alias("n_rows"),
+            F.sum(key).cast("bigint").alias("key_sum"),
+            F.countDistinct(name).alias("n_names"),
+        )
+
+    return (
+        _probe(r_csv, "csv", "r_regionkey", "r_name")
+        .unionByName(_probe(n_json, "json", "n_nationkey", "n_name"))
+        .unionByName(_probe(n_orc, "orc", "n_nationkey", "n_name"))
+        .orderBy("fmt")
+    )
+
+
 from mlvectordb_spark.operators import curation as CUR  # noqa: E402
 
 _GOPHER_STOP_IN = ", ".join(f"'{w}'" for w in CUR.GOPHER_STOP_MARKERS)
@@ -6019,6 +6112,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "lineitem_having": q_lineitem_having,
     "top_event_types_per_user": q_top_event_types_per_user,
+    "merge_orders": q_merge_orders,
+    "format_roundtrip": q_format_roundtrip,
     # ---- rows-only by design (no SQL-expressible oracle) ----
     "approx_stats": q_approx_stats,
     "rollup_hll_daily": q_rollup_hll_daily,  # HLL impls differ across engines
@@ -6031,6 +6126,47 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # the UDTF twin reproduces chunk_documents' exact output, so it shares the
 # doc_chunks oracle verbatim
 ORACLE_SQL["udtf_chunks"] = ORACLE_SQL["doc_chunks"]
+
+# MERGE INTO semantics spelled out relationally: kept/updated target rows
+# (left join, cancel filter) UNION ALL inserts (anti join) — the exact
+# contract merge_into implements with its broadcast (target-unshuffled)
+# physical strategy.
+ORACLE_SQL["merge_orders"] = """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice * 1.25 AS new_price,
+         (o_orderkey % 20 = 0) AS cancel
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 1000.0, FALSE
+  FROM orders WHERE o_orderkey % 97 = 0
+), merged AS (
+  SELECT CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price
+              ELSE o.o_totalprice END AS o_totalprice,
+         o.o_orderstatus
+  FROM orders o LEFT JOIN src s ON o.o_orderkey = s.o_orderkey
+  WHERE s.o_orderkey IS NULL OR NOT s.cancel
+  UNION ALL
+  SELECT s.new_price, 'N'
+  FROM src s ANTI JOIN orders o ON s.o_orderkey = o.o_orderkey
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS total_price
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+# the connector round-trip answers from CSV/JSON/ORC copies; the oracle
+# reads the original parquet — value-level parity is the contract
+ORACLE_SQL["format_roundtrip"] = """
+SELECT 'csv' AS fmt, count(*) AS n_rows, sum(r_regionkey)::BIGINT AS key_sum,
+  count(DISTINCT r_name) AS n_names FROM region
+UNION ALL
+SELECT 'json', count(*), sum(n_nationkey)::BIGINT, count(DISTINCT n_name)
+FROM nation
+UNION ALL
+SELECT 'orc', count(*), sum(n_nationkey)::BIGINT, count(DISTINCT n_name)
+FROM nation
+ORDER BY fmt
+"""
 
 ORACLE_SQL["bm25_topk"] = f"""
 WITH {_sql_bm25_scored()}
@@ -6185,19 +6321,21 @@ _WINDOW = [
     # tfidf_terms/token_freq/seq_pack back to rest)
     "store_indexed_probe", "store_replica_json", "store_indexed_errors",
     "store_batch_search", "layout_zorder", "heavy_bigrams", "udtf_chunks",
+    "merge_orders", "format_roundtrip",
     # (b) kernels changed in r7 — 9 entries
     "tpch_q15", "store_indexed_search", "store_indexed_cosine",
     "store_roundtrip", "store_timetravel", "ann_ivf_exact", "ann_ivf_batch",
     "hybrid_ivf_exact", "ann_ivfpq_exact",
-    # (c) longest-resting driver rows (r4) — 25 entries (stratified_sample,
-    # tfidf_terms, token_freq, seq_pack rest one more round to make room
-    # for the new-surface entries)
-    "array_ops", "cust_big_orders", "data_split", "dedup_prefix_buckets",
+    # (c) longest-resting driver rows (r4) — 23 entries (stratified_sample,
+    # tfidf_terms, token_freq, seq_pack, array_ops, grouping_sets rest one
+    # more round to make room for the new-surface entries, incl. the
+    # merge_orders / format_roundtrip pair built late in r7)
+    "cust_big_orders", "data_split", "dedup_prefix_buckets",
     "distinct_counts", "doc_chunks", "doc_dup_ngrams", "doc_fingerprint",
     "doc_lang_id", "doc_logprob", "doc_quality", "doc_repetition",
     "emb_doc_join", "events_json", "events_session_stats",
     "events_sessionize", "events_sliding", "events_tumbling",
-    "grouping_sets", "metadata_query", "ns_stats", "orders_cube",
+    "metadata_query", "ns_stats", "orders_cube",
     "orders_pivot", "segment_setops", "source_mixture",
     # (e) continuity core (the flagship operators) — 2 entries
     # (store_roundtrip, the usual third, is already in (b))
