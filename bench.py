@@ -133,6 +133,9 @@ HEADLINE = [
     # count shuffle — cost tracked here, shuffle-volume evidence in
     # SCALING.md via tools/shuffle_probe.py)
     "heavy_bigrams",
+    # r7c: MERGE INTO with the broadcast (target-unshuffled) strategy —
+    # table maintenance as a first-class engine cost
+    "merge_orders",
 ]
 
 

@@ -4185,6 +4185,71 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance kernel behind PCA (operators/pca.py): ONE
+    mapInPandas pass emits (n, Σx, Σxxᵀ) per partition (d+d² doubles each);
+    the driver reduces ≤|partitions| rows. The oracle recomputes the same
+    covariance entries with DuckDB covar_samp — this gates the distributed
+    moment machinery exactly (the d×d eig that follows is driver-local
+    numpy, gated by pytest parity instead)."""
+    from mlvectordb_spark.operators.pca import covariance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _mean, cov, _n = covariance(emb, "embedding")
+    rows = [
+        (i, j, float(cov[i, j])) for i in range(8) for j in range(i, 8)
+    ]
+    return (
+        spark.createDataFrame(rows, "i int, j int, cov_raw double")
+        .select("i", "j", F.round("cov_raw", 6).alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
+def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit + projection (operators/pca.py): top-8 principal axes of the
+    embedding table, explained-variance spectrum, and the projection norm
+    check (mean squared projected coordinate per axis == its eigenvalue).
+    Rows-only by design: eigendecomposition is not SQL-expressible; the
+    covariance input is oracle-gated by emb_pca_cov and the eig/projection
+    math by numpy-parity pytest (tests/test_pca.py)."""
+    from mlvectordb_spark.operators.pca import fit_pca, project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, "embedding", k=8)
+    proj = project(emb, "embedding", model, out_col="pca")
+    per_axis = proj.select(
+        *[F.col("pca")[i].alias(f"c{i}") for i in range(8)]
+    ).agg(
+        *[F.round(F.avg(F.col(f"c{i}") * F.col(f"c{i}")), 6).alias(f"msq_{i}") for i in range(8)]
+    )
+    spectrum = [
+        (
+            i,
+            float(model.explained_variance[i]),
+            float(model.explained_ratio[i]),
+        )
+        for i in range(8)
+    ]
+    spec_df = spark.createDataFrame(
+        spectrum, "component int, eigenvalue double, ratio double"
+    )
+    msq = per_axis.collect()[0]
+    msq_df = spark.createDataFrame(
+        [(i, float(msq[f"msq_{i}"])) for i in range(8)], "component int, msq double"
+    )
+    return (
+        spec_df.join(msq_df, "component")
+        .select(
+            "component",
+            F.round("eigenvalue", 6).alias("eigenvalue"),
+            F.round("ratio", 6).alias("ratio"),
+            F.round("msq", 6).alias("msq_projected"),
+        )
+        .orderBy("component")
+    )
+
+
 from mlvectordb_spark.operators import curation as CUR  # noqa: E402
 
 _GOPHER_STOP_IN = ", ".join(f"'{w}'" for w in CUR.GOPHER_STOP_MARKERS)
@@ -6114,7 +6179,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_event_types_per_user": q_top_event_types_per_user,
     "merge_orders": q_merge_orders,
     "format_roundtrip": q_format_roundtrip,
+    "emb_pca_cov": q_emb_pca_cov,
     # ---- rows-only by design (no SQL-expressible oracle) ----
+    "emb_pca": q_emb_pca,  # eig isn't SQL; covariance input gated above
     "approx_stats": q_approx_stats,
     "rollup_hll_daily": q_rollup_hll_daily,  # HLL impls differ across engines
     "media_stats": q_media_stats,
@@ -6166,6 +6233,21 @@ UNION ALL
 SELECT 'orc', count(*), sum(n_nationkey)::BIGINT, count(DISTINCT n_name)
 FROM nation
 ORDER BY fmt
+"""
+
+# the distributed PCA moment kernel, re-derived by DuckDB's covar_samp
+# (embedding[] is 1-indexed in DuckDB)
+ORACLE_SQL["emb_pca_cov"] = """
+SELECT (p.i - 1)::INT AS i, (p.j - 1)::INT AS j,
+  round(covar_samp(e.embedding[p.i], e.embedding[p.j]), 6) AS cov
+FROM embeddings e
+CROSS JOIN (
+  SELECT a.i AS i, b.j AS j
+  FROM range(1, 9) a(i) CROSS JOIN range(1, 9) b(j)
+  WHERE a.i <= b.j
+) p
+GROUP BY p.i, p.j
+ORDER BY i, j
 """
 
 ORACLE_SQL["bm25_topk"] = f"""
@@ -6321,17 +6403,18 @@ _WINDOW = [
     # tfidf_terms/token_freq/seq_pack back to rest)
     "store_indexed_probe", "store_replica_json", "store_indexed_errors",
     "store_batch_search", "layout_zorder", "heavy_bigrams", "udtf_chunks",
-    "merge_orders", "format_roundtrip",
+    "merge_orders", "format_roundtrip", "emb_pca_cov",
     # (b) kernels changed in r7 — 9 entries
     "tpch_q15", "store_indexed_search", "store_indexed_cosine",
     "store_roundtrip", "store_timetravel", "ann_ivf_exact", "ann_ivf_batch",
     "hybrid_ivf_exact", "ann_ivfpq_exact",
-    # (c) longest-resting driver rows (r4) — 23 entries (stratified_sample,
-    # tfidf_terms, token_freq, seq_pack, array_ops, grouping_sets rest one
-    # more round to make room for the new-surface entries, incl. the
-    # merge_orders / format_roundtrip pair built late in r7)
+    # (c) longest-resting driver rows (r4) — 22 entries (stratified_sample,
+    # tfidf_terms, token_freq, seq_pack, array_ops, grouping_sets,
+    # distinct_counts rest one more round to make room for the new-surface
+    # entries, incl. the late-r7 merge_orders / format_roundtrip /
+    # emb_pca_cov trio)
     "cust_big_orders", "data_split", "dedup_prefix_buckets",
-    "distinct_counts", "doc_chunks", "doc_dup_ngrams", "doc_fingerprint",
+    "doc_chunks", "doc_dup_ngrams", "doc_fingerprint",
     "doc_lang_id", "doc_logprob", "doc_quality", "doc_repetition",
     "emb_doc_join", "events_json", "events_session_stats",
     "events_sessionize", "events_sliding", "events_tumbling",
