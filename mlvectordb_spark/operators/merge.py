@@ -68,6 +68,7 @@ def merge_into(
     delete_condition: Column | None = None,
     insert: bool = True,
     insert_set: dict[str, Column] | None = None,
+    insert_condition: Column | None = None,
     strategy: str = "auto",
     broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
@@ -79,7 +80,9 @@ def merge_into(
       replaced by the source value)
     - matched otherwise                       -> target row kept as-is
     - not matched in target & `insert`        -> `insert_set` projected
-      (default: source value where the column exists, else NULL)
+      (default: source value where the column exists, else NULL),
+      gated by `insert_condition` when given (e.g. a CDC feed's
+      delete-markers for rows that never existed must NOT insert)
     - target rows with no source match        -> kept as-is
 
     Conditions and the values in `update_set`/`insert_set` may reference
@@ -149,10 +152,13 @@ def merge_into(
             matched_keys = target.select(*keys).join(
                 F.broadcast(source.select(*keys)), keys, "left_semi"
             )
-            inserts = (
-                s.join(
-                    F.broadcast(matched_keys.alias("t")), cond, "left_anti"
-                ).select(*[_insert_value(c).alias(c) for c in target.columns])
+            unmatched = s.join(
+                F.broadcast(matched_keys.alias("t")), cond, "left_anti"
+            )
+            if insert_condition is not None:
+                unmatched = unmatched.filter(insert_condition)
+            inserts = unmatched.select(
+                *[_insert_value(c).alias(c) for c in target.columns]
             )
             return upserted.unionByName(inserts)
         return upserted
@@ -168,9 +174,11 @@ def merge_into(
         .select(*out_cols)
     )
     if insert:
-        inserts = (
-            joined.filter(~t_present)
-            .select(*[_insert_value(c).alias(c) for c in target.columns])
+        unmatched = joined.filter(~t_present)
+        if insert_condition is not None:
+            unmatched = unmatched.filter(insert_condition)
+        inserts = unmatched.select(
+            *[_insert_value(c).alias(c) for c in target.columns]
         )
         return merged.unionByName(inserts)
     return merged
