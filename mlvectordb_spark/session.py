@@ -44,6 +44,12 @@ def get_spark(
         # broadcast threshold: dimension tables (region/nation/supplier and
         # k-row query sets) should always broadcast
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime Bloom-filter join pruning (default-on in Spark 4, pinned
+        # here so the engine keeps it under user config overlays): when a
+        # selective dimension filter feeds a shuffle join, a Bloom filter
+        # injected on the fact side drops non-joining rows BEFORE the
+        # exchange — shuffle-volume reduction for free at 100 TB
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # local[32] runs executors inside the driver JVM: one heap serves 32
         # concurrent tasks plus any cached tables, and an 8g heap measurably
         # thrashes (bimodal 0.7s-vs-17s timings on cache-heavy dedup queries

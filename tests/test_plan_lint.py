@@ -75,7 +75,15 @@ def test_detects_row_python_udf(spark, sf_dir):
 def test_flagship_plans_are_scale_clean(spark, sf_dir):
     """The entries whose earlier revisions had the global-window defect,
     plus the flagships, must stay clean forever."""
-    for name in ("tpch_q11", "tpch_q15", "knn_l2", "hybrid_knn", "tpch_q1"):
+    for name in (
+        "tpch_q11",
+        "tpch_q15",
+        "knn_l2",
+        "hybrid_knn",
+        "tpch_q1",
+        "merge_orders",
+        "emb_pca_cov",
+    ):
         assert_scale_clean(QUERIES[name](spark, sf_dir)), name
 
 
