@@ -90,6 +90,14 @@ def merge_into(
     per key (see `dedup_source`).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    for label, clause in (("update_set", update_set), ("insert_set", insert_set)):
+        if clause:
+            stray = set(clause) - set(target.columns)
+            if stray:
+                raise ValueError(
+                    f"{label} refers to column(s) not in the target: "
+                    f"{sorted(stray)}"
+                )
     t = target.withColumn("__t_present", F.lit(1)).alias("t")
     s = source.withColumn("__s_present", F.lit(1)).alias("s")
 
@@ -122,12 +130,12 @@ def merge_into(
     cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
     matched = F.col("s.__s_present").isNotNull()
     keep = (
-        F.when(matched & delete_condition, F.lit(False))
-        if delete_condition is not None
-        else F.lit(True)
+        F.lit(True)
+        if delete_condition is None
+        else F.when(matched & delete_condition, F.lit(False)).otherwise(
+            F.lit(True)
+        )
     )
-    if delete_condition is not None:
-        keep = keep.otherwise(F.lit(True))
 
     out_cols = [
         F.when(matched, _merged_value(c)).otherwise(F.col(f"t.{c}")).alias(c)
@@ -155,6 +163,12 @@ def merge_into(
             unmatched = s.join(
                 F.broadcast(matched_keys.alias("t")), cond, "left_anti"
             )
+            # contract parity with the shuffle strategy: insert clauses may
+            # reference t.<col> (NULL for never-matched rows there). The
+            # anti-join output has no t side, so graft one back as an empty
+            # broadcast left join — Catalyst folds limit(0) to an empty
+            # relation; every t.<col> resolves to NULL at zero cost.
+            unmatched = unmatched.join(F.broadcast(t.limit(0)), cond, "left_outer")
             if insert_condition is not None:
                 unmatched = unmatched.filter(insert_condition)
             inserts = unmatched.select(

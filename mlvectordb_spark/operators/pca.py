@@ -39,7 +39,6 @@ from pyspark.sql import types as T
 
 _PARTIAL_SCHEMA = T.StructType(
     [
-        T.StructField("pid", T.LongType()),
         T.StructField("n", T.LongType()),
         T.StructField("s", T.ArrayType(T.DoubleType())),
         T.StructField("o", T.ArrayType(T.DoubleType())),
@@ -80,7 +79,6 @@ def moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
         if n:
             yield pd.DataFrame(
                 {
-                    "pid": [0],
                     "n": [n],
                     "s": [s.tolist()],
                     "o": [o.ravel().tolist()],

@@ -18,9 +18,14 @@ Correctness pieces, each load-bearing:
   for a key that never existed is a no-op, not a ghost row.
 - **Versioned copy-on-write**: each batch writes `v{batch_id}` then
   flips a pointer file. The merge plan READS the current version while
-  WRITING the next, so there is no read-your-own-overwrite conflict, and
-  a foreachBatch retry (same batch id) rewrites the same directory —
-  idempotent, exactly-once per the checkpointed batch id.
+  WRITING the next, so there is no read-your-own-overwrite conflict.
+  foreachBatch retries are idempotent by a published-version guard: a
+  replay of a batch whose pointer already flipped (crash between the
+  flip and the checkpoint commit) is SKIPPED — without the guard the
+  replay would lazily read `v{B}` while overwriting the same directory,
+  deleting the current version's files mid-job (data loss); a replay of
+  a batch that crashed before the flip rewrites its never-published
+  directory, which is safe.
 
 Scale shape per batch: `merge_into(strategy="broadcast")` — the table is
 scanned twice but never shuffled; all shuffles are micro-batch-sized.
@@ -82,6 +87,12 @@ def apply_merge_batch(
 ) -> None:
     """One micro-batch: dedup → MERGE → publish version `batch_id`."""
     keys = [on] if isinstance(on, str) else list(on)
+    cur = table.current_version()
+    if cur is not None and cur >= batch_id:
+        # replay of an already-published batch (crash landed between the
+        # pointer flip and the checkpoint commit): applying it again would
+        # overwrite v{batch_id} WHILE the merge plan reads it — skip.
+        return
     if batch.isEmpty():
         return
     src = dedup_source(batch, keys, order_col)
@@ -92,9 +103,10 @@ def apply_merge_batch(
     target = table.df(spark=batch.sparkSession)
     if target is None:
         # bootstrap: the first batch's non-deleted rows ARE the table
-        first = src.select(*payload_cols)
         if delete_col is not None:
             first = src.filter(~F.col(delete_col)).select(*payload_cols)
+        else:
+            first = src.select(*payload_cols)
         table.write_version(first, batch_id)
         return
     # CDC monotonicity guard: a change only applies over a STRICTLY older

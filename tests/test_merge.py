@@ -139,3 +139,32 @@ def test_shuffle_strategy_single_full_outer(target, source):
 def test_unknown_strategy_raises(target, source):
     with pytest.raises(ValueError, match="strategy"):
         merge_into(target, source, on="id", strategy="nope")
+
+
+def test_stray_clause_column_raises(target, source):
+    with pytest.raises(ValueError, match="totalprice"):
+        merge_into(
+            target,
+            source,
+            on="id",
+            update_set={"totalprice": F.col("s.val")},  # typo'd column
+        )
+    with pytest.raises(ValueError, match="insert_set"):
+        merge_into(
+            target, source, on="id", insert_set={"nope": F.lit(1)}
+        )
+
+
+def test_insert_clause_t_alias_parity(target, source):
+    """insert_set/insert_condition may reference t.<col> (NULL for inserts)
+    under BOTH strategies — the broadcast anti-join path must graft the t
+    side back (code-review regression)."""
+    kw = dict(
+        on="id",
+        insert_set={"tag": F.coalesce(F.col("t.tag"), F.col("s.tag"))},
+        insert_condition=F.col("t.id").isNull() & ~F.col("s.cancel"),
+    )
+    b = merge_into(target, source, strategy="broadcast", **kw)
+    s = merge_into(target, source, strategy="shuffle", **kw)
+    assert _rows(b) == _rows(s)
+    assert (9, "Z", 90.0) in _rows(b)

@@ -111,6 +111,29 @@ def test_out_of_order_batch_cannot_overwrite_newer(spark, tmp_path):
     assert got == {1: (5.0, 10), 2: (2.0, 4)}
 
 
+def test_replay_of_published_batch_is_skipped(spark, tmp_path):
+    """foreachBatch retry after the pointer flip (crash before checkpoint
+    commit) must NOT re-apply: doing so would overwrite v{B} while the
+    merge plan reads it, deleting the live files (code-review regression —
+    previously FileNotFoundException + data loss)."""
+    from mlvectordb_spark.streaming.merge_sink import apply_merge_batch
+
+    table = MergedTable(spark, str(tmp_path / "table"))
+    b0 = spark.createDataFrame(
+        [(1, 1.0, 1, False)], "id bigint, val double, seq bigint, deleted boolean"
+    )
+    b1 = spark.createDataFrame(
+        [(2, 2.0, 2, False)], "id bigint, val double, seq bigint, deleted boolean"
+    )
+    apply_merge_batch(table, b0, 0, "id", "seq", "deleted")
+    apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
+    # replay batch 1 (already published) — must be a no-op, not a crash
+    apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
+    assert table.current_version() == 1
+    got = {r["id"]: r["val"] for r in table.df().collect()}
+    assert got == {1: 1.0, 2: 2.0}
+
+
 def test_restart_does_not_reapply(spark, tmp_path):
     src = tmp_path / "cdc"
     src.mkdir()

@@ -82,9 +82,21 @@ def test_flagship_plans_are_scale_clean(spark, sf_dir):
         "hybrid_knn",
         "tpch_q1",
         "merge_orders",
-        "emb_pca_cov",
     ):
         assert_scale_clean(QUERIES[name](spark, sf_dir)), name
+
+
+def test_pca_moment_plan_is_scale_clean(spark, sf_dir):
+    """emb_pca_cov's registry entry materializes the covariance eagerly, so
+    linting ITS DataFrame would only see a 36-row LocalTableScan — lint the
+    distributed moment pass directly instead."""
+    from mlvectordb_spark.operators.pca import moment_partials
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = moment_partials(emb, "embedding")
+    assert_scale_clean(plan)
+    # and it must be shuffle-free: one narrow pass
+    assert "Exchange" not in plan._jdf.queryExecution().executedPlan().toString()
 
 
 def test_allow_suppresses(spark, sf_dir):
