@@ -4185,6 +4185,56 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round trip (streaming/merge_sink.py): apply two deterministic
+    CDC batches derived from orders into a versioned MergedTable
+    (bootstrap, then updates + deletes + inserts through MERGE), then read
+    the change feed BETWEEN the two published versions back out with
+    `table_changes` (the Delta change-data-feed analog: full-outer diff of
+    two snapshots, unchanged rows dropped). The oracle reconstructs both
+    versions relationally and diffs them — gating merge-apply AND diff in
+    one entry."""
+    import tempfile
+
+    from mlvectordb_spark.streaming.merge_sink import (
+        MergedTable,
+        apply_merge_batch,
+        table_changes,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    b0 = orders.filter(key % 3 == 0).select(
+        key.alias("id"),
+        F.col("o_totalprice").alias("val"),
+        F.lit(1).cast("bigint").alias("seq"),
+        F.lit(False).alias("deleted"),
+    )
+    updates = orders.filter(key % 9 == 0).select(
+        key.alias("id"),
+        (F.col("o_totalprice") * 1.5).alias("val"),  # 1.5 exact in binary
+        F.lit(2).cast("bigint").alias("seq"),
+        F.lit(False).alias("deleted"),
+    )
+    deletes = orders.filter(key % 21 == 0).select(
+        key.alias("id"),
+        F.lit(0.0).alias("val"),
+        F.lit(3).cast("bigint").alias("seq"),  # delete outranks update
+        F.lit(True).alias("deleted"),
+    )
+    inserts = orders.filter(key % 41 == 0).select(
+        (key + 100000000).alias("id"),
+        F.lit(123.0).alias("val"),
+        F.lit(2).cast("bigint").alias("seq"),
+        F.lit(False).alias("deleted"),
+    )
+    b1 = updates.unionByName(deletes).unionByName(inserts)
+    table = MergedTable(spark, tempfile.mkdtemp(prefix="mlvdb_cdf_"))
+    apply_merge_batch(table, b0, 0, "id", "seq", "deleted")
+    apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
+    return table_changes(table, 0, 1, on="id").orderBy("id")
+
+
 def q_emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed covariance kernel behind PCA (operators/pca.py): ONE
     mapInPandas pass emits (n, Σx, Σxxᵀ) per partition (d+d² doubles each);
@@ -6180,6 +6230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_orders": q_merge_orders,
     "format_roundtrip": q_format_roundtrip,
     "emb_pca_cov": q_emb_pca_cov,
+    "table_cdf": q_table_cdf,
     # ---- rows-only by design (no SQL-expressible oracle) ----
     "emb_pca": q_emb_pca,  # eig isn't SQL; covariance input gated above
     "approx_stats": q_approx_stats,
@@ -6233,6 +6284,39 @@ UNION ALL
 SELECT 'orc', count(*), sum(n_nationkey)::BIGINT, count(DISTINCT n_name)
 FROM nation
 ORDER BY fmt
+"""
+
+# CDC round trip: v0 and v1 reconstructed relationally, then diffed —
+# the exact contract of apply_merge_batch (monotonicity-guarded MERGE)
+# followed by table_changes (full-outer snapshot diff)
+ORACLE_SQL["table_cdf"] = """
+WITH v0 AS (
+  SELECT o_orderkey AS id, o_totalprice AS val, 1::BIGINT AS seq
+  FROM orders WHERE o_orderkey % 3 = 0
+), upd AS (
+  SELECT o_orderkey AS id, o_totalprice * 1.5 AS val, 2::BIGINT AS seq
+  FROM orders WHERE o_orderkey % 9 = 0
+), del AS (
+  SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 21 = 0
+), ins AS (
+  SELECT o_orderkey + 100000000 AS id, 123.0 AS val, 2::BIGINT AS seq
+  FROM orders WHERE o_orderkey % 41 = 0
+), v1 AS (
+  SELECT v0.id, COALESCE(u.val, v0.val) AS val, COALESCE(u.seq, v0.seq) AS seq
+  FROM v0 LEFT JOIN upd u ON v0.id = u.id
+  WHERE v0.id NOT IN (SELECT id FROM del)
+  UNION ALL
+  SELECT id, val, seq FROM ins
+)
+SELECT COALESCE(n.id, o.id)::BIGINT AS id,
+  COALESCE(n.val, o.val) AS val,
+  COALESCE(n.seq, o.seq)::BIGINT AS seq,
+  CASE WHEN o.id IS NULL THEN 'insert'
+       WHEN n.id IS NULL THEN 'delete'
+       ELSE 'update' END AS _change_type
+FROM v0 o FULL JOIN v1 n ON o.id = n.id
+WHERE o.id IS NULL OR n.id IS NULL OR o.val <> n.val OR o.seq <> n.seq
+ORDER BY id
 """
 
 # the distributed PCA moment kernel, re-derived by DuckDB's covar_samp
@@ -6403,17 +6487,17 @@ _WINDOW = [
     # tfidf_terms/token_freq/seq_pack back to rest)
     "store_indexed_probe", "store_replica_json", "store_indexed_errors",
     "store_batch_search", "layout_zorder", "heavy_bigrams", "udtf_chunks",
-    "merge_orders", "format_roundtrip", "emb_pca_cov",
+    "merge_orders", "format_roundtrip", "emb_pca_cov", "table_cdf",
     # (b) kernels changed in r7 — 9 entries
     "tpch_q15", "store_indexed_search", "store_indexed_cosine",
     "store_roundtrip", "store_timetravel", "ann_ivf_exact", "ann_ivf_batch",
     "hybrid_ivf_exact", "ann_ivfpq_exact",
-    # (c) longest-resting driver rows (r4) — 22 entries (stratified_sample,
+    # (c) longest-resting driver rows (r4) — 21 entries (stratified_sample,
     # tfidf_terms, token_freq, seq_pack, array_ops, grouping_sets,
-    # distinct_counts rest one more round to make room for the new-surface
-    # entries, incl. the late-r7 merge_orders / format_roundtrip /
-    # emb_pca_cov trio)
-    "cust_big_orders", "data_split", "dedup_prefix_buckets",
+    # distinct_counts, data_split rest one more round to make room for the
+    # new-surface entries, incl. the late-r7 merge_orders /
+    # format_roundtrip / emb_pca_cov / table_cdf quartet)
+    "cust_big_orders", "dedup_prefix_buckets",
     "doc_chunks", "doc_dup_ngrams", "doc_fingerprint",
     "doc_lang_id", "doc_logprob", "doc_quality", "doc_repetition",
     "emb_doc_join", "events_json", "events_session_stats",

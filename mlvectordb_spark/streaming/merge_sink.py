@@ -64,8 +64,13 @@ class MergedTable:
         v = self.current_version()
         if v is None:
             return None
+        return self.df_at(v, spark)
+
+    def df_at(self, version: int, spark: SparkSession | None = None) -> DataFrame:
+        """Read a specific published version (time travel over the
+        version directories)."""
         return (spark or self.spark).read.parquet(
-            os.path.join(self.path, f"v{v:012d}")
+            os.path.join(self.path, f"v{version:012d}")
         )
 
     def write_version(self, df: DataFrame, version: int) -> None:
@@ -75,6 +80,64 @@ class MergedTable:
         with os.fdopen(fd, "w") as f:
             f.write(str(version))
         os.replace(tmp, os.path.join(self.path, _PTR))  # atomic flip
+
+
+def table_changes(
+    table: MergedTable,
+    from_version: int,
+    to_version: int | None = None,
+    on: list[str] | str = "id",
+) -> DataFrame:
+    """CDC-OUT: the row-level change feed between two published versions
+    (the Delta `table_changes` / change-data-feed analog, public API
+    shape). Returns every key whose row differs, with
+    `_change_type ∈ {insert, update, delete}` and the to-version's values
+    (from-version's values for deletes).
+
+    Scale shape: one full-outer join of the two version snapshots on the
+    key — inherently both-sides-large, so it shuffles both once (the
+    honest cost of diffing two lake snapshots; incremental consumers that
+    need cheaper feeds should tap the merge SOURCE stream instead, which
+    is what streaming/ingest.py does for the store). Unchanged rows are
+    dropped before any wide projection."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if to_version is None:
+        to_version = table.current_version()
+        if to_version is None:
+            raise ValueError("table has no published versions")
+    old = table.df_at(from_version)
+    new = table.df_at(to_version)
+    val_cols = [c for c in new.columns if c not in keys]
+    cond = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
+    o_present = F.col("o.__o_present").isNotNull()
+    n_present = F.col("n.__n_present").isNotNull()
+    same = F.lit(True)
+    for c in val_cols:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    joined = (
+        old.withColumn("__o_present", F.lit(1))
+        .alias("o")
+        .join(
+            new.withColumn("__n_present", F.lit(1)).alias("n"),
+            cond,
+            "full_outer",
+        )
+    )
+    change = (
+        F.when(~o_present, F.lit("insert"))
+        .when(~n_present, F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    side = F.when(n_present, F.lit("n")).otherwise(F.lit("o"))
+    out_cols = [
+        F.when(side == "n", F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
+        for c in keys + val_cols
+    ]
+    return (
+        joined.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(*out_cols, "_change_type")
+    )
 
 
 def apply_merge_batch(

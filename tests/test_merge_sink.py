@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import types as T
 
 from mlvectordb_spark.streaming.merge_sink import (
@@ -132,6 +133,37 @@ def test_replay_of_published_batch_is_skipped(spark, tmp_path):
     assert table.current_version() == 1
     got = {r["id"]: r["val"] for r in table.df().collect()}
     assert got == {1: 1.0, 2: 2.0}
+
+
+def test_table_changes_feed(spark, tmp_path):
+    """CDC-out: full-outer snapshot diff classifies insert/update/delete
+    and drops unchanged rows."""
+    from mlvectordb_spark.streaming.merge_sink import (
+        apply_merge_batch,
+        table_changes,
+    )
+
+    table = MergedTable(spark, str(tmp_path / "table"))
+    b0 = spark.createDataFrame(
+        [(1, 1.0, 1, False), (2, 2.0, 1, False), (3, 3.0, 1, False)],
+        "id bigint, val double, seq bigint, deleted boolean",
+    )
+    b1 = spark.createDataFrame(
+        [(2, 20.0, 2, False), (3, 0.0, 2, True), (4, 4.0, 2, False)],
+        "id bigint, val double, seq bigint, deleted boolean",
+    )
+    apply_merge_batch(table, b0, 0, "id", "seq", "deleted")
+    apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
+    feed = table_changes(table, 0, 1, on="id")
+    got = {r["id"]: (r["val"], r["_change_type"]) for r in feed.collect()}
+    # id=1 unchanged -> absent; delete carries the FROM-version's values
+    assert got == {
+        2: (20.0, "update"),
+        3: (3.0, "delete"),
+        4: (4.0, "insert"),
+    }
+    with pytest.raises(ValueError, match="published"):
+        table_changes(MergedTable(spark, str(tmp_path / "empty")), 0)
 
 
 def test_restart_does_not_reapply(spark, tmp_path):
