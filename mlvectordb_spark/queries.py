@@ -4190,10 +4190,12 @@ def q_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDC batches derived from orders into a versioned MergedTable
     (bootstrap, then updates + deletes + inserts through MERGE), then read
     the change feed BETWEEN the two published versions back out with
-    `table_changes` (the Delta change-data-feed analog: full-outer diff of
-    two snapshots, unchanged rows dropped). The oracle reconstructs both
-    versions relationally and diffs them — gating merge-apply AND diff in
-    one entry."""
+    `table_changes` (the Delta change-data-feed analog). The table is
+    hash-bucketed (n_buckets=16): the merge rewrites only touched bucket
+    directories (untouched ones hard-link forward), and the diff prunes
+    to buckets whose files diverged — so this entry gates merge-apply,
+    file-level CoW, AND the bucket-pruned diff at once. The oracle
+    reconstructs both versions relationally and diffs them."""
     import tempfile
 
     from mlvectordb_spark.streaming.merge_sink import (
@@ -4229,7 +4231,7 @@ def q_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("deleted"),
     )
     b1 = updates.unionByName(deletes).unionByName(inserts)
-    table = MergedTable(spark, tempfile.mkdtemp(prefix="mlvdb_cdf_"))
+    table = MergedTable(spark, tempfile.mkdtemp(prefix="mlvdb_cdf_"), n_buckets=16)
     apply_merge_batch(table, b0, 0, "id", "seq", "deleted")
     apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
     return table_changes(table, 0, 1, on="id").orderBy("id")
@@ -6486,18 +6488,20 @@ _WINDOW = [
     # its driver row the round it ships, displacing
     # tfidf_terms/token_freq/seq_pack back to rest)
     "store_indexed_probe", "store_replica_json", "store_indexed_errors",
-    "store_batch_search", "layout_zorder", "heavy_bigrams", "udtf_chunks",
+    "store_batch_search", "store_batch_probe", "layout_zorder",
+    "heavy_bigrams", "udtf_chunks",
     "merge_orders", "format_roundtrip", "emb_pca_cov", "table_cdf",
     # (b) kernels changed in r7 — 9 entries
     "tpch_q15", "store_indexed_search", "store_indexed_cosine",
     "store_roundtrip", "store_timetravel", "ann_ivf_exact", "ann_ivf_batch",
     "hybrid_ivf_exact", "ann_ivfpq_exact",
-    # (c) longest-resting driver rows (r4) — 21 entries (stratified_sample,
+    # (c) longest-resting driver rows (r4) — 20 entries (stratified_sample,
     # tfidf_terms, token_freq, seq_pack, array_ops, grouping_sets,
-    # distinct_counts, data_split rest one more round to make room for the
-    # new-surface entries, incl. the late-r7 merge_orders /
-    # format_roundtrip / emb_pca_cov / table_cdf quartet)
-    "cust_big_orders", "dedup_prefix_buckets",
+    # distinct_counts, data_split, cust_big_orders rest one more round to
+    # make room for the new-surface entries, incl. the late-r7
+    # merge_orders / format_roundtrip / emb_pca_cov / table_cdf /
+    # store_batch_probe batch)
+    "dedup_prefix_buckets",
     "doc_chunks", "doc_dup_ngrams", "doc_fingerprint",
     "doc_lang_id", "doc_logprob", "doc_quality", "doc_repetition",
     "emb_doc_join", "events_json", "events_session_stats",

@@ -29,28 +29,54 @@ Correctness pieces, each load-bearing:
 
 Scale shape per batch: `merge_into(strategy="broadcast")` — the table is
 scanned twice but never shuffled; all shuffles are micro-batch-sized.
+With `n_buckets > 0` the WRITE side is bounded too: each version is
+hash-bucketed by the merge key (`__bucket` partition directories), the
+merge reads and rewrites ONLY the buckets the batch touches (partition
+pruning on the scan side), and every untouched bucket directory is
+hard-linked forward from the previous version — the file-level
+copy-on-write that Delta/Iceberg MERGE does, on plain parquet. Per-batch
+cost is O(touched buckets) ≈ O(|batch| × table/buckets), not O(table);
+without bucketing a 1-row change to a 100 TB table rewrites 100 TB.
+Hard links also make retention cheap: `vacuum()` removes old version
+directories without copying the files newer versions still share.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mlvectordb_spark.operators.merge import dedup_source, merge_into
 
 _PTR = "_LATEST"
+_BUCKET = "__bucket"
+
+
+def _bucket_expr(keys: list[str], n_buckets: int) -> Column:
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
+        "int"
+    )
 
 
 class MergedTable:
-    """A parquet table maintained by versioned copy-on-write merges."""
+    """A parquet table maintained by versioned copy-on-write merges.
 
-    def __init__(self, spark: SparkSession, path: str):
+    `n_buckets=0` (default) keeps whole-snapshot versions; `n_buckets=B`
+    partitions every version by a key-hash bucket so merges rewrite only
+    touched buckets (see module docstring)."""
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 0):
         self.spark = spark
         self.path = path
+        self.n_buckets = int(n_buckets)
         os.makedirs(path, exist_ok=True)
+
+    def _vdir(self, version: int) -> str:
+        return os.path.join(self.path, f"v{version:012d}")
 
     def current_version(self) -> int | None:
         ptr = os.path.join(self.path, _PTR)
@@ -68,18 +94,97 @@ class MergedTable:
 
     def df_at(self, version: int, spark: SparkSession | None = None) -> DataFrame:
         """Read a specific published version (time travel over the
-        version directories)."""
-        return (spark or self.spark).read.parquet(
-            os.path.join(self.path, f"v{version:012d}")
-        )
+        version directories). The internal bucket column stays internal."""
+        out = self._raw_at(version, spark)
+        return out.drop(_BUCKET) if self.n_buckets else out
 
-    def write_version(self, df: DataFrame, version: int) -> None:
-        out = os.path.join(self.path, f"v{version:012d}")
-        df.write.mode("overwrite").parquet(out)
+    def _raw_at(self, version: int, spark: SparkSession | None = None) -> DataFrame:
+        return (spark or self.spark).read.parquet(self._vdir(version))
+
+    def _bucket_dirs(self, version: int) -> dict[int, str]:
+        vdir = self._vdir(version)
+        out: dict[int, str] = {}
+        if not os.path.isdir(vdir):
+            return out
+        for name in os.listdir(vdir):
+            if name.startswith(f"{_BUCKET}="):
+                out[int(name.split("=", 1)[1])] = os.path.join(vdir, name)
+        return out
+
+    def write_version(
+        self,
+        df: DataFrame,
+        version: int,
+        touched_buckets: list[int] | None = None,
+        base_version: int | None = None,
+    ) -> None:
+        out = self._vdir(version)
+        if not self.n_buckets:
+            df.write.mode("overwrite").parquet(out)
+        else:
+            nparts = max(1, len(touched_buckets or []) or self.n_buckets)
+            (
+                df.repartition(nparts, F.col(_BUCKET))
+                .write.mode("overwrite")
+                .partitionBy(_BUCKET)
+                .parquet(out)
+            )
+            if base_version is not None and touched_buckets is not None:
+                self._link_untouched(base_version, version, set(touched_buckets))
         fd, tmp = tempfile.mkstemp(dir=self.path, prefix=".ptr_")
         with os.fdopen(fd, "w") as f:
             f.write(str(version))
         os.replace(tmp, os.path.join(self.path, _PTR))  # atomic flip
+
+    def _link_untouched(
+        self, base_version: int, version: int, touched: set[int]
+    ) -> None:
+        """Carry every bucket the merge did not touch into the new version
+        by hard link (same filesystem by construction; copy fallback).
+        File basenames are preserved, which is what lets `table_changes`
+        prove a bucket unchanged without reading it."""
+        dst_root = self._vdir(version)
+        for k, sdir in self._bucket_dirs(base_version).items():
+            if k in touched:
+                continue
+            ddir = os.path.join(dst_root, f"{_BUCKET}={k}")
+            os.makedirs(ddir, exist_ok=True)
+            for fname in os.listdir(sdir):
+                dst = os.path.join(ddir, fname)
+                if os.path.exists(dst):
+                    continue
+                try:
+                    os.link(os.path.join(sdir, fname), dst)
+                except OSError:
+                    shutil.copy2(os.path.join(sdir, fname), dst)
+
+    def versions(self) -> list[int]:
+        """Published + on-disk version numbers, ascending."""
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def vacuum(self, retain_last: int = 1) -> list[int]:
+        """Drop version directories beyond the newest `retain_last`
+        published ones (the current version is always kept). Hard-linked
+        files shared with retained versions survive — the filesystem
+        frees only data no retained version references. Returns the
+        removed version numbers."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        cur = self.current_version()
+        if cur is None:
+            return []
+        published = [v for v in self.versions() if v <= cur]
+        keep = set(published[-retain_last:]) | {cur}
+        removed = []
+        for v in published:
+            if v not in keep:
+                shutil.rmtree(self._vdir(v))
+                removed.append(v)
+        return removed
 
 
 def table_changes(
@@ -95,11 +200,15 @@ def table_changes(
     (from-version's values for deletes).
 
     Scale shape: one full-outer join of the two version snapshots on the
-    key — inherently both-sides-large, so it shuffles both once (the
-    honest cost of diffing two lake snapshots; incremental consumers that
-    need cheaper feeds should tap the merge SOURCE stream instead, which
-    is what streaming/ingest.py does for the store). Unchanged rows are
-    dropped before any wide projection."""
+    key — but for a bucketed table the CoW layout proves most of it away
+    first: a bucket whose file basenames are identical in both versions
+    is hard-link-shared and cannot differ, so both scans are pruned to
+    the buckets whose files diverged. Cost is O(changed buckets), the
+    same bound as the merges that produced the delta. (Unbucketed tables
+    pay the honest full diff; incremental consumers that need cheaper
+    feeds can also tap the merge SOURCE stream, as streaming/ingest.py
+    does for the store.) Unchanged rows are dropped before any wide
+    projection."""
     keys = [on] if isinstance(on, str) else list(on)
     if to_version is None:
         to_version = table.current_version()
@@ -107,6 +216,22 @@ def table_changes(
             raise ValueError("table has no published versions")
     old = table.df_at(from_version)
     new = table.df_at(to_version)
+    if table.n_buckets:
+        o_dirs = table._bucket_dirs(from_version)
+        n_dirs = table._bucket_dirs(to_version)
+        changed = [
+            k
+            for k in set(o_dirs) | set(n_dirs)
+            if k not in o_dirs
+            or k not in n_dirs
+            or sorted(os.listdir(o_dirs[k])) != sorted(os.listdir(n_dirs[k]))
+        ]
+        old = table._raw_at(from_version).filter(
+            F.col(_BUCKET).isin(changed)
+        ).drop(_BUCKET)
+        new = table._raw_at(to_version).filter(
+            F.col(_BUCKET).isin(changed)
+        ).drop(_BUCKET)
     val_cols = [c for c in new.columns if c not in keys]
     cond = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
     o_present = F.col("o.__o_present").isNotNull()
@@ -148,7 +273,11 @@ def apply_merge_batch(
     order_col: str,
     delete_col: str | None = None,
 ) -> None:
-    """One micro-batch: dedup → MERGE → publish version `batch_id`."""
+    """One micro-batch: dedup → MERGE → publish version `batch_id`.
+
+    For a bucketed table the target scan is pruned to the batch's touched
+    buckets (a bounded `distinct().collect()` over ≤ n_buckets values)
+    and `write_version` rewrites only those buckets."""
     keys = [on] if isinstance(on, str) else list(on)
     cur = table.current_version()
     if cur is not None and cur >= batch_id:
@@ -159,19 +288,30 @@ def apply_merge_batch(
     if batch.isEmpty():
         return
     src = dedup_source(batch, keys, order_col)
+    touched: list[int] | None = None
+    if table.n_buckets:
+        src = src.withColumn(_BUCKET, _bucket_expr(keys, table.n_buckets))
+        touched = sorted(
+            r[0] for r in src.select(_BUCKET).distinct().collect()
+        )
     payload_cols = [c for c in batch.columns if c != delete_col]
+    if table.n_buckets:
+        payload_cols = payload_cols + [_BUCKET]
     # foreachBatch hands us a frame owned by the micro-batch's OWN
     # SparkSession; the target must be read through the SAME session or
     # the cross-session join resolves incorrectly
-    target = table.df(spark=batch.sparkSession)
-    if target is None:
+    if cur is None:
         # bootstrap: the first batch's non-deleted rows ARE the table
         if delete_col is not None:
             first = src.filter(~F.col(delete_col)).select(*payload_cols)
         else:
             first = src.select(*payload_cols)
-        table.write_version(first, batch_id)
+        table.write_version(first, batch_id, touched_buckets=touched)
         return
+    target = table._raw_at(cur, spark=batch.sparkSession)
+    if table.n_buckets:
+        # partition-pruned scan: only the batch's buckets are read
+        target = target.filter(F.col(_BUCKET).isin(touched))
     # CDC monotonicity guard: a change only applies over a STRICTLY older
     # row version (s.order > t.order). Micro-batches normally arrive in
     # order, but source replays / equal-mtime file ties can deliver an
@@ -195,7 +335,9 @@ def apply_merge_batch(
         ),
         strategy="broadcast",
     )
-    table.write_version(merged, batch_id)
+    table.write_version(
+        merged, batch_id, touched_buckets=touched, base_version=cur
+    )
 
 
 def start_table_merge(

@@ -166,6 +166,120 @@ def test_table_changes_feed(spark, tmp_path):
         table_changes(MergedTable(spark, str(tmp_path / "empty")), 0)
 
 
+def _bucket_of(spark, ids, n_buckets):
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame([(i,) for i in ids], "id bigint").select(
+        F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int").alias("b")
+    )
+    return {r["b"] for r in rows.collect()}
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """File-level CoW: a 2-key batch over a 64-key table rewrites only
+    the keys' bucket directories; every other bucket is hard-linked
+    forward (identical inodes), and semantics match the unbucketed path."""
+    import os
+
+    from mlvectordb_spark.streaming.merge_sink import apply_merge_batch
+
+    table = MergedTable(spark, str(tmp_path / "t"), n_buckets=8)
+    b0 = spark.createDataFrame(
+        [(i, float(i), 1, False) for i in range(64)],
+        "id bigint, val double, seq bigint, deleted boolean",
+    )
+    b1 = spark.createDataFrame(
+        [(5, 500.0, 2, False), (7, 0.0, 2, True), (100, 1.0, 2, False)],
+        "id bigint, val double, seq bigint, deleted boolean",
+    )
+    apply_merge_batch(table, b0, 0, "id", "seq", "deleted")
+    apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
+
+    got = {r["id"]: r["val"] for r in table.df().collect()}
+    want = {i: float(i) for i in range(64) if i != 7}
+    want[5] = 500.0
+    want[100] = 1.0
+    assert got == want
+    assert "__bucket" not in table.df().columns
+
+    touched = _bucket_of(spark, [5, 7, 100], 8)
+    v0, v1 = table._bucket_dirs(0), table._bucket_dirs(1)
+    assert set(v0) == set(range(8))  # 64 keys cover all 8 buckets
+    for k in range(8):
+        inodes0 = {
+            os.stat(os.path.join(v0[k], f)).st_ino for f in os.listdir(v0[k])
+        }
+        inodes1 = {
+            os.stat(os.path.join(v1[k], f)).st_ino for f in os.listdir(v1[k])
+        }
+        if k in touched:
+            assert inodes0.isdisjoint(inodes1), f"bucket {k} not rewritten"
+        else:
+            assert inodes0 == inodes1, f"bucket {k} copied, not linked"
+
+
+def test_bucketed_table_changes_prunes_shared_buckets(spark, tmp_path):
+    """The CDF over a bucketed table reads only diverged buckets yet
+    reports exactly the same feed as the full diff."""
+    from mlvectordb_spark.streaming.merge_sink import (
+        apply_merge_batch,
+        table_changes,
+    )
+
+    table = MergedTable(spark, str(tmp_path / "t"), n_buckets=8)
+    b0 = spark.createDataFrame(
+        [(i, float(i), 1, False) for i in range(64)],
+        "id bigint, val double, seq bigint, deleted boolean",
+    )
+    b1 = spark.createDataFrame(
+        [(5, 500.0, 2, False), (7, 0.0, 2, True)],
+        "id bigint, val double, seq bigint, deleted boolean",
+    )
+    apply_merge_batch(table, b0, 0, "id", "seq", "deleted")
+    apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
+    feed = table_changes(table, 0, 1, on="id")
+    got = {r["id"]: (r["val"], r["_change_type"]) for r in feed.collect()}
+    assert got == {5: (500.0, "update"), 7: (7.0, "delete")}
+    # the pruned plan scans only the diverged buckets
+    n_scanned = feed.count()
+    touched = _bucket_of(spark, [5, 7], 8)
+    raw0 = table._raw_at(0)
+    full = raw0.count()
+    pruned = raw0.filter(raw0["__bucket"].isin(list(touched))).count()
+    assert pruned < full  # partition pruning has something to save
+    assert n_scanned == 2
+
+
+def test_vacuum_keeps_current_version_readable(spark, tmp_path):
+    """vacuum drops old version dirs; hard-linked files shared with the
+    current version survive the removal."""
+    from mlvectordb_spark.streaming.merge_sink import apply_merge_batch
+
+    table = MergedTable(spark, str(tmp_path / "t"), n_buckets=4)
+    b0 = spark.createDataFrame(
+        [(i, float(i), 1, False) for i in range(16)],
+        "id bigint, val double, seq bigint, deleted boolean",
+    )
+    b1 = spark.createDataFrame(
+        [(3, 33.0, 2, False)], "id bigint, val double, seq bigint, deleted boolean"
+    )
+    b2 = spark.createDataFrame(
+        [(4, 44.0, 3, False)], "id bigint, val double, seq bigint, deleted boolean"
+    )
+    for i, b in enumerate([b0, b1, b2]):
+        apply_merge_batch(table, b, i, "id", "seq", "deleted")
+    assert table.versions() == [0, 1, 2]
+    removed = table.vacuum(retain_last=1)
+    assert removed == [0, 1]
+    assert table.versions() == [2]
+    got = {r["id"]: r["val"] for r in table.df().collect()}
+    want = {i: float(i) for i in range(16)}
+    want[3], want[4] = 33.0, 44.0
+    assert got == want
+    with pytest.raises(ValueError):
+        table.vacuum(retain_last=0)
+
+
 def test_restart_does_not_reapply(spark, tmp_path):
     src = tmp_path / "cdc"
     src.mkdir()
