@@ -4258,6 +4258,56 @@ def q_emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history fold (operators/scd.py): two update batches
+    applied to an orders-derived dimension. Batch 1 exercises every
+    clause at once — status changes ('O'→'F' for key%7), no-op updates
+    (key%11 rows re-asserting their current 'F'), and brand-new keys
+    (negated key%13, status 'N'); batch 2 then re-updates key%14 rows to
+    'P', which closes BOTH first-generation rows and the version-2 rows
+    batch 1 opened (and no-ops against original-'P' rows). The oracle
+    reconstructs the full (key, status, valid_from, valid_to, is_current)
+    history relationally, so the anti-join/union/close machinery is gated
+    bit-for-bit including timestamp arithmetic and null-safe no-op
+    detection.
+
+    Scale shape: each apply is one broadcast join of the (small) update
+    batch against current rows plus one anti-join for fresh keys — the
+    dimension itself is never shuffled."""
+    from mlvectordb_spark.operators.scd import scd2_apply, scd2_init
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    hist = scd2_init(o, "ts")
+    chg1 = o.filter((F.col("k") % 7 == 0) & (F.col("status") == "O")).select(
+        "k",
+        F.lit("F").alias("status"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+    )
+    noop = o.filter((F.col("k") % 11 == 0) & (F.col("status") == "F")).select(
+        "k", "status", (F.col("ts") + F.expr("INTERVAL 5 DAYS")).alias("ts")
+    )
+    # k=0 exists in orders and -0 == 0 would collide with it, turning the
+    # "fresh key" into a regular update — keep the families disjoint
+    fresh = o.filter((F.col("k") % 13 == 0) & (F.col("k") != 0)).select(
+        (-F.col("k")).alias("k"),
+        F.lit("N").alias("status"),
+        (F.col("ts") + F.expr("INTERVAL 60 DAYS")).alias("ts"),
+    )
+    b1 = chg1.unionByName(noop).unionByName(fresh)
+    b2 = o.filter(F.col("k") % 14 == 0).select(
+        "k",
+        F.lit("P").alias("status"),
+        (F.col("ts") + F.expr("INTERVAL 90 DAYS")).alias("ts"),
+    )
+    hist = scd2_apply(hist, b1, "k", "ts", ["status"])
+    hist = scd2_apply(hist, b2, "k", "ts", ["status"])
+    return hist.orderBy("k", "valid_from")
+
+
 def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA fit + projection (operators/pca.py): top-8 principal axes of the
     embedding table, explained-variance spectrum, and the projection norm
@@ -6233,6 +6283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "format_roundtrip": q_format_roundtrip,
     "emb_pca_cov": q_emb_pca_cov,
     "table_cdf": q_table_cdf,
+    "scd2_orders": q_scd2_orders,
     # ---- rows-only by design (no SQL-expressible oracle) ----
     "emb_pca": q_emb_pca,  # eig isn't SQL; covariance input gated above
     "approx_stats": q_approx_stats,
@@ -6319,6 +6370,45 @@ SELECT COALESCE(n.id, o.id)::BIGINT AS id,
 FROM v0 o FULL JOIN v1 n ON o.id = n.id
 WHERE o.id IS NULL OR n.id IS NULL OR o.val <> n.val OR o.seq <> n.seq
 ORDER BY id
+"""
+
+# SCD2 fold reconstructed relationally: chg1 = batch-1 status changes,
+# chg2 = batch-2 rows that actually differ from the then-current version
+# (original-'P' rows are no-ops). Four row families: original rows (closed
+# by whichever batch touched them first), version-2 rows opened by batch 1
+# (closed by batch 2 iff key%14), version-3 rows from batch 2, fresh keys.
+ORACLE_SQL["scd2_orders"] = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(o_orderdate AS TIMESTAMP) AS ts
+  FROM orders
+), chg1 AS (
+  SELECT k, ts + INTERVAL 30 DAY AS t1 FROM o
+  WHERE k % 7 = 0 AND status = 'O'
+), chg2 AS (
+  SELECT k, ts + INTERVAL 90 DAY AS t2 FROM o
+  WHERE k % 14 = 0 AND status IN ('O', 'F')
+)
+SELECT o.k, o.status, o.ts AS valid_from,
+  CASE WHEN c1.k IS NOT NULL THEN c1.t1
+       WHEN c2.k IS NOT NULL AND o.status = 'F' THEN c2.t2
+       ELSE CAST(NULL AS TIMESTAMP) END AS valid_to,
+  (c1.k IS NULL AND NOT (c2.k IS NOT NULL AND o.status = 'F'))
+    AS is_current
+FROM o
+LEFT JOIN chg1 c1 ON o.k = c1.k
+LEFT JOIN chg2 c2 ON o.k = c2.k
+UNION ALL
+SELECT c1.k, 'F', c1.t1,
+  CASE WHEN c2.k IS NOT NULL THEN c2.t2 END,
+  c2.k IS NULL
+FROM chg1 c1 LEFT JOIN chg2 c2 ON c1.k = c2.k
+UNION ALL
+SELECT k, 'P', t2, CAST(NULL AS TIMESTAMP), TRUE FROM chg2
+UNION ALL
+SELECT -o.k, 'N', o.ts + INTERVAL 60 DAY, CAST(NULL AS TIMESTAMP), TRUE
+FROM o WHERE o.k % 13 = 0 AND o.k <> 0
+ORDER BY k, valid_from
 """
 
 # the distributed PCA moment kernel, re-derived by DuckDB's covar_samp
@@ -6491,18 +6581,19 @@ _WINDOW = [
     "store_batch_search", "store_batch_probe", "layout_zorder",
     "heavy_bigrams", "udtf_chunks",
     "merge_orders", "format_roundtrip", "emb_pca_cov", "table_cdf",
+    "scd2_orders",
     # (b) kernels changed in r7 — 9 entries
     "tpch_q15", "store_indexed_search", "store_indexed_cosine",
     "store_roundtrip", "store_timetravel", "ann_ivf_exact", "ann_ivf_batch",
     "hybrid_ivf_exact", "ann_ivfpq_exact",
-    # (c) longest-resting driver rows (r4) — 20 entries (stratified_sample,
+    # (c) longest-resting driver rows (r4) — 19 entries (stratified_sample,
     # tfidf_terms, token_freq, seq_pack, array_ops, grouping_sets,
-    # distinct_counts, data_split, cust_big_orders rest one more round to
-    # make room for the new-surface entries, incl. the late-r7
-    # merge_orders / format_roundtrip / emb_pca_cov / table_cdf /
-    # store_batch_probe batch)
+    # distinct_counts, data_split, cust_big_orders, doc_chunks rest one
+    # more round to make room for the new-surface entries, incl. the
+    # late-r7 merge_orders / format_roundtrip / emb_pca_cov / table_cdf /
+    # store_batch_probe / scd2_orders batch)
     "dedup_prefix_buckets",
-    "doc_chunks", "doc_dup_ngrams", "doc_fingerprint",
+    "doc_dup_ngrams", "doc_fingerprint",
     "doc_lang_id", "doc_logprob", "doc_quality", "doc_repetition",
     "emb_doc_join", "events_json", "events_session_stats",
     "events_sessionize", "events_sliding", "events_tumbling",
