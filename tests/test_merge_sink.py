@@ -240,6 +240,13 @@ def test_bucketed_table_changes_prunes_shared_buckets(spark, tmp_path):
     feed = table_changes(table, 0, 1, on="id")
     got = {r["id"]: (r["val"], r["_change_type"]) for r in feed.collect()}
     assert got == {5: (500.0, "update"), 7: (7.0, "delete")}
+    # the pruning is DIRECTORY-level (PartitionFilters on __bucket), not a
+    # row filter after a full scan — both version scans must carry it
+    import re
+
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[[^\]]*__bucket[^\]]*\]", plan)
+    assert len(pf) >= 2, plan
     # the pruned plan scans only the diverged buckets
     n_scanned = feed.count()
     touched = _bucket_of(spark, [5, 7], 8)
