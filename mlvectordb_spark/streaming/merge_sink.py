@@ -43,6 +43,7 @@ directories without copying the files newer versions still share.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -53,6 +54,7 @@ from pyspark.sql import functions as F
 from mlvectordb_spark.operators.merge import dedup_source, merge_into
 
 _PTR = "_LATEST"
+_META = "_TABLE_META"
 _BUCKET = "__bucket"
 
 
@@ -65,15 +67,49 @@ def _bucket_expr(keys: list[str], n_buckets: int) -> Column:
 class MergedTable:
     """A parquet table maintained by versioned copy-on-write merges.
 
-    `n_buckets=0` (default) keeps whole-snapshot versions; `n_buckets=B`
-    partitions every version by a key-hash bucket so merges rewrite only
-    touched buckets (see module docstring)."""
+    `n_buckets=0` keeps whole-snapshot versions; `n_buckets=B` partitions
+    every version by a key-hash bucket so merges rewrite only touched
+    buckets (see module docstring). The bucket count is part of the
+    on-disk layout, so it is persisted on first write and validated on
+    reopen: pruning with a different modulus than the one the data was
+    hashed with silently misses existing rows (a merge would then
+    re-insert keys it failed to see — duplicate-key corruption). The
+    default `n_buckets=None` adopts whatever the table was created with."""
 
-    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 0):
+    def __init__(
+        self, spark: SparkSession, path: str, n_buckets: int | None = None
+    ):
         self.spark = spark
         self.path = path
-        self.n_buckets = int(n_buckets)
         os.makedirs(path, exist_ok=True)
+        on_disk = self._read_meta()
+        if n_buckets is None:
+            self.n_buckets = 0 if on_disk is None else on_disk
+        else:
+            self.n_buckets = int(n_buckets)
+            if on_disk is not None and on_disk != self.n_buckets:
+                raise ValueError(
+                    f"table at {path} was created with n_buckets={on_disk}; "
+                    f"reopening with n_buckets={n_buckets} would prune "
+                    "against the wrong modulus (pass n_buckets=None to "
+                    "adopt the on-disk value)"
+                )
+
+    def _read_meta(self) -> int | None:
+        p = os.path.join(self.path, _META)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(json.load(f)["n_buckets"])
+
+    def _write_meta(self) -> None:
+        p = os.path.join(self.path, _META)
+        if os.path.exists(p):
+            return
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix=".meta_")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"n_buckets": self.n_buckets}, f)
+        os.replace(tmp, p)
 
     def _vdir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version:012d}")
@@ -119,6 +155,7 @@ class MergedTable:
         base_version: int | None = None,
     ) -> None:
         out = self._vdir(version)
+        self._write_meta()
         if not self.n_buckets:
             df.write.mode("overwrite").parquet(out)
         else:
@@ -131,6 +168,15 @@ class MergedTable:
             )
             if base_version is not None and touched_buckets is not None:
                 self._link_untouched(base_version, version, set(touched_buckets))
+            if not self._bucket_dirs(version):
+                # an all-empty bucketed result (e.g. a bootstrap batch of
+                # nothing but delete markers) writes no schema-bearing
+                # part files — partitionBy emits only _SUCCESS — which
+                # would poison every later read with
+                # UNABLE_TO_INFER_SCHEMA. Write the empty frame flat so
+                # the version stays readable; __bucket becomes a zero-row
+                # data column, so pruning filters still resolve.
+                df.limit(0).write.mode("overwrite").parquet(out)
         fd, tmp = tempfile.mkstemp(dir=self.path, prefix=".ptr_")
         with os.fdopen(fd, "w") as f:
             f.write(str(version))
@@ -214,8 +260,6 @@ def table_changes(
         to_version = table.current_version()
         if to_version is None:
             raise ValueError("table has no published versions")
-    old = table.df_at(from_version)
-    new = table.df_at(to_version)
     if table.n_buckets:
         o_dirs = table._bucket_dirs(from_version)
         n_dirs = table._bucket_dirs(to_version)
@@ -232,6 +276,9 @@ def table_changes(
         new = table._raw_at(to_version).filter(
             F.col(_BUCKET).isin(changed)
         ).drop(_BUCKET)
+    else:
+        old = table.df_at(from_version)
+        new = table.df_at(to_version)
     val_cols = [c for c in new.columns if c not in keys]
     cond = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
     o_present = F.col("o.__o_present").isNotNull()
@@ -291,8 +338,16 @@ def apply_merge_batch(
     touched: list[int] | None = None
     if table.n_buckets:
         src = src.withColumn(_BUCKET, _bucket_expr(keys, table.n_buckets))
+        # touched buckets come from the RAW batch, not the deduped frame:
+        # dedup only drops duplicate keys (same bucket), and going through
+        # `src` would run its groupBy shuffle an extra time per batch
         touched = sorted(
-            r[0] for r in src.select(_BUCKET).distinct().collect()
+            r[0]
+            for r in batch.select(
+                _bucket_expr(keys, table.n_buckets).alias(_BUCKET)
+            )
+            .distinct()
+            .collect()
         )
     payload_cols = [c for c in batch.columns if c != delete_col]
     if table.n_buckets:

@@ -257,6 +257,57 @@ def test_bucketed_table_changes_prunes_shared_buckets(spark, tmp_path):
     assert n_scanned == 2
 
 
+def test_bucketed_all_delete_bootstrap_stays_readable(spark, tmp_path):
+    """A bucketed write whose result is EMPTY (bootstrap of pure delete
+    markers) must still publish a readable version: partitionBy alone
+    writes no schema-bearing files, which used to poison every later
+    read and retry with UNABLE_TO_INFER_SCHEMA."""
+    from mlvectordb_spark.streaming.merge_sink import apply_merge_batch
+
+    table = MergedTable(spark, str(tmp_path / "t"), n_buckets=4)
+    dels = spark.createDataFrame(
+        [(1, 0.0, 1, True), (2, 0.0, 1, True)],
+        "id bigint, val double, seq bigint, deleted boolean",
+    )
+    apply_merge_batch(table, dels, 0, "id", "seq", "deleted")
+    assert table.current_version() == 0
+    assert table.df().count() == 0
+    # the table recovers: a later real batch applies normally
+    b1 = spark.createDataFrame(
+        [(3, 3.0, 2, False)], "id bigint, val double, seq bigint, deleted boolean"
+    )
+    apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
+    assert {r["id"]: r["val"] for r in table.df().collect()} == {3: 3.0}
+
+
+def test_bucket_count_persisted_and_validated(spark, tmp_path):
+    """n_buckets is part of the on-disk layout: reopening with a
+    different modulus must fail loudly (pruning against the wrong mod
+    silently duplicates keys), and n_buckets=None adopts the stored
+    value."""
+    from mlvectordb_spark.streaming.merge_sink import apply_merge_batch
+
+    path = str(tmp_path / "t")
+    table = MergedTable(spark, path, n_buckets=8)
+    b0 = spark.createDataFrame(
+        [(i, float(i), 1, False) for i in range(32)],
+        "id bigint, val double, seq bigint, deleted boolean",
+    )
+    apply_merge_batch(table, b0, 0, "id", "seq", "deleted")
+    with pytest.raises(ValueError, match="n_buckets"):
+        MergedTable(spark, path, n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets"):
+        MergedTable(spark, path, n_buckets=0)
+    reopened = MergedTable(spark, path)  # adopts on-disk value
+    assert reopened.n_buckets == 8
+    b1 = spark.createDataFrame(
+        [(0, 999.0, 2, False)], "id bigint, val double, seq bigint, deleted boolean"
+    )
+    apply_merge_batch(reopened, b1, 1, "id", "seq", "deleted")
+    got = {r["id"]: r["val"] for r in reopened.df().collect()}
+    assert got[0] == 999.0 and len(got) == 32  # updated in place, no dup
+
+
 def test_vacuum_keeps_current_version_readable(spark, tmp_path):
     """vacuum drops old version dirs; hard-linked files shared with the
     current version survive the removal."""

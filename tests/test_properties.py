@@ -27,18 +27,23 @@ SETTINGS = dict(
     ],
 )
 
-vec = st.lists(
-    st.floats(
-        min_value=-100,
-        max_value=100,
-        allow_nan=False,
-        allow_infinity=False,
-        width=32,
-    ),
-    min_size=2,
-    max_size=16,
+_elem = st.floats(
+    min_value=-100,
+    max_value=100,
+    allow_nan=False,
+    allow_infinity=False,
+    width=32,
 )
-pair = st.tuples(vec, vec).filter(lambda ab: len(ab[0]) == len(ab[1]))
+vec = st.lists(_elem, min_size=2, max_size=16)
+# draw the dimension FIRST, then two vectors of exactly that size —
+# filtering two independent lists for equal length rejects ~14/15 of
+# examples and trips the filter_too_much health check under load
+pair = st.integers(min_value=2, max_value=16).flatmap(
+    lambda n: st.tuples(
+        st.lists(_elem, min_size=n, max_size=n),
+        st.lists(_elem, min_size=n, max_size=n),
+    )
+)
 
 
 def _eval(spark, exprs, rows, schema):

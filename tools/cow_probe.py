@@ -128,7 +128,8 @@ def main() -> None:
         diff_wall = time.time() - t0
 
         finals[label] = table.df().agg(
-            F.count("*").alias("n"), F.sum("val").alias("s")
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("id", "val", "payload", "seq")).alias("h"),
         ).collect()[0]
         report[label] = {
             "table_bytes": sum(v0.values()),
@@ -147,7 +148,9 @@ def main() -> None:
         shutil.rmtree(root)
 
     assert finals["bucketed"]["n"] == finals["unbucketed"]["n"]
-    assert abs(finals["bucketed"]["s"] - finals["unbucketed"]["s"]) < 1e-6
+    # full-row xor-of-hashes: any column of any row differing between the
+    # two paths flips the checksum
+    assert finals["bucketed"]["h"] == finals["unbucketed"]["h"]
     report["parity"] = True
     report["point_write_ratio"] = round(
         report["bucketed"]["point_bytes_written"]
