@@ -1,0 +1,100 @@
+"""Incremental materialized-view maintenance from a change-data feed.
+
+A grouped SUM/COUNT aggregate over a versioned table can be kept fresh
+without rescanning the table: the CDF between two versions (with
+preimage rows — `table_changes(..., preimage=True)`) carries exactly the
+rows whose contribution changed, and SUM/COUNT are abelian-group
+aggregates, so the new view is `old_view ⊕ Σ(signed deltas)`. This is
+the standard incremental-view-maintenance construction (delta rules for
+aggregates; cf. Delta Live Tables / Materialize); MIN/MAX are
+deliberately NOT offered — they are not subtractable under deletes, and
+maintaining them needs per-group recomputation, which is a different
+(partial-recompute) pattern.
+
+Scale shape: the delta aggregation is FEED-sized (one shuffle of the
+changed rows on the group key); applying it is one outer join with the
+existing view, co-partitioned on the same key — the base table is never
+read. At 100 TB with a per-day CDC batch, refresh cost is O(|changes|) +
+O(|view|), vs O(|table|) for a full rebuild.
+
+AVG comes out of the maintained (sum, count) pair for free; groups whose
+count reaches zero are dropped, matching what a full regroup would
+produce.
+
+Reference parity note: the reference engine has no materialized-view
+surface (its rollups are rebuilt from scratch); this is part of the
+beyond-reference training-pipeline layer, same tier as operators/rollup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ADD = ("insert", "update_postimage")
+_SUB = ("delete", "update_preimage")
+
+
+def build_mv(
+    df: DataFrame, group_cols: list[str], measure_cols: list[str]
+) -> DataFrame:
+    """Full build: one grouped aggregate with `cnt` and `sum_<c>` columns
+    — the maintainable state. Run once at bootstrap (or to re-anchor)."""
+    aggs = [F.count(F.lit(1)).alias("cnt")] + [
+        F.sum(c).alias(f"sum_{c}") for c in measure_cols
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def mv_delta(
+    feed: DataFrame, group_cols: list[str], measure_cols: list[str]
+) -> DataFrame:
+    """Signed per-group delta of a preimage-form CDF feed: +1 for rows
+    entering the table (inserts, update postimages), −1 for rows leaving
+    it (deletes, update preimages)."""
+    sign = (
+        F.when(F.col("_change_type").isin(*_ADD), F.lit(1))
+        .when(F.col("_change_type").isin(*_SUB), F.lit(-1))
+    )
+    signed = feed.withColumn("__sign", sign)
+    # a post-only feed ('update' rows) cannot be applied subtractively —
+    # fail loudly instead of silently double-counting (the check is a
+    # partial-aggregated distinct over ≤5 values, not a data scan)
+    if signed.select("_change_type").distinct().filter(
+        ~F.col("_change_type").isin(*_ADD, *_SUB)
+    ).limit(1).count():
+        raise ValueError(
+            "feed contains non-preimage change types; produce it with "
+            "table_changes(..., preimage=True)"
+        )
+    aggs = [F.sum("__sign").alias("d_cnt")] + [
+        F.sum(F.col(c) * F.col("__sign")).alias(f"d_sum_{c}")
+        for c in measure_cols
+    ]
+    return signed.groupBy(*group_cols).agg(*aggs)
+
+
+def incremental_refresh(
+    mv: DataFrame,
+    feed: DataFrame,
+    group_cols: list[str],
+    measure_cols: list[str],
+) -> DataFrame:
+    """`old view ⊕ delta`: full-outer join on the group key (new groups
+    appear via the delta side, emptied groups drop when cnt hits 0).
+    Schema matches build_mv exactly, so refreshes chain."""
+    delta = mv_delta(feed, group_cols, measure_cols)
+    joined = mv.alias("m").join(delta.alias("d"), group_cols, "full_outer")
+    cols = [F.col(g) for g in group_cols]
+    cnt = (
+        F.coalesce(F.col("m.cnt"), F.lit(0))
+        + F.coalesce(F.col("d.d_cnt"), F.lit(0))
+    ).alias("cnt")
+    sums = [
+        (
+            F.coalesce(F.col(f"m.sum_{c}"), F.lit(0.0))
+            + F.coalesce(F.col(f"d.d_sum_{c}"), F.lit(0.0))
+        ).alias(f"sum_{c}")
+        for c in measure_cols
+    ]
+    return joined.select(*cols, cnt, *sums).filter(F.col("cnt") > 0)

@@ -238,12 +238,19 @@ def table_changes(
     from_version: int,
     to_version: int | None = None,
     on: list[str] | str = "id",
+    preimage: bool = False,
 ) -> DataFrame:
     """CDC-OUT: the row-level change feed between two published versions
     (the Delta `table_changes` / change-data-feed analog, public API
     shape). Returns every key whose row differs, with
     `_change_type ∈ {insert, update, delete}` and the to-version's values
     (from-version's values for deletes).
+
+    `preimage=True` switches updates to the Delta CDF two-row form —
+    `update_preimage` (old values) + `update_postimage` (new values) —
+    which is what subtractive consumers need: incremental aggregate
+    maintenance (operators/mv.py) must retract the old contribution
+    before adding the new one, and a post-only feed cannot express that.
 
     Scale shape: one full-outer join of the two version snapshots on the
     key — but for a bucketed table the CoW layout proves most of it away
@@ -295,6 +302,30 @@ def table_changes(
             "full_outer",
         )
     )
+    if preimage:
+        # one row per change EXCEPT updates, which explode into the
+        # preimage/postimage pair — built as an array of row-structs so
+        # the whole feed stays a single pass over the join
+        def _row(side: str, ctype: str):
+            return F.struct(
+                *[F.col(f"{side}.{c}").alias(c) for c in keys + val_cols],
+                F.lit(ctype).alias("_change_type"),
+            )
+
+        variants = (
+            F.when(~o_present, F.array(_row("n", "insert")))
+            .when(~n_present, F.array(_row("o", "delete")))
+            .when(
+                ~same,
+                F.array(
+                    _row("o", "update_preimage"), _row("n", "update_postimage")
+                ),
+            )
+        )
+        return (
+            joined.select(F.explode(variants).alias("__chg"))
+            .select("__chg.*")
+        )
     change = (
         F.when(~o_present, F.lit("insert"))
         .when(~n_present, F.lit("delete"))
