@@ -4315,7 +4315,13 @@ def q_table_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tempfile.mkdtemp(prefix="mlvdb_mv_"), n_buckets=16
     )
     apply_merge_batch(table, base, 0, "id", "seq", "deleted")
-    mv0 = build_mv(table.df_at(0), ["month"], ["val"])
+    # materialize the view the way production would (it IS the stored
+    # state): without this, lazy lineage would re-derive mv0 from a full
+    # v0 scan inside the refresh plan, silently breaking the
+    # never-rescan-the-base claim (plan-asserted in test_plan_quality)
+    mv0 = build_mv(table.df_at(0), ["month"], ["val"]).localCheckpoint(
+        eager=True
+    )
     b1 = updates.unionByName(deletes).unionByName(inserts)
     apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
     feed = table_changes(table, 0, 1, on="id", preimage=True)

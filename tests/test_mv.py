@@ -92,6 +92,27 @@ def test_refreshes_chain_and_groups_drop(spark, tmp_path):
     assert _as_dict(mv) == _as_dict(build_mv(table.df_at(2), ["g"], ["val"]))
 
 
+def test_refresh_reads_only_the_pruned_feed(spark, tmp_path):
+    """The refresh plan's ONLY parquet scans are the two bucket-pruned
+    version reads inside the feed — the materialized view contributes no
+    base-table lineage, so refresh cost is O(changed buckets) + O(view),
+    never O(table)."""
+    import re
+
+    rows = [(i, "g" + str(i % 3), float(i), 1, False) for i in range(64)]
+    table = _mk_table(spark, tmp_path / "t", rows)
+    mv0 = build_mv(table.df_at(0), ["g"], ["val"]).localCheckpoint(eager=True)
+    b1 = spark.createDataFrame([(5, "g2", 555.0, 2, False)], SCHEMA)
+    apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
+    feed = table_changes(table, 0, 1, on="id", preimage=True)
+    refreshed = incremental_refresh(mv0, feed, ["g"], ["val"])
+    plan = refreshed._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 2, plan  # feed's old + new version reads, nothing else
+    for ln in scans:
+        assert re.search(r"PartitionFilters: \[[^\]]*__bucket", ln), ln
+
+
 def test_post_only_feed_rejected(spark, tmp_path):
     table = _mk_table(spark, tmp_path / "t", [(1, "a", 1.0, 1, False)])
     b1 = spark.createDataFrame([(1, "a", 2.0, 2, False)], SCHEMA)
