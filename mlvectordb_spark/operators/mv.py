@@ -74,6 +74,52 @@ def mv_delta(
     return signed.groupBy(*group_cols).agg(*aggs)
 
 
+def build_mv_minmax(
+    df: DataFrame, group_cols: list[str], measure_cols: list[str]
+) -> DataFrame:
+    """Full build of the MIN/MAX-bearing view: cnt, sum_<c>, min_<c>,
+    max_<c> per group."""
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for c in measure_cols:
+        aggs += [
+            F.sum(c).alias(f"sum_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def incremental_refresh_minmax(
+    mv: DataFrame,
+    feed: DataFrame,
+    snapshot: DataFrame,
+    group_cols: list[str],
+    measure_cols: list[str],
+) -> DataFrame:
+    """MIN/MAX view refresh by PARTIAL RECOMPUTE: min/max are not
+    subtractable (deleting the current minimum says nothing about the
+    runner-up), so groups the feed touches are regrouped from the new
+    snapshot and untouched groups carry forward unchanged. This is the
+    other half of the incremental-view-maintenance taxonomy: signed
+    deltas for abelian aggregates (`incremental_refresh`), affected-set
+    recompute for non-subtractable ones.
+
+    Scale shape: the affected-group set is FEED-sized (distinct over the
+    changes, broadcast to both sides); the snapshot scan is filtered by a
+    broadcast semi-join before the regroup, so only affected groups'
+    rows are aggregated — with the table clustered/z-ordered by the group
+    key that scan prunes at the row-group level too. Cost is
+    O(rows-of-affected-groups) + O(view), vs O(table) for a full rebuild."""
+    affected = feed.select(*group_cols).distinct()
+    recomputed = build_mv_minmax(
+        snapshot.join(F.broadcast(affected), group_cols, "left_semi"),
+        group_cols,
+        measure_cols,
+    )
+    carried = mv.join(F.broadcast(affected), group_cols, "left_anti")
+    return carried.unionByName(recomputed)
+
+
 def incremental_refresh(
     mv: DataFrame,
     feed: DataFrame,

@@ -4258,6 +4258,35 @@ def q_emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function battery over one deterministic total
+    order (§2.4 window coverage beyond aggregates+LAG): row_number,
+    percent_rank, cume_dist, ntile quartiles, lag/lead neighbours, and
+    first_value, all sharing a single (o_custkey, o_orderdate,
+    o_orderkey) window — one Exchange on o_custkey, one sort, every
+    function evaluated in the same WindowExec pass. The unique
+    o_orderkey tiebreak makes rank-family outputs deterministic, so the
+    DuckDB oracle matches bit-for-bit (6-dp rounding on the two
+    ratio-valued functions)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.filter(F.col("o_custkey") % 51 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+            F.lead("o_totalprice", 1).over(w).alias("next_price"),
+            F.first("o_totalprice").over(w).alias("first_price"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
 def q_table_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance (operators/mv.py): a
     per-month (cnt, sum) view over a versioned CDC table is refreshed
@@ -6358,6 +6387,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_cdf": q_table_cdf,
     "table_mv": q_table_mv,
     "scd2_orders": q_scd2_orders,
+    "orders_window_analytics": q_orders_window_analytics,
     # ---- rows-only by design (no SQL-expressible oracle) ----
     "emb_pca": q_emb_pca,  # eig isn't SQL; covariance input gated above
     "approx_stats": q_approx_stats,
@@ -6444,6 +6474,21 @@ SELECT COALESCE(n.id, o.id)::BIGINT AS id,
 FROM v0 o FULL JOIN v1 n ON o.id = n.id
 WHERE o.id IS NULL OR n.id IS NULL OR o.val <> n.val OR o.seq <> n.seq
 ORDER BY id
+"""
+
+# one shared window, unique tiebreak ⇒ rank family deterministic
+ORACLE_SQL["orders_window_analytics"] = """
+SELECT o_custkey, o_orderkey,
+  row_number() OVER w AS rn,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume,
+  ntile(4) OVER w AS quartile,
+  lag(o_totalprice, 1) OVER w AS prev_price,
+  lead(o_totalprice, 1) OVER w AS next_price,
+  first_value(o_totalprice) OVER w AS first_price
+FROM orders WHERE o_custkey % 51 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, rn
 """
 
 # Incremental MV refresh gated against a from-scratch regroup of the
@@ -6684,20 +6729,19 @@ _WINDOW = [
     "store_batch_search", "store_batch_probe", "layout_zorder",
     "heavy_bigrams", "udtf_chunks",
     "merge_orders", "format_roundtrip", "emb_pca_cov", "table_cdf",
-    "scd2_orders", "table_mv",
+    "scd2_orders", "table_mv", "orders_window_analytics",
     # (b) kernels changed in r7 — 9 entries
     "tpch_q15", "store_indexed_search", "store_indexed_cosine",
     "store_roundtrip", "store_timetravel", "ann_ivf_exact", "ann_ivf_batch",
     "hybrid_ivf_exact", "ann_ivfpq_exact",
-    # (c) longest-resting driver rows (r4) — 18 entries (stratified_sample,
+    # (c) longest-resting driver rows (r4) — 17 entries (stratified_sample,
     # tfidf_terms, token_freq, seq_pack, array_ops, grouping_sets,
     # distinct_counts, data_split, cust_big_orders, doc_chunks,
-    # doc_dup_ngrams rest one more round to make room for the new-surface
-    # entries, incl. the late-r7 merge_orders / format_roundtrip /
-    # emb_pca_cov / table_cdf / store_batch_probe / scd2_orders /
-    # table_mv batch)
+    # doc_dup_ngrams, doc_fingerprint rest one more round to make room
+    # for the new-surface entries, incl. the late-r7 merge_orders /
+    # format_roundtrip / emb_pca_cov / table_cdf / store_batch_probe /
+    # scd2_orders / table_mv / orders_window_analytics batch)
     "dedup_prefix_buckets",
-    "doc_fingerprint",
     "doc_lang_id", "doc_logprob", "doc_quality", "doc_repetition",
     "emb_doc_join", "events_json", "events_session_stats",
     "events_sessionize", "events_sliding", "events_tumbling",

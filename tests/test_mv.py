@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 
 from mlvectordb_spark.operators.mv import (
     build_mv,
+    build_mv_minmax,
     incremental_refresh,
+    incremental_refresh_minmax,
     mv_delta,
 )
 from mlvectordb_spark.streaming.merge_sink import (
@@ -111,6 +113,43 @@ def test_refresh_reads_only_the_pruned_feed(spark, tmp_path):
     assert len(scans) == 2, plan  # feed's old + new version reads, nothing else
     for ln in scans:
         assert re.search(r"PartitionFilters: \[[^\]]*__bucket", ln), ln
+
+
+def test_minmax_partial_recompute_handles_extremum_deletes(spark, tmp_path):
+    """Deleting a group's current minimum is exactly the case signed
+    deltas cannot express — the partial-recompute path must surface the
+    runner-up, and untouched groups must carry forward bit-identically."""
+    rows = [
+        (1, "a", 1.0, 1, False),  # group-a minimum — will be deleted
+        (2, "a", 5.0, 1, False),
+        (3, "a", 9.0, 1, False),
+        (4, "b", 2.0, 1, False),  # group b untouched by the batch
+        (5, "b", 8.0, 1, False),
+    ]
+    table = _mk_table(spark, tmp_path / "t", rows)
+    mv = build_mv_minmax(table.df_at(0), ["g"], ["val"]).localCheckpoint(
+        eager=True
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a", 0.0, 2, True), (6, "a", 7.5, 2, False)], SCHEMA
+    )
+    apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
+    feed = table_changes(table, 0, 1, on="id", preimage=True)
+    refreshed = incremental_refresh_minmax(
+        mv, feed, table.df_at(1), ["g"], ["val"]
+    )
+    full = build_mv_minmax(table.df_at(1), ["g"], ["val"])
+    as_rows = lambda df: {
+        r["g"]: (r["cnt"], r["sum_val"], r["min_val"], r["max_val"])
+        for r in df.collect()
+    }
+    got = as_rows(refreshed)
+    assert got == as_rows(full)
+    assert got["a"] == (3, 21.5, 5.0, 9.0)  # runner-up min surfaced
+    # the recompute regroups ONLY affected groups: group b's rows enter
+    # the plan solely through the carried (left_anti) branch
+    plan = refreshed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
 
 
 def test_post_only_feed_rejected(spark, tmp_path):
