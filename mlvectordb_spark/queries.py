@@ -4293,10 +4293,14 @@ def q_table_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the PREIMAGE-form change feed (`table_changes(preimage=True)`,
     the Delta CDF two-row update shape) instead of rescanning the table —
     updates retract their old contribution and add the new one, deletes
-    retract, inserts add. The oracle reconstructs the post-batch snapshot
-    relationally and regroups from scratch, so the signed-delta algebra
-    is gated against a full rebuild. Refresh cost is O(|changes|) +
-    O(|view|); the 100 TB base table is never read."""
+    retract, inserts add. The merge RECORDS its feed as it runs
+    (`record_changes=True`), so the refresh's only parquet input is the
+    batch-sized recording — zero table bytes (plan-asserted in
+    tests/test_merge_sink.py; the snapshot-diff fallback is gated by the
+    same-output test there). The oracle reconstructs the post-batch
+    snapshot relationally and regroups from scratch, so the signed-delta
+    algebra AND the merge-derived feed are gated against a full rebuild.
+    Refresh cost is O(|changes|) + O(|view|)."""
     import tempfile
 
     from mlvectordb_spark.operators.mv import build_mv, incremental_refresh
@@ -4352,7 +4356,9 @@ def q_table_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     b1 = updates.unionByName(deletes).unionByName(inserts)
-    apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
+    apply_merge_batch(
+        table, b1, 1, "id", "seq", "deleted", record_changes=True
+    )
     feed = table_changes(table, 0, 1, on="id", preimage=True)
     mv1 = incremental_refresh(mv0, feed, ["month"], ["val"])
     return mv1.select(

@@ -114,6 +114,16 @@ class MergedTable:
     def _vdir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version:012d}")
 
+    def _cdir(self, version: int) -> str:
+        """Recorded change feed for the (version-1 → version) transition
+        (written by apply_merge_batch(record_changes=True)). The leading
+        underscore keeps Spark's file discovery from ever mistaking it
+        for table data."""
+        return os.path.join(self.path, "_changes", f"v{version:012d}")
+
+    def has_recorded_changes(self, version: int) -> bool:
+        return os.path.isdir(self._cdir(version))
+
     def current_version(self) -> int | None:
         ptr = os.path.join(self.path, _PTR)
         if not os.path.exists(ptr):
@@ -229,6 +239,8 @@ class MergedTable:
         for v in published:
             if v not in keep:
                 shutil.rmtree(self._vdir(v))
+                if self.has_recorded_changes(v):
+                    shutil.rmtree(self._cdir(v))
                 removed.append(v)
         return removed
 
@@ -267,6 +279,19 @@ def table_changes(
         to_version = table.current_version()
         if to_version is None:
             raise ValueError("table has no published versions")
+    if to_version == from_version + 1 and table.has_recorded_changes(
+        to_version
+    ):
+        # the merge that produced to_version recorded its own feed
+        # (batch-sized, derived from the join the merge ran anyway) —
+        # serving it reads ZERO table bytes. Recorded form is the
+        # preimage form; the post-only shape just drops preimages.
+        rec = table.spark.read.parquet(table._cdir(to_version))
+        if preimage:
+            return rec
+        return rec.filter(F.col("_change_type") != "update_preimage").replace(
+            "update_postimage", "update", subset=["_change_type"]
+        )
     if table.n_buckets:
         o_dirs = table._bucket_dirs(from_version)
         n_dirs = table._bucket_dirs(to_version)
@@ -343,6 +368,67 @@ def table_changes(
     )
 
 
+def _record_change_feed(
+    table: MergedTable,
+    src: DataFrame,
+    target: DataFrame | None,
+    keys: list[str],
+    order_col: str,
+    delete_col: str | None,
+    batch_id: int,
+    val_cols: list[str],
+) -> None:
+    """Derive and persist the (batch_id-1 → batch_id) change feed from
+    the SAME source×target join shape the merge runs: matched rows that
+    actually change emit preimage/postimage pairs, applied delete markers
+    emit deletes with the old values, unmatched non-deletes emit inserts.
+    Rows the monotonicity guard rejects and value-identical updates emit
+    nothing — exactly the snapshot-diff contract, produced at batch scale
+    (one extra pruned target scan; every derived frame is
+    micro-batch-sized and cached)."""
+    out_type = F.lit("insert").alias("_change_type")
+    if target is None:  # bootstrap: the surviving rows ARE the inserts
+        feed = src
+        if delete_col is not None:
+            feed = feed.filter(~F.col(delete_col))
+        feed = feed.select(*keys, *val_cols, out_type)
+        feed.write.mode("overwrite").parquet(table._cdir(batch_id))
+        return
+    s_cols = [c for c in src.columns if c not in keys]
+    s = src.select(*keys, *[F.col(c).alias(f"__s_{c}") for c in s_cols])
+    matched = target.join(F.broadcast(s), keys, "inner").persist()
+    try:
+        newer = F.col(f"__s_{order_col}") > F.col(order_col)
+        is_del = (
+            F.col(f"__s_{delete_col}")
+            if delete_col is not None
+            else F.lit(False)
+        )
+        differs = F.lit(False)
+        for c in val_cols:
+            differs = differs | ~F.col(c).eqNullSafe(F.col(f"__s_{c}"))
+        changed = matched.filter(newer & ~is_del & differs)
+        pre = changed.select(
+            *keys, *val_cols, F.lit("update_preimage").alias("_change_type")
+        )
+        post = changed.select(
+            *keys,
+            *[F.col(f"__s_{c}").alias(c) for c in val_cols],
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        dels = matched.filter(newer & is_del).select(
+            *keys, *val_cols, F.lit("delete").alias("_change_type")
+        )
+        ins = src.join(F.broadcast(matched.select(*keys)), keys, "left_anti")
+        if delete_col is not None:
+            ins = ins.filter(~F.col(delete_col))
+        ins = ins.select(*keys, *val_cols, out_type)
+        feed = pre.unionByName(post).unionByName(dels).unionByName(ins)
+        feed.write.mode("overwrite").parquet(table._cdir(batch_id))
+    finally:
+        matched.unpersist()
+
+
 def apply_merge_batch(
     table: MergedTable,
     batch: DataFrame,
@@ -350,12 +436,21 @@ def apply_merge_batch(
     on: list[str] | str,
     order_col: str,
     delete_col: str | None = None,
+    record_changes: bool = False,
 ) -> None:
     """One micro-batch: dedup → MERGE → publish version `batch_id`.
 
     For a bucketed table the target scan is pruned to the batch's touched
     buckets (a bounded `distinct().collect()` over ≤ n_buckets values)
-    and `write_version` rewrites only those buckets."""
+    and `write_version` rewrites only those buckets.
+
+    `record_changes=True` additionally writes the version's change feed
+    (preimage form) under `_changes/` DURING the merge — `table_changes`
+    then serves adjacent-version feeds from the recording instead of
+    diffing snapshots, so downstream incremental consumers (e.g.
+    operators/mv.py) read zero table bytes. The feed is written before
+    the version pointer flips: a published version implies a complete
+    feed."""
     keys = [on] if isinstance(on, str) else list(on)
     cur = table.current_version()
     if cur is not None and cur >= batch_id:
@@ -386,12 +481,18 @@ def apply_merge_batch(
     # foreachBatch hands us a frame owned by the micro-batch's OWN
     # SparkSession; the target must be read through the SAME session or
     # the cross-session join resolves incorrectly
+    val_cols = [c for c in payload_cols if c not in keys and c != _BUCKET]
     if cur is None:
         # bootstrap: the first batch's non-deleted rows ARE the table
         if delete_col is not None:
             first = src.filter(~F.col(delete_col)).select(*payload_cols)
         else:
             first = src.select(*payload_cols)
+        if record_changes:
+            _record_change_feed(
+                table, src, None, keys, order_col, delete_col, batch_id,
+                val_cols,
+            )
         table.write_version(first, batch_id, touched_buckets=touched)
         return
     target = table._raw_at(cur, spark=batch.sparkSession)
@@ -421,6 +522,11 @@ def apply_merge_batch(
         ),
         strategy="broadcast",
     )
+    if record_changes:
+        _record_change_feed(
+            table, src, target, keys, order_col, delete_col, batch_id,
+            val_cols,
+        )
     table.write_version(
         merged, batch_id, touched_buckets=touched, base_version=cur
     )

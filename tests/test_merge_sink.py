@@ -308,6 +308,98 @@ def test_bucket_count_persisted_and_validated(spark, tmp_path):
     assert got[0] == 999.0 and len(got) == 32  # updated in place, no dup
 
 
+def test_recorded_feed_matches_snapshot_diff(spark, tmp_path):
+    """record_changes=True derives the feed from the merge's own join;
+    it must agree row-for-row with the snapshot diff in BOTH forms —
+    including the silent cases: stale rows the monotonicity guard
+    rejects, value-identical updates, deletes of absent keys."""
+    from mlvectordb_spark.streaming.merge_sink import (
+        apply_merge_batch,
+        table_changes,
+    )
+
+    b0 = spark.createDataFrame(
+        [(i, float(i), 5, False) for i in range(16)],
+        "id bigint, val double, seq bigint, deleted boolean",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, 111.0, 6, False),  # real update
+            (2, 2.0, 5, False),    # value-identical, same seq: no-op
+            (3, 999.0, 4, False),  # STALE (seq 4 < 5): guard rejects
+            (4, 0.0, 6, True),     # delete
+            (99, 9.9, 6, False),   # insert
+            (98, 0.0, 6, True),    # delete of absent key: nothing
+        ],
+        "id bigint, val double, seq bigint, deleted boolean",
+    )
+    tables = {}
+    for label, rec in (("rec", True), ("diff", False)):
+        t = MergedTable(spark, str(tmp_path / label), n_buckets=4)
+        apply_merge_batch(t, b0, 0, "id", "seq", "deleted", record_changes=rec)
+        apply_merge_batch(t, b1, 1, "id", "seq", "deleted", record_changes=rec)
+        tables[label] = t
+    assert tables["rec"].has_recorded_changes(1)
+    assert not tables["diff"].has_recorded_changes(1)
+
+    def rows(t, preimage):
+        feed = table_changes(t, 0, 1, on="id", preimage=preimage)
+        return sorted(
+            (r["id"], r["val"], r["seq"], r["_change_type"])
+            for r in feed.collect()
+        )
+
+    for preimage in (True, False):
+        got = rows(tables["rec"], preimage)
+        want = rows(tables["diff"], preimage)
+        assert got == want, (got, want)
+    assert rows(tables["rec"], True) == [
+        (1, 1.0, 5, "update_preimage"),
+        (1, 111.0, 6, "update_postimage"),
+        (4, 4.0, 5, "delete"),
+        (99, 9.9, 6, "insert"),
+    ]
+    # bootstrap feed: every surviving row as an insert
+    rec0 = spark.read.parquet(tables["rec"]._cdir(0))
+    assert rec0.count() == 16
+    assert rec0.select("_change_type").distinct().collect()[0][0] == "insert"
+
+
+def test_recorded_feed_refresh_reads_no_table_bytes(spark, tmp_path):
+    """With a recorded feed, the MV refresh plan must not scan ANY
+    version directory — its only parquet input is the batch-sized
+    _changes recording."""
+    from mlvectordb_spark.operators.mv import build_mv, incremental_refresh
+    from mlvectordb_spark.streaming.merge_sink import (
+        apply_merge_batch,
+        table_changes,
+    )
+
+    t = MergedTable(spark, str(tmp_path / "t"), n_buckets=4)
+    b0 = spark.createDataFrame(
+        [(i, "g" + str(i % 2), float(i), 1, False) for i in range(8)],
+        "id bigint, g string, val double, seq bigint, deleted boolean",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "g1", 33.0, 2, False)],
+        "id bigint, g string, val double, seq bigint, deleted boolean",
+    )
+    apply_merge_batch(t, b0, 0, "id", "seq", "deleted", record_changes=True)
+    mv0 = build_mv(t.df_at(0), ["g"], ["val"]).localCheckpoint(eager=True)
+    apply_merge_batch(t, b1, 1, "id", "seq", "deleted", record_changes=True)
+    feed = table_changes(t, 0, 1, on="id", preimage=True)
+    refreshed = incremental_refresh(mv0, feed, ["g"], ["val"])
+    full = build_mv(t.df_at(1), ["g"], ["val"])
+    as_d = lambda df: {
+        r["g"]: (r["cnt"], r["sum_val"]) for r in df.collect()
+    }
+    assert as_d(refreshed) == as_d(full)
+    # the actual input-file set: every file read is part of the
+    # _changes recording, no version directory contributes bytes
+    files = refreshed.inputFiles()
+    assert files and all("/_changes/" in f for f in files), files
+
+
 def test_vacuum_keeps_current_version_readable(spark, tmp_path):
     """vacuum drops old version dirs; hard-linked files shared with the
     current version survive the removal."""
