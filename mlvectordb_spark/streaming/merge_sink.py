@@ -540,13 +540,26 @@ def start_table_merge(
     checkpoint_dir: str,
     query_name: str,
     delete_col: str | None = None,
+    record_changes: bool = False,
+    on_version: "Callable[[int], None] | None" = None,
 ):
     """Run the CDC stream into the table with availableNow semantics
     (drain everything pending, then stop) — the test/batch-replay mode;
-    production drops the trigger for continuous micro-batches."""
+    production drops the trigger for continuous micro-batches.
+
+    `record_changes=True` makes every merge emit its CDF recording;
+    `on_version(batch_id)` fires after each version publishes — the hook
+    downstream incremental consumers (e.g. a streaming materialized view
+    refreshing from the recorded feed, operators/mv.py) attach to."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        apply_merge_batch(table, batch, batch_id, on, order_col, delete_col)
+        before = table.current_version()
+        apply_merge_batch(
+            table, batch, batch_id, on, order_col, delete_col,
+            record_changes=record_changes,
+        )
+        if on_version is not None and table.current_version() != before:
+            on_version(batch_id)
 
     return (
         changes.writeStream.foreachBatch(_apply)

@@ -430,6 +430,85 @@ def test_vacuum_keeps_current_version_readable(spark, tmp_path):
         table.vacuum(retain_last=0)
 
 
+def test_streaming_materialized_view_stays_fresh(spark, tmp_path):
+    """End-to-end streaming IVM: a file-source CDC stream merges into a
+    bucketed table with per-batch CDF recording, and the on_version hook
+    refreshes a SUM/COUNT view from each recorded feed — the view tracks
+    every published version without ever rescanning the table, and the
+    final state equals a from-scratch rebuild."""
+    from mlvectordb_spark.operators.mv import build_mv, incremental_refresh
+    from mlvectordb_spark.streaming.merge_sink import table_changes
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("g", T.StringType(), False),
+            T.StructField("val", T.DoubleType(), False),
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("deleted", T.BooleanType(), False),
+        ]
+    )
+    src = tmp_path / "cdc"
+    src.mkdir()
+    _write_batches(
+        src,
+        [
+            [
+                {"id": i, "g": f"g{i % 3}", "val": float(i), "seq": 1,
+                 "deleted": False}
+                for i in range(12)
+            ],
+            [
+                {"id": 3, "g": "g0", "val": 300.0, "seq": 2, "deleted": False},
+                {"id": 4, "g": "g1", "val": 0.0, "seq": 2, "deleted": True},
+            ],
+            [
+                {"id": 50, "g": "g9", "val": 5.0, "seq": 3, "deleted": False},
+            ],
+        ],
+    )
+    table = MergedTable(spark, str(tmp_path / "table"), n_buckets=4)
+    state: dict = {"mv": None, "versions": []}
+
+    def refresh(version: int) -> None:
+        state["versions"].append(version)
+        if state["mv"] is None:
+            mv = build_mv(table.df_at(version), ["g"], ["val"])
+        else:
+            feed = table_changes(
+                table, version - 1, version, on="id", preimage=True
+            )
+            assert table.has_recorded_changes(version)
+            mv = incremental_refresh(state["mv"], feed, ["g"], ["val"])
+        state["mv"] = mv.localCheckpoint(eager=True)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_table_merge(
+        stream,
+        table,
+        on="id",
+        order_col="seq",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="t_merge_sink_stream_mv",
+        delete_col="deleted",
+        record_changes=True,
+        on_version=refresh,
+    )
+    q.awaitTermination()
+    assert state["versions"] == [0, 1, 2]
+    as_d = lambda df: {
+        r["g"]: (r["cnt"], r["sum_val"]) for r in df.collect()
+    }
+    assert as_d(state["mv"]) == as_d(
+        build_mv(table.df(), ["g"], ["val"])
+    )
+    assert as_d(state["mv"])["g9"] == (1, 5.0)  # group born mid-stream
+
+
 def test_restart_does_not_reapply(spark, tmp_path):
     src = tmp_path / "cdc"
     src.mkdir()
