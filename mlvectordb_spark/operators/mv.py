@@ -52,21 +52,27 @@ def mv_delta(
     """Signed per-group delta of a preimage-form CDF feed: +1 for rows
     entering the table (inserts, update postimages), −1 for rows leaving
     it (deletes, update preimages)."""
+    # a post-only feed ('update' rows) cannot be applied subtractively —
+    # fail loudly instead of silently double-counting. The check rides
+    # inside the same pass as the aggregation (assert_true raises at
+    # execution on the first bad row) — an eager distinct() here would
+    # evaluate the whole feed plan a second time, which for a
+    # snapshot-diff feed means re-running the version diff.
+    valid = F.col("_change_type").isin(*_ADD, *_SUB)
     sign = (
         F.when(F.col("_change_type").isin(*_ADD), F.lit(1))
         .when(F.col("_change_type").isin(*_SUB), F.lit(-1))
+        .otherwise(
+            F.assert_true(
+                valid,
+                F.lit(
+                    "feed contains non-preimage change types; produce it "
+                    "with table_changes(..., preimage=True)"
+                ),
+            ).cast("int")
+        )
     )
     signed = feed.withColumn("__sign", sign)
-    # a post-only feed ('update' rows) cannot be applied subtractively —
-    # fail loudly instead of silently double-counting (the check is a
-    # partial-aggregated distinct over ≤5 values, not a data scan)
-    if signed.select("_change_type").distinct().filter(
-        ~F.col("_change_type").isin(*_ADD, *_SUB)
-    ).limit(1).count():
-        raise ValueError(
-            "feed contains non-preimage change types; produce it with "
-            "table_changes(..., preimage=True)"
-        )
     aggs = [F.sum("__sign").alias("d_cnt")] + [
         F.sum(F.col(c) * F.col("__sign")).alias(f"d_sum_{c}")
         for c in measure_cols
@@ -110,13 +116,22 @@ def incremental_refresh_minmax(
     rows are aggregated — with the table clustered/z-ordered by the group
     key that scan prunes at the row-group level too. Cost is
     O(rows-of-affected-groups) + O(view), vs O(table) for a full rebuild."""
-    affected = feed.select(*group_cols).distinct()
+    affected = feed.select(*group_cols).distinct().alias("a")
+    # null-SAFE key matching throughout: groupBy treats NULL as a real
+    # group, so a NULL-keyed change must evict/recompute that group too —
+    # plain equality would neither prune it in nor anti-join it out
+    semi_cond = [
+        F.col(f"s.{g}").eqNullSafe(F.col(f"a.{g}")) for g in group_cols
+    ]
+    anti_cond = [
+        F.col(f"m.{g}").eqNullSafe(F.col(f"a.{g}")) for g in group_cols
+    ]
     recomputed = build_mv_minmax(
-        snapshot.join(F.broadcast(affected), group_cols, "left_semi"),
+        snapshot.alias("s").join(F.broadcast(affected), semi_cond, "left_semi"),
         group_cols,
         measure_cols,
     )
-    carried = mv.join(F.broadcast(affected), group_cols, "left_anti")
+    carried = mv.alias("m").join(F.broadcast(affected), anti_cond, "left_anti")
     return carried.unionByName(recomputed)
 
 
@@ -130,17 +145,34 @@ def incremental_refresh(
     appear via the delta side, emptied groups drop when cnt hits 0).
     Schema matches build_mv exactly, so refreshes chain."""
     delta = mv_delta(feed, group_cols, measure_cols)
-    joined = mv.alias("m").join(delta.alias("d"), group_cols, "full_outer")
-    cols = [F.col(g) for g in group_cols]
+    # null-safe key equality: groupBy puts NULL keys in one real group,
+    # so the view/delta join must match NULL to NULL or a NULL-keyed
+    # group would split into duplicate rows that compound every refresh
+    cond = [
+        F.col(f"m.{g}").eqNullSafe(F.col(f"d.{g}")) for g in group_cols
+    ]
+    joined = mv.alias("m").join(delta.alias("d"), cond, "full_outer")
+    cols = [
+        F.coalesce(F.col(f"m.{g}"), F.col(f"d.{g}")).alias(g)
+        for g in group_cols
+    ]
     cnt = (
         F.coalesce(F.col("m.cnt"), F.lit(0))
         + F.coalesce(F.col("d.d_cnt"), F.lit(0))
     ).alias("cnt")
+    # F.lit(0) (not 0.0) so integer sum columns keep their type — and a
+    # group whose measures are all NULL stays NULL, as a rebuild would
+    # produce, instead of silently becoming 0
     sums = [
-        (
-            F.coalesce(F.col(f"m.sum_{c}"), F.lit(0.0))
-            + F.coalesce(F.col(f"d.d_sum_{c}"), F.lit(0.0))
-        ).alias(f"sum_{c}")
+        F.when(
+            F.col(f"m.sum_{c}").isNull() & F.col(f"d.d_sum_{c}").isNull(),
+            F.lit(None),
+        )
+        .otherwise(
+            F.coalesce(F.col(f"m.sum_{c}"), F.lit(0))
+            + F.coalesce(F.col(f"d.d_sum_{c}"), F.lit(0))
+        )
+        .alias(f"sum_{c}")
         for c in measure_cols
     ]
     return joined.select(*cols, cnt, *sums).filter(F.col("cnt") > 0)

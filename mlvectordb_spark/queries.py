@@ -4106,8 +4106,10 @@ def _merge_orders_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") * 1.25).alias("new_price"),
         (F.col("o_orderkey") % 20 == 0).alias("cancel"),
     )
+    # negated ids can never collide with a real (non-negative) order key
+    # at any scale factor, unlike an additive offset
     inserts = orders.filter(F.col("o_orderkey") % 97 == 0).select(
-        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        (-(F.col("o_orderkey") + 1)).alias("o_orderkey"),
         F.lit(1000.0).alias("new_price"),
         F.lit(False).alias("cancel"),
     )
@@ -4224,8 +4226,9 @@ def q_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(3).cast("bigint").alias("seq"),  # delete outranks update
         F.lit(True).alias("deleted"),
     )
+    # negated ids can never collide with a real key at any scale factor
     inserts = orders.filter(key % 41 == 0).select(
-        (key + 100000000).alias("id"),
+        (-(key + 1)).alias("id"),
         F.lit(123.0).alias("val"),
         F.lit(2).cast("bigint").alias("seq"),
         F.lit(False).alias("deleted"),
@@ -4337,8 +4340,11 @@ def q_table_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(3).cast("bigint").alias("seq"),
         F.lit(True).alias("deleted"),
     )
+    # negated ids can never collide with a real (non-negative) order key
+    # at ANY scale factor — an additive offset silently turns inserts
+    # into updates once max(o_orderkey) crosses it
     inserts = orders.filter(key % 41 == 0).select(
-        (key + 100000000).alias("id"),
+        (-(key + 1)).alias("id"),
         F.trunc("o_orderdate", "month").alias("month"),
         F.lit(123.0).alias("val"),
         F.lit(2).cast("bigint").alias("seq"),
@@ -6418,7 +6424,7 @@ WITH src AS (
          (o_orderkey % 20 = 0) AS cancel
   FROM orders WHERE o_orderkey % 5 = 0
   UNION ALL
-  SELECT o_orderkey + 100000000, 1000.0, FALSE
+  SELECT -(o_orderkey + 1), 1000.0, FALSE
   FROM orders WHERE o_orderkey % 97 = 0
 ), merged AS (
   SELECT CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price
@@ -6462,7 +6468,7 @@ WITH v0 AS (
 ), del AS (
   SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 21 = 0
 ), ins AS (
-  SELECT o_orderkey + 100000000 AS id, 123.0 AS val, 2::BIGINT AS seq
+  SELECT -(o_orderkey + 1) AS id, 123.0 AS val, 2::BIGINT AS seq
   FROM orders WHERE o_orderkey % 41 = 0
 ), v1 AS (
   SELECT v0.id, COALESCE(u.val, v0.val) AS val, COALESCE(u.seq, v0.seq) AS seq
@@ -6512,7 +6518,7 @@ WITH v0 AS (
 ), del AS (
   SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 21 = 0
 ), ins AS (
-  SELECT o_orderkey + 100000000 AS id,
+  SELECT -(o_orderkey + 1) AS id,
          date_trunc('month', o_orderdate) AS month, 123.0 AS val
   FROM orders WHERE o_orderkey % 41 = 0
 ), v1 AS (

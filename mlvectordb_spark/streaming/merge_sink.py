@@ -47,6 +47,7 @@ import json
 import os
 import shutil
 import tempfile
+from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -279,9 +280,22 @@ def table_changes(
         to_version = table.current_version()
         if to_version is None:
             raise ValueError("table has no published versions")
-    if to_version == from_version + 1 and table.has_recorded_changes(
-        to_version
-    ):
+    cur = table.current_version()
+    published = [v for v in table.versions() if cur is not None and v <= cur]
+    # a recording describes the (published-predecessor → to_version)
+    # transition. Serve it only when to_version is PUBLISHED and
+    # from_version is that exact predecessor: an orphan recording from a
+    # merge that crashed before the pointer flip must not surface
+    # changes the table never took, and batch-mode version numbering can
+    # skip ids (0 then 5), where the adjacent-NUMBER check would both
+    # miss the valid (0→5) pair and mislabel (4→5).
+    recorded_ok = (
+        to_version in published
+        and table.has_recorded_changes(to_version)
+        and published.index(to_version) > 0
+        and published[published.index(to_version) - 1] == from_version
+    )
+    if recorded_ok:
         # the merge that produced to_version recorded its own feed
         # (batch-sized, derived from the join the merge ran anyway) —
         # serving it reads ZERO table bytes. Recorded form is the
@@ -541,7 +555,7 @@ def start_table_merge(
     query_name: str,
     delete_col: str | None = None,
     record_changes: bool = False,
-    on_version: "Callable[[int], None] | None" = None,
+    on_version: Callable[[int], None] | None = None,
 ):
     """Run the CDC stream into the table with availableNow semantics
     (drain everything pending, then stop) — the test/batch-replay mode;

@@ -365,6 +365,43 @@ def test_recorded_feed_matches_snapshot_diff(spark, tmp_path):
     assert rec0.select("_change_type").distinct().collect()[0][0] == "insert"
 
 
+def test_recording_validation_orphans_and_sparse_versions(spark, tmp_path):
+    """A recording is served only for (published-predecessor →
+    published-version) pairs: an orphan recording from a crash before
+    the pointer flip must not surface, and sparse batch numbering
+    (0 then 5) must serve the 0→5 recording rather than requiring
+    adjacent numbers."""
+    import os
+
+    from mlvectordb_spark.streaming.merge_sink import (
+        apply_merge_batch,
+        table_changes,
+    )
+
+    table = MergedTable(spark, str(tmp_path / "t"), n_buckets=4)
+    b0 = spark.createDataFrame(
+        [(i, float(i), 1, False) for i in range(8)],
+        "id bigint, val double, seq bigint, deleted boolean",
+    )
+    b5 = spark.createDataFrame(
+        [(1, 100.0, 2, False)], "id bigint, val double, seq bigint, deleted boolean"
+    )
+    apply_merge_batch(table, b0, 0, "id", "seq", "deleted", record_changes=True)
+    apply_merge_batch(table, b5, 5, "id", "seq", "deleted", record_changes=True)
+    # sparse numbering: the recording under v5 IS the 0→5 feed
+    feed = table_changes(table, 0, 5, on="id", preimage=True)
+    assert all("/_changes/" in f for f in feed.inputFiles())
+    got = {(r["id"], r["_change_type"]) for r in feed.collect()}
+    assert got == {(1, "update_preimage"), (1, "update_postimage")}
+    # orphan recording for an UNPUBLISHED version: never served, and the
+    # snapshot-diff fallback fails loudly on the missing version dir
+    os.makedirs(table._cdir(7))
+    with open(os.path.join(table._cdir(7), "part-orphan.parquet"), "w") as f:
+        f.write("")
+    with pytest.raises(Exception):
+        table_changes(table, 5, 7, on="id").collect()
+
+
 def test_recorded_feed_refresh_reads_no_table_bytes(spark, tmp_path):
     """With a recorded feed, the MV refresh plan must not scan ANY
     version directory — its only parquet input is the batch-sized

@@ -152,10 +152,47 @@ def test_minmax_partial_recompute_handles_extremum_deletes(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
 
 
+def test_null_group_keys_merge_not_duplicate(spark, tmp_path):
+    """groupBy puts NULL keys in one real group, so the refresh joins
+    must match NULL to NULL (null-safe equality) — plain equality split
+    a NULL-keyed group into duplicate rows that compounded per refresh,
+    and the min/max prune neither recomputed nor evicted it."""
+    rows = [
+        (1, None, 1.0, 1, False),
+        (2, None, 2.0, 1, False),
+        (3, "a", 3.0, 1, False),
+    ]
+    table = _mk_table(spark, tmp_path / "t", rows)
+    mv = build_mv(table.df_at(0), ["g"], ["val"]).localCheckpoint(eager=True)
+    mvx = build_mv_minmax(table.df_at(0), ["g"], ["val"]).localCheckpoint(
+        eager=True
+    )
+    b1 = spark.createDataFrame(
+        [(1, None, 0.0, 2, True), (9, None, 9.0, 2, False)], SCHEMA
+    )
+    apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
+    feed = table_changes(table, 0, 1, on="id", preimage=True)
+    inc = incremental_refresh(mv, feed, ["g"], ["val"])
+    assert _as_dict(inc) == _as_dict(build_mv(table.df_at(1), ["g"], ["val"]))
+    assert inc.filter(F.col("g").isNull()).count() == 1  # ONE null group
+    incx = incremental_refresh_minmax(
+        mvx, feed, table.df_at(1), ["g"], ["val"]
+    )
+    full = build_mv_minmax(table.df_at(1), ["g"], ["val"])
+    key = lambda df: {
+        (r["g"], r["cnt"], r["sum_val"], r["min_val"], r["max_val"])
+        for r in df.collect()
+    }
+    assert key(incx) == key(full) and len(key(incx)) == 2
+
+
 def test_post_only_feed_rejected(spark, tmp_path):
+    """A post-only feed ('update' rows) must fail at execution — the
+    check rides inside the aggregation pass (assert_true), so the feed
+    plan is never evaluated twice just to validate it."""
     table = _mk_table(spark, tmp_path / "t", [(1, "a", 1.0, 1, False)])
     b1 = spark.createDataFrame([(1, "a", 2.0, 2, False)], SCHEMA)
     apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
     post_only = table_changes(table, 0, 1, on="id")  # 'update' rows
-    with pytest.raises(ValueError, match="preimage"):
-        mv_delta(post_only, ["g"], ["val"])
+    with pytest.raises(Exception, match="preimage"):
+        mv_delta(post_only, ["g"], ["val"]).collect()

@@ -92,10 +92,8 @@ def main() -> None:
     rebuild_bytes = input_bytes() - b0
 
     # diff-based feed: force the snapshot diff by bypassing the recording
-    import shutil as _sh
-
     rec_dir = table._cdir(1)
-    _sh.move(rec_dir, rec_dir + ".aside")
+    shutil.move(rec_dir, rec_dir + ".aside")
     b0 = input_bytes()
     t0 = time.time()
     feed = table_changes(table, 0, 1, on="id", preimage=True)
@@ -107,7 +105,7 @@ def main() -> None:
     inc_bytes = input_bytes() - b0
 
     # recorded feed (written DURING the merge): zero table bytes
-    _sh.move(rec_dir + ".aside", rec_dir)
+    shutil.move(rec_dir + ".aside", rec_dir)
     b0 = input_bytes()
     t0 = time.time()
     feed = table_changes(table, 0, 1, on="id", preimage=True)
