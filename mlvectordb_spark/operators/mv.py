@@ -101,6 +101,7 @@ def incremental_refresh_minmax(
     snapshot: DataFrame,
     group_cols: list[str],
     measure_cols: list[str],
+    max_pushdown_groups: int = 1024,
 ) -> DataFrame:
     """MIN/MAX view refresh by PARTIAL RECOMPUTE: min/max are not
     subtractable (deleting the current minimum says nothing about the
@@ -113,24 +114,42 @@ def incremental_refresh_minmax(
     Scale shape: the affected-group set is FEED-sized (distinct over the
     changes, broadcast to both sides); the snapshot scan is filtered by a
     broadcast semi-join before the regroup, so only affected groups'
-    rows are aggregated — with the table clustered/z-ordered by the group
-    key that scan prunes at the row-group level too. Cost is
+    rows are aggregated. When the affected set is small (≤
+    `max_pushdown_groups`, the common point-batch case) and the group is
+    a single column, it is collected and pushed into the snapshot scan
+    as an `isin` PREDICATE instead of a join — predicates (unlike join
+    conditions) reach the parquet reader, so a table written with
+    `sort_cols=[group]` skips whole row groups by min/max stats. Cost is
     O(rows-of-affected-groups) + O(view), vs O(table) for a full rebuild."""
     affected = feed.select(*group_cols).distinct().alias("a")
+    pruned = None
+    if len(group_cols) == 1:
+        g = group_cols[0]
+        vals = [r[0] for r in affected.limit(max_pushdown_groups + 1).collect()]
+        if len(vals) <= max_pushdown_groups:
+            cond = F.col(g).isin([v for v in vals if v is not None])
+            if any(v is None for v in vals):
+                cond = cond | F.col(g).isNull()  # isin never matches NULL
+            pruned = snapshot.filter(cond)
+            affected = (
+                feed.sparkSession.createDataFrame(
+                    [(v,) for v in vals], affected.schema
+                ).alias("a")
+            )
     # null-SAFE key matching throughout: groupBy treats NULL as a real
     # group, so a NULL-keyed change must evict/recompute that group too —
     # plain equality would neither prune it in nor anti-join it out
-    semi_cond = [
-        F.col(f"s.{g}").eqNullSafe(F.col(f"a.{g}")) for g in group_cols
-    ]
+    if pruned is None:
+        semi_cond = [
+            F.col(f"s.{g}").eqNullSafe(F.col(f"a.{g}")) for g in group_cols
+        ]
+        pruned = snapshot.alias("s").join(
+            F.broadcast(affected), semi_cond, "left_semi"
+        )
     anti_cond = [
         F.col(f"m.{g}").eqNullSafe(F.col(f"a.{g}")) for g in group_cols
     ]
-    recomputed = build_mv_minmax(
-        snapshot.alias("s").join(F.broadcast(affected), semi_cond, "left_semi"),
-        group_cols,
-        measure_cols,
-    )
+    recomputed = build_mv_minmax(pruned, group_cols, measure_cols)
     carried = mv.alias("m").join(F.broadcast(affected), anti_cond, "left_anti")
     return carried.unionByName(recomputed)
 

@@ -78,30 +78,50 @@ class MergedTable:
     default `n_buckets=None` adopts whatever the table was created with."""
 
     def __init__(
-        self, spark: SparkSession, path: str, n_buckets: int | None = None
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int | None = None,
+        sort_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
         os.makedirs(path, exist_ok=True)
         on_disk = self._read_meta()
+        disk_buckets = None if on_disk is None else on_disk["n_buckets"]
         if n_buckets is None:
-            self.n_buckets = 0 if on_disk is None else on_disk
+            self.n_buckets = 0 if disk_buckets is None else disk_buckets
         else:
             self.n_buckets = int(n_buckets)
-            if on_disk is not None and on_disk != self.n_buckets:
+            if disk_buckets is not None and disk_buckets != self.n_buckets:
                 raise ValueError(
-                    f"table at {path} was created with n_buckets={on_disk}; "
-                    f"reopening with n_buckets={n_buckets} would prune "
-                    "against the wrong modulus (pass n_buckets=None to "
-                    "adopt the on-disk value)"
+                    f"table at {path} was created with "
+                    f"n_buckets={disk_buckets}; reopening with "
+                    f"n_buckets={n_buckets} would prune against the wrong "
+                    "modulus (pass n_buckets=None to adopt the on-disk "
+                    "value)"
                 )
+        # sort_cols cluster rows INSIDE each written file so parquet
+        # row-group min/max stats can skip on those columns (what the
+        # MIN/MAX partial-recompute consumer pushes isin filters on);
+        # unlike n_buckets it is a layout preference, not a correctness
+        # invariant, so reopening with a different value is allowed and
+        # simply applies to future writes
+        if sort_cols is None:
+            self.sort_cols = [] if on_disk is None else on_disk["sort_cols"]
+        else:
+            self.sort_cols = list(sort_cols)
 
-    def _read_meta(self) -> int | None:
+    def _read_meta(self) -> dict | None:
         p = os.path.join(self.path, _META)
         if not os.path.exists(p):
             return None
         with open(p) as f:
-            return int(json.load(f)["n_buckets"])
+            meta = json.load(f)
+        return {
+            "n_buckets": int(meta["n_buckets"]),
+            "sort_cols": list(meta.get("sort_cols", [])),
+        }
 
     def _write_meta(self) -> None:
         p = os.path.join(self.path, _META)
@@ -109,7 +129,9 @@ class MergedTable:
             return
         fd, tmp = tempfile.mkstemp(dir=self.path, prefix=".meta_")
         with os.fdopen(fd, "w") as f:
-            json.dump({"n_buckets": self.n_buckets}, f)
+            json.dump(
+                {"n_buckets": self.n_buckets, "sort_cols": self.sort_cols}, f
+            )
         os.replace(tmp, p)
 
     def _vdir(self, version: int) -> str:
@@ -168,12 +190,18 @@ class MergedTable:
         out = self._vdir(version)
         self._write_meta()
         if not self.n_buckets:
+            if self.sort_cols:
+                df = df.sortWithinPartitions(*self.sort_cols)
             df.write.mode("overwrite").parquet(out)
         else:
             nparts = max(1, len(touched_buckets or []) or self.n_buckets)
+            shaped = df.repartition(nparts, F.col(_BUCKET))
+            if self.sort_cols:
+                # keep bucket grouping, cluster by sort_cols within it so
+                # each written file's row groups carry tight min/max stats
+                shaped = shaped.sortWithinPartitions(_BUCKET, *self.sort_cols)
             (
-                df.repartition(nparts, F.col(_BUCKET))
-                .write.mode("overwrite")
+                shaped.write.mode("overwrite")
                 .partitionBy(_BUCKET)
                 .parquet(out)
             )

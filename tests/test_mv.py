@@ -146,10 +146,70 @@ def test_minmax_partial_recompute_handles_extremum_deletes(spark, tmp_path):
     got = as_rows(refreshed)
     assert got == as_rows(full)
     assert got["a"] == (3, 21.5, 5.0, 9.0)  # runner-up min surfaced
-    # the recompute regroups ONLY affected groups: group b's rows enter
-    # the plan solely through the carried (left_anti) branch
+    # the recompute regroups ONLY affected groups: the snapshot scan is
+    # pruned by a PUSHED predicate on the single affected group key, and
+    # group b's rows enter the plan solely through the carried
+    # (left_anti broadcast) branch
     plan = refreshed._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert 'PushedFilters: [IsNotNull(g), EqualTo(g,a)]' in plan, plan
+
+
+def test_minmax_pushdown_prunes_snapshot_scan(spark, tmp_path):
+    """With a bounded affected set and a single group column, the
+    recompute side filters the snapshot with an isin PREDICATE (reaches
+    the parquet reader as a pushed filter) instead of a semi-join —
+    and the result still matches the full rebuild."""
+    rows = [(i, "g" + str(i % 5), float(i), 1, False) for i in range(40)]
+    table = _mk_table(spark, tmp_path / "t", rows)
+    mvx = build_mv_minmax(table.df_at(0), ["g"], ["val"]).localCheckpoint(
+        eager=True
+    )
+    b1 = spark.createDataFrame([(0, "g0", 400.0, 2, False)], SCHEMA)
+    apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
+    feed = table_changes(table, 0, 1, on="id", preimage=True)
+    out = incremental_refresh_minmax(
+        mvx, feed, table.df_at(1), ["g"], ["val"]
+    )
+    full = build_mv_minmax(table.df_at(1), ["g"], ["val"])
+    as_set = lambda df: {
+        (r["g"], r["cnt"], r["sum_val"], r["min_val"], r["max_val"])
+        for r in df.collect()
+    }
+    assert as_set(out) == as_set(full)
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Catalyst collapses a one-element In to EqualTo — either way the
+    # group predicate reached the parquet reader
+    assert re.search(r"PushedFilters: \[[^\]]*(In|EqualTo)\(g,", plan), plan
+    # above the threshold it falls back to the null-safe semi-join
+    fallback = incremental_refresh_minmax(
+        mvx, feed, table.df_at(1), ["g"], ["val"], max_pushdown_groups=0
+    )
+    assert as_set(fallback) == as_set(full)
+    fplan = fallback._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in fplan, fplan
+
+
+def test_merged_table_sort_cols_cluster_files(spark, tmp_path):
+    """sort_cols is persisted in the table meta, adopted on reopen, and
+    rows inside each written bucket file come out clustered by it."""
+    from mlvectordb_spark.streaming.merge_sink import MergedTable
+
+    path = str(tmp_path / "t")
+    table = MergedTable(spark, path, n_buckets=2, sort_cols=["g"])
+    b0 = spark.createDataFrame(
+        [(i, "g" + str(i % 7), float(i), 1, False) for i in range(70)], SCHEMA
+    )
+    apply_merge_batch(table, b0, 0, "id", "seq", "deleted")
+    reopened = MergedTable(spark, path)
+    assert reopened.sort_cols == ["g"] and reopened.n_buckets == 2
+    import glob
+
+    for f in glob.glob(f"{path}/v*/__bucket=*/part-*.parquet"):
+        gs = [r["g"] for r in spark.read.parquet(f).collect()]
+        assert gs == sorted(gs), f  # clustered within the file
 
 
 def test_null_group_keys_merge_not_duplicate(spark, tmp_path):
