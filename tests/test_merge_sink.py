@@ -402,6 +402,80 @@ def test_recording_validation_orphans_and_sparse_versions(spark, tmp_path):
         table_changes(table, 5, 7, on="id").collect()
 
 
+def test_composed_recorded_feeds_match_snapshot_diff(spark, tmp_path):
+    """Catching up over SEVERAL versions folds the recorded step feeds
+    key-wise (zero table bytes) and must net out exactly like the
+    snapshot diff: update chains collapse, round-trips and
+    insert-then-delete vanish, update-then-delete reports the ORIGINAL
+    values, delete-then-reinsert nets to an update."""
+    import shutil
+
+    from mlvectordb_spark.streaming.merge_sink import (
+        apply_merge_batch,
+        table_changes,
+    )
+
+    S = "id bigint, val double, seq bigint, deleted boolean"
+    table = MergedTable(spark, str(tmp_path / "t"), n_buckets=4)
+    b0 = spark.createDataFrame(
+        [(i, float(i), 1, False) for i in range(10)], S
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, 100.0, 2, False),  # chain step 1
+            (2, 222.0, 2, False),  # round-trip step 1
+            (50, 5.0, 2, False),   # insert (later updated)
+            (51, 6.0, 2, False),   # insert (later deleted)
+            (3, 0.0, 2, True),     # delete (later re-inserted, new val)
+            (4, 333.0, 2, False),  # update (later deleted)
+        ],
+        S,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, 101.0, 3, False),  # chain step 2
+            (2, 2.0, 3, False),    # round-trip back to original
+            (50, 55.0, 3, False),  # update the fresh insert
+            (51, 0.0, 3, True),    # delete the fresh insert
+            (3, 3333.0, 3, False), # re-insert with a new value
+            (4, 0.0, 3, True),     # delete the updated key
+            (9, 0.0, 3, True),     # plain delete
+        ],
+        S,
+    )
+    for i, b in enumerate([b0, b1, b2]):
+        apply_merge_batch(table, b, i, "id", "seq", "deleted", record_changes=True)
+
+    composed = table_changes(table, 0, 2, on="id", preimage=True)
+    assert all("/_changes/" in f for f in composed.inputFiles())
+    rows = lambda df: sorted(
+        (r["id"], r["val"], r["seq"], r["_change_type"]) for r in df.collect()
+    )
+    got = rows(composed)
+    assert got == [
+        (1, 1.0, 1, "update_preimage"),
+        (1, 101.0, 3, "update_postimage"),
+        # key 2's val round-trips back to 2.0, but seq is a payload
+        # column and moved 1→3, so it nets to an update — exactly what
+        # the snapshot diff reports too
+        (2, 2.0, 1, "update_preimage"),
+        (2, 2.0, 3, "update_postimage"),
+        (3, 3.0, 1, "update_preimage"),
+        (3, 3333.0, 3, "update_postimage"),
+        (4, 4.0, 1, "delete"),  # original values, not the mid-chain 333
+        (9, 9.0, 1, "delete"),
+        (50, 55.0, 3, "insert"),  # net insert carries the FINAL values
+    ]
+    # parity with the snapshot diff, both forms (hide recordings to
+    # force the diff path on the same table)
+    post_composed = rows(table_changes(table, 0, 2, on="id"))
+    shutil.move(
+        str(tmp_path / "t" / "_changes"), str(tmp_path / "t" / "_aside")
+    )
+    assert rows(table_changes(table, 0, 2, on="id", preimage=True)) == got
+    assert rows(table_changes(table, 0, 2, on="id")) == post_composed
+
+
 def test_recorded_feed_refresh_reads_no_table_bytes(spark, tmp_path):
     """With a recorded feed, the MV refresh plan must not scan ANY
     version directory — its only parquet input is the batch-sized
