@@ -121,7 +121,18 @@ def incremental_refresh_minmax(
     conditions) reach the parquet reader, so a table written with
     `sort_cols=[group]` skips whole row groups by min/max stats. Cost is
     O(rows-of-affected-groups) + O(view), vs O(table) for a full rebuild."""
-    affected = feed.select(*group_cols).distinct().alias("a")
+    # materialize the affected set ONCE (it is view-bounded: distinct
+    # group keys of the feed). Without this the feed plan — for a
+    # snapshot-diff feed, the whole version diff — would re-evaluate in
+    # every consumer: the pushdown sample, the semi prune, and the anti
+    # carry. The refresh is inherently an action, so the blocking
+    # checkpoint is the cost of deciding pushdown-vs-join up front.
+    affected = (
+        feed.select(*group_cols)
+        .distinct()
+        .localCheckpoint(eager=True)
+        .alias("a")
+    )
     pruned = None
     if len(group_cols) == 1:
         g = group_cols[0]
@@ -131,11 +142,6 @@ def incremental_refresh_minmax(
             if any(v is None for v in vals):
                 cond = cond | F.col(g).isNull()  # isin never matches NULL
             pruned = snapshot.filter(cond)
-            affected = (
-                feed.sparkSession.createDataFrame(
-                    [(v,) for v in vals], affected.schema
-                ).alias("a")
-            )
     # null-SAFE key matching throughout: groupBy treats NULL as a real
     # group, so a NULL-keyed change must evict/recompute that group too —
     # plain equality would neither prune it in nor anti-join it out

@@ -124,14 +124,17 @@ class MergedTable:
         }
 
     def _write_meta(self) -> None:
+        # rewritten (atomically) whenever the in-memory state differs —
+        # e.g. reopening with new sort_cols must persist the preference,
+        # or the next default reopen would silently drop the clustering
         p = os.path.join(self.path, _META)
-        if os.path.exists(p):
+        want = {"n_buckets": self.n_buckets, "sort_cols": self.sort_cols}
+        on_disk = self._read_meta()
+        if on_disk == want:
             return
         fd, tmp = tempfile.mkstemp(dir=self.path, prefix=".meta_")
         with os.fdopen(fd, "w") as f:
-            json.dump(
-                {"n_buckets": self.n_buckets, "sort_cols": self.sort_cols}, f
-            )
+            json.dump(want, f)
         os.replace(tmp, p)
 
     def _vdir(self, version: int) -> str:
@@ -288,13 +291,17 @@ def _compose_recorded(
     (insert later deleted) → no net change, exactly what the snapshot
     diff would report. One shuffle of the recorded rows on the key;
     min_by/max_by structs, no window sort."""
-    frames = [
-        table.spark.read.parquet(table._cdir(v)).withColumn("__v", F.lit(v))
-        for v in steps
-    ]
-    allf = frames[0]
-    for f in frames[1:]:
-        allf = allf.unionByName(f)
+    # ONE multi-path read (not N reads + a left-deep union chain, which
+    # grows plan depth linearly when catching up over many versions);
+    # the step version comes back out of the file path
+    allf = table.spark.read.parquet(
+        *[table._cdir(v) for v in steps]
+    ).withColumn(
+        "__v",
+        F.regexp_extract(F.input_file_name(), r"_changes/v(\d+)/", 1).cast(
+            "long"
+        ),
+    )
     val_cols = [
         c for c in allf.columns if c not in [*keys, "_change_type", "__v"]
     ]

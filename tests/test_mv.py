@@ -210,6 +210,13 @@ def test_merged_table_sort_cols_cluster_files(spark, tmp_path):
     for f in glob.glob(f"{path}/v*/__bucket=*/part-*.parquet"):
         gs = [r["g"] for r in spark.read.parquet(f).collect()]
         assert gs == sorted(gs), f  # clustered within the file
+    # reopening with a DIFFERENT sort preference persists it (meta is
+    # rewritten), so a later default reopen adopts the new value instead
+    # of silently dropping the clustering
+    changed = MergedTable(spark, path, sort_cols=["val"])
+    b1 = spark.createDataFrame([(99, "zz", 0.5, 2, False)], SCHEMA)
+    apply_merge_batch(changed, b1, 1, "id", "seq", "deleted")
+    assert MergedTable(spark, path).sort_cols == ["val"]
 
 
 def test_null_group_keys_merge_not_duplicate(spark, tmp_path):
