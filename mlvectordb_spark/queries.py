@@ -4261,6 +4261,56 @@ def q_emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_cdf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-version CDC catch-up: three recorded merge batches, then the
+    composed (v0 → v2) change feed — served by folding the two recorded
+    step feeds key-wise (streaming/merge_sink.py `_compose_recorded`),
+    zero table bytes. The oracle reconstructs v1 and v2 relationally and
+    diffs v0 against v2, so the fold's netting algebra is driver-gated:
+    update chains collapse to the final value, update-then-delete
+    reports the ORIGINAL values, delete-then-reinsert nets to an update,
+    and in-batch update∩delete ties resolve by the higher seq."""
+    import tempfile
+
+    from mlvectordb_spark.streaming.merge_sink import (
+        MergedTable,
+        apply_merge_batch,
+        table_changes,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+
+    def mk(flt, idc, valc, seq, deleted):
+        return orders.filter(flt).select(
+            idc.alias("id"),
+            valc.alias("val"),
+            F.lit(seq).cast("bigint").alias("seq"),
+            F.lit(deleted).alias("deleted"),
+        )
+
+    b0 = mk(key % 3 == 0, key, F.col("o_totalprice"), 1, False)
+    b1 = (
+        mk(key % 9 == 0, key, F.col("o_totalprice") * 2.0, 2, False)
+        .unionByName(mk(key % 21 == 0, key, F.lit(0.0), 3, True))
+        .unionByName(mk(key % 41 == 0, -(key + 1), F.lit(123.0), 2, False))
+    )
+    b2 = (
+        mk(key % 15 == 0, key, F.col("o_totalprice") * 4.0, 4, False)
+        .unionByName(mk(key % 82 == 0, -(key + 1), F.lit(777.0), 4, False))
+        .unionByName(mk(key % 33 == 0, key, F.lit(0.0), 6, True))
+        .unionByName(mk(key % 123 == 0, -(key + 1), F.lit(0.0), 6, True))
+    )
+    table = MergedTable(
+        spark, tempfile.mkdtemp(prefix="mlvdb_cdfm_"), n_buckets=16
+    )
+    for i, b in enumerate([b0, b1, b2]):
+        apply_merge_batch(
+            table, b, i, "id", "seq", "deleted", record_changes=True
+        )
+    return table_changes(table, 0, 2, on="id").orderBy("id")
+
+
 def q_orders_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window-function battery over one deterministic total
     order (§2.4 window coverage beyond aggregates+LAG): row_number,
@@ -6398,6 +6448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_pca_cov": q_emb_pca_cov,
     "table_cdf": q_table_cdf,
     "table_mv": q_table_mv,
+    "table_cdf_multi": q_table_cdf_multi,
     "scd2_orders": q_scd2_orders,
     "orders_window_analytics": q_orders_window_analytics,
     # ---- rows-only by design (no SQL-expressible oracle) ----
@@ -6484,6 +6535,59 @@ SELECT COALESCE(n.id, o.id)::BIGINT AS id,
        WHEN n.id IS NULL THEN 'delete'
        ELSE 'update' END AS _change_type
 FROM v0 o FULL JOIN v1 n ON o.id = n.id
+WHERE o.id IS NULL OR n.id IS NULL OR o.val <> n.val OR o.seq <> n.seq
+ORDER BY id
+"""
+
+# multi-step CDC catch-up: v1 and v2 reconstructed relationally (the
+# "unmatched non-delete source rows INSERT" merge semantics reappear as
+# the v2 second branch — a key deleted in batch 1 and updated in batch 2
+# is re-inserted), then v0 is diffed against v2 — exactly the net feed
+# the recorded-step fold must produce
+ORACLE_SQL["table_cdf_multi"] = """
+WITH v0 AS (
+  SELECT o_orderkey AS id, o_totalprice AS val, 1::BIGINT AS seq
+  FROM orders WHERE o_orderkey % 3 = 0
+), upd1 AS (
+  SELECT o_orderkey AS id, o_totalprice * 2.0 AS val, 2::BIGINT AS seq
+  FROM orders WHERE o_orderkey % 9 = 0
+), del1 AS (
+  SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 21 = 0
+), ins1 AS (
+  SELECT -(o_orderkey + 1) AS id, 123.0 AS val, 2::BIGINT AS seq
+  FROM orders WHERE o_orderkey % 41 = 0
+), v1 AS (
+  SELECT v0.id, COALESCE(u.val, v0.val) AS val, COALESCE(u.seq, v0.seq) AS seq
+  FROM v0 LEFT JOIN upd1 u ON v0.id = u.id
+  WHERE v0.id NOT IN (SELECT id FROM del1)
+  UNION ALL
+  SELECT id, val, seq FROM ins1
+), upd2 AS (
+  SELECT o_orderkey AS id, o_totalprice * 4.0 AS val, 4::BIGINT AS seq
+  FROM orders WHERE o_orderkey % 15 = 0
+  UNION ALL
+  SELECT -(o_orderkey + 1), 777.0, 4::BIGINT
+  FROM orders WHERE o_orderkey % 82 = 0
+), del2 AS (
+  SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 33 = 0
+  UNION ALL
+  SELECT -(o_orderkey + 1) FROM orders WHERE o_orderkey % 123 = 0
+), v2 AS (
+  SELECT v1.id, COALESCE(u.val, v1.val) AS val, COALESCE(u.seq, v1.seq) AS seq
+  FROM v1 LEFT JOIN upd2 u ON v1.id = u.id
+  WHERE v1.id NOT IN (SELECT id FROM del2)
+  UNION ALL
+  SELECT u.id, u.val, u.seq FROM upd2 u
+  WHERE u.id NOT IN (SELECT id FROM v1)
+    AND u.id NOT IN (SELECT id FROM del2)
+)
+SELECT COALESCE(n.id, o.id)::BIGINT AS id,
+  COALESCE(n.val, o.val) AS val,
+  COALESCE(n.seq, o.seq)::BIGINT AS seq,
+  CASE WHEN o.id IS NULL THEN 'insert'
+       WHEN n.id IS NULL THEN 'delete'
+       ELSE 'update' END AS _change_type
+FROM v0 o FULL JOIN v2 n ON o.id = n.id
 WHERE o.id IS NULL OR n.id IS NULL OR o.val <> n.val OR o.seq <> n.seq
 ORDER BY id
 """
@@ -6742,18 +6846,19 @@ _WINDOW = [
     "heavy_bigrams", "udtf_chunks",
     "merge_orders", "format_roundtrip", "emb_pca_cov", "table_cdf",
     "scd2_orders", "table_mv", "orders_window_analytics",
+    "table_cdf_multi",
     # (b) kernels changed in r7 — 9 entries
     "tpch_q15", "store_indexed_search", "store_indexed_cosine",
     "store_roundtrip", "store_timetravel", "ann_ivf_exact", "ann_ivf_batch",
     "hybrid_ivf_exact", "ann_ivfpq_exact",
-    # (c) longest-resting driver rows (r4) — 17 entries (stratified_sample,
+    # (c) longest-resting driver rows (r4) — 16 entries (stratified_sample,
     # tfidf_terms, token_freq, seq_pack, array_ops, grouping_sets,
     # distinct_counts, data_split, cust_big_orders, doc_chunks,
-    # doc_dup_ngrams, doc_fingerprint rest one more round to make room
-    # for the new-surface entries, incl. the late-r7 merge_orders /
-    # format_roundtrip / emb_pca_cov / table_cdf / store_batch_probe /
-    # scd2_orders / table_mv / orders_window_analytics batch)
-    "dedup_prefix_buckets",
+    # doc_dup_ngrams, doc_fingerprint, dedup_prefix_buckets rest one more
+    # round to make room for the new-surface entries, incl. the late-r7
+    # merge_orders / format_roundtrip / emb_pca_cov / table_cdf /
+    # store_batch_probe / scd2_orders / table_mv /
+    # orders_window_analytics / table_cdf_multi batch)
     "doc_lang_id", "doc_logprob", "doc_quality", "doc_repetition",
     "emb_doc_join", "events_json", "events_session_stats",
     "events_sessionize", "events_sliding", "events_tumbling",
