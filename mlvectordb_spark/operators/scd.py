@@ -38,6 +38,12 @@ def scd2_apply(
 ) -> DataFrame:
     """Fold an update batch into the history.
 
+    The returned frame references `history` from four branches, so when
+    CHAINING applies, materialize between batches (persist/checkpoint or
+    write-read — the history is stored state in production anyway):
+    a lazy chain re-executes the previous fold's whole lineage per
+    branch and the plan grows ~4× per batch.
+
     - unchanged keys: history rows pass through
     - changed keys: current row closes (valid_to = update ts,
       is_current = false), new version appends

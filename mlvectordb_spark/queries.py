@@ -4467,7 +4467,14 @@ def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("P").alias("status"),
         (F.col("ts") + F.expr("INTERVAL 90 DAYS")).alias("ts"),
     )
-    hist = scd2_apply(hist, b1, "k", "ts", ["status"])
+    # the history IS stored state between batches: materialize it after
+    # each fold, as production would. Without this the second apply's
+    # four history references re-execute the whole first-apply lineage
+    # per branch — the lazy chain explodes to ~49 scans of orders
+    # (scan-budget-asserted in test_plan_quality)
+    hist = scd2_apply(hist, b1, "k", "ts", ["status"]).localCheckpoint(
+        eager=True
+    )
     hist = scd2_apply(hist, b2, "k", "ts", ["status"])
     return hist.orderBy("k", "valid_from")
 

@@ -397,6 +397,13 @@ def test_scan_count_budgets(spark, sf_dir):
         "events_funnel": 1,
         "doc_cross_dup_ngrams": 3,     # persisted explode + base rejoin
         "source_cap": 1,
+        # r7 lakehouse batch: the SCD2 fold materializes the history
+        # between batches (lazy chaining exploded to 49 scans); the
+        # CDF/MV entries read only their recordings/checkpoints
+        "scd2_orders": 3,              # checkpointed fold + b2 + anti
+        "orders_window_analytics": 1,
+        "table_mv": 1,                 # the _changes recording only
+        "table_cdf_multi": 2,          # the two step recordings
     }
     over = {}
     for name, budget in budgets.items():
