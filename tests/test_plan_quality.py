@@ -404,6 +404,7 @@ def test_scan_count_budgets(spark, sf_dir):
         "orders_window_analytics": 1,
         "table_mv": 1,                 # the _changes recording only
         "table_cdf_multi": 2,          # the two step recordings
+        "table_cdf": 2,                # the two bucket-pruned version reads
     }
     over = {}
     for name, budget in budgets.items():
