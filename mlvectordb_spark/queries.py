@@ -26,6 +26,22 @@ from mlvectordb_spark.functions import vector as V
 from mlvectordb_spark.operators.knn import knn, knn_df, knn_join
 from mlvectordb_spark.sources.testdata import load_table
 
+
+def _entry_tmpdir(slug: str) -> str:
+    """Scratch dir for entries that materialize a versioned table. The
+    returned DataFrame must stay readable after the entry returns (the
+    driver collects later), so the dir cannot be removed on exit —
+    instead it is FIXED per (entry, pid) and wiped on re-entry, bounding
+    the leak to one copy per entry per process instead of one per call
+    (bench best-of-N and repeated verify runs reuse the slot)."""
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"mlvdb_{slug}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
 # ---------------------------------------------------------------------------
 # shared constants (single source of truth for Spark + oracle SQL)
 
@@ -4157,13 +4173,12 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     original parquet — any type/value loss in a connector flips the hash.
     CSV reads back under the writer's explicit schema (inference would be
     lossy); JSON/ORC carry their own types."""
-    import tempfile
 
     from mlvectordb_spark.sources.connectors import read_table, write_table
 
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
-    base = tempfile.mkdtemp(prefix="mlvdb_fmt_rt_")
+    base = _entry_tmpdir("fmt_rt")
     write_table(region, f"{base}/region_csv", "csv")
     write_table(nation, f"{base}/nation_json", "json")
     write_table(nation, f"{base}/nation_orc", "orc")
@@ -4198,7 +4213,6 @@ def q_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     to buckets whose files diverged — so this entry gates merge-apply,
     file-level CoW, AND the bucket-pruned diff at once. The oracle
     reconstructs both versions relationally and diffs them."""
-    import tempfile
 
     from mlvectordb_spark.streaming.merge_sink import (
         MergedTable,
@@ -4234,7 +4248,7 @@ def q_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("deleted"),
     )
     b1 = updates.unionByName(deletes).unionByName(inserts)
-    table = MergedTable(spark, tempfile.mkdtemp(prefix="mlvdb_cdf_"), n_buckets=16)
+    table = MergedTable(spark, _entry_tmpdir("cdf"), n_buckets=16)
     apply_merge_batch(table, b0, 0, "id", "seq", "deleted")
     apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
     return table_changes(table, 0, 1, on="id").orderBy("id")
@@ -4270,7 +4284,6 @@ def q_table_cdf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     update chains collapse to the final value, update-then-delete
     reports the ORIGINAL values, delete-then-reinsert nets to an update,
     and in-batch update∩delete ties resolve by the higher seq."""
-    import tempfile
 
     from mlvectordb_spark.streaming.merge_sink import (
         MergedTable,
@@ -4295,14 +4308,18 @@ def q_table_cdf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mk(key % 21 == 0, key, F.lit(0.0), 3, True))
         .unionByName(mk(key % 41 == 0, -(key + 1), F.lit(123.0), 2, False))
     )
+    # the %39 family updates with seq 8 — HIGHER than the %33 deletes'
+    # seq 6 — so %33∩%39 keys gate the update-outranks-delete tie
+    # direction (the %15∩%33 overlap gates delete-outranks-update)
     b2 = (
         mk(key % 15 == 0, key, F.col("o_totalprice") * 4.0, 4, False)
+        .unionByName(mk(key % 39 == 0, key, F.col("o_totalprice") * 8.0, 8, False))
         .unionByName(mk(key % 82 == 0, -(key + 1), F.lit(777.0), 4, False))
         .unionByName(mk(key % 33 == 0, key, F.lit(0.0), 6, True))
         .unionByName(mk(key % 123 == 0, -(key + 1), F.lit(0.0), 6, True))
     )
     table = MergedTable(
-        spark, tempfile.mkdtemp(prefix="mlvdb_cdfm_"), n_buckets=16
+        spark, _entry_tmpdir("cdfm"), n_buckets=16
     )
     for i, b in enumerate([b0, b1, b2]):
         apply_merge_batch(
@@ -4354,7 +4371,6 @@ def q_table_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot relationally and regroups from scratch, so the signed-delta
     algebra AND the merge-derived feed are gated against a full rebuild.
     Refresh cost is O(|changes|) + O(|view|)."""
-    import tempfile
 
     from mlvectordb_spark.operators.mv import build_mv, incremental_refresh
     from mlvectordb_spark.streaming.merge_sink import (
@@ -4401,7 +4417,7 @@ def q_table_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("deleted"),
     )
     table = MergedTable(
-        spark, tempfile.mkdtemp(prefix="mlvdb_mv_"), n_buckets=16
+        spark, _entry_tmpdir("mv"), n_buckets=16
     )
     apply_merge_batch(table, base, 0, "id", "seq", "deleted")
     # materialize the view the way production would (it IS the stored
@@ -6570,13 +6586,20 @@ WITH v0 AS (
   UNION ALL
   SELECT id, val, seq FROM ins1
 ), upd2 AS (
+  -- %39's seq-8 updates outrank both the %15 updates (seq 4) and the
+  -- %33 deletes (seq 6) in the in-batch dedup, so %39 keys leave the
+  -- %15 branch and %33∩%39 keys are NOT deleted
   SELECT o_orderkey AS id, o_totalprice * 4.0 AS val, 4::BIGINT AS seq
-  FROM orders WHERE o_orderkey % 15 = 0
+  FROM orders WHERE o_orderkey % 15 = 0 AND o_orderkey % 39 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 8.0, 8::BIGINT
+  FROM orders WHERE o_orderkey % 39 = 0
   UNION ALL
   SELECT -(o_orderkey + 1), 777.0, 4::BIGINT
   FROM orders WHERE o_orderkey % 82 = 0
 ), del2 AS (
-  SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 33 = 0
+  SELECT o_orderkey AS id FROM orders
+  WHERE o_orderkey % 33 = 0 AND o_orderkey % 39 <> 0
   UNION ALL
   SELECT -(o_orderkey + 1) FROM orders WHERE o_orderkey % 123 = 0
 ), v2 AS (

@@ -403,7 +403,7 @@ def test_scan_count_budgets(spark, sf_dir):
         "scd2_orders": 3,              # checkpointed fold + b2 + anti
         "orders_window_analytics": 1,
         "table_mv": 1,                 # the _changes recording only
-        "table_cdf_multi": 2,          # the two step recordings
+        "table_cdf_multi": 1,          # ONE multi-path read of both recordings
         "table_cdf": 2,                # the two bucket-pruned version reads
     }
     over = {}
