@@ -118,6 +118,41 @@ def main() -> None:
 
     assert inc == full, "diff-feed refresh diverged from full rebuild"
     assert rec == full, "recorded-feed refresh diverged from full rebuild"
+
+    # multi-version catch-up: seven more recorded point batches, then ONE
+    # refresh from the composed (v1 → v8) feed — the checkpointed-consumer
+    # scenario _compose_recorded exists for
+    mv1 = build_mv(table.df_at(1), ["g"], ["val"]).localCheckpoint(eager=True)
+    for b in range(2, 9):
+        batch = spark.createDataFrame(
+            [(int(i * (n // 8) + 100 + b),) for i in range(8)], "id bigint"
+        ).select(
+            "id",
+            F.pmod("id", F.lit(n_groups)).alias("g"),
+            (F.lit(1000.25) * b).alias("val"),
+            F.lit("upd").alias("payload"),
+            F.lit(b).cast("bigint").alias("seq"),
+            F.lit(False).alias("deleted"),
+        )
+        apply_merge_batch(
+            table, batch, b, "id", "seq", "deleted", record_changes=True
+        )
+    b0 = input_bytes()
+    t0 = time.time()
+    feed8 = table_changes(table, 1, 8, on="id", preimage=True)
+    catchup = {
+        r["g"]: (r["cnt"], round(r["sum_val"], 6))
+        for r in incremental_refresh(mv1, feed8, ["g"], ["val"]).collect()
+    }
+    catchup_wall = time.time() - t0
+    catchup_bytes = input_bytes() - b0
+    t0 = time.time()
+    full8 = {
+        r["g"]: (r["cnt"], round(r["sum_val"], 6))
+        for r in build_mv(table.df_at(8), ["g"], ["val"]).collect()
+    }
+    rebuild8_wall = time.time() - t0
+    assert catchup == full8, "composed catch-up diverged from full rebuild"
     shutil.rmtree(root)
     print(
         json.dumps(
@@ -132,6 +167,9 @@ def main() -> None:
                 "diff_feed_input_bytes": inc_bytes,
                 "recorded_feed_sec": round(rec_wall, 2),
                 "recorded_feed_input_bytes": rec_bytes,
+                "catchup_7steps_sec": round(catchup_wall, 2),
+                "catchup_7steps_input_bytes": catchup_bytes,
+                "rebuild_at_v8_sec": round(rebuild8_wall, 2),
                 "parity": True,
             }
         )
