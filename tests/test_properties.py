@@ -223,3 +223,110 @@ def test_funnel_stage_counts_monotone(spark, seed):
         F.count_distinct(F.when(F.col("t3").isNotNull(), F.col("user_id"))).alias("n3"),
     ).first()
     assert r.n1 >= r.n2 >= r.n3
+
+
+_cdc_row = st.tuples(
+    st.integers(min_value=0, max_value=15),   # key
+    st.integers(min_value=-50, max_value=50), # value (exact in double)
+    st.booleans(),                            # delete marker
+)
+_cdc_batches = st.lists(
+    st.lists(_cdc_row, min_size=0, max_size=6), min_size=1, max_size=4
+)
+
+
+@given(batches=_cdc_batches)
+@settings(max_examples=6, deadline=None, suppress_health_check=[
+    HealthCheck.function_scoped_fixture, HealthCheck.too_slow,
+])
+def test_merge_fold_matches_reference_model(spark, batches):
+    """Property armor for the CDC table: ANY sequence of merge batches
+    (duplicate in-batch keys, delete markers, empty batches, all-delete
+    bootstraps) must leave the bucketed table equal to a pure-Python
+    fold, and the composed recorded feed between the first and last
+    published versions must equal the model-state diff. seq is globally
+    unique (its source position), so every tie-break is deterministic."""
+    import shutil
+    import tempfile
+
+    from mlvectordb_spark.streaming.merge_sink import (
+        MergedTable,
+        apply_merge_batch,
+        table_changes,
+    )
+
+    # pure-Python reference fold (mirrors MERGE + monotonicity guard)
+    seq = 0
+    state: dict[int, tuple] = {}
+    snapshots: dict[int, dict] = {}
+    published: list[int] = []
+    tagged_batches = []
+    for bi, batch in enumerate(batches):
+        rows = []
+        for k, v, d in batch:
+            seq += 1
+            rows.append((k, float(v), seq, d))
+        tagged_batches.append(rows)
+        if not rows:
+            continue
+        latest = {}
+        for r in rows:  # in-batch dedup: max seq wins (unique)
+            if r[0] not in latest or r[2] > latest[r[0]][2]:
+                latest[r[0]] = r
+        if not published:  # bootstrap: non-deleted rows ARE the table
+            state = {k: r for k, r in latest.items() if not r[3]}
+        else:
+            for k, r in latest.items():
+                if k in state:
+                    if r[2] > state[k][2]:
+                        if r[3]:
+                            del state[k]
+                        else:
+                            state[k] = r
+                elif not r[3]:
+                    state[k] = r
+        published.append(bi)
+        snapshots[bi] = dict(state)
+
+    root = tempfile.mkdtemp(prefix="pb_cdc_")
+    try:
+        table = MergedTable(spark, root, n_buckets=4)
+        for bi, rows in enumerate(tagged_batches):
+            batch_df = spark.createDataFrame(
+                rows or [(0, 0.0, 0, False)],
+                "id bigint, val double, seq bigint, deleted boolean",
+            )
+            if not rows:
+                batch_df = batch_df.limit(0)
+            apply_merge_batch(
+                table, batch_df, bi, "id", "seq", "deleted",
+                record_changes=True,
+            )
+        assert table.versions() == published
+        if not published:
+            assert table.df() is None
+            return
+        got = {
+            r["id"]: (r["val"], r["seq"])
+            for r in table.df().collect()
+        }
+        want = {k: (r[1], r[2]) for k, r in state.items()}
+        assert got == want
+        if len(published) >= 2:
+            v0, vN = published[0], published[-1]
+            s0, sN = snapshots[v0], snapshots[vN]
+            feed = {
+                r["id"]: (r["val"], r["seq"], r["_change_type"])
+                for r in table_changes(table, v0, vN, on="id").collect()
+            }
+            expect = {}
+            for k in set(s0) | set(sN):
+                if k not in sN:
+                    expect[k] = (s0[k][1], s0[k][2], "delete")
+                elif k not in s0:
+                    expect[k] = (sN[k][1], sN[k][2], "insert")
+                elif (s0[k][1], s0[k][2]) != (sN[k][1], sN[k][2]):
+                    expect[k] = (sN[k][1], sN[k][2], "update")
+            assert feed == expect
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
