@@ -330,3 +330,78 @@ def test_merge_fold_matches_reference_model(spark, batches):
             assert feed == expect
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_scd_batch = st.dictionaries(
+    st.integers(min_value=0, max_value=8),   # key (0..5 exist initially)
+    st.integers(min_value=0, max_value=2),   # new status id
+    max_size=6,
+)
+
+
+@given(batches=st.lists(_scd_batch, min_size=1, max_size=3))
+@settings(max_examples=6, deadline=None, suppress_health_check=[
+    HealthCheck.function_scoped_fixture, HealthCheck.too_slow,
+])
+def test_scd2_fold_matches_reference_model(spark, batches):
+    """Any sequence of SCD2 update batches (changes, no-ops, brand-new
+    keys, re-updates of fresh keys) must produce exactly the validity
+    ranges a pure-Python fold produces: one current row per live key,
+    [valid_from, valid_to) chains per key, closures stamped with the
+    closing batch's timestamp."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from mlvectordb_spark.operators.scd import scd2_apply, scd2_init
+
+    T0 = 1_000_000
+    init = {k: f"s{k % 2}" for k in range(6)}
+    # reference fold: per key, list of [status, from_ts, to_ts|None]
+    model: dict[int, list] = {k: [[s, T0, None]] for k, s in init.items()}
+    ts = T0
+    applied = []
+    for batch in batches:
+        ts += 3600
+        applied.append((ts, dict(batch)))
+        for k, sid in batch.items():
+            new = f"s{sid}"
+            if k in model:
+                cur = model[k][-1]
+                if cur[0] != new:
+                    cur[2] = ts
+                    model[k].append([new, ts, None])
+            else:
+                model[k] = [[new, ts, None]]
+
+    hist = scd2_init(
+        spark.createDataFrame(
+            [(k, s, T0) for k, s in init.items()],
+            "k bigint, status string, tsec bigint",
+        ).select("k", "status", F.timestamp_seconds("tsec").alias("ts")),
+        "ts",
+    )
+    for ts_i, batch in applied:
+        upd = spark.createDataFrame(
+            [(k, f"s{sid}", ts_i) for k, sid in batch.items()]
+            or [(0, "s0", 0)],
+            "k bigint, status string, tsec bigint",
+        ).select("k", "status", F.timestamp_seconds("tsec").alias("ts"))
+        if not batch:
+            upd = upd.limit(0)
+        hist = scd2_apply(hist, upd, "k", "ts", ["status"]).localCheckpoint(
+            eager=True
+        )
+    got = {
+        (r["k"], r["status"], int(r["valid_from"].timestamp()),
+         None if r["valid_to"] is None else int(r["valid_to"].timestamp()),
+         r["is_current"])
+        for r in hist.collect()
+    }
+    want = {
+        (k, s, f, t, t is None)
+        for k, rows in model.items()
+        for s, f, t in rows
+    }
+    assert got == want
+    # exactly one current row per live key
+    cur_keys = [k for (k, _, _, t, c) in got if c]
+    assert sorted(cur_keys) == sorted(model.keys())
