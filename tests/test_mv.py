@@ -253,6 +253,35 @@ def test_null_group_keys_merge_not_duplicate(spark, tmp_path):
     assert key(incx) == key(full) and len(key(incx)) == 2
 
 
+def test_integer_measures_keep_type_and_null_sums(spark, tmp_path):
+    """Refreshed sums must match the rebuild's SCHEMA, not just values:
+    integer measures stay integral (coalescing with 0.0 used to promote
+    bigint sums to double, losing >2^53 precision), and a group whose
+    measures are all NULL keeps sum NULL instead of becoming 0."""
+    schema = "id bigint, g string, m bigint, seq bigint, deleted boolean"
+    table = MergedTable(spark, str(tmp_path / "t"), n_buckets=4)
+    b0 = spark.createDataFrame(
+        [(1, "a", 10, 1, False), (2, "a", 20, 1, False), (3, "n", None, 1, False)],
+        schema,
+    )
+    apply_merge_batch(table, b0, 0, "id", "seq", "deleted")
+    mv0 = build_mv(table.df_at(0), ["g"], ["m"]).localCheckpoint(eager=True)
+    b1 = spark.createDataFrame(
+        [(1, "a", 11, 2, False), (4, "n", None, 2, False)], schema
+    )
+    apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
+    feed = table_changes(table, 0, 1, on="id", preimage=True)
+    inc = incremental_refresh(mv0, feed, ["g"], ["m"])
+    full = build_mv(table.df_at(1), ["g"], ["m"])
+    assert dict(inc.dtypes)["sum_m"] == dict(full.dtypes)["sum_m"], (
+        inc.dtypes, full.dtypes,
+    )
+    as_d = lambda df: {r["g"]: (r["cnt"], r["sum_m"]) for r in df.collect()}
+    got = as_d(inc)
+    assert got == as_d(full)
+    assert got["a"] == (2, 31) and got["n"] == (2, None)
+
+
 def test_post_only_feed_rejected(spark, tmp_path):
     """A post-only feed ('update' rows) must fail at execution — the
     check rides inside the aggregation pass (assert_true), so the feed
