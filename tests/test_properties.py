@@ -236,9 +236,7 @@ _cdc_batches = st.lists(
 
 
 @given(batches=_cdc_batches)
-@settings(max_examples=6, deadline=None, suppress_health_check=[
-    HealthCheck.function_scoped_fixture, HealthCheck.too_slow,
-])
+@settings(**{**SETTINGS, "max_examples": 6})
 def test_merge_fold_matches_reference_model(spark, batches):
     """Property armor for the CDC table: ANY sequence of merge batches
     (duplicate in-batch keys, delete markers, empty batches, all-delete
@@ -306,19 +304,22 @@ def test_merge_fold_matches_reference_model(spark, batches):
         if not published:
             assert table.df() is None
             return
-        got = {
-            r["id"]: (r["val"], r["seq"])
-            for r in table.df().collect()
-        }
+        collected = table.df().collect()
+        got = {r["id"]: (r["val"], r["seq"]) for r in collected}
         want = {k: (r[1], r[2]) for k, r in state.items()}
         assert got == want
+        # cardinality too: a dict would mask duplicate-key corruption —
+        # the exact defect class pruning/modulus regressions produce
+        assert len(collected) == len(want)
         if len(published) >= 2:
             v0, vN = published[0], published[-1]
             s0, sN = snapshots[v0], snapshots[vN]
+            feed_rows = table_changes(table, v0, vN, on="id").collect()
             feed = {
                 r["id"]: (r["val"], r["seq"], r["_change_type"])
-                for r in table_changes(table, v0, vN, on="id").collect()
+                for r in feed_rows
             }
+            assert len(feed_rows) == len(feed)  # one change row per key
             expect = {}
             for k in set(s0) | set(sN):
                 if k not in sN:
@@ -340,9 +341,7 @@ _scd_batch = st.dictionaries(
 
 
 @given(batches=st.lists(_scd_batch, min_size=1, max_size=3))
-@settings(max_examples=6, deadline=None, suppress_health_check=[
-    HealthCheck.function_scoped_fixture, HealthCheck.too_slow,
-])
+@settings(**{**SETTINGS, "max_examples": 6})
 def test_scd2_fold_matches_reference_model(spark, batches):
     """Any sequence of SCD2 update batches (changes, no-ops, brand-new
     keys, re-updates of fresh keys) must produce exactly the validity
@@ -390,12 +389,16 @@ def test_scd2_fold_matches_reference_model(spark, batches):
         hist = scd2_apply(hist, upd, "k", "ts", ["status"]).localCheckpoint(
             eager=True
         )
+    hist_rows = hist.collect()
     got = {
         (r["k"], r["status"], int(r["valid_from"].timestamp()),
          None if r["valid_to"] is None else int(r["valid_to"].timestamp()),
          r["is_current"])
-        for r in hist.collect()
+        for r in hist_rows
     }
+    # row multiplicity, not just the set: a duplicate emitted by two of
+    # the fold's four union branches would collapse in the set compare
+    assert len(hist_rows) == sum(len(v) for v in model.values())
     want = {
         (k, s, f, t, t is None)
         for k, rows in model.items()

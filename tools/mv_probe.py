@@ -68,16 +68,20 @@ def main() -> None:
     )
     apply_merge_batch(table, base, 0, "id", "seq", "deleted")
     mv0 = build_mv(table.df_at(0), ["g"], ["val"]).localCheckpoint(eager=True)
-    point = spark.createDataFrame(
-        [(int(i * (n // 8) + 3),) for i in range(8)], "id bigint"
-    ).select(
-        "id",
-        F.pmod("id", F.lit(n_groups)).alias("g"),
-        F.lit(10000.25).alias("val"),
-        F.lit("upd").alias("payload"),
-        F.lit(2).cast("bigint").alias("seq"),
-        F.lit(False).alias("deleted"),
-    )
+
+    def make_batch(ids, val, seq):
+        return spark.createDataFrame(
+            [(int(i),) for i in ids], "id bigint"
+        ).select(
+            "id",
+            F.pmod("id", F.lit(n_groups)).alias("g"),
+            F.lit(val).alias("val"),
+            F.lit("upd").alias("payload"),
+            F.lit(seq).cast("bigint").alias("seq"),
+            F.lit(False).alias("deleted"),
+        )
+
+    point = make_batch([i * (n // 8) + 3 for i in range(8)], 10000.25, 2)
     apply_merge_batch(
         table, point, 1, "id", "seq", "deleted", record_changes=True
     )
@@ -124,15 +128,8 @@ def main() -> None:
     # scenario _compose_recorded exists for
     mv1 = build_mv(table.df_at(1), ["g"], ["val"]).localCheckpoint(eager=True)
     for b in range(2, 9):
-        batch = spark.createDataFrame(
-            [(int(i * (n // 8) + 100 + b),) for i in range(8)], "id bigint"
-        ).select(
-            "id",
-            F.pmod("id", F.lit(n_groups)).alias("g"),
-            (F.lit(1000.25) * b).alias("val"),
-            F.lit("upd").alias("payload"),
-            F.lit(b).cast("bigint").alias("seq"),
-            F.lit(False).alias("deleted"),
+        batch = make_batch(
+            [i * (n // 8) + 100 + b for i in range(8)], 1000.25 * b, b
         )
         apply_merge_batch(
             table, batch, b, "id", "seq", "deleted", record_changes=True
@@ -146,12 +143,14 @@ def main() -> None:
     }
     catchup_wall = time.time() - t0
     catchup_bytes = input_bytes() - b0
+    b0 = input_bytes()
     t0 = time.time()
     full8 = {
         r["g"]: (r["cnt"], round(r["sum_val"], 6))
         for r in build_mv(table.df_at(8), ["g"], ["val"]).collect()
     }
     rebuild8_wall = time.time() - t0
+    rebuild8_bytes = input_bytes() - b0
     assert catchup == full8, "composed catch-up diverged from full rebuild"
     shutil.rmtree(root)
     print(
@@ -170,6 +169,7 @@ def main() -> None:
                 "catchup_7steps_sec": round(catchup_wall, 2),
                 "catchup_7steps_input_bytes": catchup_bytes,
                 "rebuild_at_v8_sec": round(rebuild8_wall, 2),
+                "rebuild_at_v8_input_bytes": rebuild8_bytes,
                 "parity": True,
             }
         )
