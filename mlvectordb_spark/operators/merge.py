@@ -71,6 +71,7 @@ def merge_into(
     insert_condition: Column | None = None,
     strategy: str = "auto",
     broadcast_threshold: int = 1_000_000,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Return the merged target: ANSI-MERGE semantics, copy-on-write.
 
@@ -88,8 +89,29 @@ def merge_into(
     Conditions and the values in `update_set`/`insert_set` may reference
     `F.col("t.<col>")` and `F.col("s.<col>")`. The source must be unique
     per key (see `dedup_source`).
+
+    `evolve_schema=True` enables automatic schema evolution (the Delta
+    `mergeSchema` analog, public API shape): source columns absent from
+    the target are APPENDED to the output schema — existing target rows
+    carry NULL there, matched-updated rows and inserts take the source
+    value. By default (False) extra source columns are silently ignored,
+    the ANSI behavior (the statement never references them).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if evolve_schema:
+        new_cols = [c for c in source.columns if c not in target.columns]
+        if new_cols:
+            # widening the target FIRST makes evolution fall out of the
+            # normal clause machinery: the new columns exist on the t side
+            # as typed NULLs, so updates/inserts resolve source values and
+            # untouched rows keep NULL — no special cases downstream
+            target = target.select(
+                "*",
+                *[
+                    F.lit(None).cast(source.schema[c].dataType).alias(c)
+                    for c in new_cols
+                ],
+            )
     for label, clause in (("update_set", update_set), ("insert_set", insert_set)):
         if clause:
             stray = set(clause) - set(target.columns)

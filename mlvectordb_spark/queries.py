@@ -4254,6 +4254,56 @@ def q_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_changes(table, 0, 1, on="id").orderBy("id")
 
 
+def q_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under MERGE (streaming/merge_sink.py,
+    operators/merge.py evolve_schema=True — the Delta `mergeSchema`
+    analog): bootstrap a bucketed versioned table from orders in the OLD
+    schema, then merge a batch that carries a brand-new `score` column.
+    The evolving merge rewrites only its touched buckets; every untouched
+    bucket hard-links forward with the old parquet footer and reads NULL
+    in the new column through the version's schema sidecar. The oracle
+    reconstructs the evolved state relationally (old rows NULL-scored,
+    matched rows updated, inserts carrying the new column). Reference
+    analog: none (no table surface, storage_engine.py:21-44)."""
+    from mlvectordb_spark.streaming.merge_sink import (
+        MergedTable,
+        apply_merge_batch,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    b0 = orders.filter(key % 3 == 0).select(
+        key.alias("id"),
+        F.col("o_totalprice").alias("val"),
+        F.lit(1).cast("bigint").alias("seq"),
+    )
+    # %15 implies %3: every update matches an existing key. 1.5 and the
+    # small-integer scores are exactly representable — no rounding drift.
+    updates = orders.filter(key % 15 == 0).select(
+        key.alias("id"),
+        (F.col("o_totalprice") * 1.5).alias("val"),
+        (key % 7).cast("double").alias("score"),
+        F.lit(2).cast("bigint").alias("seq"),
+    )
+    inserts = orders.filter(key % 33 == 0).select(
+        (-(key + 1)).alias("id"),  # negated ids never collide
+        F.lit(77.0).alias("val"),
+        F.lit(0.5).alias("score"),
+        F.lit(2).cast("bigint").alias("seq"),
+    )
+    table = MergedTable(spark, _entry_tmpdir("mev"), n_buckets=16)
+    apply_merge_batch(table, b0, 0, "id", "seq")
+    apply_merge_batch(
+        table,
+        updates.unionByName(inserts),
+        1,
+        "id",
+        "seq",
+        evolve_schema=True,
+    )
+    return table.df().select("id", "val", "score").orderBy("id")
+
+
 def q_emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed covariance kernel behind PCA (operators/pca.py): ONE
     mapInPandas pass emits (n, Σx, Σxxᵀ) per partition (d+d² doubles each);
@@ -6471,6 +6521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_pca_cov": q_emb_pca_cov,
     "table_cdf": q_table_cdf,
     "table_mv": q_table_mv,
+    "merge_evolve": q_merge_evolve,
     "table_cdf_multi": q_table_cdf_multi,
     "scd2_orders": q_scd2_orders,
     "orders_window_analytics": q_orders_window_analytics,
@@ -6532,6 +6583,27 @@ ORDER BY fmt
 # CDC round trip: v0 and v1 reconstructed relationally, then diffed —
 # the exact contract of apply_merge_batch (monotonicity-guarded MERGE)
 # followed by table_changes (full-outer snapshot diff)
+# evolved state reconstructed relationally: old rows NULL in the new
+# column, matched rows take the update (with score), inserts carry it
+ORACLE_SQL["merge_evolve"] = """
+WITH v0 AS (
+  SELECT o_orderkey AS id, o_totalprice AS val
+  FROM orders WHERE o_orderkey % 3 = 0
+), upd AS (
+  SELECT o_orderkey AS id, o_totalprice * 1.5 AS val,
+         (o_orderkey % 7)::DOUBLE AS score
+  FROM orders WHERE o_orderkey % 15 = 0
+), ins AS (
+  SELECT -(o_orderkey + 1) AS id, 77.0 AS val, 0.5 AS score
+  FROM orders WHERE o_orderkey % 33 = 0
+)
+SELECT v0.id::BIGINT AS id, COALESCE(u.val, v0.val) AS val, u.score AS score
+FROM v0 LEFT JOIN upd u ON v0.id = u.id
+UNION ALL
+SELECT id::BIGINT, val, score FROM ins
+ORDER BY id
+"""
+
 ORACLE_SQL["table_cdf"] = """
 WITH v0 AS (
   SELECT o_orderkey AS id, o_totalprice AS val, 1::BIGINT AS seq

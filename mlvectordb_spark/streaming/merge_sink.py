@@ -140,6 +140,30 @@ class MergedTable:
     def _vdir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version:012d}")
 
+    def _schema_path(self, version: int) -> str:
+        return os.path.join(self._vdir(version), "_v_schema.json")
+
+    def _write_schema(self, version: int, df: DataFrame) -> None:
+        """Persist the version's logical schema next to its files. After a
+        schema evolution the version directory holds MIXED file schemas
+        (hard-linked untouched buckets keep the old footer); an explicit
+        read schema makes the parquet reader fill the missing columns with
+        NULL instead of inferring from whichever footer it samples first.
+        The underscore prefix keeps Spark's file discovery off it."""
+        fd, tmp = tempfile.mkstemp(dir=self._vdir(version), prefix=".sch_")
+        with os.fdopen(fd, "w") as f:
+            f.write(df.schema.json())
+        os.replace(tmp, self._schema_path(version))
+
+    def _read_schema(self, version: int):
+        p = self._schema_path(version)
+        if not os.path.exists(p):
+            return None
+        from pyspark.sql.types import StructType
+
+        with open(p) as f:
+            return StructType.fromJson(json.load(f))
+
     def _cdir(self, version: int) -> str:
         """Recorded change feed for the (version-1 → version) transition
         (written by apply_merge_batch(record_changes=True)). The leading
@@ -171,7 +195,11 @@ class MergedTable:
         return out.drop(_BUCKET) if self.n_buckets else out
 
     def _raw_at(self, version: int, spark: SparkSession | None = None) -> DataFrame:
-        return (spark or self.spark).read.parquet(self._vdir(version))
+        reader = (spark or self.spark).read
+        schema = self._read_schema(version)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self._vdir(version))
 
     def _bucket_dirs(self, version: int) -> dict[int, str]:
         vdir = self._vdir(version)
@@ -219,6 +247,9 @@ class MergedTable:
                 # the version stays readable; __bucket becomes a zero-row
                 # data column, so pruning filters still resolve.
                 df.limit(0).write.mode("overwrite").parquet(out)
+        # schema sidecar BEFORE the pointer flip: a published version
+        # implies a readable logical schema (see _write_schema)
+        self._write_schema(version, df)
         fd, tmp = tempfile.mkstemp(dir=self.path, prefix=".ptr_")
         with os.fdopen(fd, "w") as f:
             f.write(str(version))
@@ -294,7 +325,7 @@ def _compose_recorded(
     # ONE multi-path read (not N reads + a left-deep union chain, which
     # grows plan depth linearly when catching up over many versions);
     # the step version comes back out of the file path
-    allf = table.spark.read.parquet(
+    allf = table.spark.read.option("mergeSchema", "true").parquet(
         *[table._cdir(v) for v in steps]
     ).withColumn(
         "__v",
@@ -435,6 +466,20 @@ def table_changes(
     else:
         old = table.df_at(from_version)
         new = table.df_at(to_version)
+    # schema evolution between the versions: a column the old version
+    # lacks reads as NULL there — exactly what every pre-evolution row
+    # holds in the new version, so unchanged rows still diff as unchanged
+    evolved = [
+        c for c in new.columns if c not in old.columns
+    ]
+    if evolved:
+        old = old.select(
+            "*",
+            *[
+                F.lit(None).cast(new.schema[c].dataType).alias(c)
+                for c in evolved
+            ],
+        )
     val_cols = [c for c in new.columns if c not in keys]
     cond = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
     o_present = F.col("o.__o_present").isNotNull()
@@ -561,12 +606,19 @@ def apply_merge_batch(
     order_col: str,
     delete_col: str | None = None,
     record_changes: bool = False,
+    evolve_schema: bool = False,
 ) -> None:
     """One micro-batch: dedup → MERGE → publish version `batch_id`.
 
     For a bucketed table the target scan is pruned to the batch's touched
     buckets (a bounded `distinct().collect()` over ≤ n_buckets values)
     and `write_version` rewrites only those buckets.
+
+    `evolve_schema=True`: payload columns the batch carries that the
+    table lacks are appended to the table schema (Delta automatic schema
+    evolution) — existing rows read NULL there via the version's schema
+    sidecar, so untouched buckets are still carried forward by hard link,
+    never rewritten. Off (default), extra batch columns are ignored.
 
     `record_changes=True` additionally writes the version's change feed
     (preimage form) under `_changes/` DURING the merge — `table_changes`
@@ -620,6 +672,25 @@ def apply_merge_batch(
         table.write_version(first, batch_id, touched_buckets=touched)
         return
     target = table._raw_at(cur, spark=batch.sparkSession)
+    new_cols = [
+        c for c in val_cols if c not in target.columns
+    ]
+    if new_cols and not evolve_schema:
+        # ANSI behavior: columns the statement never references are
+        # ignored — keep the recorded feed consistent with what applies
+        val_cols = [c for c in val_cols if c not in new_cols]
+    if new_cols and evolve_schema:
+        # widen the target through the union schema: the new columns
+        # exist as typed NULLs on every pre-existing row, so the merge
+        # clauses and the recorded feed need no special cases, and
+        # write_version persists the widened schema in the sidecar
+        target = target.select(
+            "*",
+            *[
+                F.lit(None).cast(src.schema[c].dataType).alias(c)
+                for c in new_cols
+            ],
+        )
     if table.n_buckets:
         # partition-pruned scan: only the batch's buckets are read
         target = target.filter(F.col(_BUCKET).isin(touched))
@@ -665,6 +736,7 @@ def start_table_merge(
     query_name: str,
     delete_col: str | None = None,
     record_changes: bool = False,
+    evolve_schema: bool = False,
     on_version: Callable[[int], None] | None = None,
 ):
     """Run the CDC stream into the table with availableNow semantics
@@ -680,7 +752,7 @@ def start_table_merge(
         before = table.current_version()
         apply_merge_batch(
             table, batch, batch_id, on, order_col, delete_col,
-            record_changes=record_changes,
+            record_changes=record_changes, evolve_schema=evolve_schema,
         )
         if on_version is not None and table.current_version() != before:
             on_version(batch_id)

@@ -405,6 +405,7 @@ def test_scan_count_budgets(spark, sf_dir):
         "table_mv": 1,                 # the _changes recording only
         "table_cdf_multi": 1,          # ONE multi-path read of both recordings
         "table_cdf": 2,                # the two bucket-pruned version reads
+        "merge_evolve": 1,             # the evolved current-version read
     }
     over = {}
     for name, budget in budgets.items():
