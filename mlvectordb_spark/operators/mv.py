@@ -46,10 +46,8 @@ def build_mv(
     return df.groupBy(*group_cols).agg(*aggs)
 
 
-def mv_delta(
-    feed: DataFrame, group_cols: list[str], measure_cols: list[str]
-) -> DataFrame:
-    """Signed per-group delta of a preimage-form CDF feed: +1 for rows
+def _signed(feed: DataFrame, sign_col: str = "__sign") -> DataFrame:
+    """Attach the IVM sign to a preimage-form CDF feed: +1 for rows
     entering the table (inserts, update postimages), −1 for rows leaving
     it (deletes, update preimages)."""
     # a post-only feed ('update' rows) cannot be applied subtractively —
@@ -72,12 +70,24 @@ def mv_delta(
             ).cast("int")
         )
     )
-    signed = feed.withColumn("__sign", sign)
+    return feed.withColumn(sign_col, sign)
+
+
+def _delta_agg(
+    signed: DataFrame, group_cols: list[str], measure_cols: list[str]
+) -> DataFrame:
     aggs = [F.sum("__sign").alias("d_cnt")] + [
         F.sum(F.col(c) * F.col("__sign")).alias(f"d_sum_{c}")
         for c in measure_cols
     ]
     return signed.groupBy(*group_cols).agg(*aggs)
+
+
+def mv_delta(
+    feed: DataFrame, group_cols: list[str], measure_cols: list[str]
+) -> DataFrame:
+    """Signed per-group delta of a preimage-form CDF feed."""
+    return _delta_agg(_signed(feed), group_cols, measure_cols)
 
 
 def build_mv_minmax(
@@ -170,6 +180,15 @@ def incremental_refresh(
     appear via the delta side, emptied groups drop when cnt hits 0).
     Schema matches build_mv exactly, so refreshes chain."""
     delta = mv_delta(feed, group_cols, measure_cols)
+    return _apply_delta(mv, delta, group_cols, measure_cols)
+
+
+def _apply_delta(
+    mv: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    measure_cols: list[str],
+) -> DataFrame:
     # null-safe key equality: groupBy puts NULL keys in one real group,
     # so the view/delta join must match NULL to NULL or a NULL-keyed
     # group would split into duplicate rows that compound every refresh
@@ -201,3 +220,109 @@ def incremental_refresh(
         for c in measure_cols
     ]
     return joined.select(*cols, cnt, *sums).filter(F.col("cnt") > 0)
+
+
+def join_mv_delta(
+    fact_feed: DataFrame | None,
+    dim_feed: DataFrame | None,
+    dim_old: DataFrame,
+    fact_new: DataFrame,
+    on: list[str] | str,
+    group_cols: list[str],
+    measure_cols: list[str],
+    max_pushdown_keys: int = 1024,
+) -> DataFrame:
+    """Signed per-group delta of a grouped aggregate over the INNER JOIN
+    `fact ⋈ dim` when either (or both) inputs changed — the join leg of
+    the incremental-view-maintenance taxonomy (delta rules for joins:
+    with F' = F + ΔF and D' = D + ΔD,
+
+        Δ(F ⋈ D) = ΔF ⋈ D  ∪  F' ⋈ ΔD
+
+    — the ΔF⋈ΔD cross term is counted exactly once because the second
+    leg joins the NEW fact). Signs multiply through the join, so a dim
+    update that moves rows between groups retracts from the old group and
+    adds to the new one via its preimage/postimage pair, and the algebra
+    stays exact under duplicate join keys.
+
+    Inputs: `fact_feed`/`dim_feed` are preimage-form CDF feeds
+    (`table_changes(..., preimage=True)`); pass None for a side that did
+    not change. `dim_old` is the dim snapshot BEFORE the step, `fact_new`
+    the fact snapshot AFTER it — both available from a versioned table's
+    time travel. `group_cols`/`measure_cols` may come from either side of
+    the join.
+
+    Scale shape: both feeds are batch-sized and BROADCAST; the table-side
+    scans are key-pruned — when a feed touches ≤ `max_pushdown_keys`
+    distinct values of a single join key, the keys are collected and
+    pushed into the other table's scan as an `isin` PREDICATE (reaches
+    the parquet reader; row-group skipping on a key-clustered layout).
+    Neither table is ever shuffled: the only shuffle is the final
+    feed-sized group-by."""
+    keys = [on] if isinstance(on, str) else list(on)
+    legs: list[DataFrame] = []
+    out_cols = [*group_cols, "__sign", *[c for c in measure_cols if c not in group_cols]]
+
+    def _pruned(table: DataFrame, feed: DataFrame) -> DataFrame:
+        if len(keys) == 1:
+            k = keys[0]
+            vals = [
+                r[0]
+                for r in feed.select(k)
+                .distinct()
+                .limit(max_pushdown_keys + 1)
+                .collect()
+            ]
+            if len(vals) <= max_pushdown_keys:
+                # inner-join rows need non-NULL keys, so a plain isin
+                # (never NULL-matching) is exact here
+                return table.filter(
+                    F.col(k).isin([v for v in vals if v is not None])
+                )
+        return table.join(F.broadcast(feed.select(*keys)), keys, "left_semi")
+
+    if fact_feed is not None:
+        sf = _signed(fact_feed)
+        legs.append(
+            _pruned(dim_old, sf).join(F.broadcast(sf), keys, "inner")
+            .select(*out_cols)
+        )
+    if dim_feed is not None:
+        sd = _signed(dim_feed)
+        legs.append(
+            _pruned(fact_new, sd).join(F.broadcast(sd), keys, "inner")
+            .select(*out_cols)
+        )
+    if not legs:
+        raise ValueError("at least one of fact_feed/dim_feed is required")
+    all_rows = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+    return _delta_agg(all_rows, group_cols, measure_cols)
+
+
+def incremental_refresh_join(
+    mv: DataFrame,
+    fact_feed: DataFrame | None,
+    dim_feed: DataFrame | None,
+    dim_old: DataFrame,
+    fact_new: DataFrame,
+    on: list[str] | str,
+    group_cols: list[str],
+    measure_cols: list[str],
+    max_pushdown_keys: int = 1024,
+) -> DataFrame:
+    """Refresh a grouped SUM/COUNT view over `fact ⋈ dim` from the two
+    sides' CDF feeds: `old view ⊕ join delta`. Schema matches
+    `build_mv(fact.join(dim, on), group_cols, measure_cols)`, so
+    refreshes chain. Cost is O(|feeds| × matched rows) + O(|view|); the
+    base join is never recomputed."""
+    delta = join_mv_delta(
+        fact_feed,
+        dim_feed,
+        dim_old,
+        fact_new,
+        on,
+        group_cols,
+        measure_cols,
+        max_pushdown_keys=max_pushdown_keys,
+    )
+    return _apply_delta(mv, delta, group_cols, measure_cols)

@@ -4304,6 +4304,97 @@ def q_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.df().select("id", "val", "score").orderBy("id")
 
 
+def q_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view incremental maintenance (operators/mv.py
+    incremental_refresh_join): a per-segment (cnt, sum) view over
+    orders ⋈ customer is refreshed from BOTH sides' preimage CDF feeds —
+    fact updates/deletes/inserts AND a dim update that moves customers
+    between segments — via the join delta rule
+    Δ(F⋈D) = ΔF⋈D_old ∪ F_new⋈ΔD with multiplied signs. The base join is
+    never recomputed: both feeds broadcast, the table-side scans are
+    key-pruned, the only shuffle is feed-sized. The oracle rebuilds the
+    post-change joined view from scratch. Reference analog: none (no
+    relational surface); delta rules per the standard IVM literature."""
+    from mlvectordb_spark.operators.mv import (
+        build_mv,
+        incremental_refresh_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    okey = F.col("okey")
+    fact0 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").alias("amt"),
+    )
+    dim0 = customer.select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("seg")
+    )
+    # fact changes: %21 deletes win over %9 updates (disjoint by
+    # construction); inserts use negated keys (never collide) and ×2.0 /
+    # 123.0 keep every value on the cent grid (oracle round-parity)
+    upd = fact0.filter((okey % 9 == 0) & (okey % 21 != 0))
+    ctype = lambda s: F.lit(s).alias("_change_type")  # noqa: E731
+    fact_feed = (
+        upd.select("okey", "ck", "amt", ctype("update_preimage"))
+        .unionByName(
+            upd.select(
+                "okey", "ck", (F.col("amt") * 2.0).alias("amt"),
+                ctype("update_postimage"),
+            )
+        )
+        .unionByName(
+            fact0.filter(okey % 21 == 0).select(
+                "okey", "ck", "amt", ctype("delete")
+            )
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 41 == 0).select(
+                (-(F.col("o_orderkey") + 1)).alias("okey"),
+                F.col("o_custkey").alias("ck"),
+                F.lit(123.0).alias("amt"),
+                ctype("insert"),
+            )
+        )
+    )
+    # dim change: every %13 customer moves to a brand-new segment
+    dmov = dim0.filter(F.col("ck") % 13 == 0)
+    dim_feed = dmov.select("ck", "seg", ctype("update_preimage")).unionByName(
+        dmov.select("ck", F.lit("SHIFTED").alias("seg"), ctype("update_postimage"))
+    )
+    # production feeds are recorded CDF files (already materialized);
+    # checkpointing the derived stand-ins mirrors that and keeps the
+    # refresh plan from re-deriving them per consumer
+    fact_feed = fact_feed.localCheckpoint(eager=True)
+    dim_feed = dim_feed.localCheckpoint(eager=True)
+    fact_new = (
+        fact0.filter(okey % 21 != 0)
+        .withColumn(
+            "amt",
+            F.when(okey % 9 == 0, F.col("amt") * 2.0).otherwise(F.col("amt")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 41 == 0).select(
+                (-(F.col("o_orderkey") + 1)).alias("okey"),
+                F.col("o_custkey").alias("ck"),
+                F.lit(123.0).alias("amt"),
+            )
+        )
+    )
+    # the stored view state production would hold (checkpointed so the
+    # refresh plan cannot silently re-derive it from a base-join rescan)
+    mv0 = build_mv(fact0.join(dim0, "ck"), ["seg"], ["amt"]).localCheckpoint(
+        eager=True
+    )
+    mv1 = incremental_refresh_join(
+        mv0, fact_feed, dim_feed, dim0, fact_new, "ck", ["seg"], ["amt"]
+    )
+    return mv1.select(
+        "seg", "cnt", F.round("sum_amt", 2).alias("sum_amt")
+    ).orderBy("seg")
+
+
 def q_emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed covariance kernel behind PCA (operators/pca.py): ONE
     mapInPandas pass emits (n, Σx, Σxxᵀ) per partition (d+d² doubles each);
@@ -6522,6 +6613,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_cdf": q_table_cdf,
     "table_mv": q_table_mv,
     "merge_evolve": q_merge_evolve,
+    "join_mv": q_join_mv,
     "table_cdf_multi": q_table_cdf_multi,
     "scd2_orders": q_scd2_orders,
     "orders_window_analytics": q_orders_window_analytics,
@@ -6583,6 +6675,30 @@ ORDER BY fmt
 # CDC round trip: v0 and v1 reconstructed relationally, then diffed —
 # the exact contract of apply_merge_batch (monotonicity-guarded MERGE)
 # followed by table_changes (full-outer snapshot diff)
+# the post-change joined view rebuilt from scratch: fact updates/deletes/
+# inserts applied relationally, dim segments shifted, then one regroup
+ORACLE_SQL["join_mv"] = """
+WITH f0 AS (
+  SELECT o_orderkey AS okey, o_custkey AS ck, o_totalprice AS amt
+  FROM orders WHERE o_orderkey % 3 = 0
+), f1 AS (
+  SELECT okey, ck,
+         CASE WHEN okey % 9 = 0 THEN amt * 2.0 ELSE amt END AS amt
+  FROM f0 WHERE okey % 21 <> 0
+  UNION ALL
+  SELECT -(o_orderkey + 1), o_custkey, 123.0
+  FROM orders WHERE o_orderkey % 41 = 0
+), d1 AS (
+  SELECT c_custkey AS ck,
+         CASE WHEN c_custkey % 13 = 0 THEN 'SHIFTED'
+              ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT seg, count(*) AS cnt, round(sum(amt), 2) AS sum_amt
+FROM f1 JOIN d1 USING (ck)
+GROUP BY seg ORDER BY seg
+"""
+
 # evolved state reconstructed relationally: old rows NULL in the new
 # column, matched rows take the update (with score), inserts carry it
 ORACLE_SQL["merge_evolve"] = """

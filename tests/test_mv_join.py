@@ -1,0 +1,205 @@
+"""Join-view incremental maintenance (operators/mv.py join leg):
+Δ(F⋈D) = ΔF⋈D_old ∪ F_new⋈ΔD with multiplied signs, checked against
+full rebuilds of the joined view under fact-only, dim-only, and
+simultaneous both-sides change batches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlvectordb_spark.operators.mv import (
+    build_mv,
+    incremental_refresh_join,
+    join_mv_delta,
+)
+
+FACT = "id bigint, k bigint, amt double"
+DIM = "k bigint, seg string"
+
+
+def _fact(spark, rows):
+    return spark.createDataFrame(rows, FACT)
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(rows, DIM)
+
+
+def _feed(spark, schema, rows):
+    return spark.createDataFrame(rows, schema + ", _change_type string")
+
+
+def _view(fact, dim):
+    return build_mv(fact.join(dim, "k"), ["seg"], ["amt"])
+
+
+def _as_dict(df):
+    return {
+        r["seg"]: (r["cnt"], None if r["sum_amt"] is None else round(r["sum_amt"], 6))
+        for r in df.collect()
+    }
+
+
+@pytest.fixture()
+def base(spark):
+    fact = _fact(
+        spark,
+        [(1, 10, 1.0), (2, 10, 2.0), (3, 20, 4.0), (4, 20, 8.0), (5, 30, 16.0)],
+    )
+    dim = _dim(spark, [(10, "a"), (20, "b"), (30, "b")])
+    return fact, dim
+
+
+def test_fact_only_changes(spark, base):
+    fact, dim = base
+    # update id=1 (amt 1→100), delete id=3, insert id=6 into k=30
+    fact_feed = _feed(
+        spark,
+        FACT,
+        [
+            (1, 10, 1.0, "update_preimage"),
+            (1, 10, 100.0, "update_postimage"),
+            (3, 20, 4.0, "delete"),
+            (6, 30, 32.0, "insert"),
+        ],
+    )
+    fact_new = _fact(
+        spark,
+        [(1, 10, 100.0), (2, 10, 2.0), (4, 20, 8.0), (5, 30, 16.0), (6, 30, 32.0)],
+    )
+    mv0 = _view(fact, dim)
+    got = incremental_refresh_join(
+        mv0, fact_feed, None, dim, fact_new, "k", ["seg"], ["amt"]
+    )
+    assert _as_dict(got) == _as_dict(_view(fact_new, dim))
+
+
+def test_dim_only_changes_move_groups(spark, base):
+    fact, dim = base
+    # dim k=20 moves from seg b to seg c: every k=20 fact row must
+    # retract from b and land in c; k=30 is deleted outright
+    dim_feed = _feed(
+        spark,
+        DIM,
+        [
+            (20, "b", "update_preimage"),
+            (20, "c", "update_postimage"),
+            (30, "b", "delete"),
+        ],
+    )
+    dim_new = _dim(spark, [(10, "a"), (20, "c")])
+    mv0 = _view(fact, dim)
+    got = incremental_refresh_join(
+        mv0, None, dim_feed, dim, fact, "k", ["seg"], ["amt"]
+    )
+    assert _as_dict(got) == _as_dict(_view(fact, dim_new))
+
+
+def test_both_sides_change_cross_term_counted_once(spark, base):
+    fact, dim = base
+    # the adversarial overlap: a NEW fact row lands in a key whose dim
+    # row ALSO changes in the same step — the ΔF⋈ΔD contribution must
+    # appear exactly once (leg 2 joins fact_NEW, leg 1 joins dim_OLD)
+    fact_feed = _feed(
+        spark,
+        FACT,
+        [
+            (6, 20, 32.0, "insert"),
+            (5, 30, 16.0, "update_preimage"),
+            (5, 30, 64.0, "update_postimage"),
+        ],
+    )
+    fact_new = _fact(
+        spark,
+        [(1, 10, 1.0), (2, 10, 2.0), (3, 20, 4.0), (4, 20, 8.0), (5, 30, 64.0), (6, 20, 32.0)],
+    )
+    dim_feed = _feed(
+        spark,
+        DIM,
+        [(20, "b", "update_preimage"), (20, "z", "update_postimage")],
+    )
+    dim_new = _dim(spark, [(10, "a"), (20, "z"), (30, "b")])
+    mv0 = _view(fact, dim)
+    got = incremental_refresh_join(
+        mv0, fact_feed, dim_feed, dim, fact_new, "k", ["seg"], ["amt"]
+    )
+    assert _as_dict(got) == _as_dict(_view(fact_new, dim_new))
+
+
+def test_duplicate_join_keys_stay_exact(spark):
+    # dim with DUPLICATE keys (a multiset join): each fact row matches
+    # twice; the signed algebra must keep multiplicities exact
+    fact = _fact(spark, [(1, 10, 1.0), (2, 10, 2.0)])
+    dim = spark.createDataFrame([(10, "a"), (10, "b")], DIM)
+    fact_feed = _feed(spark, FACT, [(3, 10, 4.0, "insert")])
+    fact_new = _fact(spark, [(1, 10, 1.0), (2, 10, 2.0), (3, 10, 4.0)])
+    mv0 = _view(fact, dim)
+    got = incremental_refresh_join(
+        mv0, fact_feed, None, dim, fact_new, "k", ["seg"], ["amt"]
+    )
+    assert _as_dict(got) == _as_dict(_view(fact_new, dim))
+
+
+def test_refresh_chains(spark, base):
+    fact, dim = base
+    f1 = _feed(spark, FACT, [(6, 10, 32.0, "insert")])
+    fact1 = _fact(
+        spark,
+        [(1, 10, 1.0), (2, 10, 2.0), (3, 20, 4.0), (4, 20, 8.0), (5, 30, 16.0), (6, 10, 32.0)],
+    )
+    d2 = _feed(
+        spark, DIM, [(10, "a", "update_preimage"), (10, "q", "update_postimage")]
+    )
+    dim2 = _dim(spark, [(10, "q"), (20, "b"), (30, "b")])
+    mv0 = _view(fact, dim)
+    mv1 = incremental_refresh_join(
+        mv0, f1, None, dim, fact1, "k", ["seg"], ["amt"]
+    ).localCheckpoint(eager=True)
+    assert _as_dict(mv1) == _as_dict(_view(fact1, dim))
+    mv2 = incremental_refresh_join(
+        mv1, None, d2, dim, fact1, "k", ["seg"], ["amt"]
+    )
+    assert _as_dict(mv2) == _as_dict(_view(fact1, dim2))
+
+
+def test_group_emptied_by_dim_delete_drops(spark, base):
+    fact, dim = base
+    dim_feed = _feed(spark, DIM, [(10, "a", "delete")])
+    dim_new = _dim(spark, [(20, "b"), (30, "b")])
+    got = incremental_refresh_join(
+        _view(fact, dim), None, dim_feed, dim, fact, "k", ["seg"], ["amt"]
+    )
+    assert _as_dict(got) == _as_dict(_view(fact, dim_new))
+    assert "a" not in _as_dict(got)
+
+
+def test_pushdown_prunes_table_scan(spark, base):
+    """With a feed touching ≤ max_pushdown_keys join keys, the other
+    table's scan carries the keys as an isin predicate (reaches the
+    parquet reader), not a join."""
+    fact, dim = base
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    fact.write.mode("overwrite").parquet(f"{d}/fact")
+    fact_pq = spark.read.parquet(f"{d}/fact")
+    dim_feed = _feed(
+        spark, DIM, [(20, "b", "update_preimage"), (20, "c", "update_postimage")]
+    )
+    delta = join_mv_delta(
+        None, dim_feed, dim, fact_pq, "k", ["seg"], ["amt"]
+    )
+    raw = delta._jdf.queryExecution().toString()
+    # Catalyst folds a one-value isin to EqualTo; either way the key
+    # predicate must reach the parquet reader's PushedFilters
+    pushed = [
+        seg.split("\n")[0] for seg in raw.split("PushedFilters: ")[1:]
+    ]
+    assert any("In(k" in s or "EqualTo(k" in s for s in pushed), raw
+
+
+def test_no_feed_rejected(spark, base):
+    fact, dim = base
+    with pytest.raises(ValueError):
+        join_mv_delta(None, None, dim, fact, "k", ["seg"], ["amt"])

@@ -408,3 +408,83 @@ def test_scd2_fold_matches_reference_model(spark, batches):
     # exactly one current row per live key
     cur_keys = [k for (k, _, _, t, c) in got if c]
     assert sorted(cur_keys) == sorted(model.keys())
+
+
+# --- join-view incremental maintenance vs rebuild --------------------------
+
+_jfact_state = st.dictionaries(
+    st.integers(min_value=0, max_value=7),            # fact id
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # join key
+        st.integers(min_value=-20, max_value=20),     # amt (exact double)
+    ),
+    max_size=8,
+)
+_jdim_state = st.dictionaries(
+    st.integers(min_value=0, max_value=3),            # join key
+    st.sampled_from(["a", "b", "c"]),                 # group attribute
+    max_size=4,
+)
+_jstates = st.lists(
+    st.tuples(_jfact_state, _jdim_state), min_size=2, max_size=3
+)
+
+_JF = "id bigint, k bigint, amt double"
+_JD = "k bigint, seg string"
+
+
+def _jfeed(old: dict, new: dict, row_of) -> list[tuple]:
+    """Preimage-form CDF feed between two key→value dict states."""
+    out = []
+    for key in old.keys() - new.keys():
+        out.append(row_of(key, old[key]) + ("delete",))
+    for key in new.keys() - old.keys():
+        out.append(row_of(key, new[key]) + ("insert",))
+    for key in old.keys() & new.keys():
+        if old[key] != new[key]:
+            out.append(row_of(key, old[key]) + ("update_preimage",))
+            out.append(row_of(key, new[key]) + ("update_postimage",))
+    return out
+
+
+@given(states=_jstates)
+@settings(**{**SETTINGS, "max_examples": 5})
+def test_join_mv_refresh_matches_rebuild_property(spark, states):
+    """ANY sequence of simultaneous fact+dim state transitions (inserts,
+    deletes, key moves, group moves, emptied states) refreshed through
+    the join delta rule must equal a from-scratch rebuild of the joined
+    view after every step."""
+    from mlvectordb_spark.operators.mv import build_mv, incremental_refresh_join
+
+    def fact_df(s):
+        return spark.createDataFrame(
+            [(i, k, float(a)) for i, (k, a) in s.items()], _JF
+        )
+
+    def dim_df(s):
+        return spark.createDataFrame(list(s.items()), _JD)
+
+    def view(fs, ds):
+        return build_mv(fact_df(fs).join(dim_df(ds), "k"), ["seg"], ["amt"])
+
+    def as_dict(df):
+        return {r["seg"]: (r["cnt"], r["sum_amt"]) for r in df.collect()}
+
+    (f0, d0), *steps = states
+    mv = view(f0, d0).localCheckpoint(eager=True)
+    f_prev, d_prev = f0, d0
+    for f_new, d_new in steps:
+        ffeed = spark.createDataFrame(
+            _jfeed(f_prev, f_new, lambda i, v: (i, v[0], float(v[1]))),
+            _JF + ", _change_type string",
+        )
+        dfeed = spark.createDataFrame(
+            _jfeed(d_prev, d_new, lambda k, seg: (k, seg)),
+            _JD + ", _change_type string",
+        )
+        mv = incremental_refresh_join(
+            mv, ffeed, dfeed, dim_df(d_prev), fact_df(f_new),
+            "k", ["seg"], ["amt"],
+        ).localCheckpoint(eager=True)
+        assert as_dict(mv) == as_dict(view(f_new, d_new))
+        f_prev, d_prev = f_new, d_new
