@@ -1,0 +1,208 @@
+"""Data-quality expectations: declarative constraints validated in one
+pass, with quarantine/fail routing — the Delta Live Tables
+`expect / expect_or_drop / expect_or_fail` surface (public API shape; cf.
+Delta constraints `CHECK`/`NOT NULL`) re-expressed as plain DataFrame
+algebra. A 100 TB ingest without constraint gates silently poisons every
+downstream consumer; the reference has no validation surface at all
+(vectors are accepted as-is, src/mlvectordb/implementations/storage.py).
+
+Scale shape — the whole point of the design:
+
+- Every ROW-LEVEL rule (not-null, range, set, regex, custom predicate)
+  compiles to a boolean Column; `summary()` evaluates ALL of them in ONE
+  scan as conditional aggregates (zero shuffles), and `split()` routes
+  rows in ONE scan with an array-of-failed-rule-names column.
+- UNIQUENESS is the only rule that needs a shuffle (one groupBy on the
+  key set, map-side partial counts). It participates in `summary()` as a
+  separate branch and in `split()` as one co-partitioned join.
+- Nothing collects to the driver except the ≤|rules|-row summary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_FAILED = "_failed_rules"
+
+
+@dataclass(frozen=True)
+class Rule:
+    """A named row-level expectation. `cond` is TRUE when the row PASSES."""
+
+    name: str
+    cond: Column
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null_{col}", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    """NULL passes (pair with not_null to reject NULLs) — the SQL CHECK
+    convention: a constraint on a NULL value is not a violation."""
+    c = F.col(col)
+    return Rule(
+        f"in_range_{col}", c.isNull() | ((c >= F.lit(lo)) & (c <= F.lit(hi)))
+    )
+
+
+def in_set(col: str, values) -> Rule:
+    c = F.col(col)
+    return Rule(f"in_set_{col}", c.isNull() | c.isin(list(values)))
+
+
+def matches(col: str, pattern: str) -> Rule:
+    c = F.col(col)
+    return Rule(f"matches_{col}", c.isNull() | c.rlike(pattern))
+
+
+def expect(name: str, cond: Column) -> Rule:
+    """Arbitrary predicate expectation (TRUE = pass)."""
+    return Rule(name, cond)
+
+
+class Expectations:
+    """A rule set over one table: row-level rules plus at most one
+    uniqueness constraint (`unique_on`)."""
+
+    def __init__(self, rules: list[Rule], unique_on: list[str] | None = None):
+        names = [r.name for r in rules]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate rule names: {sorted(names)}")
+        self.rules = list(rules)
+        self.unique_on = list(unique_on) if unique_on else None
+        if not self.rules and not self.unique_on:
+            raise ValueError("at least one rule or unique_on is required")
+
+    # -- one-scan summary ---------------------------------------------------
+
+    def summary(self, df: DataFrame) -> DataFrame:
+        """(rule, violations, total) per rule — every row-level rule in
+        ONE conditional-aggregate scan; uniqueness (if any) adds one
+        grouped branch counting rows beyond the first per key."""
+        parts = []
+        if self.rules:
+            aggs = [F.count(F.lit(1)).alias("__total")] + [
+                F.sum((~r.cond).cast("long")).alias(r.name)
+                for r in self.rules
+            ]
+            wide = df.agg(*aggs)
+            stack = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r.name).alias("rule"),
+                            F.col(r.name).alias("violations"),
+                        )
+                        for r in self.rules
+                    ]
+                )
+            ).alias("__r")
+            parts.append(
+                wide.select(stack, F.col("__total")).select(
+                    F.col("__r.rule").alias("rule"),
+                    F.col("__r.violations").alias("violations"),
+                    F.col("__total").alias("total"),
+                )
+            )
+        if self.unique_on:
+            # duplicate rows (beyond the first per key) are violations;
+            # NULL keys form real groups, matching groupBy semantics
+            dup = df.groupBy(*self.unique_on).agg(
+                F.count(F.lit(1)).alias("__n")
+            )
+            parts.append(
+                dup.agg(
+                    F.lit(f"unique_{'_'.join(self.unique_on)}").alias("rule"),
+                    F.sum(F.col("__n") - 1).alias("violations"),
+                    F.sum("__n").alias("total"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- one-scan routing ---------------------------------------------------
+
+    def _failed_array(self) -> Column:
+        return F.filter(
+            F.array(
+                *[
+                    F.when(~r.cond, F.lit(r.name)).otherwise(F.lit(None))
+                    for r in self.rules
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+
+    def annotate(self, df: DataFrame) -> DataFrame:
+        """Add `_failed_rules: array<string>` (empty = clean). Row-level
+        rules stay a single projection; uniqueness joins each row against
+        its key's count (one shuffle, co-partitioned with the groupBy)."""
+        out = df.withColumn(_FAILED, self._failed_array() if self.rules
+                            else F.array().cast("array<string>"))
+        if self.unique_on:
+            keys = self.unique_on
+            # renamed key columns sidestep self-join attribute ambiguity
+            # (the groupBy keeps the grouping columns' identities)
+            dup_keys = (
+                df.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .select(
+                    *[F.col(k).alias(f"__k_{k}") for k in keys],
+                    F.lit(True).alias("__dup"),
+                )
+            )
+            cond = [
+                F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys
+            ]
+            rule = f"unique_{'_'.join(keys)}"
+            out = (
+                out.join(dup_keys, cond, "left_outer")
+                .select(
+                    *df.columns,
+                    F.when(
+                        F.col("__dup"),
+                        F.array_append(F.col(_FAILED), F.lit(rule)),
+                    )
+                    .otherwise(F.col(_FAILED))
+                    .alias(_FAILED),
+                )
+            )
+        return out
+
+    def split(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(clean, quarantined): quarantined rows keep `_failed_rules` for
+        triage; clean rows come back with the original schema. Callers
+        should persist/checkpoint the annotated frame if they consume
+        both sides (two actions over one lineage otherwise)."""
+        ann = self.annotate(df)
+        clean = ann.filter(F.size(_FAILED) == 0).drop(_FAILED)
+        bad = ann.filter(F.size(_FAILED) > 0)
+        return clean, bad
+
+    def enforce(self, df: DataFrame) -> DataFrame:
+        """expect_or_fail: returns df unchanged but any violating row
+        raises at execution time (rides inside the consumer's own scan —
+        no extra pass)."""
+        conds = [r.cond for r in self.rules]
+        if not conds:
+            raise ValueError("enforce() needs at least one row-level rule")
+        ok = conds[0]
+        for c in conds[1:]:
+            ok = ok & c
+        # the assert rides the filter's own evaluation (same idiom as
+        # operators/mv.py's feed check): passing rows short-circuit to 1,
+        # the first violating row raises — no extra pass, not foldable
+        flag = F.when(ok, F.lit(1)).otherwise(
+            F.assert_true(
+                ok,
+                F.lit("expectation violated; use split() to quarantine"),
+            ).cast("int")
+        )
+        return df.filter(flag == 1)

@@ -4395,6 +4395,35 @@ def q_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seg")
 
 
+def q_doc_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations (operators/expectations.py): a
+    declarative constraint set over documents — not-null, numeric range,
+    value set, regex, and key uniqueness — validated as ONE
+    conditional-aggregate scan for all row-level rules plus one grouped
+    branch for uniqueness (the Delta Live Tables expect/expect_or_drop
+    surface). The oracle recomputes every violation count relationally.
+    Reference analog: none (vectors accepted unvalidated)."""
+    from mlvectordb_spark.operators.expectations import (
+        Expectations,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exp = Expectations(
+        [
+            not_null("text"),
+            in_range("n_chars", 100, 400),
+            in_set("lang", ["en", "fr", "de"]),
+            matches("text", "data"),
+        ],
+        unique_on=["doc_id"],
+    )
+    return exp.summary(docs).orderBy("rule")
+
+
 def q_emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed covariance kernel behind PCA (operators/pca.py): ONE
     mapInPandas pass emits (n, Σx, Σxxᵀ) per partition (d+d² doubles each);
@@ -6614,6 +6643,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_mv": q_table_mv,
     "merge_evolve": q_merge_evolve,
     "join_mv": q_join_mv,
+    "doc_expectations": q_doc_expectations,
     "table_cdf_multi": q_table_cdf_multi,
     "scd2_orders": q_scd2_orders,
     "orders_window_analytics": q_orders_window_analytics,
@@ -6675,6 +6705,40 @@ ORDER BY fmt
 # CDC round trip: v0 and v1 reconstructed relationally, then diffed —
 # the exact contract of apply_merge_batch (monotonicity-guarded MERGE)
 # followed by table_changes (full-outer snapshot diff)
+# every violation count recomputed relationally; NULL passes range/set/
+# regex (SQL CHECK convention), duplicates = rows beyond the first per key
+ORACLE_SQL["doc_expectations"] = """
+SELECT 'not_null_text' AS rule,
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS violations,
+       count(*) AS total
+FROM documents
+UNION ALL
+SELECT 'in_range_n_chars',
+       sum(CASE WHEN n_chars IS NOT NULL
+                 AND (n_chars < 100 OR n_chars > 400)
+            THEN 1 ELSE 0 END)::BIGINT,
+       count(*)
+FROM documents
+UNION ALL
+SELECT 'in_set_lang',
+       sum(CASE WHEN lang IS NOT NULL
+                 AND lang NOT IN ('en', 'fr', 'de')
+            THEN 1 ELSE 0 END)::BIGINT,
+       count(*)
+FROM documents
+UNION ALL
+SELECT 'matches_text',
+       sum(CASE WHEN text IS NOT NULL
+                 AND NOT regexp_matches(text, 'data')
+            THEN 1 ELSE 0 END)::BIGINT,
+       count(*)
+FROM documents
+UNION ALL
+SELECT 'unique_doc_id', sum(n - 1)::BIGINT, sum(n)::BIGINT
+FROM (SELECT count(*) AS n FROM documents GROUP BY doc_id)
+ORDER BY rule
+"""
+
 # the post-change joined view rebuilt from scratch: fact updates/deletes/
 # inserts applied relationally, dim segments shifted, then one regroup
 ORACLE_SQL["join_mv"] = """

@@ -1,0 +1,125 @@
+"""Data-quality expectations (operators/expectations.py): one-scan
+summary, quarantine routing, uniqueness, and fail-fast enforcement."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from mlvectordb_spark.operators.expectations import (
+    Expectations,
+    expect,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+)
+
+ROWS = [
+    (1, "a", 10.0, "en"),
+    (2, "b", -5.0, "en"),      # in_range violation
+    (3, None, 20.0, "fr"),     # not_null violation
+    (4, "d", 30.0, "xx"),      # in_set violation
+    (4, "e", 40.0, "en"),      # duplicate id (with row above)
+    (5, "9f", 50.0, "en"),     # matches violation (starts with a digit)
+]
+SCHEMA = "id bigint, name string, score double, lang string"
+
+
+def _exp():
+    return Expectations(
+        [
+            not_null("name"),
+            in_range("score", 0.0, 100.0),
+            in_set("lang", ["en", "fr", "de"]),
+            matches("name", "^[a-z]"),
+        ],
+        unique_on=["id"],
+    )
+
+
+def test_summary_counts_each_rule(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = {r["rule"]: (r["violations"], r["total"]) for r in _exp().summary(df).collect()}
+    assert got == {
+        "not_null_name": (1, 6),
+        "in_range_score": (1, 6),
+        "in_set_lang": (1, 6),
+        "matches_name": (1, 6),
+        "unique_id": (1, 6),
+    }
+
+
+def test_summary_is_one_scan_for_row_rules(spark, tmp_path):
+    import re
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    df.write.mode("overwrite").parquet(str(tmp_path / "t"))
+    pq = spark.read.parquet(str(tmp_path / "t"))
+    exp = Expectations(
+        [not_null("name"), in_range("score", 0.0, 100.0)]
+    )
+    plan = exp.summary(pq)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet|FileScan parquet", plan)) == 1, plan
+
+
+def test_split_routes_and_annotates(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    clean, bad = _exp().split(df)
+    assert clean.columns == df.columns
+    assert {r["id"] for r in clean.collect()} == {1}
+    failed = {
+        (r["id"], r["name"]): set(r["_failed_rules"]) for r in bad.collect()
+    }
+    assert failed[(2, "b")] == {"in_range_score"}
+    assert failed[(3, None)] == {"not_null_name"}
+    assert failed[(4, "d")] == {"in_set_lang", "unique_id"}
+    assert failed[(4, "e")] == {"unique_id"}
+    assert failed[(5, "9f")] == {"matches_name"}
+
+
+def test_null_semantics_follow_sql_check(spark):
+    # NULL passes range/set/regex rules (SQL CHECK convention); only
+    # not_null rejects it
+    df = spark.createDataFrame([(1, None, None, None)], SCHEMA)
+    exp = Expectations(
+        [in_range("score", 0.0, 1.0), in_set("lang", ["en"]), matches("name", "x")]
+    )
+    clean, bad = exp.split(df)
+    assert clean.count() == 1 and bad.count() == 0
+
+
+def test_null_keys_count_as_duplicates(spark):
+    df = spark.createDataFrame(
+        [(None, "a", 1.0, "en"), (None, "b", 2.0, "en")], SCHEMA
+    )
+    exp = Expectations([], unique_on=["id"])
+    got = exp.summary(df).collect()[0]
+    assert (got["rule"], got["violations"]) == ("unique_id", 1)
+    _clean, bad = exp.split(df)
+    assert bad.count() == 2
+
+
+def test_custom_expectation(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    exp = Expectations([expect("score_gt_id", F.col("score") > F.col("id"))])
+    got = exp.summary(df).collect()[0]
+    assert got["violations"] == 1  # id=2, score=-5
+
+
+def test_enforce_passes_clean_and_raises_on_violation(spark):
+    clean = spark.createDataFrame([(1, "a", 1.0, "en")], SCHEMA)
+    exp = Expectations([not_null("name")])
+    assert exp.enforce(clean).count() == 1
+    dirty = spark.createDataFrame([(1, None, 1.0, "en")], SCHEMA)
+    with pytest.raises(Exception) as ei:
+        exp.enforce(dirty).count()
+    assert "expectation violated" in str(ei.value)
+
+
+def test_duplicate_rule_names_rejected(spark):
+    with pytest.raises(ValueError):
+        Expectations([not_null("a"), not_null("a")])
+    with pytest.raises(ValueError):
+        Expectations([])

@@ -407,6 +407,7 @@ def test_scan_count_budgets(spark, sf_dir):
         "table_cdf": 2,                # the two bucket-pruned version reads
         "merge_evolve": 1,             # the evolved current-version read
         "join_mv": 3,                  # dim leg + fact_new (orders ×2)
+        "doc_expectations": 2,         # row-rule scan + uniqueness branch
     }
     over = {}
     for name, budget in budgets.items():
