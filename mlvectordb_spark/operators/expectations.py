@@ -85,8 +85,15 @@ class Expectations:
         grouped branch counting rows beyond the first per key."""
         parts = []
         if self.rules:
+            # when/otherwise (not a bare cast) so a NULL-valued custom
+            # predicate counts as a PASS — the SQL CHECK convention every
+            # surface here shares; coalesce keeps empty inputs at 0, and
+            # backticks keep dotted rule names (nested fields) resolvable
             aggs = [F.count(F.lit(1)).alias("__total")] + [
-                F.sum((~r.cond).cast("long")).alias(r.name)
+                F.coalesce(
+                    F.sum(F.when(~r.cond, F.lit(1)).otherwise(F.lit(0))),
+                    F.lit(0),
+                ).cast("long").alias(r.name)
                 for r in self.rules
             ]
             wide = df.agg(*aggs)
@@ -95,7 +102,7 @@ class Expectations:
                     *[
                         F.struct(
                             F.lit(r.name).alias("rule"),
-                            F.col(r.name).alias("violations"),
+                            F.col(f"`{r.name}`").alias("violations"),
                         )
                         for r in self.rules
                     ]
@@ -117,8 +124,12 @@ class Expectations:
             parts.append(
                 dup.agg(
                     F.lit(f"unique_{'_'.join(self.unique_on)}").alias("rule"),
-                    F.sum(F.col("__n") - 1).alias("violations"),
-                    F.sum("__n").alias("total"),
+                    F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
+                    .cast("long")
+                    .alias("violations"),
+                    F.coalesce(F.sum("__n"), F.lit(0))
+                    .cast("long")
+                    .alias("total"),
                 )
             )
         out = parts[0]
@@ -187,22 +198,21 @@ class Expectations:
         return clean, bad
 
     def enforce(self, df: DataFrame) -> DataFrame:
-        """expect_or_fail: returns df unchanged but any violating row
-        raises at execution time (rides inside the consumer's own scan —
-        no extra pass)."""
-        conds = [r.cond for r in self.rules]
-        if not conds:
-            raise ValueError("enforce() needs at least one row-level rule")
-        ok = conds[0]
-        for c in conds[1:]:
-            ok = ok & c
+        """expect_or_fail: returns df (original schema) but the first
+        violating row raises at execution time. Built on `annotate` so
+        ALL three surfaces share one semantic — NULL predicates pass
+        (SQL CHECK), and `unique_on` IS enforced (it costs the same one
+        key shuffle it costs everywhere else; row-level-only rule sets
+        stay a single projection with no extra pass)."""
+        ann = self.annotate(df)
+        ok = F.size(F.col(_FAILED)) == 0
         # the assert rides the filter's own evaluation (same idiom as
         # operators/mv.py's feed check): passing rows short-circuit to 1,
-        # the first violating row raises — no extra pass, not foldable
+        # the first violating row raises — not foldable
         flag = F.when(ok, F.lit(1)).otherwise(
             F.assert_true(
                 ok,
                 F.lit("expectation violated; use split() to quarantine"),
             ).cast("int")
         )
-        return df.filter(flag == 1)
+        return ann.filter(flag == 1).drop(_FAILED)

@@ -100,6 +100,16 @@ def merge_into(
     keys = [on] if isinstance(on, str) else list(on)
     if evolve_schema:
         new_cols = [c for c in source.columns if c not in target.columns]
+        stray_keys = [k for k in keys if k in new_cols]
+        if stray_keys:
+            # widening a MERGE KEY to all-NULL would make the join match
+            # nothing: every target row kept with a NULL key, every
+            # source row inserted — silent duplicate-key corruption.
+            # Delta raises in the analogous case; so do we.
+            raise ValueError(
+                f"merge key(s) {stray_keys} do not exist in the target; "
+                "schema evolution cannot create join keys"
+            )
         if new_cols:
             # widening the target FIRST makes evolution fall out of the
             # normal clause machinery: the new columns exist on the t side

@@ -281,14 +281,19 @@ def join_mv_delta(
                 )
         return table.join(F.broadcast(feed.select(*keys)), keys, "left_semi")
 
+    # materialize each (batch-sized) signed feed ONCE: the leg consumes
+    # it twice (key pruning + broadcast join), and an uncheckpointed
+    # snapshot-diff feed would re-run the whole version diff per consumer
+    # — the same reason incremental_refresh_minmax checkpoints its
+    # affected set
     if fact_feed is not None:
-        sf = _signed(fact_feed)
+        sf = _signed(fact_feed).localCheckpoint(eager=True)
         legs.append(
             _pruned(dim_old, sf).join(F.broadcast(sf), keys, "inner")
             .select(*out_cols)
         )
     if dim_feed is not None:
-        sd = _signed(dim_feed)
+        sd = _signed(dim_feed).localCheckpoint(eager=True)
         legs.append(
             _pruned(fact_new, sd).join(F.broadcast(sd), keys, "inner")
             .select(*out_cols)

@@ -4363,11 +4363,8 @@ def q_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_feed = dmov.select("ck", "seg", ctype("update_preimage")).unionByName(
         dmov.select("ck", F.lit("SHIFTED").alias("seg"), ctype("update_postimage"))
     )
-    # production feeds are recorded CDF files (already materialized);
-    # checkpointing the derived stand-ins mirrors that and keeps the
-    # refresh plan from re-deriving them per consumer
-    fact_feed = fact_feed.localCheckpoint(eager=True)
-    dim_feed = dim_feed.localCheckpoint(eager=True)
+    # (join_mv_delta checkpoints each signed feed itself, so the derived
+    # stand-ins here are evaluated exactly once)
     fact_new = (
         fact0.filter(okey % 21 != 0)
         .withColumn(

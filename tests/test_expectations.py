@@ -123,3 +123,46 @@ def test_duplicate_rule_names_rejected(spark):
         Expectations([not_null("a"), not_null("a")])
     with pytest.raises(ValueError):
         Expectations([])
+
+
+def test_null_custom_predicate_consistent_across_surfaces(spark):
+    # a custom predicate that evaluates to NULL is a PASS everywhere
+    # (SQL CHECK): summary counts 0, split routes clean, enforce returns
+    df = spark.createDataFrame([(1, "a", None, "en")], SCHEMA)
+    exp = Expectations([expect("score_gt_id", F.col("score") > F.col("id"))])
+    assert exp.summary(df).collect()[0]["violations"] == 0
+    clean, bad = exp.split(df)
+    assert clean.count() == 1 and bad.count() == 0
+    assert exp.enforce(df).count() == 1
+
+
+def test_enforce_raises_on_duplicate_keys(spark):
+    df = spark.createDataFrame(
+        [(4, "d", 1.0, "en"), (4, "e", 2.0, "en")], SCHEMA
+    )
+    exp = Expectations([not_null("name")], unique_on=["id"])
+    with pytest.raises(Exception) as ei:
+        exp.enforce(df).count()
+    assert "expectation violated" in str(ei.value)
+    # and enforce returns the original schema on clean data
+    ok = spark.createDataFrame([(1, "a", 1.0, "en")], SCHEMA)
+    out = exp.enforce(ok)
+    assert out.columns == ok.columns and out.count() == 1
+
+
+def test_summary_of_empty_frame_reports_zero(spark):
+    df = spark.createDataFrame([], SCHEMA)
+    got = {
+        r["rule"]: (r["violations"], r["total"])
+        for r in _exp().summary(df).collect()
+    }
+    assert all(v == (0, 0) for v in got.values()), got
+
+
+def test_dotted_rule_names_resolve(spark):
+    df = spark.createDataFrame(
+        [((None,),), (("en",),)], "meta struct<lang: string>"
+    )
+    exp = Expectations([not_null("meta.lang")])
+    got = exp.summary(df).collect()[0]
+    assert (got["rule"], got["violations"]) == ("not_null_meta.lang", 1)

@@ -72,6 +72,17 @@ def test_merge_into_evolve_with_explicit_update_set(spark):
     assert got[9] == (90.0, 0.5)  # insert takes the plain source value
 
 
+def test_evolution_cannot_create_merge_keys(spark):
+    # a merge key missing from the target must raise, not widen to NULL
+    # (NULL keys match nothing: every source row would insert — silent
+    # duplicate-key corruption)
+    src = spark.createDataFrame(
+        [(2, "eu", 21.0)], "id long, region string, val double"
+    )
+    with pytest.raises(ValueError, match="join keys"):
+        merge_into(_target(spark), src, on=["id", "region"], evolve_schema=True)
+
+
 def _batch(spark, rows):
     return spark.createDataFrame(
         rows, "id long, val double, seq long, deleted boolean"
