@@ -52,6 +52,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mlvectordb_spark.operators.expectations import _FAILED
 from mlvectordb_spark.operators.merge import dedup_source, merge_into
 
 _PTR = "_LATEST"
@@ -737,6 +738,8 @@ def start_table_merge(
     delete_col: str | None = None,
     record_changes: bool = False,
     evolve_schema: bool = False,
+    expectations=None,
+    quarantine_dir: str | None = None,
     on_version: Callable[[int], None] | None = None,
 ):
     """Run the CDC stream into the table with availableNow semantics
@@ -746,14 +749,49 @@ def start_table_merge(
     `record_changes=True` makes every merge emit its CDF recording;
     `on_version(batch_id)` fires after each version publishes — the hook
     downstream incremental consumers (e.g. a streaming materialized view
-    refreshing from the recorded feed, operators/mv.py) attach to."""
+    refreshing from the recorded feed, operators/mv.py) attach to.
+
+    `expectations` (operators/expectations.Expectations) gates every
+    micro-batch BEFORE the merge — the expect_or_drop ingest pattern:
+    violating rows never reach the table; with `quarantine_dir` they are
+    appended there (parquet) with their `_failed_rules` and the batch id
+    for triage. Use row-level rules here: in-batch duplicate keys are the
+    NORMAL shape of a CDC feed (dedup_source resolves them), so a
+    unique_on constraint would quarantine legitimate changes. Quarantine
+    writes are at-least-once: a crash between the quarantine append and
+    the version publish replays both — dedup on (__batch_id, key) when
+    consuming (the table itself stays exactly-once via the publish
+    guard)."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         before = table.current_version()
-        apply_merge_batch(
-            table, batch, batch_id, on, order_col, delete_col,
-            record_changes=record_changes, evolve_schema=evolve_schema,
-        )
+        if expectations is not None and not (
+            before is not None and before >= batch_id
+        ):
+            # already-published replays skip the gate too — without this
+            # the quarantine would re-append on every checkpoint replay
+            ann = expectations.annotate(batch).persist()
+            try:
+                if quarantine_dir is not None:
+                    (
+                        ann.filter(F.size(_FAILED) > 0)
+                        .withColumn("__batch_id", F.lit(batch_id))
+                        .write.mode("append")
+                        .parquet(quarantine_dir)
+                    )
+                clean = ann.filter(F.size(_FAILED) == 0).drop(_FAILED)
+                apply_merge_batch(
+                    table, clean, batch_id, on, order_col, delete_col,
+                    record_changes=record_changes,
+                    evolve_schema=evolve_schema,
+                )
+            finally:
+                ann.unpersist()
+        else:
+            apply_merge_batch(
+                table, batch, batch_id, on, order_col, delete_col,
+                record_changes=record_changes, evolve_schema=evolve_schema,
+            )
         if on_version is not None and table.current_version() != before:
             on_version(batch_id)
 

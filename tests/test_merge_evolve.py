@@ -222,3 +222,148 @@ def test_vacuum_after_evolution_keeps_current_readable(spark, tmp_path):
     assert {r["id"] for r in t.df().filter(F.col("score").isNull()).collect()} == {
         1, 3, 4, 5, 6, 7, 8
     }
+
+
+def test_streaming_ingest_gates_expectations_into_quarantine(spark, tmp_path):
+    """expect_or_drop on the CDC ingest: violating rows never reach the
+    table; they land in the quarantine dir with _failed_rules + batch id."""
+    import json as _json
+    import os
+    import time
+
+    from mlvectordb_spark.operators.expectations import (
+        Expectations,
+        in_range,
+        not_null,
+    )
+    from mlvectordb_spark.streaming.merge_sink import start_table_merge
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    batches = [
+        [
+            {"id": 1, "val": 10.0, "seq": 1, "deleted": False},
+            {"id": 2, "val": -5.0, "seq": 1, "deleted": False},  # range
+            {"id": 3, "val": None, "seq": 1, "deleted": False},  # not_null
+        ],
+        [
+            {"id": 1, "val": 11.0, "seq": 2, "deleted": False},
+            {"id": 4, "val": 999.0, "seq": 2, "deleted": False},  # range
+        ],
+    ]
+    base = time.time() - 1000
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.json"
+        p.write_text("\n".join(_json.dumps(r) for r in rows))
+        os.utime(p, (base + i, base + i))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("val", T.DoubleType(), True),
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("deleted", T.BooleanType(), False),
+        ]
+    )
+    table = MergedTable(spark, str(tmp_path / "table"), n_buckets=4)
+    exp = Expectations([not_null("val"), in_range("val", 0.0, 100.0)])
+    q = start_table_merge(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        table,
+        on="id",
+        order_col="seq",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="t_gated_ingest",
+        delete_col="deleted",
+        expectations=exp,
+        quarantine_dir=str(tmp_path / "quarantine"),
+    )
+    q.awaitTermination()
+    got = {r["id"]: r["val"] for r in table.df().collect()}
+    assert got == {1: 11.0}
+    bad = spark.read.parquet(str(tmp_path / "quarantine"))
+    rows = {
+        (r["id"], r["__batch_id"]): set(r["_failed_rules"])
+        for r in bad.collect()
+    }
+    assert rows == {
+        (2, 0): {"in_range_val"},
+        (3, 0): {"not_null_val"},
+        (4, 1): {"in_range_val"},
+    }
+
+
+def test_join_mv_refresh_from_recorded_table_feeds(spark, tmp_path):
+    """End-to-end IVM over TWO versioned tables: fact and dim both
+    maintained by recorded merges; the join view refreshes from their
+    recorded CDF feeds + time travel, matching a rebuild of the new
+    join — zero snapshot diffs."""
+    from mlvectordb_spark.operators.mv import (
+        build_mv,
+        incremental_refresh_join,
+    )
+    from mlvectordb_spark.streaming.merge_sink import (
+        apply_merge_batch,
+        table_changes,
+    )
+
+    fact = MergedTable(spark, str(tmp_path / "fact"), n_buckets=4)
+    dim = MergedTable(spark, str(tmp_path / "dim"), n_buckets=4)
+    f0 = spark.createDataFrame(
+        [(1, 10, 1.0, 1), (2, 10, 2.0, 1), (3, 20, 4.0, 1)],
+        "id long, k long, amt double, seq long",
+    )
+    d0 = spark.createDataFrame(
+        [(10, "a", 1), (20, "b", 1)], "k long, seg string, seq long"
+    )
+    apply_merge_batch(fact, f0, 0, "id", "seq", record_changes=True)
+    apply_merge_batch(dim, d0, 0, "k", "seq", record_changes=True)
+    mv0 = build_mv(
+        fact.df_at(0).drop("seq").join(dim.df_at(0).select("k", "seg"), "k"),
+        ["seg"],
+        ["amt"],
+    ).localCheckpoint(eager=True)
+    # step: fact updates id=1 and inserts id=4@k=20; dim moves k=20 to c
+    apply_merge_batch(
+        fact,
+        spark.createDataFrame(
+            [(1, 10, 100.0, 2), (4, 20, 8.0, 2)],
+            "id long, k long, amt double, seq long",
+        ),
+        1,
+        "id",
+        "seq",
+        record_changes=True,
+    )
+    apply_merge_batch(
+        dim,
+        spark.createDataFrame([(20, "c", 2)], "k long, seg string, seq long"),
+        1,
+        "k",
+        "seq",
+        record_changes=True,
+    )
+    ffeed = table_changes(fact, 0, 1, on="id", preimage=True).drop("seq")
+    dfeed = table_changes(dim, 0, 1, on="k", preimage=True).drop("seq")
+    mv1 = incremental_refresh_join(
+        mv0,
+        ffeed,
+        dfeed,
+        dim.df_at(0).select("k", "seg"),
+        fact.df_at(1).drop("seq"),
+        "k",
+        ["seg"],
+        ["amt"],
+    )
+    want = build_mv(
+        fact.df_at(1).drop("seq").join(dim.df_at(1).select("k", "seg"), "k"),
+        ["seg"],
+        ["amt"],
+    )
+    as_d = lambda df: {  # noqa: E731
+        r["seg"]: (r["cnt"], r["sum_amt"]) for r in df.collect()
+    }
+    assert as_d(mv1) == as_d(want)
