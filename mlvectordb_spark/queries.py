@@ -7126,6 +7126,10 @@ _WINDOW = [
     "merge_orders", "format_roundtrip", "emb_pca_cov", "table_cdf",
     "scd2_orders", "table_mv", "orders_window_analytics",
     "table_cdf_multi",
+    # (a'') shipped in the r7 third session — schema evolution, join-view
+    # IVM, and the expectations surface get driver rows the round they
+    # ship (displacing orders_cube/orders_pivot/segment_setops to rest)
+    "merge_evolve", "join_mv", "doc_expectations",
     # (b) kernels changed in r7 — 9 entries
     "tpch_q15", "store_indexed_search", "store_indexed_cosine",
     "store_roundtrip", "store_timetravel", "ann_ivf_exact", "ann_ivf_batch",
@@ -7141,8 +7145,7 @@ _WINDOW = [
     "doc_lang_id", "doc_logprob", "doc_quality", "doc_repetition",
     "emb_doc_join", "events_json", "events_session_stats",
     "events_sessionize", "events_sliding", "events_tumbling",
-    "metadata_query", "ns_stats", "orders_cube",
-    "orders_pivot", "segment_setops", "source_mixture",
+    "metadata_query", "ns_stats", "source_mixture",
     # (e) continuity core (the flagship operators) — 2 entries
     # (store_roundtrip, the usual third, is already in (b))
     "knn_l2", "hybrid_knn",
