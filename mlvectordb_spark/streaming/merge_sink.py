@@ -740,6 +740,7 @@ def start_table_merge(
     evolve_schema: bool = False,
     expectations=None,
     quarantine_dir: str | None = None,
+    metrics_dir: str | None = None,
     on_version: Callable[[int], None] | None = None,
 ):
     """Run the CDC stream into the table with availableNow semantics
@@ -761,7 +762,10 @@ def start_table_merge(
     writes are at-least-once: a crash between the quarantine append and
     the version publish replays both — dedup on (__batch_id, key) when
     consuming (the table itself stays exactly-once via the publish
-    guard)."""
+    guard). `metrics_dir` additionally appends every batch's per-rule
+    violation counts (rule, violations, total, __batch_id) — the DQ
+    observability trail; same at-least-once caveat, dedup on
+    (__batch_id, rule)."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         before = table.current_version()
@@ -772,6 +776,15 @@ def start_table_merge(
             # the quarantine would re-append on every checkpoint replay
             ann = expectations.annotate(batch).persist()
             try:
+                if metrics_dir is not None:
+                    # per-rule counts over the PERSISTED annotated frame —
+                    # no re-read of the micro-batch source
+                    (
+                        expectations.summary(ann.drop(_FAILED))
+                        .withColumn("__batch_id", F.lit(batch_id))
+                        .write.mode("append")
+                        .parquet(metrics_dir)
+                    )
                 if quarantine_dir is not None:
                     (
                         ann.filter(F.size(_FAILED) > 0)

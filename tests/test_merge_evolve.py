@@ -280,6 +280,7 @@ def test_streaming_ingest_gates_expectations_into_quarantine(spark, tmp_path):
         delete_col="deleted",
         expectations=exp,
         quarantine_dir=str(tmp_path / "quarantine"),
+        metrics_dir=str(tmp_path / "metrics"),
     )
     q.awaitTermination()
     got = {r["id"]: r["val"] for r in table.df().collect()}
@@ -293,6 +294,17 @@ def test_streaming_ingest_gates_expectations_into_quarantine(spark, tmp_path):
         (2, 0): {"in_range_val"},
         (3, 0): {"not_null_val"},
         (4, 1): {"in_range_val"},
+    }
+    metrics = spark.read.parquet(str(tmp_path / "metrics"))
+    got = {
+        (r["__batch_id"], r["rule"]): (r["violations"], r["total"])
+        for r in metrics.collect()
+    }
+    assert got == {
+        (0, "not_null_val"): (1, 3),
+        (0, "in_range_val"): (1, 3),
+        (1, "not_null_val"): (0, 2),
+        (1, "in_range_val"): (1, 2),
     }
 
 

@@ -488,3 +488,61 @@ def test_join_mv_refresh_matches_rebuild_property(spark, states):
         ).localCheckpoint(eager=True)
         assert as_dict(mv) == as_dict(view(f_new, d_new))
         f_prev, d_prev = f_new, d_new
+
+
+# --- expectations: the three surfaces agree -------------------------------
+
+_dq_row = st.tuples(
+    st.integers(min_value=0, max_value=5),                       # id
+    st.one_of(st.none(), st.integers(min_value=-30, max_value=30)),  # v
+)
+_dq_rows = st.lists(_dq_row, min_size=0, max_size=10)
+
+
+@given(rows=_dq_rows, lo=st.integers(min_value=-10, max_value=0),
+       hi=st.integers(min_value=1, max_value=10))
+@settings(**{**SETTINGS, "max_examples": 6})
+def test_expectation_surfaces_agree_property(spark, rows, lo, hi):
+    """summary()'s violation counts, split()'s routing, and enforce()'s
+    raise/pass decision must agree for ANY data (NULLs, empties,
+    duplicate keys) and any range bounds."""
+    from mlvectordb_spark.operators.expectations import (
+        Expectations,
+        in_range,
+        not_null,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v) if v is not None else None) for i, v in rows],
+        "id bigint, v double",
+    )
+    exp = Expectations(
+        [not_null("v"), in_range("v", float(lo), float(hi))],
+        unique_on=["id"],
+    )
+    summ = {r["rule"]: r["violations"] for r in exp.summary(df).collect()}
+    ann = exp.annotate(df).collect()
+    # per-rule counts from the routed rows must equal summary's counts
+    from collections import Counter
+
+    routed = Counter(rule for r in ann for rule in r["_failed_rules"])
+    assert summ == {
+        "not_null_v": routed.get("not_null_v", 0),
+        "in_range_v": routed.get("in_range_v", 0),
+        "unique_id": routed.get("unique_id", 0),
+    }
+    # model check: recompute expected counts in Python
+    vals = [(i, v) for i, v in rows]
+    assert summ["not_null_v"] == sum(1 for _, v in vals if v is None)
+    assert summ["in_range_v"] == sum(
+        1 for _, v in vals if v is not None and not (lo <= v <= hi)
+    )
+    ids = Counter(i for i, _ in vals)
+    assert summ["unique_id"] == sum(n - 1 for n in ids.values())
+    # enforce raises iff any violation exists
+    total_bad = sum(summ.values())
+    if total_bad == 0:
+        assert exp.enforce(df).count() == len(vals)
+    else:
+        with pytest.raises(Exception):
+            exp.enforce(df).count()
