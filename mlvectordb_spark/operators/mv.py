@@ -105,21 +105,25 @@ def build_mv_minmax(
     return df.groupBy(*group_cols).agg(*aggs)
 
 
-def incremental_refresh_minmax(
+def incremental_refresh_recompute(
     mv: DataFrame,
     feed: DataFrame,
     snapshot: DataFrame,
     group_cols: list[str],
-    measure_cols: list[str],
+    build_fn,
     max_pushdown_groups: int = 1024,
 ) -> DataFrame:
-    """MIN/MAX view refresh by PARTIAL RECOMPUTE: min/max are not
-    subtractable (deleting the current minimum says nothing about the
-    runner-up), so groups the feed touches are regrouped from the new
-    snapshot and untouched groups carry forward unchanged. This is the
-    other half of the incremental-view-maintenance taxonomy: signed
-    deltas for abelian aggregates (`incremental_refresh`), affected-set
-    recompute for non-subtractable ones.
+    """Generic PARTIAL-RECOMPUTE refresh for NON-SUBTRACTABLE aggregates
+    (min/max, top-k lists, exact count-distinct, medians, …): groups the
+    feed touches are re-aggregated from the new snapshot with `build_fn`
+    and untouched groups carry forward unchanged. This is the other half
+    of the incremental-view-maintenance taxonomy: signed deltas for
+    abelian aggregates (`incremental_refresh`, `incremental_refresh_join`),
+    affected-set recompute for everything that cannot retract.
+
+    `build_fn(df) -> DataFrame` is the SAME full-build function used at
+    bootstrap, applied here to the pruned snapshot — its output schema
+    must match `mv` (that is what lets refreshes chain).
 
     Scale shape: the affected-group set is FEED-sized (distinct over the
     changes, broadcast to both sides); the snapshot scan is filtered by a
@@ -165,9 +169,30 @@ def incremental_refresh_minmax(
     anti_cond = [
         F.col(f"m.{g}").eqNullSafe(F.col(f"a.{g}")) for g in group_cols
     ]
-    recomputed = build_mv_minmax(pruned, group_cols, measure_cols)
+    recomputed = build_fn(pruned)
     carried = mv.alias("m").join(F.broadcast(affected), anti_cond, "left_anti")
     return carried.unionByName(recomputed)
+
+
+def incremental_refresh_minmax(
+    mv: DataFrame,
+    feed: DataFrame,
+    snapshot: DataFrame,
+    group_cols: list[str],
+    measure_cols: list[str],
+    max_pushdown_groups: int = 1024,
+) -> DataFrame:
+    """MIN/MAX view refresh — the canonical non-subtractable case, a thin
+    wrapper over `incremental_refresh_recompute` with `build_mv_minmax`
+    as the rebuild kernel (see that function for the scale shape)."""
+    return incremental_refresh_recompute(
+        mv,
+        feed,
+        snapshot,
+        group_cols,
+        lambda df: build_mv_minmax(df, group_cols, measure_cols),
+        max_pushdown_groups=max_pushdown_groups,
+    )
 
 
 def incremental_refresh(

@@ -292,3 +292,51 @@ def test_post_only_feed_rejected(spark, tmp_path):
     post_only = table_changes(table, 0, 1, on="id")  # 'update' rows
     with pytest.raises(Exception, match="preimage"):
         mv_delta(post_only, ["g"], ["val"]).collect()
+
+
+def test_generic_recompute_maintains_topk_and_distinct(spark, tmp_path):
+    """incremental_refresh_recompute generalizes the partial-recompute
+    leg to ANY non-subtractable aggregate: a per-group top-2 list and an
+    exact count-distinct view refresh correctly through updates and
+    deletes that evict current top elements."""
+    from mlvectordb_spark.operators.mv import incremental_refresh_recompute
+
+    def build_topk(df):
+        return (
+            df.groupBy("g")
+            .agg(
+                F.slice(F.sort_array(F.collect_list("val"), asc=False), 1, 2).alias("top2"),
+                F.count_distinct("val").alias("n_distinct"),
+            )
+        )
+
+    table = _mk_table(
+        spark,
+        tmp_path / "t",
+        [
+            (1, "a", 5.0, 1, False),
+            (2, "a", 9.0, 1, False),
+            (3, "a", 7.0, 1, False),
+            (4, "b", 1.0, 1, False),
+            (5, "b", 1.0, 1, False),
+        ],
+    )
+    mv0 = build_topk(table.df_at(0)).localCheckpoint(eager=True)
+    # delete a's current max (9.0) and update b's 1.0 -> 2.0: both force
+    # runner-up recomputation a subtractive path cannot express
+    b1 = spark.createDataFrame(
+        [(2, "a", 0.0, 2, True), (4, "b", 2.0, 2, False)], SCHEMA
+    )
+    apply_merge_batch(table, b1, 1, "id", "seq", "deleted")
+    feed = table_changes(table, 0, 1, on="id", preimage=True)
+    mv1 = incremental_refresh_recompute(
+        mv0, feed, table.df_at(1), ["g"], build_topk
+    )
+    got = {r["g"]: (r["top2"], r["n_distinct"]) for r in mv1.collect()}
+    want = {
+        r["g"]: (r["top2"], r["n_distinct"])
+        for r in build_topk(table.df_at(1)).collect()
+    }
+    assert got == want
+    assert got["a"] == ([7.0, 5.0], 2)
+    assert got["b"] == ([2.0, 1.0], 2)
