@@ -64,27 +64,79 @@ def expect(name: str, cond: Column) -> Rule:
     return Rule(name, cond)
 
 
-class Expectations:
-    """A rule set over one table: row-level rules plus at most one
-    uniqueness constraint (`unique_on`)."""
+@dataclass(frozen=True)
+class ForeignKey:
+    """Referential integrity: `col` values must exist in `ref[ref_col]`
+    (NULLs pass — the SQL FK convention). The reference key set is
+    deduplicated and broadcast, so the fact side is never shuffled; keep
+    `ref` dimension-sized (the usual FK shape)."""
 
-    def __init__(self, rules: list[Rule], unique_on: list[str] | None = None):
-        names = [r.name for r in rules]
+    col: str
+    ref: DataFrame
+    ref_col: str
+
+    @property
+    def name(self) -> str:
+        return f"fk_{self.col}"
+
+    def _ref_keys(self) -> DataFrame:
+        return self.ref.select(
+            F.col(self.ref_col).alias(f"__fk_{self.col}")
+        ).distinct()
+
+
+class Expectations:
+    """A rule set over one table: row-level rules, at most one
+    uniqueness constraint (`unique_on`), and foreign keys."""
+
+    def __init__(
+        self,
+        rules: list[Rule],
+        unique_on: list[str] | None = None,
+        foreign_keys: list[ForeignKey] | None = None,
+    ):
+        self.foreign_keys = list(foreign_keys) if foreign_keys else []
+        names = [r.name for r in rules] + [f.name for f in self.foreign_keys]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate rule names: {sorted(names)}")
         self.rules = list(rules)
         self.unique_on = list(unique_on) if unique_on else None
-        if not self.rules and not self.unique_on:
-            raise ValueError("at least one rule or unique_on is required")
+        if not self.rules and not self.unique_on and not self.foreign_keys:
+            raise ValueError("at least one rule or constraint is required")
+
+    def _with_fk_markers(self, df: DataFrame) -> tuple[DataFrame, list[Rule]]:
+        """Graft one broadcast presence-marker per foreign key onto df and
+        return the FK checks as ordinary row-level rules over the
+        markers — FKs then ride the same one-scan machinery as every
+        other rule (the fact side is never shuffled; each ref key set is
+        deduplicated and broadcast)."""
+        out = df
+        synth: list[Rule] = []
+        for fk in self.foreign_keys:
+            marker = f"__fk_{fk.col}"
+            keys = fk._ref_keys()
+            out = out.join(
+                F.broadcast(keys), out[fk.col] == keys[marker], "left_outer"
+            )
+            synth.append(
+                Rule(
+                    fk.name,
+                    F.col(fk.col).isNull() | F.col(marker).isNotNull(),
+                )
+            )
+        return out, synth
 
     # -- one-scan summary ---------------------------------------------------
 
     def summary(self, df: DataFrame) -> DataFrame:
-        """(rule, violations, total) per rule — every row-level rule in
+        """(rule, violations, total) per rule — every row-level rule
+        (including FK presence checks over broadcast-grafted markers) in
         ONE conditional-aggregate scan; uniqueness (if any) adds one
         grouped branch counting rows beyond the first per key."""
         parts = []
-        if self.rules:
+        df, synth = self._with_fk_markers(df)
+        row_rules = self.rules + synth
+        if row_rules:
             # when/otherwise (not a bare cast) so a NULL-valued custom
             # predicate counts as a PASS — the SQL CHECK convention every
             # surface here shares; coalesce keeps empty inputs at 0, and
@@ -94,7 +146,7 @@ class Expectations:
                     F.sum(F.when(~r.cond, F.lit(1)).otherwise(F.lit(0))),
                     F.lit(0),
                 ).cast("long").alias(r.name)
-                for r in self.rules
+                for r in row_rules
             ]
             wide = df.agg(*aggs)
             stack = F.explode(
@@ -104,7 +156,7 @@ class Expectations:
                             F.lit(r.name).alias("rule"),
                             F.col(f"`{r.name}`").alias("violations"),
                         )
-                        for r in self.rules
+                        for r in row_rules
                     ]
                 )
             ).alias("__r")
@@ -116,15 +168,24 @@ class Expectations:
                 )
             )
         if self.unique_on:
-            # duplicate rows (beyond the first per key) are violations;
-            # NULL keys form real groups, matching groupBy semantics
+            # EVERY row of a duplicated key is a violation — the same rows
+            # annotate()/split() flag (no arbitrary "first" survivor), so
+            # the surfaces agree count-for-count (property-tested). NULL
+            # keys form real groups, matching groupBy semantics.
             dup = df.groupBy(*self.unique_on).agg(
                 F.count(F.lit(1)).alias("__n")
             )
             parts.append(
                 dup.agg(
                     F.lit(f"unique_{'_'.join(self.unique_on)}").alias("rule"),
-                    F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("__n") > 1, F.col("__n")).otherwise(
+                                F.lit(0)
+                            )
+                        ),
+                        F.lit(0),
+                    )
                     .cast("long")
                     .alias("violations"),
                     F.coalesce(F.sum("__n"), F.lit(0))
@@ -139,12 +200,13 @@ class Expectations:
 
     # -- one-scan routing ---------------------------------------------------
 
-    def _failed_array(self) -> Column:
+    @staticmethod
+    def _failed_array(row_rules: list[Rule]) -> Column:
         return F.filter(
             F.array(
                 *[
                     F.when(~r.cond, F.lit(r.name)).otherwise(F.lit(None))
-                    for r in self.rules
+                    for r in row_rules
                 ]
             ),
             lambda x: x.isNotNull(),
@@ -152,10 +214,17 @@ class Expectations:
 
     def annotate(self, df: DataFrame) -> DataFrame:
         """Add `_failed_rules: array<string>` (empty = clean). Row-level
-        rules stay a single projection; uniqueness joins each row against
-        its key's count (one shuffle, co-partitioned with the groupBy)."""
-        out = df.withColumn(_FAILED, self._failed_array() if self.rules
-                            else F.array().cast("array<string>"))
+        rules (incl. broadcast FK presence checks) stay a single
+        projection; uniqueness joins each row against its key's count
+        (one shuffle, co-partitioned with the groupBy)."""
+        marked, synth = self._with_fk_markers(df)
+        row_rules = self.rules + synth
+        out = marked.withColumn(
+            _FAILED,
+            self._failed_array(row_rules)
+            if row_rules
+            else F.array().cast("array<string>"),
+        ).select(*df.columns, _FAILED)
         if self.unique_on:
             keys = self.unique_on
             # renamed key columns sidestep self-join attribute ambiguity

@@ -4421,6 +4421,35 @@ def q_doc_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exp.summary(docs).orderBy("rule")
 
 
+def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity + constraint validation over orders
+    (operators/expectations.py): range/set rules ride ONE
+    conditional-aggregate scan; the FK check grafts a broadcast
+    deduplicated key set of the (restricted) customer dim as a presence
+    marker — the fact table is never shuffled; uniqueness adds the one
+    key shuffle. The restricted dim (even custkeys only) makes orphans
+    deterministic. Oracle recomputes every count relationally."""
+    from mlvectordb_spark.operators.expectations import (
+        Expectations,
+        ForeignKey,
+        in_range,
+        in_set,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    ref = customer.filter(F.col("c_custkey") % 2 == 0)
+    exp = Expectations(
+        [
+            in_range("o_totalprice", 0.0, 400000.0),
+            in_set("o_orderstatus", ["O", "F"]),
+        ],
+        unique_on=["o_orderkey"],
+        foreign_keys=[ForeignKey("o_custkey", ref, "c_custkey")],
+    )
+    return exp.summary(orders).orderBy("rule")
+
+
 def q_emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed covariance kernel behind PCA (operators/pca.py): ONE
     mapInPandas pass emits (n, Σx, Σxxᵀ) per partition (d+d² doubles each);
@@ -6641,6 +6670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_evolve": q_merge_evolve,
     "join_mv": q_join_mv,
     "doc_expectations": q_doc_expectations,
+    "orders_expectations": q_orders_expectations,
     "table_cdf_multi": q_table_cdf_multi,
     "scd2_orders": q_scd2_orders,
     "orders_window_analytics": q_orders_window_analytics,
@@ -6702,6 +6732,36 @@ ORDER BY fmt
 # CDC round trip: v0 and v1 reconstructed relationally, then diffed —
 # the exact contract of apply_merge_batch (monotonicity-guarded MERGE)
 # followed by table_changes (full-outer snapshot diff)
+# FK violations = non-NULL fact keys absent from the restricted dim;
+# range/set follow the SQL CHECK NULL-passes convention
+ORACLE_SQL["orders_expectations"] = """
+SELECT 'fk_o_custkey' AS rule,
+       sum(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN (
+             SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)
+            THEN 1 ELSE 0 END)::BIGINT AS violations,
+       count(*) AS total
+FROM orders
+UNION ALL
+SELECT 'in_range_o_totalprice',
+       sum(CASE WHEN o_totalprice IS NOT NULL
+                 AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)
+            THEN 1 ELSE 0 END)::BIGINT,
+       count(*)
+FROM orders
+UNION ALL
+SELECT 'in_set_o_orderstatus',
+       sum(CASE WHEN o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('O', 'F')
+            THEN 1 ELSE 0 END)::BIGINT,
+       count(*)
+FROM orders
+UNION ALL
+SELECT 'unique_o_orderkey',
+       sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT, sum(n)::BIGINT
+FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+ORDER BY rule
+"""
+
 # every violation count recomputed relationally; NULL passes range/set/
 # regex (SQL CHECK convention), duplicates = rows beyond the first per key
 ORACLE_SQL["doc_expectations"] = """
@@ -6731,7 +6791,8 @@ SELECT 'matches_text',
        count(*)
 FROM documents
 UNION ALL
-SELECT 'unique_doc_id', sum(n - 1)::BIGINT, sum(n)::BIGINT
+SELECT 'unique_doc_id',
+       sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT, sum(n)::BIGINT
 FROM (SELECT count(*) AS n FROM documents GROUP BY doc_id)
 ORDER BY rule
 """
@@ -7127,9 +7188,10 @@ _WINDOW = [
     "scd2_orders", "table_mv", "orders_window_analytics",
     "table_cdf_multi",
     # (a'') shipped in the r7 third session — schema evolution, join-view
-    # IVM, and the expectations surface get driver rows the round they
-    # ship (displacing orders_cube/orders_pivot/segment_setops to rest)
-    "merge_evolve", "join_mv", "doc_expectations",
+    # IVM, and the expectations surface (incl. the FK entry) get driver
+    # rows the round they ship (displacing orders_cube/orders_pivot/
+    # segment_setops/events_sliding to rest)
+    "merge_evolve", "join_mv", "doc_expectations", "orders_expectations",
     # (b) kernels changed in r7 — 9 entries
     "tpch_q15", "store_indexed_search", "store_indexed_cosine",
     "store_roundtrip", "store_timetravel", "ann_ivf_exact", "ann_ivf_batch",
@@ -7144,7 +7206,7 @@ _WINDOW = [
     # orders_window_analytics / table_cdf_multi batch)
     "doc_lang_id", "doc_logprob", "doc_quality", "doc_repetition",
     "emb_doc_join", "events_json", "events_session_stats",
-    "events_sessionize", "events_sliding", "events_tumbling",
+    "events_sessionize", "events_tumbling",
     "metadata_query", "ns_stats", "source_mixture",
     # (e) continuity core (the flagship operators) — 2 entries
     # (store_roundtrip, the usual third, is already in (b))

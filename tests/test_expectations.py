@@ -47,7 +47,7 @@ def test_summary_counts_each_rule(spark):
         "in_range_score": (1, 6),
         "in_set_lang": (1, 6),
         "matches_name": (1, 6),
-        "unique_id": (1, 6),
+        "unique_id": (2, 6),
     }
 
 
@@ -96,7 +96,7 @@ def test_null_keys_count_as_duplicates(spark):
     )
     exp = Expectations([], unique_on=["id"])
     got = exp.summary(df).collect()[0]
-    assert (got["rule"], got["violations"]) == ("unique_id", 1)
+    assert (got["rule"], got["violations"]) == ("unique_id", 2)
     _clean, bad = exp.split(df)
     assert bad.count() == 2
 
@@ -166,3 +166,47 @@ def test_dotted_rule_names_resolve(spark):
     exp = Expectations([not_null("meta.lang")])
     got = exp.summary(df).collect()[0]
     assert (got["rule"], got["violations"]) == ("not_null_meta.lang", 1)
+
+
+def test_foreign_key_constraint(spark):
+    from mlvectordb_spark.operators.expectations import ForeignKey
+
+    facts = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)],
+        "id bigint, ck bigint",
+    )
+    dim = spark.createDataFrame([(10,), (20,), (20,)], "k bigint")
+    exp = Expectations(
+        [not_null("id")], foreign_keys=[ForeignKey("ck", dim, "k")]
+    )
+    got = {r["rule"]: (r["violations"], r["total"]) for r in exp.summary(facts).collect()}
+    # NULL ck passes (SQL FK convention); duplicate dim keys do NOT
+    # multiply fact rows; 99 is the single orphan
+    assert got == {"not_null_id": (0, 4), "fk_ck": (1, 4)}
+    clean, bad = exp.split(facts)
+    assert {r["id"] for r in clean.collect()} == {1, 2, 4}
+    assert [(r["id"], set(r["_failed_rules"])) for r in bad.collect()] == [
+        (3, {"fk_ck"})
+    ]
+    with pytest.raises(Exception):
+        exp.enforce(facts).count()
+
+
+def test_foreign_key_composes_with_unique(spark):
+    from mlvectordb_spark.operators.expectations import ForeignKey
+
+    facts = spark.createDataFrame(
+        [(1, 10), (1, 99)], "id bigint, ck bigint"
+    )
+    dim = spark.createDataFrame([(10,)], "k bigint")
+    exp = Expectations(
+        [], unique_on=["id"], foreign_keys=[ForeignKey("ck", dim, "k")]
+    )
+    got = {r["rule"]: r["violations"] for r in exp.summary(facts).collect()}
+    assert got == {"fk_ck": 1, "unique_id": 2}
+    _clean, bad = exp.split(facts)
+    failed = {(r["id"], r["ck"]): set(r["_failed_rules"]) for r in bad.collect()}
+    assert failed == {
+        (1, 10): {"unique_id"},
+        (1, 99): {"unique_id", "fk_ck"},
+    }

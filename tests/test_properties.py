@@ -538,7 +538,7 @@ def test_expectation_surfaces_agree_property(spark, rows, lo, hi):
         1 for _, v in vals if v is not None and not (lo <= v <= hi)
     )
     ids = Counter(i for i, _ in vals)
-    assert summ["unique_id"] == sum(n - 1 for n in ids.values())
+    assert summ["unique_id"] == sum(n for n in ids.values() if n > 1)
     # enforce raises iff any violation exists
     total_bad = sum(summ.values())
     if total_bad == 0:
