@@ -136,6 +136,12 @@ HEADLINE = [
     # r7c: MERGE INTO with the broadcast (target-unshuffled) strategy —
     # table maintenance as a first-class engine cost
     "merge_orders",
+    # r7d: schema-evolving merge, join-view incremental refresh, and the
+    # one-scan expectations surfaces (row rules + uniqueness + FK)
+    "merge_evolve",
+    "join_mv",
+    "doc_expectations",
+    "orders_expectations",
 ]
 
 
