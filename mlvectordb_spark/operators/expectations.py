@@ -79,9 +79,16 @@ class ForeignKey:
     def name(self) -> str:
         return f"fk_{self.col}"
 
+    @property
+    def _marker(self) -> str:
+        # dots sanitized: an alias named "__fk_meta.ck" would be parsed
+        # back as struct access when referenced (nested FK columns are
+        # supported; the marker must stay a flat name)
+        return "__fk_" + self.col.replace(".", "_")
+
     def _ref_keys(self) -> DataFrame:
         return self.ref.select(
-            F.col(self.ref_col).alias(f"__fk_{self.col}")
+            F.col(self.ref_col).alias(self._marker)
         ).distinct()
 
 
@@ -96,13 +103,19 @@ class Expectations:
         foreign_keys: list[ForeignKey] | None = None,
     ):
         self.foreign_keys = list(foreign_keys) if foreign_keys else []
-        names = [r.name for r in rules] + [f.name for f in self.foreign_keys]
-        if len(set(names)) != len(names):
-            raise ValueError(f"duplicate rule names: {sorted(names)}")
         self.rules = list(rules)
         self.unique_on = list(unique_on) if unique_on else None
+        names = [r.name for r in rules] + [f.name for f in self.foreign_keys]
+        if self.unique_on:
+            # the synthetic uniqueness rule participates in the namespace
+            # too — a row rule named the same would emit ambiguous
+            # duplicate rows in summary() and double-append in annotate()
+            names.append(f"unique_{'_'.join(self.unique_on)}")
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate rule names: {sorted(names)}")
         if not self.rules and not self.unique_on and not self.foreign_keys:
             raise ValueError("at least one rule or constraint is required")
+        self._all_names = names
 
     def _with_fk_markers(self, df: DataFrame) -> tuple[DataFrame, list[Rule]]:
         """Graft one broadcast presence-marker per foreign key onto df and
@@ -113,7 +126,7 @@ class Expectations:
         out = df
         synth: list[Rule] = []
         for fk in self.foreign_keys:
-            marker = f"__fk_{fk.col}"
+            marker = fk._marker
             keys = fk._ref_keys()
             out = out.join(
                 F.broadcast(keys), out[fk.col] == keys[marker], "left_outer"
@@ -132,7 +145,8 @@ class Expectations:
         """(rule, violations, total) per rule — every row-level rule
         (including FK presence checks over broadcast-grafted markers) in
         ONE conditional-aggregate scan; uniqueness (if any) adds one
-        grouped branch counting rows beyond the first per key."""
+        grouped branch counting EVERY row of a duplicated key (the same
+        rows annotate()/split() flag)."""
         parts = []
         df, synth = self._with_fk_markers(df)
         row_rules = self.rules + synth
@@ -197,6 +211,31 @@ class Expectations:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def summary_from_annotated(self, ann: DataFrame) -> DataFrame:
+        """The summary() result derived from an ALREADY-annotated frame
+        (same schema, same counts — agreement is by construction, not by
+        two parallel plans). Use when `annotate`'s output is persisted
+        anyway (e.g. the streaming ingest gate): one cache scan replaces
+        re-evaluating every predicate, re-grafting FK broadcasts, and the
+        uniqueness shuffle."""
+        spark = ann.sparkSession
+        base = spark.createDataFrame(
+            [(n,) for n in self._all_names], "rule string"
+        )
+        counts = (
+            ann.select(F.explode(F.col(_FAILED)).alias("rule"))
+            .groupBy("rule")
+            .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        )
+        total = ann.count()
+        return base.join(counts, "rule", "left_outer").select(
+            "rule",
+            F.coalesce(F.col("violations"), F.lit(0))
+            .cast("long")
+            .alias("violations"),
+            F.lit(total).cast("long").alias("total"),
+        )
 
     # -- one-scan routing ---------------------------------------------------
 

@@ -6763,7 +6763,7 @@ ORDER BY rule
 """
 
 # every violation count recomputed relationally; NULL passes range/set/
-# regex (SQL CHECK convention), duplicates = rows beyond the first per key
+# regex (SQL CHECK convention); EVERY row of a duplicated key counts
 ORACLE_SQL["doc_expectations"] = """
 SELECT 'not_null_text' AS rule,
        sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS violations,

@@ -765,7 +765,10 @@ def start_table_merge(
     guard). `metrics_dir` additionally appends every batch's per-rule
     violation counts (rule, violations, total, __batch_id) — the DQ
     observability trail; same at-least-once caveat, dedup on
-    (__batch_id, rule)."""
+    (__batch_id, rule). Under `evolve_schema=True` the QUARANTINE dir
+    accumulates mixed file schemas across evolutions (it carries batch
+    payloads; the metrics schema is fixed) — read it with
+    `load_quarantine`, which null-widens via mergeSchema."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         before = table.current_version()
@@ -777,10 +780,12 @@ def start_table_merge(
             ann = expectations.annotate(batch).persist()
             try:
                 if metrics_dir is not None:
-                    # per-rule counts over the PERSISTED annotated frame —
-                    # no re-read of the micro-batch source
+                    # per-rule counts derived from the PERSISTED annotated
+                    # frame's _failed_rules — one cache scan, no predicate
+                    # re-evaluation, no FK re-join, no uniqueness shuffle,
+                    # and count-for-count agreement with the quarantine
                     (
-                        expectations.summary(ann.drop(_FAILED))
+                        expectations.summary_from_annotated(ann)
                         .withColumn("__batch_id", F.lit(batch_id))
                         .write.mode("append")
                         .parquet(metrics_dir)
@@ -815,3 +820,14 @@ def start_table_merge(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def load_quarantine(spark: SparkSession, quarantine_dir: str) -> DataFrame:
+    """Read a gated stream's quarantine with `mergeSchema=true`: under
+    schema evolution the appends carry different payload schemas per
+    batch generation, and a plain parquet read would infer from one
+    sampled footer and silently drop the other generations' columns —
+    null-widening is the correct triage view (same reasoning as the
+    table's _v_schema.json sidecar, but a reader-side fix suffices here
+    because the quarantine is append-only with no hard-linked files)."""
+    return spark.read.option("mergeSchema", "true").parquet(quarantine_dir)

@@ -210,3 +210,47 @@ def test_foreign_key_composes_with_unique(spark):
         (1, 10): {"unique_id"},
         (1, 99): {"unique_id", "fk_ck"},
     }
+
+
+def test_foreign_key_on_nested_column(spark):
+    from mlvectordb_spark.operators.expectations import ForeignKey
+
+    facts = spark.createDataFrame(
+        [((10,),), ((99,),), ((None,),)],
+        "meta struct<ck: bigint>",
+    )
+    dim = spark.createDataFrame([(10,)], "k bigint")
+    exp = Expectations([], foreign_keys=[ForeignKey("meta.ck", dim, "k")])
+    got = exp.summary(facts).collect()[0]
+    assert (got["rule"], got["violations"], got["total"]) == (
+        "fk_meta.ck", 1, 3
+    )
+
+
+def test_unique_rule_name_collision_rejected(spark):
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        Expectations(
+            [expect("unique_id", F.col("id") > 0)], unique_on=["id"]
+        )
+
+
+def test_summary_from_annotated_matches_summary(spark):
+    from mlvectordb_spark.operators.expectations import ForeignKey
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    dim = spark.createDataFrame([("en",), ("fr",)], "l string")
+    exp = Expectations(
+        [not_null("name"), in_range("score", 0.0, 100.0)],
+        unique_on=["id"],
+        foreign_keys=[ForeignKey("lang", dim, "l")],
+    )
+    a = {
+        (r["rule"]): (r["violations"], r["total"])
+        for r in exp.summary(df).collect()
+    }
+    b = {
+        (r["rule"]): (r["violations"], r["total"])
+        for r in exp.summary_from_annotated(exp.annotate(df)).collect()
+    }
+    assert a == b
+    assert a["fk_lang"] == (1, 6)  # only 'xx' (no NULL langs in ROWS)
