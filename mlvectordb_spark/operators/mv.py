@@ -329,6 +329,99 @@ def join_mv_delta(
     return _delta_agg(all_rows, group_cols, measure_cols)
 
 
+class JoinViewMaintainer:
+    """Keeps a grouped SUM/COUNT view over `fact ⋈ dim` fresh as BOTH
+    versioned tables advance: bookmarks each table's last-refreshed
+    version, pulls the (recorded / composed / diffed) preimage feeds from
+    `table_changes` on refresh, and applies the join delta rule. Because
+    the rule is exact for simultaneous signed deltas
+    (ΔV = ΔF⋈D_old ∪ F_new⋈ΔD), a refresh may catch up over any number
+    of versions on either side in one step — the checkpointed-consumer
+    shape; hook `refresh` into `start_table_merge(on_version=...)` for
+    continuous maintenance. The view is localCheckpointed after every
+    refresh (it IS the stored state; lineage must not re-derive it from
+    a base-join rescan)."""
+
+    def __init__(
+        self,
+        fact,
+        dim,
+        fact_on: list[str] | str,
+        dim_on: list[str] | str,
+        join_on: list[str] | str,
+        group_cols: list[str],
+        measure_cols: list[str],
+        fact_cols: list[str] | None = None,
+        dim_cols: list[str] | None = None,
+    ):
+        join_keys = [join_on] if isinstance(join_on, str) else list(join_on)
+        self.fact, self.dim = fact, dim
+        self.fact_on, self.dim_on = fact_on, dim_on
+        self.join_on = join_keys
+        self.group_cols = list(group_cols)
+        self.measure_cols = list(measure_cols)
+        # the view only needs the join keys + measures from the fact side
+        # and join keys + group attrs from the dim side; projecting both
+        # keeps feeds and snapshots narrow (column pruning to the scans)
+        self.fact_cols = fact_cols or sorted(
+            set(join_keys)
+            | {c for c in measure_cols}
+            | {c for c in group_cols if c in fact.df().columns}
+        )
+        self.dim_cols = dim_cols or sorted(
+            set(join_keys) | {c for c in group_cols if c in dim.df().columns}
+        )
+        self._fv = fact.current_version()
+        self._dv = dim.current_version()
+        if self._fv is None or self._dv is None:
+            raise ValueError("both tables must have a published version")
+        self.view = build_mv(
+            fact.df_at(self._fv)
+            .select(*self.fact_cols)
+            .join(dim.df_at(self._dv).select(*self.dim_cols), join_keys),
+            self.group_cols,
+            self.measure_cols,
+        ).localCheckpoint(eager=True)
+
+    def versions(self) -> tuple[int, int]:
+        return self._fv, self._dv
+
+    def refresh(self, *_ignored) -> DataFrame:
+        """Catch the view up to both tables' current versions. Accepts
+        (and ignores) positional args so it can be passed directly as
+        `on_version`. Returns the refreshed view DataFrame."""
+        from mlvectordb_spark.streaming.merge_sink import table_changes
+
+        fv2 = self.fact.current_version()
+        dv2 = self.dim.current_version()
+        ffeed = dfeed = None
+        if fv2 is not None and fv2 > self._fv:
+            ffeed = table_changes(
+                self.fact, self._fv, fv2, on=self.fact_on, preimage=True
+            ).select(*self.fact_cols, "_change_type")
+        if dv2 is not None and dv2 > self._dv:
+            dfeed = table_changes(
+                self.dim, self._dv, dv2, on=self.dim_on, preimage=True
+            ).select(*self.dim_cols, "_change_type")
+        if ffeed is None and dfeed is None:
+            return self.view
+        self.view = incremental_refresh_join(
+            self.view,
+            ffeed,
+            dfeed,
+            self.dim.df_at(self._dv).select(*self.dim_cols),
+            self.fact.df_at(fv2 if fv2 is not None else self._fv).select(
+                *self.fact_cols
+            ),
+            self.join_on,
+            self.group_cols,
+            self.measure_cols,
+        ).localCheckpoint(eager=True)
+        self._fv = fv2 if fv2 is not None else self._fv
+        self._dv = dv2 if dv2 is not None else self._dv
+        return self.view
+
+
 def incremental_refresh_join(
     mv: DataFrame,
     fact_feed: DataFrame | None,

@@ -203,3 +203,83 @@ def test_no_feed_rejected(spark, base):
     fact, dim = base
     with pytest.raises(ValueError):
         join_mv_delta(None, None, dim, fact, "k", ["seg"], ["amt"])
+
+
+def test_join_view_maintainer_tracks_both_tables(spark, tmp_path):
+    """JoinViewMaintainer bookmarks both tables and catches up over
+    fact-only, dim-only, simultaneous, and MULTI-VERSION steps, matching
+    a rebuild after every refresh — wired through the streaming merge's
+    on_version hook for the fact side."""
+    from mlvectordb_spark.operators.mv import JoinViewMaintainer, build_mv
+    from mlvectordb_spark.streaming.merge_sink import (
+        MergedTable,
+        apply_merge_batch,
+    )
+
+    fact = MergedTable(spark, str(tmp_path / "fact"), n_buckets=4)
+    dim = MergedTable(spark, str(tmp_path / "dim"), n_buckets=4)
+    FS = "id long, k long, amt double, seq long"
+    DS = "k long, seg string, seq long"
+    apply_merge_batch(
+        fact,
+        spark.createDataFrame(
+            [(1, 10, 1.0, 1), (2, 10, 2.0, 1), (3, 20, 4.0, 1)], FS
+        ),
+        0, "id", "seq", record_changes=True,
+    )
+    apply_merge_batch(
+        dim, spark.createDataFrame([(10, "a", 1), (20, "b", 1)], DS),
+        0, "k", "seq", record_changes=True,
+    )
+    m = JoinViewMaintainer(
+        fact, dim, "id", "k", "k", ["seg"], ["amt"],
+        fact_cols=["k", "amt"], dim_cols=["k", "seg"],
+    )
+
+    def want():
+        return {
+            r["seg"]: (r["cnt"], r["sum_amt"])
+            for r in build_mv(
+                fact.df().select("k", "amt").join(
+                    dim.df().select("k", "seg"), "k"
+                ),
+                ["seg"], ["amt"],
+            ).collect()
+        }
+
+    def got():
+        return {r["seg"]: (r["cnt"], r["sum_amt"]) for r in m.view.collect()}
+
+    # fact-only step via the on_version hook shape
+    apply_merge_batch(
+        fact,
+        spark.createDataFrame([(4, 20, 8.0, 2)], FS),
+        1, "id", "seq", record_changes=True,
+    )
+    m.refresh(1)
+    assert got() == want() and m.versions() == (1, 0)
+    # dim-only step (segment move)
+    apply_merge_batch(
+        dim, spark.createDataFrame([(10, "z", 2)], DS),
+        1, "k", "seq", record_changes=True,
+    )
+    m.refresh()
+    assert got() == want() and m.versions() == (1, 1)
+    # TWO fact versions + one dim version land before the next refresh:
+    # catch-up composes the recorded feeds in one step
+    apply_merge_batch(
+        fact, spark.createDataFrame([(1, 10, 100.0, 3)], FS),
+        2, "id", "seq", record_changes=True,
+    )
+    apply_merge_batch(
+        fact, spark.createDataFrame([(5, 30, 16.0, 4)], FS),
+        3, "id", "seq", record_changes=True,
+    )
+    apply_merge_batch(
+        dim, spark.createDataFrame([(30, "c", 3)], DS),
+        2, "k", "seq", record_changes=True,
+    )
+    m.refresh()
+    assert got() == want() and m.versions() == (3, 2)
+    # no-op refresh returns the same view
+    assert m.refresh() is m.view and got() == want()
