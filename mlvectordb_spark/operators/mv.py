@@ -340,7 +340,17 @@ class JoinViewMaintainer:
     shape; hook `refresh` into `start_table_merge(on_version=...)` for
     continuous maintenance. The view is localCheckpointed after every
     refresh (it IS the stored state; lineage must not re-derive it from
-    a base-join rescan)."""
+    a base-join rescan).
+
+    Retention contract: a refresh reads the BOOKMARKED old versions
+    (dim snapshot at the last-refreshed version; the fact side's feed may
+    fall back to a snapshot diff against its bookmark) — `vacuum` on
+    either table must retain every version since the maintainer's last
+    refresh (plus its recording), or the next refresh fails and the view
+    must be re-bootstrapped. Refreshes are serialized by an internal
+    lock: fact and dim streams hooking `on_version` from separate
+    foreachBatch threads would otherwise double-apply a delta whose
+    bookmark had not yet advanced."""
 
     def __init__(
         self,
@@ -354,27 +364,65 @@ class JoinViewMaintainer:
         fact_cols: list[str] | None = None,
         dim_cols: list[str] | None = None,
     ):
+        import threading
+
         join_keys = [join_on] if isinstance(join_on, str) else list(join_on)
         self.fact, self.dim = fact, dim
         self.fact_on, self.dim_on = fact_on, dim_on
         self.join_on = join_keys
         self.group_cols = list(group_cols)
         self.measure_cols = list(measure_cols)
-        # the view only needs the join keys + measures from the fact side
-        # and join keys + group attrs from the dim side; projecting both
-        # keeps feeds and snapshots narrow (column pruning to the scans)
-        self.fact_cols = fact_cols or sorted(
-            set(join_keys)
-            | {c for c in measure_cols}
-            | {c for c in group_cols if c in fact.df().columns}
-        )
-        self.dim_cols = dim_cols or sorted(
-            set(join_keys) | {c for c in group_cols if c in dim.df().columns}
-        )
+        self._lock = threading.Lock()
         self._fv = fact.current_version()
         self._dv = dim.current_version()
         if self._fv is None or self._dv is None:
             raise ValueError("both tables must have a published version")
+        fact_schema = set(fact.df_at(self._fv).columns)
+        dim_schema = set(dim.df_at(self._dv).columns)
+        if fact_cols is None or dim_cols is None:
+            # default projection: join keys on both sides, measures from
+            # the fact side, each group attr from whichever ONE side
+            # holds it — keeps feeds and snapshots narrow (column pruning
+            # reaches the scans). Other shapes (dim-side measures, a
+            # group column in both schemas) are supported by the
+            # underlying delta functions but need explicit
+            # fact_cols/dim_cols to say which side supplies what.
+            missing = [c for c in measure_cols if c not in fact_schema]
+            if missing:
+                raise ValueError(
+                    f"measure column(s) {missing} not in the fact table; "
+                    "pass explicit fact_cols/dim_cols for dim-side "
+                    "measures"
+                )
+            both = [
+                c for c in group_cols if c in fact_schema and c in dim_schema
+            ]
+            if both:
+                raise ValueError(
+                    f"group column(s) {both} exist in BOTH tables; pass "
+                    "explicit fact_cols/dim_cols to pick a side"
+                )
+            neither = [
+                c
+                for c in group_cols
+                if c not in fact_schema and c not in dim_schema
+            ]
+            if neither:
+                raise ValueError(
+                    f"group column(s) {neither} exist in neither table"
+                )
+        if fact_cols is None:
+            fact_cols = sorted(
+                set(join_keys)
+                | set(measure_cols)
+                | {c for c in group_cols if c in fact_schema}
+            )
+        if dim_cols is None:
+            dim_cols = sorted(
+                set(join_keys) | {c for c in group_cols if c in dim_schema}
+            )
+        self.fact_cols = fact_cols
+        self.dim_cols = dim_cols
         self.view = build_mv(
             fact.df_at(self._fv)
             .select(*self.fact_cols)
@@ -389,37 +437,40 @@ class JoinViewMaintainer:
     def refresh(self, *_ignored) -> DataFrame:
         """Catch the view up to both tables' current versions. Accepts
         (and ignores) positional args so it can be passed directly as
-        `on_version`. Returns the refreshed view DataFrame."""
+        `on_version`. Returns the refreshed view DataFrame. Thread-safe:
+        the whole read-bookmarks → apply-delta → advance-bookmarks
+        sequence holds the maintainer's lock (see class docstring)."""
         from mlvectordb_spark.streaming.merge_sink import table_changes
 
-        fv2 = self.fact.current_version()
-        dv2 = self.dim.current_version()
-        ffeed = dfeed = None
-        if fv2 is not None and fv2 > self._fv:
-            ffeed = table_changes(
-                self.fact, self._fv, fv2, on=self.fact_on, preimage=True
-            ).select(*self.fact_cols, "_change_type")
-        if dv2 is not None and dv2 > self._dv:
-            dfeed = table_changes(
-                self.dim, self._dv, dv2, on=self.dim_on, preimage=True
-            ).select(*self.dim_cols, "_change_type")
-        if ffeed is None and dfeed is None:
+        with self._lock:
+            fv2 = self.fact.current_version()
+            dv2 = self.dim.current_version()
+            ffeed = dfeed = None
+            if fv2 is not None and fv2 > self._fv:
+                ffeed = table_changes(
+                    self.fact, self._fv, fv2, on=self.fact_on, preimage=True
+                ).select(*self.fact_cols, "_change_type")
+            if dv2 is not None and dv2 > self._dv:
+                dfeed = table_changes(
+                    self.dim, self._dv, dv2, on=self.dim_on, preimage=True
+                ).select(*self.dim_cols, "_change_type")
+            if ffeed is None and dfeed is None:
+                return self.view
+            self.view = incremental_refresh_join(
+                self.view,
+                ffeed,
+                dfeed,
+                self.dim.df_at(self._dv).select(*self.dim_cols),
+                self.fact.df_at(fv2 if fv2 is not None else self._fv).select(
+                    *self.fact_cols
+                ),
+                self.join_on,
+                self.group_cols,
+                self.measure_cols,
+            ).localCheckpoint(eager=True)
+            self._fv = fv2 if fv2 is not None else self._fv
+            self._dv = dv2 if dv2 is not None else self._dv
             return self.view
-        self.view = incremental_refresh_join(
-            self.view,
-            ffeed,
-            dfeed,
-            self.dim.df_at(self._dv).select(*self.dim_cols),
-            self.fact.df_at(fv2 if fv2 is not None else self._fv).select(
-                *self.fact_cols
-            ),
-            self.join_on,
-            self.group_cols,
-            self.measure_cols,
-        ).localCheckpoint(eager=True)
-        self._fv = fv2 if fv2 is not None else self._fv
-        self._dv = dv2 if dv2 is not None else self._dv
-        return self.view
 
 
 def incremental_refresh_join(

@@ -208,25 +208,68 @@ def test_no_feed_rejected(spark, base):
 def test_join_view_maintainer_tracks_both_tables(spark, tmp_path):
     """JoinViewMaintainer bookmarks both tables and catches up over
     fact-only, dim-only, simultaneous, and MULTI-VERSION steps, matching
-    a rebuild after every refresh — wired through the streaming merge's
-    on_version hook for the fact side."""
+    a rebuild after every refresh. The fact-only step runs through a
+    REAL start_table_merge(on_version=m.refresh) hook (foreachBatch),
+    the rest through direct merges + manual refresh."""
+    import json as _json
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
     from mlvectordb_spark.operators.mv import JoinViewMaintainer, build_mv
     from mlvectordb_spark.streaming.merge_sink import (
         MergedTable,
         apply_merge_batch,
+        start_table_merge,
     )
 
     fact = MergedTable(spark, str(tmp_path / "fact"), n_buckets=4)
     dim = MergedTable(spark, str(tmp_path / "dim"), n_buckets=4)
     FS = "id long, k long, amt double, seq long"
     DS = "k long, seg string, seq long"
-    apply_merge_batch(
-        fact,
-        spark.createDataFrame(
-            [(1, 10, 1.0, 1), (2, 10, 2.0, 1), (3, 20, 4.0, 1)], FS
-        ),
-        0, "id", "seq", record_changes=True,
+    stream_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("k", T.LongType(), False),
+            T.StructField("amt", T.DoubleType(), True),
+            T.StructField("seq", T.LongType(), False),
+        ]
     )
+    src = tmp_path / "cdc"
+    src.mkdir()
+    base_t = time.time() - 1000
+
+    def write_file(i, rows):
+        p = src / f"b{i}.json"
+        p.write_text("\n".join(_json.dumps(r) for r in rows))
+        os.utime(p, (base_t + i, base_t + i))
+
+    def run_stream(on_version=None):
+        q = start_table_merge(
+            spark.readStream.schema(stream_schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src)),
+            fact,
+            on="id",
+            order_col="seq",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            query_name="t_join_mv_maintainer",
+            record_changes=True,
+            on_version=on_version,
+        )
+        q.awaitTermination()
+
+    # fact v0 through the stream, dim v0 directly
+    write_file(
+        0,
+        [
+            {"id": 1, "k": 10, "amt": 1.0, "seq": 1},
+            {"id": 2, "k": 10, "amt": 2.0, "seq": 1},
+            {"id": 3, "k": 20, "amt": 4.0, "seq": 1},
+        ],
+    )
+    run_stream()
     apply_merge_batch(
         dim, spark.createDataFrame([(10, "a", 1), (20, "b", 1)], DS),
         0, "k", "seq", record_changes=True,
@@ -250,13 +293,9 @@ def test_join_view_maintainer_tracks_both_tables(spark, tmp_path):
     def got():
         return {r["seg"]: (r["cnt"], r["sum_amt"]) for r in m.view.collect()}
 
-    # fact-only step via the on_version hook shape
-    apply_merge_batch(
-        fact,
-        spark.createDataFrame([(4, 20, 8.0, 2)], FS),
-        1, "id", "seq", record_changes=True,
-    )
-    m.refresh(1)
+    # fact-only step delivered through the REAL on_version hook
+    write_file(1, [{"id": 4, "k": 20, "amt": 8.0, "seq": 2}])
+    run_stream(on_version=m.refresh)
     assert got() == want() and m.versions() == (1, 0)
     # dim-only step (segment move)
     apply_merge_batch(
@@ -283,3 +322,33 @@ def test_join_view_maintainer_tracks_both_tables(spark, tmp_path):
     assert got() == want() and m.versions() == (3, 2)
     # no-op refresh returns the same view
     assert m.refresh() is m.view and got() == want()
+
+
+def test_join_view_maintainer_validates_default_projection(spark, tmp_path):
+    from mlvectordb_spark.operators.mv import JoinViewMaintainer
+    from mlvectordb_spark.streaming.merge_sink import (
+        MergedTable,
+        apply_merge_batch,
+    )
+
+    fact = MergedTable(spark, str(tmp_path / "fact"))
+    dim = MergedTable(spark, str(tmp_path / "dim"))
+    apply_merge_batch(
+        fact,
+        spark.createDataFrame([(1, 10, 1.0, 1)], "id long, k long, amt double, seq long"),
+        0, "id", "seq",
+    )
+    apply_merge_batch(
+        dim,
+        spark.createDataFrame([(10, "a", 1)], "k long, seg string, seq long"),
+        0, "k", "seq",
+    )
+    with pytest.raises(ValueError, match="not in the fact table"):
+        JoinViewMaintainer(fact, dim, "id", "k", "k", ["seg"], ["seg_score"])
+    with pytest.raises(ValueError, match="BOTH tables"):
+        JoinViewMaintainer(fact, dim, "id", "k", "k", ["seq"], ["amt"])
+    with pytest.raises(ValueError, match="neither table"):
+        JoinViewMaintainer(fact, dim, "id", "k", "k", ["nope"], ["amt"])
+    # default projection resolves when each group col has one home
+    m = JoinViewMaintainer(fact, dim, "id", "k", "k", ["seg"], ["amt"])
+    assert m.view.collect()[0]["seg"] == "a"
