@@ -84,6 +84,7 @@ class MergedTable:
         path: str,
         n_buckets: int | None = None,
         sort_cols: list[str] | None = None,
+        zorder_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -112,6 +113,29 @@ class MergedTable:
             self.sort_cols = [] if on_disk is None else on_disk["sort_cols"]
         else:
             self.sort_cols = list(sort_cols)
+        # zorder_cols: MULTI-dimensional within-file clustering — rows in
+        # each written file follow the Morton curve over the named
+        # columns (operators/layout.py), so row-group min/max stats stay
+        # narrow on EVERY z column at once (a plain sort only serves its
+        # leading column). Cut points are computed once, on the first
+        # write that has data, then FROZEN in the meta so every later
+        # merge lands its rows in the same z space (append_layout's
+        # contract); like sort_cols this is a layout preference.
+        if zorder_cols is None:
+            self.zorder_cols = (
+                [] if on_disk is None else on_disk["zorder_cols"]
+            )
+        else:
+            self.zorder_cols = list(zorder_cols)
+        if self.sort_cols and self.zorder_cols:
+            raise ValueError(
+                "sort_cols and zorder_cols are mutually exclusive layout "
+                "preferences (a z-ordered file is already sorted — by the "
+                "interleaved key)"
+            )
+        self.zorder_cuts: dict[str, list[float]] = (
+            {} if on_disk is None else on_disk["zorder_cuts"]
+        )
 
     def _read_meta(self) -> dict | None:
         p = os.path.join(self.path, _META)
@@ -122,6 +146,8 @@ class MergedTable:
         return {
             "n_buckets": int(meta["n_buckets"]),
             "sort_cols": list(meta.get("sort_cols", [])),
+            "zorder_cols": list(meta.get("zorder_cols", [])),
+            "zorder_cuts": dict(meta.get("zorder_cuts", {})),
         }
 
     def _write_meta(self) -> None:
@@ -129,7 +155,12 @@ class MergedTable:
         # e.g. reopening with new sort_cols must persist the preference,
         # or the next default reopen would silently drop the clustering
         p = os.path.join(self.path, _META)
-        want = {"n_buckets": self.n_buckets, "sort_cols": self.sort_cols}
+        want = {
+            "n_buckets": self.n_buckets,
+            "sort_cols": self.sort_cols,
+            "zorder_cols": self.zorder_cols,
+            "zorder_cuts": self.zorder_cuts,
+        }
         on_disk = self._read_meta()
         if on_disk == want:
             return
@@ -212,6 +243,23 @@ class MergedTable:
                 out[int(name.split("=", 1)[1])] = os.path.join(vdir, name)
         return out
 
+    def _zorder_key(self, df: DataFrame):
+        """The frozen-cuts Morton key for this table's zorder_cols, or
+        None when the (first) frame is empty so no cuts can be derived.
+        The one-time quantile pass costs one extra evaluation of the
+        first non-empty write's plan; every later merge reuses the
+        persisted cuts (append_layout's frozen-cuts contract) so its rows
+        land in the same z space as the existing files."""
+        from mlvectordb_spark.operators.layout import column_cuts, zorder_key
+
+        if set(self.zorder_cuts) != set(self.zorder_cols):
+            cuts = column_cuts(df, self.zorder_cols)
+            if any(not qs for qs in cuts.values()):
+                return None
+            self.zorder_cuts = cuts
+            self._write_meta()
+        return zorder_key(df, self.zorder_cols, self.zorder_cuts)
+
     def write_version(
         self,
         df: DataFrame,
@@ -221,9 +269,12 @@ class MergedTable:
     ) -> None:
         out = self._vdir(version)
         self._write_meta()
+        zkey = self._zorder_key(df) if self.zorder_cols else None
         if not self.n_buckets:
             if self.sort_cols:
                 df = df.sortWithinPartitions(*self.sort_cols)
+            elif zkey is not None:
+                df = df.sortWithinPartitions(zkey)
             df.write.mode("overwrite").parquet(out)
         else:
             nparts = max(1, len(touched_buckets or []) or self.n_buckets)
@@ -232,6 +283,10 @@ class MergedTable:
                 # keep bucket grouping, cluster by sort_cols within it so
                 # each written file's row groups carry tight min/max stats
                 shaped = shaped.sortWithinPartitions(_BUCKET, *self.sort_cols)
+            elif zkey is not None:
+                # same, but along the Morton curve: row groups stay
+                # narrow on every z column at once
+                shaped = shaped.sortWithinPartitions(F.col(_BUCKET), zkey)
             (
                 shaped.write.mode("overwrite")
                 .partitionBy(_BUCKET)

@@ -1,0 +1,79 @@
+"""Z-ordered MergedTable layout: frozen cuts persisted in the meta,
+within-file Morton clustering across CoW merges (operators/layout.py
+keys inside streaming/merge_sink.py writes)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlvectordb_spark.streaming.merge_sink import MergedTable, apply_merge_batch
+
+SCHEMA = "id long, x double, y double, seq long"
+
+
+def _rows(spark, n, seed_mult, seq):
+    return spark.range(n).select(
+        (F.col("id") + seed_mult * 1_000_000).alias("id"),
+        ((F.col("id") * 37 % 101).cast("double")).alias("x"),
+        ((F.col("id") * 53 % 97).cast("double")).alias("y"),
+        F.lit(seq).cast("long").alias("seq"),
+    )
+
+
+def test_zorder_cuts_frozen_and_files_clustered(spark, tmp_path):
+    t = MergedTable(
+        spark, str(tmp_path / "t"), n_buckets=4, zorder_cols=["x", "y"]
+    )
+    apply_merge_batch(t, _rows(spark, 2000, 0, 1), 0, "id", "seq")
+    cuts_after_v0 = dict(t.zorder_cuts)
+    assert set(cuts_after_v0) == {"x", "y"} and all(
+        len(v) > 0 for v in cuts_after_v0.values()
+    )
+    # a later merge reuses the FROZEN cuts (no re-derivation)
+    apply_merge_batch(t, _rows(spark, 100, 1, 2), 1, "id", "seq")
+    assert t.zorder_cuts == cuts_after_v0
+    # reopen adopts the layout + cuts from the meta
+    t2 = MergedTable(spark, str(tmp_path / "t"))
+    assert t2.zorder_cols == ["x", "y"]
+    assert t2.zorder_cuts == cuts_after_v0
+    # every written file is sorted along the Morton key: recompute the
+    # key per file with the persisted cuts and assert monotone order
+    from mlvectordb_spark.operators.layout import zorder_key
+
+    vdir = t._vdir(t.current_version())
+    files = glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
+    assert files
+    for f in files:
+        df = spark.read.parquet(f)
+        zs = [
+            r[0]
+            for r in df.select(
+                zorder_key(df, ["x", "y"], cuts_after_v0)
+            ).collect()
+        ]
+        assert zs == sorted(zs), f"file {f} not z-clustered"
+    # table contents unaffected by the layout
+    assert t.df().count() == 2100
+
+
+def test_zorder_and_sort_cols_mutually_exclusive(spark, tmp_path):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        MergedTable(
+            spark,
+            str(tmp_path / "t"),
+            sort_cols=["x"],
+            zorder_cols=["x", "y"],
+        )
+
+
+def test_zorder_empty_bootstrap_defers_cuts(spark, tmp_path):
+    t = MergedTable(spark, str(tmp_path / "t"), zorder_cols=["x", "y"])
+    empty = spark.createDataFrame([], SCHEMA)
+    t.write_version(empty, 0)
+    assert t.zorder_cuts == {}  # nothing to freeze yet
+    t.write_version(_rows(spark, 500, 0, 1), 1)
+    assert set(t.zorder_cuts) == {"x", "y"}  # first data freezes them
