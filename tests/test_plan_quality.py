@@ -408,6 +408,8 @@ def test_scan_count_budgets(spark, sf_dir):
         "merge_evolve": 1,             # the evolved current-version read
         "join_mv": 3,                  # dim leg + fact_new (orders ×2)
         "doc_expectations": 2,         # row-rule scan + uniqueness branch
+        "orders_expectations": 3,      # rules+FK-graft scan (orders +
+                                       # broadcast customer) + uniqueness
     }
     over = {}
     for name, budget in budgets.items():
