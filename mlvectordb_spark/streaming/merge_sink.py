@@ -333,6 +333,34 @@ class MergedTable:
                 except OSError:
                     shutil.copy2(os.path.join(sdir, fname), dst)
 
+    def optimize(self, version: int | None = None) -> int:
+        """Rewrite the current snapshot as a NEW published version with a
+        fresh physical layout — the OPTIMIZE/compaction maintenance op:
+        every bucket is re-packed (one file per bucket) and, for a
+        z-ordered table, the frozen cuts are RE-DERIVED from the full
+        snapshot first (merge churn slowly makes the original equi-depth
+        bins lopsided; this is the cuts-refresh cadence
+        operators/layout.py's append_layout contract anticipates). Row
+        content is identical — `table_changes` across the optimize
+        boundary is empty (snapshot diff; no recording is written) — and
+        older versions stay time-travelable until vacuumed."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError("table has no published versions")
+        v = cur + 1 if version is None else int(version)
+        if v <= cur:
+            raise ValueError(
+                f"optimize target version {v} must exceed current {cur}"
+            )
+        if self.zorder_cols:
+            self.zorder_cuts = {}  # force re-derivation from the snapshot
+        df = self._raw_at(cur)
+        touched = (
+            sorted(self._bucket_dirs(cur)) if self.n_buckets else None
+        )
+        self.write_version(df, v, touched_buckets=touched)
+        return v
+
     def versions(self) -> list[int]:
         """Published + on-disk version numbers, ascending."""
         out = []

@@ -77,3 +77,47 @@ def test_zorder_empty_bootstrap_defers_cuts(spark, tmp_path):
     assert t.zorder_cuts == {}  # nothing to freeze yet
     t.write_version(_rows(spark, 500, 0, 1), 1)
     assert set(t.zorder_cuts) == {"x", "y"}  # first data freezes them
+
+
+def test_optimize_refreshes_cuts_and_preserves_content(spark, tmp_path):
+    """optimize() re-packs the snapshot into a new version: z cuts are
+    re-derived over the full data (drifted bins re-balance), content is
+    byte-identical, the CDC diff across the boundary is empty, and the
+    pre-optimize version stays time-travelable."""
+    from mlvectordb_spark.streaming.merge_sink import table_changes
+
+    t = MergedTable(
+        spark, str(tmp_path / "t"), n_buckets=4, zorder_cols=["x", "y"]
+    )
+    apply_merge_batch(t, _rows(spark, 1000, 0, 1), 0, "id", "seq")
+    cuts_v0 = dict(t.zorder_cuts)
+    # a heavily skewed second batch drifts the value distribution far
+    # from the frozen bins
+    skew = spark.range(5000).select(
+        (F.col("id") + 9_000_000).alias("id"),
+        (F.col("id").cast("double") * 0.001 + 1000.0).alias("x"),
+        (F.col("id").cast("double") * 0.001 + 2000.0).alias("y"),
+        F.lit(2).cast("long").alias("seq"),
+    )
+    apply_merge_batch(t, skew, 1, "id", "seq")
+    assert t.zorder_cuts == cuts_v0  # merges keep the frozen cuts
+    before = {(r["id"], r["x"], r["y"]) for r in t.df().collect()}
+    v = t.optimize()
+    assert v == 2 and t.current_version() == 2
+    assert t.zorder_cuts != cuts_v0  # re-derived over the full snapshot
+    assert {(r["id"], r["x"], r["y"]) for r in t.df().collect()} == before
+    # CDC across the boundary: no row changed
+    assert table_changes(t, 1, 2, on="id").count() == 0
+    # pre-optimize version still readable (until vacuumed)
+    assert t.df_at(1).count() == 6000
+    t.vacuum(retain_last=1)
+    assert t.versions() == [2] and t.df().count() == 6000
+
+
+def test_optimize_rejects_stale_target(spark, tmp_path):
+    t = MergedTable(spark, str(tmp_path / "t"), n_buckets=2)
+    with pytest.raises(ValueError, match="no published versions"):
+        t.optimize()
+    apply_merge_batch(t, _rows(spark, 10, 0, 1), 0, "id", "seq")
+    with pytest.raises(ValueError, match="must exceed"):
+        t.optimize(version=0)
