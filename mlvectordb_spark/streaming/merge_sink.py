@@ -16,16 +16,19 @@ Correctness pieces, each load-bearing:
   seq-field fix, ingest.py:56-66).
 - **Delete markers never insert**: `insert_condition=~delete` — a delete
   for a key that never existed is a no-op, not a ghost row.
-- **Versioned copy-on-write**: each batch writes `v{batch_id}` then
-  flips a pointer file. The merge plan READS the current version while
+- **Versioned copy-on-write**: each batch writes a new version directory
+  then atomically flips a pointer file carrying BOTH the version and the
+  last applied batch id. The merge plan READS the current version while
   WRITING the next, so there is no read-your-own-overwrite conflict.
-  foreachBatch retries are idempotent by a published-version guard: a
-  replay of a batch whose pointer already flipped (crash between the
-  flip and the checkpoint commit) is SKIPPED — without the guard the
-  replay would lazily read `v{B}` while overwriting the same directory,
-  deleting the current version's files mid-job (data loss); a replay of
-  a batch that crashed before the flip rewrites its never-published
-  directory, which is safe.
+  foreachBatch retries are idempotent by the batch-id WATERMARK (not
+  version equality — maintenance versions from `optimize()` advance the
+  version counter without consuming batch ids): a replay of a batch
+  whose pointer already flipped (crash between the flip and the
+  checkpoint commit) is SKIPPED — without the guard the replay would
+  lazily read the published version while overwriting the same
+  directory, deleting its files mid-job (data loss); a replay of a batch
+  that crashed before the flip recomputes the same version number and
+  rewrites its never-published directory, which is safe.
 
 Scale shape per batch: `merge_into(strategy="broadcast")` — the table is
 scanned twice but never shuffled; all shuffles are micro-batch-sized.
@@ -127,15 +130,30 @@ class MergedTable:
             )
         else:
             self.zorder_cols = list(zorder_cols)
-        if self.sort_cols and self.zorder_cols:
-            raise ValueError(
-                "sort_cols and zorder_cols are mutually exclusive layout "
-                "preferences (a z-ordered file is already sorted — by the "
-                "interleaved key)"
-            )
         self.zorder_cuts: dict[str, list[float]] = (
             {} if on_disk is None else on_disk["zorder_cuts"]
         )
+        if self.sort_cols and self.zorder_cols:
+            # mutually exclusive — but an EXPLICITLY passed preference
+            # switches the table away from the adopted on-disk one (the
+            # documented reopen-with-a-different-value contract); only
+            # passing both at once is a contradiction worth raising on
+            if sort_cols is not None and zorder_cols is not None:
+                raise ValueError(
+                    "sort_cols and zorder_cols are mutually exclusive "
+                    "layout preferences (a z-ordered file is already "
+                    "sorted — by the interleaved key)"
+                )
+            if zorder_cols is not None:
+                self.sort_cols = []
+            else:
+                self.zorder_cols = []
+                self.zorder_cuts = {}
+        # per-object backstop: when a z column has yielded no quantiles
+        # yet (all-NULL so far), retry the derivation at most once per
+        # table object instead of re-running the quantile action (a full
+        # evaluation of the write's plan) on EVERY batch
+        self._zcuts_attempted = False
 
     def _read_meta(self) -> dict | None:
         p = os.path.join(self.path, _META)
@@ -206,13 +224,32 @@ class MergedTable:
     def has_recorded_changes(self, version: int) -> bool:
         return os.path.isdir(self._cdir(version))
 
-    def current_version(self) -> int | None:
+    def _published(self) -> tuple[int | None, int | None]:
+        """(current version, last applied batch id) from the pointer.
+        The pointer carries both so the idempotency guard and the version
+        number can diverge — maintenance versions (optimize) advance the
+        version WITHOUT consuming a batch id, and decoupling them in one
+        atomically-replaced file means a crash can never record a batch
+        as applied without its version being published (or vice versa).
+        Legacy single-line pointers (version == batch id, the original
+        scheme) read back as last_batch_id = version."""
         ptr = os.path.join(self.path, _PTR)
         if not os.path.exists(ptr):
-            return None
+            return None, None
         with open(ptr) as f:
-            txt = f.read().strip()
-        return int(txt) if txt else None
+            parts = f.read().split()
+        if not parts:
+            return None, None
+        v = int(parts[0])
+        if len(parts) > 1:
+            return v, (None if parts[1] == "-" else int(parts[1]))
+        return v, v
+
+    def current_version(self) -> int | None:
+        return self._published()[0]
+
+    def last_batch_id(self) -> int | None:
+        return self._published()[1]
 
     def df(self, spark: SparkSession | None = None) -> DataFrame | None:
         v = self.current_version()
@@ -253,6 +290,16 @@ class MergedTable:
         from mlvectordb_spark.operators.layout import column_cuts, zorder_key
 
         if set(self.zorder_cuts) != set(self.zorder_cols):
+            if self._zcuts_attempted:
+                # a previous NON-EMPTY write found a z column with no
+                # derivable quantiles (all-NULL so far) — don't re-pay
+                # the quantile action per batch; optimize() re-derives
+                # from the full snapshot once data exists
+                return None
+            if df.isEmpty():
+                # nothing to derive from; does not consume the attempt
+                return None
+            self._zcuts_attempted = True
             cuts = column_cuts(df, self.zorder_cols)
             if any(not qs for qs in cuts.values()):
                 return None
@@ -266,6 +313,7 @@ class MergedTable:
         version: int,
         touched_buckets: list[int] | None = None,
         base_version: int | None = None,
+        batch_id: int | None = None,
     ) -> None:
         out = self._vdir(version)
         self._write_meta()
@@ -306,9 +354,13 @@ class MergedTable:
         # schema sidecar BEFORE the pointer flip: a published version
         # implies a readable logical schema (see _write_schema)
         self._write_schema(version, df)
+        if batch_id is None:
+            # maintenance writes (optimize, direct write_version) must
+            # CARRY the idempotency watermark forward, never reset it
+            batch_id = self.last_batch_id()
         fd, tmp = tempfile.mkstemp(dir=self.path, prefix=".ptr_")
         with os.fdopen(fd, "w") as f:
-            f.write(str(version))
+            f.write(f"{version} {'-' if batch_id is None else batch_id}")
         os.replace(tmp, os.path.join(self.path, _PTR))  # atomic flip
 
     def _link_untouched(
@@ -341,9 +393,14 @@ class MergedTable:
         snapshot first (merge churn slowly makes the original equi-depth
         bins lopsided; this is the cuts-refresh cadence
         operators/layout.py's append_layout contract anticipates). Row
-        content is identical — `table_changes` across the optimize
-        boundary is empty (snapshot diff; no recording is written) — and
-        older versions stay time-travelable until vacuumed."""
+        content is identical, and an EMPTY change recording is written
+        for the new version so incremental consumers' recorded/composed
+        CDF catch-up keeps working across the boundary (a missing
+        recording would force a snapshot diff that, after a full re-pack,
+        can prune nothing). Older versions stay time-travelable until
+        vacuumed. The version counter advances past the stream's batch
+        ids; batch idempotency rides the pointer's last_batch_id
+        watermark, so the next micro-batch still applies."""
         cur = self.current_version()
         if cur is None:
             raise ValueError("table has no published versions")
@@ -352,9 +409,28 @@ class MergedTable:
             raise ValueError(
                 f"optimize target version {v} must exceed current {cur}"
             )
-        if self.zorder_cols:
-            self.zorder_cuts = {}  # force re-derivation from the snapshot
         df = self._raw_at(cur)
+        if self.zorder_cols:
+            # derive the refreshed cuts BEFORE touching persisted state:
+            # a failure mid-derivation leaves the old cuts (and files)
+            # intact — there is never a persisted no-cuts window for a
+            # later merge to freeze batch-local cuts into
+            from mlvectordb_spark.operators.layout import column_cuts
+
+            cuts = column_cuts(df, self.zorder_cols)
+            if all(qs for qs in cuts.values()):
+                self.zorder_cuts = cuts
+                self._zcuts_attempted = False
+        # content-identical ⇒ the (cur → v) feed is empty; record it in
+        # the table's schema so adjacent and composed consumers read a
+        # well-formed zero-row feed instead of falling back to a diff
+        (
+            df.drop(_BUCKET)
+            .limit(0)
+            .withColumn("_change_type", F.lit("insert"))
+            .write.mode("overwrite")
+            .parquet(self._cdir(v))
+        )
         touched = (
             sorted(self._bucket_dirs(cur)) if self.n_buckets else None
         )
@@ -628,10 +704,10 @@ def _record_change_feed(
     keys: list[str],
     order_col: str,
     delete_col: str | None,
-    batch_id: int,
+    version: int,
     val_cols: list[str],
 ) -> None:
-    """Derive and persist the (batch_id-1 → batch_id) change feed from
+    """Derive and persist the (predecessor → version) change feed from
     the SAME source×target join shape the merge runs: matched rows that
     actually change emit preimage/postimage pairs, applied delete markers
     emit deletes with the old values, unmatched non-deletes emit inserts.
@@ -645,7 +721,7 @@ def _record_change_feed(
         if delete_col is not None:
             feed = feed.filter(~F.col(delete_col))
         feed = feed.select(*keys, *val_cols, out_type)
-        feed.write.mode("overwrite").parquet(table._cdir(batch_id))
+        feed.write.mode("overwrite").parquet(table._cdir(version))
         return
     s_cols = [c for c in src.columns if c not in keys]
     s = src.select(*keys, *[F.col(c).alias(f"__s_{c}") for c in s_cols])
@@ -677,7 +753,7 @@ def _record_change_feed(
             ins = ins.filter(~F.col(delete_col))
         ins = ins.select(*keys, *val_cols, out_type)
         feed = pre.unionByName(post).unionByName(dels).unionByName(ins)
-        feed.write.mode("overwrite").parquet(table._cdir(batch_id))
+        feed.write.mode("overwrite").parquet(table._cdir(version))
     finally:
         matched.unpersist()
 
@@ -692,7 +768,14 @@ def apply_merge_batch(
     record_changes: bool = False,
     evolve_schema: bool = False,
 ) -> None:
-    """One micro-batch: dedup → MERGE → publish version `batch_id`.
+    """One micro-batch: dedup → MERGE → publish a new version.
+
+    Version numbers normally track batch ids 1:1; after a maintenance
+    version (`optimize`) advanced the counter past the batch ids, new
+    batches allocate `current + 1` instead. Idempotency rides the
+    pointer's `last_batch_id` watermark, NOT version equality — so an
+    optimize between triggers can never make the replay guard swallow a
+    real batch.
 
     For a bucketed table the target scan is pruned to the batch's touched
     buckets (a bounded `distinct().collect()` over ≤ n_buckets values)
@@ -712,14 +795,17 @@ def apply_merge_batch(
     the version pointer flips: a published version implies a complete
     feed."""
     keys = [on] if isinstance(on, str) else list(on)
-    cur = table.current_version()
-    if cur is not None and cur >= batch_id:
-        # replay of an already-published batch (crash landed between the
+    cur, last_bid = table._published()
+    if last_bid is not None and batch_id <= last_bid:
+        # replay of an already-applied batch (crash landed between the
         # pointer flip and the checkpoint commit): applying it again would
-        # overwrite v{batch_id} WHILE the merge plan reads it — skip.
+        # overwrite its version dir WHILE the merge plan reads it — skip.
         return
     if batch.isEmpty():
         return
+    # recomputed identically on a crash-before-flip replay (cur and
+    # last_bid are unchanged), so the retry rewrites the SAME directory
+    version = batch_id if cur is None or batch_id > cur else cur + 1
     src = dedup_source(batch, keys, order_col)
     touched: list[int] | None = None
     if table.n_buckets:
@@ -750,10 +836,12 @@ def apply_merge_batch(
             first = src.select(*payload_cols)
         if record_changes:
             _record_change_feed(
-                table, src, None, keys, order_col, delete_col, batch_id,
+                table, src, None, keys, order_col, delete_col, version,
                 val_cols,
             )
-        table.write_version(first, batch_id, touched_buckets=touched)
+        table.write_version(
+            first, version, touched_buckets=touched, batch_id=batch_id
+        )
         return
     target = table._raw_at(cur, spark=batch.sparkSession)
     new_cols = [
@@ -803,11 +891,15 @@ def apply_merge_batch(
     )
     if record_changes:
         _record_change_feed(
-            table, src, target, keys, order_col, delete_col, batch_id,
+            table, src, target, keys, order_col, delete_col, version,
             val_cols,
         )
     table.write_version(
-        merged, batch_id, touched_buckets=touched, base_version=cur
+        merged,
+        version,
+        touched_buckets=touched,
+        base_version=cur,
+        batch_id=batch_id,
     )
 
 
@@ -855,11 +947,14 @@ def start_table_merge(
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         before = table.current_version()
-        if expectations is not None and not (
-            before is not None and before >= batch_id
-        ):
-            # already-published replays skip the gate too — without this
-            # the quarantine would re-append on every checkpoint replay
+        last_bid = table.last_batch_id()
+        already_applied = last_bid is not None and batch_id <= last_bid
+        if expectations is not None and not already_applied:
+            # already-applied replays skip the gate too — without this
+            # the quarantine would re-append on every checkpoint replay.
+            # The watermark (not version equality) decides: maintenance
+            # versions from optimize() advance the version counter
+            # without consuming batch ids.
             ann = expectations.annotate(batch).persist()
             try:
                 if metrics_dir is not None:

@@ -121,3 +121,49 @@ def test_optimize_rejects_stale_target(spark, tmp_path):
     apply_merge_batch(t, _rows(spark, 10, 0, 1), 0, "id", "seq")
     with pytest.raises(ValueError, match="must exceed"):
         t.optimize(version=0)
+
+
+def test_optimize_does_not_swallow_later_batches(spark, tmp_path):
+    """The critical guard interaction: optimize() advances the version
+    counter past the stream's batch ids, but batch idempotency rides the
+    pointer's last_batch_id watermark — so the batch AFTER an optimize
+    still applies (and a replay of an applied batch still skips)."""
+    t = MergedTable(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_merge_batch(t, _rows(spark, 100, 0, 1), 0, "id", "seq")
+    apply_merge_batch(t, _rows(spark, 10, 1, 2), 1, "id", "seq")
+    assert (t.current_version(), t.last_batch_id()) == (1, 1)
+    v = t.optimize()
+    assert (v, t.last_batch_id()) == (2, 1)  # watermark carried, not consumed
+    # next micro-batch (batch_id=2 == current version) MUST apply
+    apply_merge_batch(t, _rows(spark, 5, 2, 3), 2, "id", "seq")
+    assert (t.current_version(), t.last_batch_id()) == (3, 2)
+    assert t.df().count() == 115
+    # replay of the applied batch skips (idempotent)
+    apply_merge_batch(t, _rows(spark, 5, 2, 3), 2, "id", "seq")
+    assert (t.current_version(), t.last_batch_id()) == (3, 2)
+    assert t.df().count() == 115
+
+
+def test_optimize_preserves_composed_cdf_catchup(spark, tmp_path):
+    """A recorded-feed consumer checkpointed BEFORE an optimize catches
+    up across the boundary via composition — the optimize version carries
+    an empty recording, so zero table bytes are diffed."""
+    from mlvectordb_spark.streaming.merge_sink import table_changes
+
+    t = MergedTable(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_merge_batch(
+        t, _rows(spark, 50, 0, 1), 0, "id", "seq", record_changes=True
+    )
+    apply_merge_batch(
+        t, _rows(spark, 5, 1, 2), 1, "id", "seq", record_changes=True
+    )
+    t.optimize()  # v2, empty recording
+    apply_merge_batch(
+        t, _rows(spark, 3, 2, 3), 2, "id", "seq", record_changes=True
+    )  # publishes v3
+    assert t.versions() == [0, 1, 2, 3]
+    assert all(t.has_recorded_changes(v) for v in (1, 2, 3))
+    feed = table_changes(t, 0, 3, on="id", preimage=True)
+    # composed across the optimize: exactly the 8 inserted rows net
+    got = {(r["id"], r["_change_type"]) for r in feed.collect()}
+    assert len(got) == 8 and all(c == "insert" for _, c in got)
