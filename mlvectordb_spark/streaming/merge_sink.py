@@ -147,8 +147,12 @@ class MergedTable:
             if zorder_cols is not None:
                 self.sort_cols = []
             else:
+                # keep the persisted cuts even while zorder_cols is
+                # switched off — they are inert without it, and dropping
+                # them would make a later switch BACK re-freeze cuts from
+                # one batch instead of the z space the existing files
+                # already follow
                 self.zorder_cols = []
-                self.zorder_cuts = {}
         # per-object backstop: when a z column has yielded no quantiles
         # yet (all-NULL so far), retry the derivation at most once per
         # table object instead of re-running the quantile action (a full
@@ -421,6 +425,11 @@ class MergedTable:
             if all(qs for qs in cuts.values()):
                 self.zorder_cuts = cuts
                 self._zcuts_attempted = False
+            else:
+                # a z column is still all-NULL: the snapshot can't yield
+                # cuts, so don't let write_version immediately re-run the
+                # same full-scan quantile action to the same conclusion
+                self._zcuts_attempted = True
         # content-identical ⇒ the (cur → v) feed is empty; record it in
         # the table's schema so adjacent and composed consumers read a
         # well-formed zero-row feed instead of falling back to a diff
@@ -806,6 +815,13 @@ def apply_merge_batch(
     # recomputed identically on a crash-before-flip replay (cur and
     # last_bid are unchanged), so the retry rewrites the SAME directory
     version = batch_id if cur is None or batch_id > cur else cur + 1
+    if not record_changes and table.has_recorded_changes(version):
+        # a crashed never-published writer (e.g. an optimize that died
+        # between its recording and its pointer flip) may have left an
+        # orphan recording under this version number; publishing real
+        # changes under it without overwriting the recording would make
+        # table_changes serve the stale (empty) feed for this transition
+        shutil.rmtree(table._cdir(version))
     src = dedup_source(batch, keys, order_col)
     touched: list[int] | None = None
     if table.n_buckets:
@@ -946,8 +962,7 @@ def start_table_merge(
     `load_quarantine`, which null-widens via mergeSchema."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        before = table.current_version()
-        last_bid = table.last_batch_id()
+        before, last_bid = table._published()
         already_applied = last_bid is not None and batch_id <= last_bid
         if expectations is not None and not already_applied:
             # already-applied replays skip the gate too — without this

@@ -167,3 +167,27 @@ def test_optimize_preserves_composed_cdf_catchup(spark, tmp_path):
     # composed across the optimize: exactly the 8 inserted rows net
     got = {(r["id"], r["_change_type"]) for r in feed.collect()}
     assert len(got) == 8 and all(c == "insert" for _, c in got)
+
+
+def test_crashed_optimize_orphan_recording_is_cleared(spark, tmp_path):
+    """A crash between optimize()'s empty recording and its pointer flip
+    leaves an orphan recording under version cur+1; a later
+    record_changes=False merge that publishes real changes under that
+    version must clear it, or table_changes would serve the stale empty
+    feed for a transition with real changes."""
+    from mlvectordb_spark.streaming.merge_sink import table_changes
+
+    t = MergedTable(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_merge_batch(t, _rows(spark, 50, 0, 1), 0, "id", "seq")
+    # simulate the crashed optimize: empty recording at v1, no flip
+    (
+        t.df_at(0)
+        .limit(0)
+        .withColumn("_change_type", F.lit("insert"))
+        .write.mode("overwrite")
+        .parquet(t._cdir(1))
+    )
+    assert t.has_recorded_changes(1) and t.current_version() == 0
+    apply_merge_batch(t, _rows(spark, 5, 1, 2), 1, "id", "seq")
+    feed = table_changes(t, 0, 1, on="id")
+    assert feed.count() == 5  # the real inserts, not the stale empty feed
