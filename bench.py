@@ -1,9 +1,18 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints per-query `TIMING <name> <sec>` lines, writes the FULL payload
+(per-query timings + recall tail) to BENCH_LOCAL.json next to this file,
+and ends with ONE compact JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+   "queries": {...}|"queries_file": "BENCH_LOCAL.json",
+   "recall": {...}, "sf": <float>}
+
+The driver records only the LAST ~2000 chars of stdout; with 80+ headline
+entries the full per-query map no longer fits on one line (round-7
+verdict, What's wrong #1 — BENCH_r07.json parsed null), so the final line
+inlines `queries` only while it stays under the capture window and
+otherwise points at the sidecar.
 
 Each query is forced with the noop sink (full computation, no driver
 collect) — the number measures the engine, not result transfer.
@@ -241,18 +250,30 @@ def main() -> None:
     total = sum(timings.values())
     recall = _recall_tail(spark, sf_dir)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "recall": recall,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "recall": recall,
+        "sf": sf,
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(sidecar, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    for name, sec in timings.items():
+        print(f"TIMING {name} {sec}")
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1800:
+        compact = dict(payload)
+        compact.pop("queries")
+        compact["queries_file"] = "BENCH_LOCAL.json"
+        compact["n_queries"] = len(timings)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
