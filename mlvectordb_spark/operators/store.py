@@ -656,7 +656,8 @@ class VectorStore:
         assume_unique_ids: bool = False,
         order_col: str | None = None,
         keep_metadata_json: bool = False,
-    ) -> int:
+        check_dims: bool = True,
+    ) -> int | None:
         """TRUE bulk upsert keyed on the `id` column — merge-on-read: ONE
         appending write of the shaped batch stamped with a monotone
         write_version; the read path takes latest-wins for the affected
@@ -681,7 +682,22 @@ class VectorStore:
         `monotonically_increasing_id()`, which is deterministic FOR A GIVEN
         PHYSICAL PLAN but depends on the input's partition layout: the same
         logical batch arriving repartitioned can resolve differently. Batches
-        that may carry duplicate ids should supply `order_col`."""
+        that may carry duplicate ids should supply `order_col`.
+
+        `check_dims=False` skips the pre-write dimension-validation
+        aggregation (one whole Spark job on the steady-state serving
+        path) and returns None instead of the batch count — the caller
+        vouches for the dims, as `insert_df(check_dims=False)` already
+        allows. It requires an explicit `namespace` (without the
+        validation pass the affected-namespace set for tombstone/
+        compaction bookkeeping is otherwise unknowable without another
+        job)."""
+        if not check_dims and namespace is None:
+            raise ValueError(
+                "upsert_df(check_dims=False) requires an explicit "
+                "namespace (the affected-namespace bookkeeping otherwise "
+                "needs the very aggregation pass being skipped)"
+            )
         shaped = shape_ingest_df(
             df, namespace, with_ids=True,
             extra_cols=[order_col] if order_col else None,
@@ -700,7 +716,12 @@ class VectorStore:
             )
         if order_col:
             shaped = shaped.drop(order_col)
-        n, dims = self._check_dims_df(shaped)
+        if check_dims:
+            n, dims = self._check_dims_df(shaped)
+            affected = list(dims)
+        else:
+            n, dims = None, {}
+            affected = [str(namespace)]
         had_data = self._raw() is not None
         (
             shaped.withColumn("write_version", F.lit(self._next_version()))
@@ -708,7 +729,6 @@ class VectorStore:
             .partitionBy("namespace")
             .parquet(self.data_path)
         )
-        affected = list(dims)
         if had_data and affected:
             self._clear_tombstones_for(shaped.select("id", "namespace"))
             self._mark_dirty(affected)
@@ -1412,64 +1432,75 @@ class VectorStore:
         (compaction erased the events), that namespace falls back to a
         full resync from current state — same snapshot-then-delta contract
         as a CDC replica across VACUUM."""
-        for ns, (index, vec_col, id_col, space) in list(self._serving.items()):
-            v0 = self._serving_synced_at.get(ns, 0)
-            # upper bound captured BEFORE the feed is built: events landing
-            # between feed consumption and the bookmark write would
-            # otherwise be skipped forever (changes_since is exclusive of
-            # the bookmark) — the same race the streaming twin closes with
-            # `write_version <= v1` (ingest.py write_batch)
-            v1 = self.current_version()
-            if v0 == v1:
-                continue  # nothing happened anywhere since the last sync
-            last_write = self._ns_mutated_at.get(ns)
-            if (
-                last_write is not None
-                and last_write <= v0 <= v1
-                and all(
-                    v in self._session_versions for v in range(v0 + 1, v1 + 1)
-                )
-            ):
-                # every version since the sync was written BY THIS OBJECT
-                # and none touched this namespace: advance the bookmark
-                # without paying an empty-feed apply + checkpoint. The
-                # tracker alone is NOT enough — it is a lower bound, blind
-                # to other writers — so any unaccounted version falls
-                # through to the real feed check below (round-6 ADVICE).
-                self._serving_synced_at[ns] = v1
-                continue
-            try:
-                if self.history_floor() > v0:
-                    raise ValueError("floor moved")
-                feed = (
-                    self.changes_since(v0)
-                    .filter(
-                        (F.col("namespace") == ns)
-                        & (F.col("write_version") <= v1)
-                    )
-                    .select(
-                        F.col("id").alias(id_col),
-                        F.when(
-                            F.col("values").isNotNull(), self._space_vec(space)
-                        ).alias(vec_col),
-                        "change_type",
-                        "write_version",
-                    )
-                )
-                if feed.limit(1).count() == 0:
-                    # namespace-partition-pruned metadata-scale read: the
-                    # writes since v0 all went elsewhere — bookmark moves,
-                    # no apply/checkpoint re-materialization
-                    self._serving_synced_at[ns] = v1
-                    continue
-                index.apply_changes(feed, vec_col=vec_col, id_col=id_col)
-            except ValueError:
-                self._resync_index(ns, index, vec_col, id_col, space)
-                v1 = self.current_version()
-            # cut the union/anti-join lineage AND detach the plan from the
-            # store's parquet files before compaction can delete them
-            index.indexed = index.indexed.localCheckpoint()
+        for ns in list(self._serving):
+            self._sync_namespace(ns)
+
+    def _sync_namespace(self, ns: str) -> None:
+        """Roll ONE namespace's attached index forward (the unit
+        `sync_indexes` loops; `find_similar(sync=True)` calls it for just
+        the queried namespace so a serving probe never pays the other
+        namespaces' feed checks)."""
+        entry = self._serving.get(ns)
+        if entry is None:
+            return
+        index, vec_col, id_col, space = entry
+        v0 = self._serving_synced_at.get(ns, 0)
+        # upper bound captured BEFORE the feed is built: events landing
+        # between feed consumption and the bookmark write would
+        # otherwise be skipped forever (changes_since is exclusive of
+        # the bookmark) — the same race the streaming twin closes with
+        # `write_version <= v1` (ingest.py write_batch)
+        v1 = self.current_version()
+        if v0 == v1:
+            return  # nothing happened anywhere since the last sync
+        last_write = self._ns_mutated_at.get(ns)
+        if (
+            last_write is not None
+            and last_write <= v0 <= v1
+            and all(
+                v in self._session_versions for v in range(v0 + 1, v1 + 1)
+            )
+        ):
+            # every version since the sync was written BY THIS OBJECT
+            # and none touched this namespace: advance the bookmark
+            # without paying an empty-feed apply + checkpoint. The
+            # tracker alone is NOT enough — it is a lower bound, blind
+            # to other writers — so any unaccounted version falls
+            # through to the real feed check below (round-6 ADVICE).
             self._serving_synced_at[ns] = v1
+            return
+        try:
+            if self.history_floor() > v0:
+                raise ValueError("floor moved")
+            feed = (
+                self.changes_since(v0)
+                .filter(
+                    (F.col("namespace") == ns)
+                    & (F.col("write_version") <= v1)
+                )
+                .select(
+                    F.col("id").alias(id_col),
+                    F.when(
+                        F.col("values").isNotNull(), self._space_vec(space)
+                    ).alias(vec_col),
+                    "change_type",
+                    "write_version",
+                )
+            )
+            if feed.limit(1).count() == 0:
+                # namespace-partition-pruned metadata-scale read: the
+                # writes since v0 all went elsewhere — bookmark moves,
+                # no apply/checkpoint re-materialization
+                self._serving_synced_at[ns] = v1
+                return
+            index.apply_changes(feed, vec_col=vec_col, id_col=id_col)
+        except ValueError:
+            self._resync_index(ns, index, vec_col, id_col, space)
+            v1 = self.current_version()
+        # cut the union/anti-join lineage AND detach the plan from the
+        # store's parquet files before compaction can delete them
+        index.indexed = index.indexed.localCheckpoint()
+        self._serving_synced_at[ns] = v1
 
     def _resync_index(
         self, namespace: str, index, vec_col: str, id_col: str,
@@ -1506,6 +1537,7 @@ class VectorStore:
         mode: str = "auto",
         nprobe: int = 4,
         target_recall: float | None = None,
+        sync: bool = False,
     ) -> list[dict[str, Any]]:
         """Q1: exact KNN + enrichment. Unlike the reference (which ignores
         the per-query metric — SURVEY.md fact #2), the metric genuinely
@@ -1531,13 +1563,25 @@ class VectorStore:
         "exact" always scans. Indexed serving is still EXACT (certified
         pruning; cosine space ranks by L2 over normalized vectors, an
         exact monotone equivalent), scores rounded to the index's
-        4-decimal granularity."""
+        4-decimal granularity.
+
+        `sync=True` folds the index maintenance into the read: the
+        QUERIED namespace's attached index is rolled forward
+        (`_sync_namespace`) before the probe — one feed-emptiness check
+        or bounded apply for one namespace, instead of a separate
+        `sync_indexes()` call that pays the check for every attached
+        namespace (round-7 verdict #6). Exact-path reads always see
+        current data and ignore it."""
         ns_dim = self.dimension(namespace)
         if ns_dim is not None and ns_dim != len(query_values):
             raise ValueError(
                 f"query dimension {len(query_values)} != namespace "
                 f"{namespace!r} dimension {ns_dim}"
             )
+        if sync:
+            # before routing: the roll-forward can only make the index
+            # fresher, and routing does not depend on sync state
+            self._sync_namespace(namespace)
         indexable = self._serving_route(
             namespace, metric, metadata_filter, mode, target_recall
         )
@@ -1596,6 +1640,7 @@ class VectorStore:
         metric: str = "cosine",
         metadata_filter: Mapping[str, str] | None = None,
         mode: str = "auto",
+        sync: bool = False,
     ) -> DataFrame:
         """Q2 through the STORE: per-query exact top-k over one
         namespace, returned as a DataFrame (query_id, id, score, values,
@@ -1616,7 +1661,10 @@ class VectorStore:
         batch) instead of paying |queries| full scans; reported scores
         are always recomputed against the STORE's vectors. Cosine space
         selects in normalized-L2 with the single-path's +32 over-fetch,
-        then final-ranks by true cosine."""
+        then final-ranks by true cosine. `sync=True` rolls the queried
+        namespace's index forward first (see `find_similar`)."""
+        if sync:
+            self._sync_namespace(namespace)
         if isinstance(queries, DataFrame):
             qrows = [
                 (str(r[0]), [float(x) for x in r[1]])

@@ -2770,23 +2770,24 @@ def q_store_indexed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     run the routed `find_similar(mode="indexed")` read. This is the
     number a serving deployment lives on: probe + bounded maintenance,
     with store build + KMeans fits amortized to ingest where they
-    belong."""
+    belong. The steady-state job count is minimized per round-7 verdict
+    #6: `upsert_df(check_dims=False)` skips the pre-write validation
+    aggregation (the fixture's bulk load already proved the dims), and
+    `find_similar(sync=True)` folds the maintenance into the read —
+    ONLY the queried namespace's index pays its feed check, instead of a
+    separate `sync_indexes()` billing every attached namespace."""
     store, qvec = session_store_indexed(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    # the batch targets ONLY the queried namespace: ns1's member then pays
-    # a feed-emptiness metadata check instead of a full apply+checkpoint —
-    # the per-namespace isolation the sync path exists to provide
     batch = emb.filter(
         (F.col("vec_id") % 100 == 3) & (F.col("label") % 2 == 0)
     ).select(
         F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
         F.transform("embedding", lambda x: x * F.lit(3.0)).alias("values"),
-        F.lit("ns0").alias("namespace"),
     )
-    store.upsert_df(batch)
-    store.sync_indexes()
+    store.upsert_df(batch, namespace="ns0", check_dims=False)
     hits = store.find_similar(
-        qvec, top_k=KNN_K, namespace="ns0", metric="l2", mode="indexed"
+        qvec, top_k=KNN_K, namespace="ns0", metric="l2", mode="indexed",
+        sync=True,
     )
     return spark.createDataFrame(
         [(h["id"], float(h["score"])) for h in hits], "id string, score double"
@@ -2974,7 +2975,8 @@ def q_store_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     serve the whole query batch through ONE certified pruned scan
     (`find_similar_batch(mode="indexed")`). The number a batch-scoring
     deployment lives on: |queries| answers for one probe-union scan plus
-    one broadcast enrichment."""
+    one broadcast enrichment — with the maintenance folded into the read
+    (`check_dims=False` upsert + `sync=True`, round-7 verdict #6)."""
     store, _ = session_store_indexed(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     batch = emb.filter(
@@ -2982,10 +2984,8 @@ def q_store_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
         F.transform("embedding", lambda x: x * F.lit(3.0)).alias("values"),
-        F.lit("ns0").alias("namespace"),
     )
-    store.upsert_df(batch)
-    store.sync_indexes()
+    store.upsert_df(batch, namespace="ns0", check_dims=False)
     qvecs = {
         f"q{r.vec_id}": [float(x) for x in r.embedding]
         for r in emb.filter(F.col("vec_id") < BATCH_QUERY_MAX_VID)
@@ -2993,7 +2993,8 @@ def q_store_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     }
     out = store.find_similar_batch(
-        qvecs, BATCH_K, namespace="ns0", metric="l2", mode="indexed"
+        qvecs, BATCH_K, namespace="ns0", metric="l2", mode="indexed",
+        sync=True,
     )
     return out.select("query_id", "id", "score")
 

@@ -16,19 +16,27 @@ Correctness pieces, each load-bearing:
   seq-field fix, ingest.py:56-66).
 - **Delete markers never insert**: `insert_condition=~delete` — a delete
   for a key that never existed is a no-op, not a ghost row.
-- **Versioned copy-on-write**: each batch writes a new version directory
-  then atomically flips a pointer file carrying BOTH the version and the
-  last applied batch id. The merge plan READS the current version while
-  WRITING the next, so there is no read-your-own-overwrite conflict.
-  foreachBatch retries are idempotent by the batch-id WATERMARK (not
-  version equality — maintenance versions from `optimize()` advance the
-  version counter without consuming batch ids): a replay of a batch
-  whose pointer already flipped (crash between the flip and the
-  checkpoint commit) is SKIPPED — without the guard the replay would
-  lazily read the published version while overwriting the same
-  directory, deleting its files mid-job (data loss); a replay of a batch
-  that crashed before the flip recomputes the same version number and
-  rewrites its never-published directory, which is safe.
+- **Versioned copy-on-write with optimistic concurrency**: each batch
+  stages a new version into a unique `.staging_*` directory (data files
+  + schema sidecar + a commit sidecar carrying the batch id), then
+  COMMITS it with one atomic `os.rename(staging, vN)` — the rename is
+  exclusive, so a version directory either does not exist or is
+  complete, and two writers that allocated the same version against the
+  same base can never interleave files or silently lose an update: the
+  second rename fails with `ConcurrentWriteError` (Delta's commit
+  conflict check, on plain parquet). The `_LATEST` pointer is a
+  forward-only cache of the newest committed version (it also carries
+  the last applied batch id); a writer that finds its version already
+  committed repairs a stale pointer forward before raising. The merge
+  plan READS the current version while STAGING the next, so there is no
+  read-your-own-overwrite conflict. foreachBatch retries are idempotent
+  by the batch-id WATERMARK (not version equality — maintenance versions
+  from `optimize()` advance the version counter without consuming batch
+  ids): a replay of a batch whose pointer already flipped is SKIPPED; a
+  replay of one that crashed before the rename re-stages and commits the
+  same version; a replay of one that crashed BETWEEN the rename and the
+  checkpoint commit finds its own batch id in the commit sidecar and
+  returns idempotently.
 
 Scale shape per batch: `merge_into(strategy="broadcast")` — the table is
 scanned twice but never shuffled; all shuffles are micro-batch-sized.
@@ -61,6 +69,23 @@ from mlvectordb_spark.operators.merge import dedup_source, merge_into
 _PTR = "_LATEST"
 _META = "_TABLE_META"
 _BUCKET = "__bucket"
+_COMMIT = "_v_commit.json"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first.
+
+    Raised by `MergedTable.write_version` (and everything above it:
+    `apply_merge_batch`, `optimize`, a running `start_table_merge`
+    stream) when the optimistic-concurrency check fails: the version
+    number this writer allocated against its base snapshot was committed
+    by someone else between the base read and the publish. The losing
+    writer's work is discarded (its staging directory is removed; an
+    orphan change recording it wrote is cleared unless the winner
+    recorded its own feed over it) and the table is left exactly as the
+    winner published it — the classic lost-update is turned into an
+    explicit retryable error, the analog of Delta's commit conflict
+    check. Retry by re-reading the table and re-applying."""
 
 
 def _bucket_expr(keys: list[str], n_buckets: int) -> Column:
@@ -79,7 +104,20 @@ class MergedTable:
     reopen: pruning with a different modulus than the one the data was
     hashed with silently misses existing rows (a merge would then
     re-insert keys it failed to see — duplicate-key corruption). The
-    default `n_buckets=None` adopts whatever the table was created with."""
+    default `n_buckets=None` adopts whatever the table was created with.
+
+    Concurrency contract: any number of concurrent writers (merges,
+    `optimize()`, direct `write_version`) may race; exactly one commits
+    each version — publishing is an atomic staging-directory rename, so
+    the losers raise `ConcurrentWriteError` with the table left exactly
+    as the winner published it (optimistic concurrency, the analog of
+    Delta's commit conflict check; see `write_version`). Losers clean up
+    after themselves (staging dir always; an orphan change recording
+    unless the winner recorded its own). Readers are never blocked and
+    always see complete versions. The intended steady state is still ONE
+    maintaining stream per table — the conflict check is the safety net
+    that turns a second writer (or an `optimize()` racing a merge) from
+    a silent lost update into an explicit retryable error."""
 
     def __init__(
         self,
@@ -197,17 +235,29 @@ class MergedTable:
     def _schema_path(self, version: int) -> str:
         return os.path.join(self._vdir(version), "_v_schema.json")
 
-    def _write_schema(self, version: int, df: DataFrame) -> None:
-        """Persist the version's logical schema next to its files. After a
-        schema evolution the version directory holds MIXED file schemas
-        (hard-linked untouched buckets keep the old footer); an explicit
-        read schema makes the parquet reader fill the missing columns with
-        NULL instead of inferring from whichever footer it samples first.
-        The underscore prefix keeps Spark's file discovery off it."""
-        fd, tmp = tempfile.mkstemp(dir=self._vdir(version), prefix=".sch_")
+    def _write_schema(self, dirpath: str, df: DataFrame) -> None:
+        """Persist the version's logical schema next to its files (written
+        into the STAGING directory, so it is part of the atomic commit).
+        After a schema evolution the version directory holds MIXED file
+        schemas (hard-linked untouched buckets keep the old footer); an
+        explicit read schema makes the parquet reader fill the missing
+        columns with NULL instead of inferring from whichever footer it
+        samples first. The underscore prefix keeps Spark's file discovery
+        off it."""
+        fd, tmp = tempfile.mkstemp(dir=dirpath, prefix=".sch_")
         with os.fdopen(fd, "w") as f:
             f.write(df.schema.json())
-        os.replace(tmp, self._schema_path(version))
+        os.replace(tmp, os.path.join(dirpath, "_v_schema.json"))
+
+    def _commit_info(self, version: int) -> dict | None:
+        """The commit sidecar a committed version carries: its batch id
+        (idempotency watermark) and whether the committing writer recorded
+        a change feed. None for legacy pre-commit-protocol versions."""
+        p = os.path.join(self._vdir(version), _COMMIT)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
 
     def _read_schema(self, version: int):
         p = self._schema_path(version)
@@ -311,6 +361,25 @@ class MergedTable:
             self._write_meta()
         return zorder_key(df, self.zorder_cols, self.zorder_cuts)
 
+    def _write_pointer(self, version: int, batch_id: int | None) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix=".ptr_")
+        with os.fdopen(fd, "w") as f:
+            f.write(f"{version} {'-' if batch_id is None else batch_id}")
+        os.replace(tmp, os.path.join(self.path, _PTR))
+
+    def _repair_pointer(self, version: int) -> None:
+        """Roll the pointer FORWARD to an already-committed version whose
+        writer crashed between its commit (the directory rename) and its
+        pointer update. A committed directory always appears complete (it
+        was fully staged before the atomic rename), so this is always
+        safe; the pointer only ever moves forward."""
+        cur, last_bid = self._published()
+        if cur is not None and version <= cur:
+            return
+        info = self._commit_info(version)
+        bid = last_bid if info is None else info.get("batch_id")
+        self._write_pointer(version, bid)
+
     def write_version(
         self,
         df: DataFrame,
@@ -318,63 +387,130 @@ class MergedTable:
         touched_buckets: list[int] | None = None,
         base_version: int | None = None,
         batch_id: int | None = None,
+        recorded: bool = False,
     ) -> None:
-        out = self._vdir(version)
-        self._write_meta()
-        zkey = self._zorder_key(df) if self.zorder_cols else None
-        if not self.n_buckets:
-            if self.sort_cols:
-                df = df.sortWithinPartitions(*self.sort_cols)
-            elif zkey is not None:
-                df = df.sortWithinPartitions(zkey)
-            df.write.mode("overwrite").parquet(out)
-        else:
-            nparts = max(1, len(touched_buckets or []) or self.n_buckets)
-            shaped = df.repartition(nparts, F.col(_BUCKET))
-            if self.sort_cols:
-                # keep bucket grouping, cluster by sort_cols within it so
-                # each written file's row groups carry tight min/max stats
-                shaped = shaped.sortWithinPartitions(_BUCKET, *self.sort_cols)
-            elif zkey is not None:
-                # same, but along the Morton curve: row groups stay
-                # narrow on every z column at once
-                shaped = shaped.sortWithinPartitions(F.col(_BUCKET), zkey)
-            (
-                shaped.write.mode("overwrite")
-                .partitionBy(_BUCKET)
-                .parquet(out)
-            )
-            if base_version is not None and touched_buckets is not None:
-                self._link_untouched(base_version, version, set(touched_buckets))
-            if not self._bucket_dirs(version):
-                # an all-empty bucketed result (e.g. a bootstrap batch of
-                # nothing but delete markers) writes no schema-bearing
-                # part files — partitionBy emits only _SUCCESS — which
-                # would poison every later read with
-                # UNABLE_TO_INFER_SCHEMA. Write the empty frame flat so
-                # the version stays readable; __bucket becomes a zero-row
-                # data column, so pruning filters still resolve.
-                df.limit(0).write.mode("overwrite").parquet(out)
-        # schema sidecar BEFORE the pointer flip: a published version
-        # implies a readable logical schema (see _write_schema)
-        self._write_schema(version, df)
+        """Publish `df` as `version` with optimistic concurrency.
+
+        The files are written into a unique STAGING directory (together
+        with the schema and commit sidecars), then committed by one atomic
+        `os.rename(staging, vN)` — a version directory therefore either
+        does not exist or is complete, and two writers that allocated the
+        same version number against the same base can never interleave
+        files: the second rename fails and raises ConcurrentWriteError
+        (its staging dir is removed). The `_LATEST` pointer is a
+        forward-only CACHE of the newest committed version, updated after
+        the rename; a writer that finds its version already committed
+        repairs a stale pointer forward before raising (or returns
+        idempotently when the commit carries its own batch id — the
+        crash-between-commit-and-checkpoint replay)."""
+        vdir = self._vdir(version)
+        # only an EXPLICIT batch id may claim an existing commit as its
+        # own replay; maintenance writes carry the watermark forward but
+        # a carried watermark naturally equals the racing winner's batch
+        # id, which must stay a conflict
+        own_bid = batch_id
         if batch_id is None:
             # maintenance writes (optimize, direct write_version) must
             # CARRY the idempotency watermark forward, never reset it
             batch_id = self.last_batch_id()
-        fd, tmp = tempfile.mkstemp(dir=self.path, prefix=".ptr_")
-        with os.fdopen(fd, "w") as f:
-            f.write(f"{version} {'-' if batch_id is None else batch_id}")
-        os.replace(tmp, os.path.join(self.path, _PTR))  # atomic flip
+        if os.path.exists(vdir):
+            self._on_commit_conflict(version, own_bid)
+            return
+        self._write_meta()
+        zkey = self._zorder_key(df) if self.zorder_cols else None
+        import uuid
+
+        stage = os.path.join(self.path, f".staging_{uuid.uuid4().hex}")
+        try:
+            if not self.n_buckets:
+                if self.sort_cols:
+                    df = df.sortWithinPartitions(*self.sort_cols)
+                elif zkey is not None:
+                    df = df.sortWithinPartitions(zkey)
+                df.write.mode("overwrite").parquet(stage)
+            else:
+                nparts = max(1, len(touched_buckets or []) or self.n_buckets)
+                shaped = df.repartition(nparts, F.col(_BUCKET))
+                if self.sort_cols:
+                    # keep bucket grouping, cluster by sort_cols within it
+                    # so each written file's row groups carry tight
+                    # min/max stats
+                    shaped = shaped.sortWithinPartitions(
+                        _BUCKET, *self.sort_cols
+                    )
+                elif zkey is not None:
+                    # same, but along the Morton curve: row groups stay
+                    # narrow on every z column at once
+                    shaped = shaped.sortWithinPartitions(F.col(_BUCKET), zkey)
+                (
+                    shaped.write.mode("overwrite")
+                    .partitionBy(_BUCKET)
+                    .parquet(stage)
+                )
+                if base_version is not None and touched_buckets is not None:
+                    self._link_untouched(
+                        base_version, stage, set(touched_buckets)
+                    )
+                has_bucket_dirs = any(
+                    name.startswith(f"{_BUCKET}=")
+                    for name in os.listdir(stage)
+                )
+                if not has_bucket_dirs:
+                    # an all-empty bucketed result (e.g. a bootstrap batch
+                    # of nothing but delete markers) writes no
+                    # schema-bearing part files — partitionBy emits only
+                    # _SUCCESS — which would poison every later read with
+                    # UNABLE_TO_INFER_SCHEMA. Write the empty frame flat
+                    # so the version stays readable; __bucket becomes a
+                    # zero-row data column, so pruning filters still
+                    # resolve.
+                    df.limit(0).write.mode("overwrite").parquet(stage)
+            # sidecars INSIDE the staging dir: a committed version implies
+            # a readable logical schema and a batch-id watermark
+            self._write_schema(stage, df)
+            with open(os.path.join(stage, _COMMIT), "w") as f:
+                json.dump({"batch_id": batch_id, "recorded": recorded}, f)
+            try:
+                os.rename(stage, vdir)  # THE commit — atomic, exclusive
+            except OSError:
+                self._on_commit_conflict(version, own_bid)
+                return
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        cur = self.current_version()
+        if cur is None or version > cur:
+            self._write_pointer(version, batch_id)
+
+    def _on_commit_conflict(self, version: int, batch_id: int | None) -> None:
+        """The version directory already exists: either our own earlier
+        commit replaying (return idempotently) or a concurrent writer's
+        (repair the pointer forward, then raise)."""
+        info = self._commit_info(version)
+        if (
+            batch_id is not None
+            and info is not None
+            and info.get("batch_id") == batch_id
+        ):
+            # our own commit from a run that crashed between the rename
+            # and the checkpoint/pointer update — finishing the pointer
+            # repair makes the replay a no-op success
+            self._repair_pointer(version)
+            return
+        self._repair_pointer(version)
+        raise ConcurrentWriteError(
+            f"version {version} of {self.path} was committed by another "
+            f"writer (its batch id: "
+            f"{None if info is None else info.get('batch_id')}); re-read "
+            "the table and retry"
+        )
 
     def _link_untouched(
-        self, base_version: int, version: int, touched: set[int]
+        self, base_version: int, dst_root: str, touched: set[int]
     ) -> None:
-        """Carry every bucket the merge did not touch into the new version
-        by hard link (same filesystem by construction; copy fallback).
-        File basenames are preserved, which is what lets `table_changes`
-        prove a bucket unchanged without reading it."""
-        dst_root = self._vdir(version)
+        """Carry every bucket the merge did not touch into the staged new
+        version by hard link (same filesystem by construction; copy
+        fallback). File basenames are preserved, which is what lets
+        `table_changes` prove a bucket unchanged without reading it."""
         for k, sdir in self._bucket_dirs(base_version).items():
             if k in touched:
                 continue
@@ -414,6 +550,7 @@ class MergedTable:
                 f"optimize target version {v} must exceed current {cur}"
             )
         df = self._raw_at(cur)
+        old_cuts, old_attempted = dict(self.zorder_cuts), self._zcuts_attempted
         if self.zorder_cols:
             # derive the refreshed cuts BEFORE touching persisted state:
             # a failure mid-derivation leaves the old cuts (and files)
@@ -443,7 +580,19 @@ class MergedTable:
         touched = (
             sorted(self._bucket_dirs(cur)) if self.n_buckets else None
         )
-        self.write_version(df, v, touched_buckets=touched)
+        try:
+            self.write_version(df, v, touched_buckets=touched, recorded=True)
+        except ConcurrentWriteError:
+            # a merge committed v first: abort cleanly — clear the empty
+            # recording written above IF it is still ours (a winner that
+            # recorded its own feed overwrote it; deleting would destroy
+            # the winner's feed), and restore the pre-refresh z cuts so
+            # later merges keep landing rows in the z space the existing
+            # (un-re-packed) files actually follow
+            _clear_orphan_recording(self, v)
+            self.zorder_cuts, self._zcuts_attempted = old_cuts, old_attempted
+            self._write_meta()
+            raise
         return v
 
     def versions(self) -> list[int]:
@@ -474,7 +623,33 @@ class MergedTable:
                 if self.has_recorded_changes(v):
                     shutil.rmtree(self._cdir(v))
                 removed.append(v)
+        # staging dirs from CRASHED writers (a live writer holds its
+        # staging for seconds; anything older than an hour is debris —
+        # a committed version was renamed away and left nothing behind)
+        import time
+
+        cutoff = time.time() - 3600
+        for name in os.listdir(self.path):
+            if not name.startswith(".staging_"):
+                continue
+            p = os.path.join(self.path, name)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
         return removed
+
+
+def _clear_orphan_recording(table: MergedTable, version: int) -> None:
+    """After losing a commit race: remove the change recording this writer
+    staged for `version` — unless the WINNER recorded its own feed there
+    (its parquet overwrite replaced ours; the recording is now the
+    winner's and must survive)."""
+    info = table._commit_info(version)
+    winner_recorded = bool(info and info.get("recorded"))
+    if not winner_recorded and table.has_recorded_changes(version):
+        shutil.rmtree(table._cdir(version))
 
 
 def _compose_recorded(
@@ -779,12 +954,16 @@ def apply_merge_batch(
 ) -> None:
     """One micro-batch: dedup → MERGE → publish a new version.
 
-    Version numbers normally track batch ids 1:1; after a maintenance
-    version (`optimize`) advanced the counter past the batch ids, new
-    batches allocate `current + 1` instead. Idempotency rides the
-    pointer's `last_batch_id` watermark, NOT version equality — so an
-    optimize between triggers can never make the replay guard swallow a
-    real batch.
+    Version numbers are GAPLESS: the bootstrap takes the batch id, every
+    later write allocates `current + 1` (see the allocation comment below
+    — gapless is what completes the optimistic-concurrency CAS).
+    Idempotency rides the pointer's `last_batch_id` watermark, NOT
+    version equality — so an optimize between triggers can never make
+    the replay guard swallow a real batch. A concurrent writer that
+    publishes the contested version first makes this call raise
+    `ConcurrentWriteError` (after clearing any orphan feed this writer
+    recorded); inside a running stream that fails the query — surfacing
+    the external-writer race beats silently losing its update.
 
     For a bucketed table the target scan is pruned to the batch's touched
     buckets (a bounded `distinct().collect()` over ≤ n_buckets values)
@@ -812,9 +991,17 @@ def apply_merge_batch(
         return
     if batch.isEmpty():
         return
-    # recomputed identically on a crash-before-flip replay (cur and
-    # last_bid are unchanged), so the retry rewrites the SAME directory
-    version = batch_id if cur is None or batch_id > cur else cur + 1
+    # GAPLESS allocation: always base + 1 (bootstrap takes the batch id,
+    # so streams whose ids start at 0/1 keep their familiar numbering).
+    # Gapless is what makes the commit rename a complete compare-and-swap
+    # on the BASE version: every writer that read base `cur` contends on
+    # the same directory name, so one wins and the rest raise — under the
+    # old `version = batch_id if batch_id > cur` scheme two racing
+    # writers with different batch ids would commit DISJOINT version
+    # numbers and silently lose one update. A crash-before-commit replay
+    # recomputes the same number (cur is unchanged); a crash-after-commit
+    # replay is recognized by its own batch id in the commit sidecar.
+    version = batch_id if cur is None else cur + 1
     if not record_changes and table.has_recorded_changes(version):
         # a crashed never-published writer (e.g. an optimize that died
         # between its recording and its pointer flip) may have left an
@@ -855,9 +1042,15 @@ def apply_merge_batch(
                 table, src, None, keys, order_col, delete_col, version,
                 val_cols,
             )
-        table.write_version(
-            first, version, touched_buckets=touched, batch_id=batch_id
-        )
+        try:
+            table.write_version(
+                first, version, touched_buckets=touched, batch_id=batch_id,
+                recorded=record_changes,
+            )
+        except ConcurrentWriteError:
+            if record_changes:
+                _clear_orphan_recording(table, version)
+            raise
         return
     target = table._raw_at(cur, spark=batch.sparkSession)
     new_cols = [
@@ -910,13 +1103,23 @@ def apply_merge_batch(
             table, src, target, keys, order_col, delete_col, version,
             val_cols,
         )
-    table.write_version(
-        merged,
-        version,
-        touched_buckets=touched,
-        base_version=cur,
-        batch_id=batch_id,
-    )
+    try:
+        table.write_version(
+            merged,
+            version,
+            touched_buckets=touched,
+            base_version=cur,
+            batch_id=batch_id,
+            recorded=record_changes,
+        )
+    except ConcurrentWriteError:
+        # lost the commit race (e.g. an external writer or an optimize()
+        # published this version first): clear the feed recorded above if
+        # it is still this writer's orphan, then surface the conflict —
+        # an explicit retryable error beats a silent lost update
+        if record_changes:
+            _clear_orphan_recording(table, version)
+        raise
 
 
 def start_table_merge(

@@ -368,9 +368,10 @@ def test_recorded_feed_matches_snapshot_diff(spark, tmp_path):
 def test_recording_validation_orphans_and_sparse_versions(spark, tmp_path):
     """A recording is served only for (published-predecessor →
     published-version) pairs: an orphan recording from a crash before
-    the pointer flip must not surface, and sparse batch numbering
-    (0 then 5) must serve the 0→5 recording rather than requiring
-    adjacent numbers."""
+    the pointer flip must not surface. Version allocation is GAPLESS
+    (the optimistic-concurrency CAS requires it): sparse BATCH numbering
+    (0 then 5) still yields contiguous versions 0 and 1, with the batch
+    id carried in the watermark, not the version number."""
     import os
 
     from mlvectordb_spark.streaming.merge_sink import (
@@ -388,8 +389,9 @@ def test_recording_validation_orphans_and_sparse_versions(spark, tmp_path):
     )
     apply_merge_batch(table, b0, 0, "id", "seq", "deleted", record_changes=True)
     apply_merge_batch(table, b5, 5, "id", "seq", "deleted", record_changes=True)
-    # sparse numbering: the recording under v5 IS the 0→5 feed
-    feed = table_changes(table, 0, 5, on="id", preimage=True)
+    # gapless versions, batch-id watermark decoupled
+    assert table._published() == (1, 5)
+    feed = table_changes(table, 0, 1, on="id", preimage=True)
     assert all("/_changes/" in f for f in feed.inputFiles())
     got = {(r["id"], r["_change_type"]) for r in feed.collect()}
     assert got == {(1, "update_preimage"), (1, "update_postimage")}
@@ -399,7 +401,7 @@ def test_recording_validation_orphans_and_sparse_versions(spark, tmp_path):
     with open(os.path.join(table._cdir(7), "part-orphan.parquet"), "w") as f:
         f.write("")
     with pytest.raises(Exception):
-        table_changes(table, 5, 7, on="id").collect()
+        table_changes(table, 1, 7, on="id").collect()
 
 
 def test_composed_recorded_feeds_match_snapshot_diff(spark, tmp_path):

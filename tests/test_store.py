@@ -1564,3 +1564,91 @@ def test_session_version_set_is_bounded(spark, tmp_path):
     # nothing attached → everything at/below current prunes; only the
     # fresh version survives
     assert len(store._session_versions) <= 1, len(store._session_versions)
+
+
+def test_upsert_check_dims_false_skips_count_and_requires_namespace(
+    spark, tmp_path
+):
+    """The steady-state write fast path (round-7 verdict #6): skipping the
+    pre-write validation aggregation returns None instead of the count,
+    requires an explicit namespace for the bookkeeping, and still lands
+    the rows, clears tombstones, and keeps compaction accounting honest."""
+    store = VectorStore(spark, str(tmp_path / "cdf0"), rebuild_threshold=0.95)
+    df0 = spark.createDataFrame(
+        [(f"k{i}", [float(i), 0.0]) for i in range(10)],
+        "id string, values array<float>",
+    )
+    assert store.upsert_df(df0, namespace="A") == 10
+    with pytest.raises(ValueError):
+        store.upsert_df(df0, check_dims=False)  # no namespace
+    # fast-path overwrite: no count, rows visible, latest wins
+    df1 = spark.createDataFrame(
+        [("k1", [9.0, 9.0])], "id string, values array<float>"
+    )
+    assert store.upsert_df(df1, namespace="A", check_dims=False) is None
+    got = {r["id"]: list(r["values"]) for r in store.df().collect()}
+    assert got["k1"] == [9.0, 9.0] and len(got) == 10
+    # a tombstoned id revived through the fast path comes back
+    store.delete("k2", namespace="A")
+    store.upsert_df(
+        spark.createDataFrame(
+            [("k2", [7.0, 7.0])], "id string, values array<float>"
+        ),
+        namespace="A",
+        check_dims=False,
+    )
+    assert store.read("k2", namespace="A") is not None
+
+
+def test_find_similar_sync_folds_namespace_maintenance(spark, tmp_path):
+    """find_similar(sync=True) must serve writes that happened after the
+    last sync WITHOUT an explicit sync_indexes() call, and must roll
+    forward ONLY the queried namespace (the other namespace's bookmark
+    stays behind — its feed check was never paid)."""
+    import math
+
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    store = VectorStore(spark, str(tmp_path / "fsync"), rebuild_threshold=0.95)
+    rows = [
+        (f"{ns}{i}", [math.cos(0.3 * i), math.sin(0.3 * i)], ns)
+        for i in range(40)
+        for ns in ("A", "B")
+    ]
+    store.upsert_df(
+        spark.createDataFrame(
+            rows, "id string, values array<float>, namespace string"
+        )
+    )
+    for ns in ("A", "B"):
+        idx = IVFIndex(n_clusters=3, seed=7)
+        idx.build(
+            store.df().filter(f"namespace = '{ns}'").select("id", "values"),
+            vec_col="values",
+            id_col="id",
+        )
+        store.attach_index(ns, idx, vec_col="values", id_col="id")
+    store.sync_indexes()
+    b_mark = store._serving_synced_at["B"]
+    # post-sync write into A only
+    store.upsert_df(
+        spark.createDataFrame(
+            [("Anew", [10.0, 10.0])], "id string, values array<float>"
+        ),
+        namespace="A",
+        check_dims=False,
+    )
+    hits = store.find_similar(
+        [10.0, 10.0], top_k=1, namespace="A", metric="l2", mode="indexed",
+        sync=True,
+    )
+    assert hits[0]["id"] == "Anew"
+    # A's bookmark advanced; B's did not (its check was never paid)
+    assert store._serving_synced_at["A"] == store.current_version()
+    assert store._serving_synced_at["B"] == b_mark
+    # batch twin honors the same contract
+    out = store.find_similar_batch(
+        {"q": [10.0, 10.0]}, 1, namespace="A", metric="l2", mode="indexed",
+        sync=True,
+    )
+    assert [r["id"] for r in out.collect()] == ["Anew"]
