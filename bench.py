@@ -203,6 +203,57 @@ def _recall_tail(spark, sf_dir: str) -> dict[str, float]:
     out["recall_store_approx_target09"] = round(
         len(got & exact_ids) / max(1, len(exact_ids)), 3
     )
+    # IVFPQ BATCH serving at target_recall=0.9 (round-7 verdict #10): a
+    # second store handle over the same data attaches an IVF+PQ member
+    # for ns0 (fits are ingest-time, untimed); the whole query batch
+    # rides ONE pruned scan (knn_join with the curve-picked nprobe).
+    # Recall is measured per query against the certified-exact batch
+    # through the same index (mode="indexed").
+    from collections import defaultdict
+
+    from mlvectordb_spark.operators.ann import IVFPQIndex
+    from mlvectordb_spark.operators.store import VectorStore
+    from mlvectordb_spark.queries import BATCH_QUERY_MAX_VID
+
+    pq_store = VectorStore(spark, store.path, rebuild_threshold=0.95)
+    pqidx = IVFPQIndex(n_clusters=8, m=8, k_sub=16, seed=42)
+    pqidx.build(
+        pq_store.df().filter(F.col("namespace") == "ns0").select(
+            "id", "values"
+        ),
+        vec_col="values",
+        id_col="id",
+    )
+    pq_store.attach_index("ns0", pqidx, vec_col="values", id_col="id")
+    qvecs = {
+        f"q{r.vec_id}": [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < BATCH_QUERY_MAX_VID)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    # first call pays the one-time lazy curve calibration (ingest-time)
+    pq_store.find_similar_batch(
+        qvecs, KNN_K, namespace="ns0", metric="l2", mode="approx",
+        target_recall=0.9,
+    ).collect()
+    t0 = time.time()
+    approx_rows = pq_store.find_similar_batch(
+        qvecs, KNN_K, namespace="ns0", metric="l2", mode="approx",
+        target_recall=0.9,
+    ).collect()
+    out["store_ivfpq_batch_target09_sec"] = round(time.time() - t0, 3)
+    exact_rows = pq_store.find_similar_batch(
+        qvecs, KNN_K, namespace="ns0", metric="l2", mode="indexed"
+    ).collect()
+    ex, ap = defaultdict(set), defaultdict(set)
+    for r in exact_rows:
+        ex[r["query_id"]].add(r["id"])
+    for r in approx_rows:
+        ap[r["query_id"]].add(r["id"])
+    recs = [len(ex[q] & ap[q]) / max(1, len(ex[q])) for q in ex]
+    out["recall_store_ivfpq_target09"] = round(
+        sum(recs) / max(1, len(recs)), 3
+    )
     return out
 
 

@@ -591,6 +591,71 @@ class IVFIndex:
             salt_on=id_col,
         )
 
+    def knn_join(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 4,
+        query_vec: str = "embedding",
+        query_id: str = "query_id",
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        pre_filter=None,
+        score_decimals: int = 4,
+    ) -> DataFrame:
+        """APPROXIMATE batch KNN through the IVF layout —
+        `knn_join_exact`'s one-pruned-scan serving shape with each
+        query's certified probe set replaced by its fixed-`nprobe`
+        nearest clusters (the batch analog of `search`; nprobe plays
+        hnswlib's ef). The reference's only batch surface is a REST loop
+        of exactly these approximate single searches
+        (implementations/index.py:91-129, api/rest_api.py); here the
+        whole batch rides ONE scan pruned to the union of probed
+        clusters. Recall < 1.0 by construction; the persisted
+        calibration curve (measure_recall_curve / nprobe_for_recall)
+        prices the dial, so target-recall BATCH serving rides this via
+        `VectorStore.find_similar_batch(mode="approx", target_recall=)`."""
+        from mlvectordb_spark.functions.vector import metric_expr
+
+        assert self.indexed is not None
+        spark = self.indexed.sparkSession
+        qrows = queries.select(query_id, query_vec).collect()
+        pairs = [
+            (r[query_id], int(c))
+            for r in qrows
+            for c in self._probe_clusters(
+                np.asarray(r[query_vec], dtype=np.float64), nprobe
+            )
+        ]
+        probe_df = spark.createDataFrame(
+            pairs, f"{query_id} long, cluster_id int"
+        )
+        cand = self.indexed.filter(
+            F.col("cluster_id").isin(sorted({c for _, c in pairs}))
+        )
+        if pre_filter is not None:
+            cand = cand.filter(pre_filter)
+        qv = queries.select(F.col(query_id), F.col(query_vec).alias("__qvec"))
+        scored = (
+            cand.join(F.broadcast(probe_df), "cluster_id")
+            .join(F.broadcast(qv), query_id)
+            .select(
+                F.col(query_id),
+                F.col(id_col),
+                F.round(
+                    metric_expr(F.col(vec_col), F.col("__qvec"), "l2"),
+                    score_decimals,
+                ).alias("score"),
+            )
+        )
+        return per_key_topk(
+            scored,
+            query_id,
+            k,
+            [F.col("score").asc(), F.col(id_col).asc()],
+            salt_on=id_col,
+        )
+
     def _probe_clusters(self, qvec, nprobe: int) -> list[int]:
         assert self.centroids is not None, "build() first"
         q = np.asarray(qvec, dtype=np.float64)
@@ -1497,6 +1562,64 @@ class IVFPQIndex:
                 metric_expr(F.col(vec_col), F.col("__qvec"), "l2"),
                 score_decimals,
             ).alias("score"),
+        )
+        return per_key_topk(
+            scored,
+            query_id,
+            k,
+            [F.col("score").asc(), F.col(id_col).asc()],
+            salt_on=id_col,
+        )
+
+    def knn_join(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 4,
+        query_vec: str = "embedding",
+        query_id: str = "query_id",
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        pre_filter=None,
+        score_decimals: int = 4,
+    ) -> DataFrame:
+        """APPROXIMATE batch KNN through the composed IVF+PQ layout — the
+        `IVFIndex.knn_join` shape (fixed-nprobe probe sets union into ONE
+        pruned scan) with candidates rescored EXACTLY on the
+        full-precision vectors the encoded table carries (same contract
+        as `search`: approximation lives only in which clusters are
+        probed, so the calibration curve prices it and target-recall
+        batch serving works against the PQ family too)."""
+        from mlvectordb_spark.functions.vector import metric_expr
+
+        assert self.encoded is not None
+        spark = self.encoded.sparkSession
+        qrows = queries.select(query_id, query_vec).collect()
+        pairs = [
+            (r[query_id], int(c))
+            for r in qrows
+            for c in self.ivf._probe_clusters(r[query_vec], nprobe)
+        ]
+        probe_df = spark.createDataFrame(
+            pairs, f"{query_id} long, cluster_id int"
+        )
+        cand = self.encoded.filter(
+            F.col("cluster_id").isin(sorted({c for _, c in pairs}))
+        )
+        if pre_filter is not None:
+            cand = cand.filter(pre_filter)
+        qv = queries.select(F.col(query_id), F.col(query_vec).alias("__qvec"))
+        scored = (
+            cand.join(F.broadcast(probe_df), "cluster_id")
+            .join(F.broadcast(qv), query_id)
+            .select(
+                F.col(query_id),
+                F.col(id_col),
+                F.round(
+                    metric_expr(F.col(vec_col), F.col("__qvec"), "l2"),
+                    score_decimals,
+                ).alias("score"),
+            )
         )
         return per_key_topk(
             scored,

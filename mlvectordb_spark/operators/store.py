@@ -1588,31 +1588,7 @@ class VectorStore:
         entry = self._serving.get(namespace)
         if indexable and mode != "exact":
             if mode == "approx" and target_recall is not None:
-                # recall-targeted probing (the reference's serving quality
-                # class — HNSW ef=50 lands ≥0.9 recall@10,
-                # implementations/index.py:18,38): pick the smallest
-                # nprobe whose MEASURED recall@k meets the target, from
-                # the index's calibration curve (measured lazily once and
-                # persisted by save()). Without this, dialing auto→approx
-                # for latency silently eats whatever recall nprobe=4
-                # happens to give (0.7 in the r6 bench tail).
-                index = entry[0]
-                curve_fn = getattr(index, "nprobe_for_recall", None)
-                if curve_fn is None:
-                    raise ValueError(
-                        "target_recall requires an index with a measured "
-                        f"recall curve; {type(index).__name__} has none"
-                    )
-                if getattr(index, "_recall_curve", None) is None:
-                    index.measure_recall_curve(
-                        k=max(10, top_k), vec_col=entry[1], id_col=entry[2]
-                    )
-                if getattr(index, "_recall_curve", None) is None:
-                    # measuring an EMPTY index yields no curve: probe
-                    # everything (trivially meets any target on nothing)
-                    nprobe = index.n_clusters
-                else:
-                    nprobe = curve_fn(target_recall)
+                nprobe = self._resolve_nprobe(namespace, top_k, target_recall)
             df = self._indexed_search_df(
                 namespace, query_values, top_k,
                 nprobe=nprobe if mode == "approx" else None,
@@ -1632,6 +1608,34 @@ class VectorStore:
             df, query_values, top_k, metric, metadata_filter
         )
 
+    def _resolve_nprobe(
+        self, namespace: str, top_k: int, target_recall: float
+    ) -> int:
+        """Recall-targeted probing (the reference's serving quality class
+        — HNSW ef=50 lands ≥0.9 recall@10, implementations/index.py:18,38):
+        pick the smallest nprobe whose MEASURED recall@k meets the
+        target, from the attached index's calibration curve (measured
+        lazily once and persisted by save()). Without this, dialing
+        auto→approx for latency silently eats whatever recall the raw
+        nprobe happens to give (0.7 in the r6 bench tail). Shared by the
+        single-query and batch approx paths."""
+        index, vec_col, id_col, _space = self._serving[namespace]
+        curve_fn = getattr(index, "nprobe_for_recall", None)
+        if curve_fn is None:
+            raise ValueError(
+                "target_recall requires an index with a measured "
+                f"recall curve; {type(index).__name__} has none"
+            )
+        if getattr(index, "_recall_curve", None) is None:
+            index.measure_recall_curve(
+                k=max(10, top_k), vec_col=vec_col, id_col=id_col
+            )
+        if getattr(index, "_recall_curve", None) is None:
+            # measuring an EMPTY index yields no curve: probe everything
+            # (trivially meets any target on nothing)
+            return index.n_clusters
+        return curve_fn(target_recall)
+
     def find_similar_batch(
         self,
         queries: Mapping[str, Sequence[float]] | DataFrame,
@@ -1640,6 +1644,8 @@ class VectorStore:
         metric: str = "cosine",
         metadata_filter: Mapping[str, str] | None = None,
         mode: str = "auto",
+        nprobe: int = 4,
+        target_recall: float | None = None,
         sync: bool = False,
     ) -> DataFrame:
         """Q2 through the STORE: per-query exact top-k over one
@@ -1682,12 +1688,6 @@ class VectorStore:
             )
         if len({qid for qid, _ in qrows}) != len(qrows):
             raise ValueError("duplicate query_id in batch")
-        if mode == "approx":
-            raise ValueError(
-                "mode='approx' is a single-query dial (nprobe per probe "
-                "vector); the batch path serves exact per-query top-k — "
-                "use mode='auto'/'indexed'/'exact'"
-            )
         ns_dim = self.dimension(namespace)
         if ns_dim is not None:
             for qid, vec in qrows:
@@ -1699,7 +1699,7 @@ class VectorStore:
         # a metadata filter forces the exact path (the index carries no
         # metadata columns) — the same rule as single-query serving
         indexable = self._serving_route(
-            namespace, metric, metadata_filter, mode
+            namespace, metric, metadata_filter, mode, target_recall
         )
         ns_df = self.df().filter(F.col("namespace") == namespace)
         if metadata_filter:
@@ -1708,7 +1708,29 @@ class VectorStore:
         ord_asc = metric_ascending(metric)
         if indexable and mode != "exact":
             index, vec_col, id_col, space = self._serving[namespace]
-            batch_join = getattr(index, "knn_join_exact", None)
+            if mode == "approx":
+                # approximate BATCH serving: one pruned scan over the
+                # union of each query's fixed-nprobe probe sets
+                # (IVFIndex/IVFPQIndex.knn_join); target_recall picks the
+                # dial from the same persisted calibration curve as the
+                # single-query path, so the quality contract holds for
+                # the whole batch
+                if target_recall is not None:
+                    nprobe = self._resolve_nprobe(
+                        namespace, top_k, target_recall
+                    )
+                approx_join = getattr(index, "knn_join", None)
+                if approx_join is None:
+                    raise ValueError(
+                        "mode='approx' batch serving requires an index "
+                        "with an approximate batch join; "
+                        f"{type(index).__name__} has none"
+                    )
+                import functools
+
+                batch_join = functools.partial(approx_join, nprobe=nprobe)
+            else:
+                batch_join = getattr(index, "knn_join_exact", None)
             if batch_join is not None:
                 fetch_k = top_k
                 if space == "cosine":

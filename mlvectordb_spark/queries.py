@@ -4453,6 +4453,95 @@ def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exp.summary(orders).orderBy("rule")
 
 
+def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING expectations gate, driver-gated end-to-end (round-7
+    verdict #8; `start_table_merge(expectations=, quarantine_dir=)`,
+    streaming/merge_sink.py): a two-batch CDC ingest over orders-derived
+    changes where rows violating `price >= 0` are quarantined BEFORE the
+    merge — the expect_or_drop pattern. Violations are injected
+    deterministically (keys %11 negate their batch-1/insert price; keys
+    %13 negate their batch-2 update), so each input row must land
+    EXACTLY ONCE on EXACTLY ONE side: the final table holds the latest
+    CLEAN row per key (a dirty update leaves the prior clean value in
+    place), the quarantine holds every dirty row. The answer unions both
+    sides at ROW level — a row double-landed, dropped, or mis-routed
+    breaks the value hash, not just the counts. Oracle recomputes both
+    sides relationally from the same derivation."""
+    import os
+    import shutil
+
+    from mlvectordb_spark.operators.expectations import Expectations, expect
+    from mlvectordb_spark.streaming.merge_sink import (
+        MergedTable,
+        load_quarantine,
+        start_table_merge,
+    )
+
+    base = _entry_tmpdir("squar")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    pick = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 < 3
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("p"),
+    )
+    dirty1 = F.when(F.col("k") % 11 == 0, -F.col("p")).otherwise(F.col("p"))
+    b1 = pick.filter(F.col("k") % 2 == 0).select(
+        "k", dirty1.alias("price"), F.lit(1).cast("long").alias("seq")
+    )
+    b2 = pick.filter(F.col("k") % 2 == 1).select(
+        "k", dirty1.alias("price"), F.lit(2).cast("long").alias("seq")
+    ).unionByName(
+        pick.filter((F.col("k") % 2 == 0) & (F.col("k") % 4 == 0)).select(
+            "k",
+            F.when(F.col("k") % 13 == 0, -(F.col("p") * 2))
+            .otherwise(F.col("p") * 2)
+            .alias("price"),
+            F.lit(2).cast("long").alias("seq"),
+        )
+    )
+    # two file-source batches with pinned, strictly increasing mtimes
+    # (the file source orders by mtime; maxFilesPerTrigger=1 makes each
+    # file its own micro-batch)
+    for i, b in enumerate((b1, b2)):
+        wdir = os.path.join(base, f"w{i}")
+        b.coalesce(1).write.parquet(wdir)
+        part = next(
+            f for f in os.listdir(wdir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.move(os.path.join(wdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    table = MergedTable(spark, os.path.join(base, "table"), n_buckets=8)
+    qdir = os.path.join(base, "quarantine")
+    stream = (
+        spark.readStream.schema("k long, price double, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    start_table_merge(
+        stream,
+        table,
+        on="k",
+        order_col="seq",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        query_name="q_stream_quarantine",
+        expectations=Expectations(
+            [expect("nonneg_price", F.col("price") >= 0)]
+        ),
+        quarantine_dir=qdir,
+    ).awaitTermination()
+    tbl = table.df().select(
+        F.lit("table").alias("side"), "k", "price"
+    )
+    quar = load_quarantine(spark, qdir).select(
+        F.lit("quarantine").alias("side"), "k", "price"
+    )
+    return tbl.unionByName(quar)
+
+
 def q_emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed covariance kernel behind PCA (operators/pca.py): ONE
     mapInPandas pass emits (n, Σx, Σxxᵀ) per partition (d+d² doubles each);
@@ -6671,6 +6760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_mv": q_join_mv,
     "doc_expectations": q_doc_expectations,
     "orders_expectations": q_orders_expectations,
+    "stream_quarantine": q_stream_quarantine,
     "table_cdf_multi": q_table_cdf_multi,
     "scd2_orders": q_scd2_orders,
     "orders_window_analytics": q_orders_window_analytics,
@@ -6734,6 +6824,37 @@ ORDER BY fmt
 # followed by table_changes (full-outer snapshot diff)
 # FK violations = non-NULL fact keys absent from the restricted dim;
 # range/set follow the SQL CHECK NULL-passes convention
+# the gated two-batch ingest, recomputed relationally: final table =
+# latest CLEAN (price >= 0) row per key across both batches; quarantine =
+# every dirty row from either batch. Same deterministic violation
+# injection (%11 on batch-1/insert prices, %13 on batch-2 updates).
+ORACLE_SQL["stream_quarantine"] = """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p
+  FROM orders WHERE o_orderkey % 10 < 3
+), b1 AS (
+  SELECT k, CASE WHEN k % 11 = 0 THEN -p ELSE p END AS price, 1 AS seq
+  FROM src WHERE k % 2 = 0
+), b2 AS (
+  SELECT k, CASE WHEN k % 11 = 0 THEN -p ELSE p END AS price, 2 AS seq
+  FROM src WHERE k % 2 = 1
+  UNION ALL
+  SELECT k, CASE WHEN k % 13 = 0 THEN -(p * 2) ELSE p * 2 END, 2
+  FROM src WHERE k % 2 = 0 AND k % 4 = 0
+), allr AS (
+  SELECT * FROM b1 UNION ALL SELECT * FROM b2
+), tbl AS (
+  SELECT k, price FROM (
+    SELECT k, price,
+           row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM allr WHERE price >= 0
+  ) WHERE rn = 1
+)
+SELECT 'table' AS side, k, price FROM tbl
+UNION ALL
+SELECT 'quarantine' AS side, k, price FROM allr WHERE price < 0
+"""
+
 ORACLE_SQL["orders_expectations"] = """
 SELECT 'fk_o_custkey' AS rule,
        sum(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN (

@@ -603,6 +603,14 @@ class MergedTable:
                 out.append(int(name[1:]))
         return sorted(out)
 
+    def history_floor(self) -> int | None:
+        """Oldest version still on disk (vacuum moves it up). Change
+        feeds and time travel below the floor are gone; consumers
+        bookmarked under it must re-bootstrap (the same retention
+        contract as the store's CDC history_floor, operators/store.py)."""
+        vs = self.versions()
+        return vs[0] if vs else None
+
     def vacuum(self, retain_last: int = 1) -> list[int]:
         """Drop version directories beyond the newest `retain_last`
         published ones (the current version is always kept). Hard-linked
@@ -757,7 +765,22 @@ def table_changes(
         if to_version is None:
             raise ValueError("table has no published versions")
     cur = table.current_version()
-    published = [v for v in table.versions() if cur is not None and v <= cur]
+    avail = table.versions()
+    missing = [v for v in {from_version, to_version} if v not in avail]
+    if missing:
+        # the documented history-floor error (retention contract): a
+        # consumer bookmarked below what vacuum retained must
+        # re-bootstrap, LOUDLY — falling through to the snapshot diff
+        # would surface as an opaque missing-path failure deep in a lazy
+        # plan (or worse, a later code change could silently rebuild
+        # from wrong state)
+        raise ValueError(
+            f"version(s) {sorted(missing)} of {table.path} are not on "
+            f"disk (history floor: {table.history_floor()}): vacuumed or "
+            "never published — the change feed below the floor is gone; "
+            "re-bootstrap the consumer from the current snapshot"
+        )
+    published = [v for v in avail if cur is not None and v <= cur]
     # a recording describes the (published-predecessor → to_version)
     # transition. Serve it only when to_version is PUBLISHED and
     # from_version is that exact predecessor: an orphan recording from a

@@ -352,3 +352,63 @@ def test_join_view_maintainer_validates_default_projection(spark, tmp_path):
     # default projection resolves when each group col has one home
     m = JoinViewMaintainer(fact, dim, "id", "k", "k", ["seg"], ["amt"])
     assert m.view.collect()[0]["seg"] == "a"
+
+
+def test_vacuum_below_consumer_bookmark_raises_history_floor(
+    spark, tmp_path
+):
+    """Retention contract at the boundary (round-7 verdict #9): a
+    maintainer bookmarked below what vacuum retained must get the
+    DOCUMENTED history-floor error — a loud re-bootstrap signal — never
+    an opaque missing-path failure from a lazily-built snapshot diff
+    (and never a silent rebuild from wrong state). Feeds between
+    versions vacuum retained keep working."""
+    from mlvectordb_spark.operators.mv import JoinViewMaintainer
+    from mlvectordb_spark.streaming.merge_sink import (
+        MergedTable,
+        apply_merge_batch,
+        table_changes,
+    )
+
+    FS = "id bigint, k bigint, amt double, seq bigint"
+    DS = "k bigint, seg string, seq bigint"
+    fact = MergedTable(spark, str(tmp_path / "f"), n_buckets=4)
+    dim = MergedTable(spark, str(tmp_path / "d"), n_buckets=4)
+    apply_merge_batch(
+        fact,
+        spark.createDataFrame([(1, 10, 1.0, 1), (2, 20, 2.0, 1)], FS),
+        0, "id", "seq", record_changes=True,
+    )
+    apply_merge_batch(
+        dim,
+        spark.createDataFrame([(10, "a", 1), (20, "b", 1)], DS),
+        0, "k", "seq", record_changes=True,
+    )
+    m = JoinViewMaintainer(
+        fact, dim, "id", "k", "k", ["seg"], ["amt"],
+        fact_cols=["k", "amt"], dim_cols=["k", "seg"],
+    )
+    # fact advances twice while the maintainer sleeps...
+    apply_merge_batch(
+        fact, spark.createDataFrame([(3, 10, 8.0, 2)], FS),
+        1, "id", "seq", record_changes=True,
+    )
+    apply_merge_batch(
+        fact, spark.createDataFrame([(1, 20, 9.0, 3)], FS),
+        2, "id", "seq", record_changes=True,
+    )
+    # ...feeds between RETAINED versions still serve after a vacuum
+    removed = fact.vacuum(retain_last=2)
+    assert removed == [0]
+    assert fact.history_floor() == 1
+    got = {
+        (r["id"], r["_change_type"])
+        for r in table_changes(fact, 1, 2, on="id").collect()
+    }
+    assert got == {(1, "update")}
+    # ...but the maintainer's bookmark (version 0) is below the floor
+    with pytest.raises(ValueError, match="history floor"):
+        m.refresh()
+    # direct consumer, same boundary
+    with pytest.raises(ValueError, match="history floor"):
+        table_changes(fact, 0, 2, on="id").collect()

@@ -1652,3 +1652,73 @@ def test_find_similar_sync_folds_namespace_maintenance(spark, tmp_path):
         sync=True,
     )
     assert [r["id"] for r in out.collect()] == ["Anew"]
+
+
+def test_batch_approx_serving_ivf_and_ivfpq(spark, tmp_path):
+    """Approximate BATCH serving (round-7 verdict #10): the whole batch
+    rides one pruned scan over the union of fixed-nprobe probe sets
+    (IVFIndex/IVFPQIndex.knn_join). Probing EVERY cluster must equal the
+    certified-exact batch per query; target_recall routes the dial
+    through the same calibration curve as the single-query path; a
+    too-small raw nprobe stays a subset (recall <= 1, never garbage)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mlvectordb_spark.operators.ann import IVFIndex, IVFPQIndex
+
+    store = VectorStore(spark, str(tmp_path / "bap"), rebuild_threshold=0.95)
+    rows = [
+        (
+            f"k{i}",
+            [math.cos(0.17 * i + j) for j in range(8)],
+            "A",
+        )
+        for i in range(120)
+    ]
+    store.upsert_df(
+        spark.createDataFrame(
+            rows, "id string, values array<float>, namespace string"
+        )
+    )
+    qvecs = {f"q{i}": rows[i * 7][1] for i in range(4)}
+    for idx in (
+        IVFIndex(n_clusters=5, seed=3),
+        IVFPQIndex(n_clusters=5, m=4, k_sub=8, seed=3),
+    ):
+        idx.build(
+            store.df().select("id", "values"), vec_col="values", id_col="id"
+        )
+        store.attach_index("A", idx, vec_col="values", id_col="id")
+        exact = store.find_similar_batch(
+            qvecs, 5, namespace="A", metric="l2", mode="indexed"
+        ).collect()
+        allprobe = store.find_similar_batch(
+            qvecs, 5, namespace="A", metric="l2", mode="approx", nprobe=5
+        ).collect()
+        key = lambda rs: {
+            (r["query_id"], r["id"], r["score"]) for r in rs
+        }
+        assert key(allprobe) == key(exact), type(idx).__name__
+        # target_recall=1.0 resolves nprobe from the measured curve and
+        # must meet the target on this data
+        targeted = store.find_similar_batch(
+            qvecs, 5, namespace="A", metric="l2", mode="approx",
+            target_recall=1.0,
+        ).collect()
+        assert key(targeted) == key(exact), type(idx).__name__
+        # raw nprobe=1 returns per-query top-k over a probe SUBSET:
+        # correct shape, scores are true distances, ids a subset-ranking
+        narrow = store.find_similar_batch(
+            qvecs, 5, namespace="A", metric="l2", mode="approx", nprobe=1
+        )
+        n_per_q = (
+            narrow.groupBy("query_id").count().agg(F.max("count")).head()[0]
+        )
+        assert n_per_q <= 5
+    # target_recall outside approx mode still raises (shared router)
+    with pytest.raises(ValueError):
+        store.find_similar_batch(
+            qvecs, 5, namespace="A", metric="l2", mode="indexed",
+            target_recall=0.9,
+        )
