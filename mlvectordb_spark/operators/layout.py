@@ -191,6 +191,8 @@ def pruning_stats(path: str, box: dict[str, tuple[float, float]]) -> dict:
     groups whose [min,max] overlaps every column's [lo,hi]. This is
     exactly the skipping decision parquet readers make, so the ratio IS
     the fraction of the table a Spark scan with this predicate reads.
+    Walks recursively, so it also measures partitioned layouts (e.g. a
+    bucketed MergedTable version directory).
     """
     import os
 
@@ -200,10 +202,14 @@ def pruning_stats(path: str, box: dict[str, tuple[float, float]]) -> dict:
     must_read_rg = 0
     total_rows = 0
     must_read_rows = 0
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
-            continue
-        meta = pq.ParquetFile(os.path.join(path, name)).metadata
+    files = sorted(
+        os.path.join(root, f)
+        for root, _, names in os.walk(path)
+        for f in names
+        if f.endswith(".parquet")
+    )
+    for fpath in files:
+        meta = pq.ParquetFile(fpath).metadata
         for rg in range(meta.num_row_groups):
             g = meta.row_group(rg)
             total_rg += 1

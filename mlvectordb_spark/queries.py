@@ -7295,43 +7295,40 @@ ORACLE_SQL["minhash_sim_est"] = _oracle_minhash_est_sql()
 # reads a reloaded session index); (c) the longest-resting driver rows
 # (last checked r4); (e) a small continuity core of flagship entries.
 _WINDOW = [
-    # (a) never driver-checked, oracle-backed — 7 entries (q11 post-fix)
-    "tpch_q2", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q20", "tpch_q21",
-    "monthly_moving_avg",
-    # (a') new in r7 — 7 entries (layout_zorder / heavy_bigrams /
-    # udtf_chunks built in the r7 continuation session; new surface gets
-    # its driver row the round it ships, displacing
-    # tfidf_terms/token_freq/seq_pack back to rest)
-    "store_indexed_probe", "store_replica_json", "store_indexed_errors",
-    "store_batch_search", "store_batch_probe", "layout_zorder",
-    "heavy_bigrams", "udtf_chunks",
-    "merge_orders", "format_roundtrip", "emb_pca_cov", "table_cdf",
-    "scd2_orders", "table_mv", "orders_window_analytics",
-    "table_cdf_multi",
-    # (a'') shipped in the r7 third session — schema evolution, join-view
-    # IVM, and the expectations surface (incl. the FK entry) get driver
-    # rows the round they ship (displacing orders_cube/orders_pivot/
-    # segment_setops/events_sliding to rest)
-    "merge_evolve", "join_mv", "doc_expectations", "orders_expectations",
-    # (b) kernels changed in r7 — 9 entries
-    "tpch_q15", "store_indexed_search", "store_indexed_cosine",
-    "store_roundtrip", "store_timetravel", "ann_ivf_exact", "ann_ivf_batch",
-    "hybrid_ivf_exact", "ann_ivfpq_exact",
-    # (c) longest-resting driver rows (r4) — 16 entries (stratified_sample,
-    # tfidf_terms, token_freq, seq_pack, array_ops, grouping_sets,
-    # distinct_counts, data_split, cust_big_orders, doc_chunks,
-    # doc_dup_ngrams, doc_fingerprint, dedup_prefix_buckets rest one more
-    # round to make room for the new-surface entries, incl. the late-r7
-    # merge_orders / format_roundtrip / emb_pca_cov / table_cdf /
-    # store_batch_probe / scd2_orders / table_mv /
-    # orders_window_analytics / table_cdf_multi batch)
-    "doc_lang_id", "doc_logprob", "doc_quality", "doc_repetition",
-    "emb_doc_join", "events_json", "events_session_stats",
-    "events_sessionize", "events_tumbling",
-    "metadata_query", "ns_stats", "source_mixture",
-    # (e) continuity core (the flagship operators) — 2 entries
-    # (store_roundtrip, the usual third, is already in (b))
-    "knn_l2", "hybrid_knn",
+    # ---- round-8 rotation ----
+    # (a) NEW this round: the streaming expectations/quarantine gate
+    # (round-7 verdict #8) gets its driver row the round it ships
+    "stream_quarantine",
+    # (a') never-driver-checked rows-only entries (round-7 verdict #4,
+    # via _ROWS_ONLY_IN_WINDOW): the driver's rows/schema check still
+    # catches crashes even without a SQL oracle
+    "ann_ivf_recall", "rollup_hll_daily", "emb_pca",
+    # (b) kernels changed in r8 — the heavy_bigrams threshold fix, the
+    # layout_zorder scratch convention, the MergedTable commit protocol
+    # (gapless versions + staging rename: every entry that publishes
+    # table versions re-verifies under the driver), and the store
+    # serving fold (check_dims=False upsert + sync=True reads +
+    # find_similar_batch routing refactor)
+    "heavy_bigrams", "layout_zorder",
+    "table_cdf", "table_cdf_multi", "table_mv", "join_mv",
+    "merge_orders", "merge_evolve",
+    "store_indexed_probe", "store_batch_probe", "store_batch_search",
+    "store_indexed_search",
+    # (c) longest-resting driver rows (all of r4's oracle-backed set —
+    # 13 deferred one extra round in r7 plus the 4 displaced by the r7
+    # third session plus the 6 that naturally aged)
+    "array_ops", "cust_big_orders", "data_split", "dedup_prefix_buckets",
+    "distinct_counts", "doc_chunks", "doc_dup_ngrams", "doc_fingerprint",
+    "events_sliding", "grouping_sets", "orders_cube", "orders_pivot",
+    "segment_setops", "seq_pack", "stratified_sample", "tfidf_terms",
+    "token_freq", "top_orders_per_cust", "tpch_q1", "tpch_q3", "tpch_q5",
+    "train_shuffle", "udaf_geomean",
+    # (d) oldest r5 rows, next in the rest queue — 8 entries
+    "ann_ivfpq_batch", "ann_lsh_exact", "ann_pq_exact", "bm25_topk",
+    "bucketed_join", "conditional_agg", "decontaminate_semantic",
+    "dedup_keep_best",
+    # (e) continuity core (the flagship operators)
+    "knn_l2", "hybrid_knn", "store_roundtrip",
 ]
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
 QUERIES = {
@@ -7343,11 +7340,16 @@ QUERIES = {
 ORACLE_SQL = {k: ORACLE_SQL[k] for k in QUERIES if k in ORACLE_SQL}
 assert set(ORACLE_SQL) <= set(QUERIES), "oracle without a registered query"
 _FIRST_50 = list(QUERIES)[:50]
-# dedup_embedding_ivf got its deliberate rows-only driver row in r4 (KMeans
-# blocking isn't SQL-expressible; kernel parity proven by the label-blocked
-# dedup_embedding oracle in r3) and rests at 51+ — the round-6 window is
-# 100% oracle-backed. The set stays so a future rotation can move it back in.
-_ROWS_ONLY_IN_WINDOW = {"dedup_embedding_ivf"}
+# Entries the driver checks rows/schema-only (no SQL-expressible oracle):
+# dedup_embedding_ivf (KMeans blocking; kernel parity proven by the
+# label-blocked dedup_embedding oracle in r3, driver row r4) rests at 51+;
+# the r8 window rotates in the three never-driver-checked rows-only
+# entries (round-7 verdict #4): ann_ivf_recall (recall-curve probe),
+# rollup_hll_daily (HLL sketch stats), emb_pca (eigvec projection —
+# sign/rotation isn't SQL-canonical; parity proven by emb_pca_cov).
+_ROWS_ONLY_IN_WINDOW = {
+    "dedup_embedding_ivf", "ann_ivf_recall", "rollup_hll_daily", "emb_pca",
+}
 assert all(
     k in ORACLE_SQL or k in _ROWS_ONLY_IN_WINDOW for k in _FIRST_50
 ), "driver-checked window must be oracle-backed (or explicitly rows-only)"
