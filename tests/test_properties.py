@@ -283,8 +283,12 @@ def test_merge_fold_matches_reference_model(spark, batches):
                             state[k] = r
                 elif not r[3]:
                     state[k] = r
-        published.append(bi)
-        snapshots[bi] = dict(state)
+        # GAPLESS version allocation (the r8 optimistic-concurrency CAS):
+        # bootstrap takes its batch id, every later non-empty batch
+        # takes base + 1 — empty/skipped batches consume no version
+        v = bi if not published else published[-1] + 1
+        published.append(v)
+        snapshots[v] = dict(state)
 
     root = tempfile.mkdtemp(prefix="pb_cdc_")
     try:

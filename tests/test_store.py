@@ -1458,9 +1458,17 @@ def test_find_similar_batch_routed_exact_and_contracts(spark, tmp_path):
     auto = store.find_similar_batch(qs, 1, namespace="A", metric="l2")
     got = {r.id for r in auto.collect() if r.query_id == "qa"}
     assert got == {"fresh"}
-    with pytest.raises(ValueError):
-        store.find_similar_batch(qs, 2, namespace="A", metric="l2",
-                                 mode="approx")
+    # mode="approx" is now a served batch surface (round-8: knn_join —
+    # one scan over the union of fixed-nprobe probe sets); detailed
+    # parity/recall contracts live in test_batch_approx_serving_*
+    appx = store.find_similar_batch(
+        qs, 2, namespace="A", metric="l2", mode="approx", nprobe=1
+    )
+    n_max = max(
+        (r["count"] for r in appx.groupBy("query_id").count().collect()),
+        default=0,
+    )
+    assert n_max <= 2
     with pytest.raises(ValueError):
         store.find_similar_batch({"qa": [1.0, 2.0, 3.0]}, 2, namespace="A",
                                  metric="l2")
