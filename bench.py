@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mlvectordb_spark.queries import (
     QUERIES,
     session_bucketed,
+    session_graph,
     session_ivf,
     session_ivfpq,
     session_lsh,
@@ -101,6 +102,11 @@ HEADLINE = [
     "ann_ivfpq_exact",
     "ann_ivfpq_batch",
     "hybrid_ivfpq_exact",
+    # round-8: partitioned NSW graph family (the reference's hnswlib
+    # structure) — exhaustive-exact single + batch, bounded-beam probe
+    "ann_graph_exact",
+    "ann_graph_batch",
+    "ann_graph_knn",
     # curation additions: hard rule gate, importance resampling, dup-ngram
     # removal; plus the co-located (zero-exchange) bucketed join
     "doc_gopher",
@@ -176,6 +182,12 @@ def _recall_tail(spark, sf_dir: str) -> dict[str, float]:
     lsh = session_lsh(spark, sf_dir)
     out["recall_lsh"] = round(
         recall_at_k(lsh.search(qvec, KNN_K), exact), 3
+    )
+    # r8: bounded-beam NSW graph recall (ef plays hnswlib's ef) — the
+    # quality side of the ann_graph_knn latency entry
+    graph = session_graph(spark, sf_dir)
+    out["recall_graph_ef48"] = round(
+        recall_at_k(graph.search(qvec, KNN_K, ef=48, nprobe=None), exact), 3
     )
     # recall-TARGETED store serving (round-6 verdict missing #2): approx
     # mode with target_recall=0.9 picks nprobe from the index's measured
@@ -274,6 +286,7 @@ def main() -> None:
     session_lsh(spark, sf_dir)
     session_pq(spark, sf_dir)
     session_ivfpq(spark, sf_dir)
+    session_graph(spark, sf_dir)
     # ...and the bucketed fact layout: the write-time shuffle is the
     # ingest-time trade; bucketed_join measures the exchange-free read
     session_bucketed(spark, sf_dir)

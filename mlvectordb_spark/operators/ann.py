@@ -1834,7 +1834,13 @@ class NamespaceIndexFamily:
             manifest = _json.load(fh)
         fam = cls(factory=factory)
         for ns, meta in manifest.items():
-            member_cls = globals()[meta["cls"]]
+            member_cls = globals().get(meta["cls"])
+            if member_cls is None:
+                # members defined outside this module (GraphANNIndex
+                # imports FROM here, so it can't be imported at top level)
+                from mlvectordb_spark.operators import graph_ann as _graph
+
+                member_cls = getattr(_graph, meta["cls"])
             fam.members[ns] = member_cls.load(
                 spark, _os.path.join(path, meta["dir"])
             )

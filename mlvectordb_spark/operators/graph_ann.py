@@ -1,0 +1,688 @@
+"""Graph-based ANN (NSW family): the Spark-native counterpart of the
+reference's actual index structure — hnswlib small-world graphs
+(`/root/reference/src/mlvectordb/implementations/index.py:18-48`: one
+hnswlib graph per namespace, `ef=50`, M=16 defaults).
+
+The IVF/LSH families approximate HNSW's *recall dial*; this module
+reproduces its *data structure*, partitioned the way every distributed
+graph-ANN system does it (DiskANN sharding, Vespa/Lucene HNSW segments):
+
+- **Coarse routing**: the corpus splits into `n_blocks` KMeans blocks
+  (bounded-sample Lloyd, the faiss recipe — reusing IVFIndex's router).
+  A query probes the `nprobe` nearest blocks: at 100 TB the block id is
+  a partition column, so probing is physical partition pruning.
+- **Per-block navigable-small-world graphs** built inside ONE
+  `applyInPandas` pass — each block builds independently in parallel
+  (no cross-block edges, no driver-side graph state). Construction is
+  the classic NSW insert: beam-search the partial graph for the
+  `ef_construction` nearest, link bidirectionally to the `m` best,
+  prune degrees to `2m`. Every node's nearest link at insert time is
+  PROTECTED from pruning in both directions, so the undirected graph
+  provably stays connected (a spanning tree survives any pruning) —
+  that guarantee is what makes the exhaustive traversal mode exact.
+- **Beam search at query time** (`ef` plays hnswlib's ef): the probed
+  blocks' rows feed a second `applyInPandas`; each block beam-searches
+  from its stored entry point (the block medoid) and emits its best
+  `ef` rows; a global rounded-score top-k merges blocks. `ef=None`
+  disables beam pruning entirely — on a freshly built (delete-free)
+  graph the traversal then visits every node of every probed block
+  (connectivity guarantee above), so `nprobe=None, ef=None` is EXACT
+  and oracle-checkable against brute-force SQL.
+- **Pending tail for incremental adds** (the Lucene/Vespa segment
+  pattern): `add()`/`apply_changes()` upserts land in a flat tail
+  DataFrame that every search scans EXACTLY and merges with the graph
+  candidates — new vectors are visible immediately at full recall, no
+  distributed graph surgery. Deletes anti-join out of both segments
+  (dangling edges are skipped by id at traversal time). Both count
+  toward the 20% drift trigger (reference `index.py:85-89`); rebuild()
+  folds the tail back into fresh graphs.
+
+Scale shape: graph build is one shuffle (groupBy block) + per-block CPU;
+driver state is `n_blocks` centroids (same class as hnswlib's graph
+metadata); search reads only probed blocks (partition pruning after
+save/load) plus the bounded tail. A block must fit one executor's Arrow
+group — `n_blocks` is the shard dial, exactly like segment sizing in
+single-node HNSW deployments.
+
+Protocol-compatible with `NamespaceIndexFamily` (build / apply_changes /
+search / search_exact / save / load / is_rebuild_required).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mlvectordb_spark.functions.vector import metric_ascending, metric_expr
+from mlvectordb_spark.operators.ann import IVFIndex, per_key_topk
+from mlvectordb_spark.operators.knn import knn
+
+_SCORE_DECIMALS = 4
+
+
+def _pair_dists(X: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
+    """Traversal distance from q to each row of X (smaller = closer).
+    l2 → squared L2; cosine → squared L2 over pre-normalized rows (same
+    ordering as cosine similarity); ip → negative dot (the hnswlib ip
+    space trick — not a metric, works as a traversal order)."""
+    if metric == "ip":
+        return -(X @ q)
+    d = X - q
+    return (d * d).sum(axis=1)
+
+
+def _score_from_dist(dist: np.ndarray, metric: str) -> np.ndarray:
+    """Map traversal distance back to the reference's score convention
+    (functions/vector.metric_expr): l2 → squared distance itself;
+    cosine → similarity = 1 - d²/2 on unit vectors; ip → dot = -dist."""
+    if metric == "l2":
+        return dist
+    if metric == "cosine":
+        return 1.0 - dist / 2.0
+    return -dist
+
+
+def _beam_search(
+    X: np.ndarray,
+    adj: list[set[int]] | list[list[int]],
+    entries: list[int],
+    q: np.ndarray,
+    ef: int | None,
+    metric: str,
+) -> list[tuple[float, int]]:
+    """Greedy best-first beam over an adjacency list; returns (dist, pos)
+    ascending. `ef=None` never prunes → visits every reachable node.
+    Neighbor distance evaluations are batched through one numpy matmul
+    per expansion (the hot loop never computes distances one by one)."""
+    if not entries:
+        return []
+    d0 = _pair_dists(X[entries], q, metric)
+    visited = set(entries)
+    cand: list[tuple[float, int]] = sorted(zip(d0.tolist(), entries))
+    heapq.heapify(cand)
+    # max-heap (negated) of the best `ef` found so far
+    best: list[tuple[float, int]] = [(-d, p) for d, p in cand]
+    heapq.heapify(best)
+    if ef is not None:
+        while len(best) > ef:
+            heapq.heappop(best)
+    while cand:
+        d, u = heapq.heappop(cand)
+        if ef is not None and len(best) >= ef and d > -best[0][0]:
+            break
+        fresh = [v for v in adj[u] if v not in visited]
+        if not fresh:
+            continue
+        visited.update(fresh)
+        dv = _pair_dists(X[fresh], q, metric)
+        for v, dd in zip(fresh, dv.tolist()):
+            if ef is None or len(best) < ef or dd < -best[0][0]:
+                heapq.heappush(cand, (dd, v))
+                heapq.heappush(best, (-dd, v))
+                if ef is not None and len(best) > ef:
+                    heapq.heappop(best)
+    return sorted((-nd, p) for nd, p in best)
+
+
+def _build_block_graph(
+    X: np.ndarray, m: int, ef_construction: int, metric: str
+) -> tuple[list[list[int]], int]:
+    """NSW construction over one block (rows already in deterministic
+    insert order). Returns (adjacency as position lists, entry position =
+    block medoid). Each insert beam-searches the partial graph, links to
+    the `m` nearest found, prunes degrees to 2m — EXCEPT protected
+    spanning-tree edges (each node's nearest link at insert time), which
+    guarantee the undirected graph stays connected under any pruning."""
+    n = len(X)
+    adj: list[set[int]] = [set() for _ in range(n)]
+    protected: list[set[int]] = [set() for _ in range(n)]
+    max_deg = 2 * m
+    for i in range(1, n):
+        found = _beam_search(
+            X, adj, [0], X[i], max(ef_construction, m), metric
+        )
+        nbrs = [p for _, p in found[:m]]
+        if not nbrs:
+            nbrs = [i - 1]
+        for p in nbrs:
+            adj[i].add(p)
+            adj[p].add(i)
+        protected[i].add(nbrs[0])
+        protected[nbrs[0]].add(i)
+        for p in nbrs:
+            if len(adj[p]) <= max_deg:
+                continue
+            others = [v for v in adj[p] if v not in protected[p]]
+            dd = _pair_dists(X[others], X[p], metric)
+            order = [v for _, v in sorted(zip(dd.tolist(), others))]
+            keep = set(order[: max(0, max_deg - len(protected[p]))])
+            keep |= protected[p]
+            for v in adj[p] - keep:
+                adj[p].discard(v)
+                adj[v].discard(p)
+    mean = X.mean(axis=0)
+    entry = int(np.argmin(_pair_dists(X, mean, "l2")))
+    return [sorted(s) for s in adj], entry
+
+
+class GraphANNIndex:
+    """Partitioned small-world-graph ANN index (see module docstring).
+
+    `m` / `ef_construction` mirror hnswlib's M / ef_construction
+    (reference defaults M=16, ef_construction=200 —
+    `implementations/index.py:44-47`); `n_blocks` is the distribution
+    dial the single-node reference doesn't have."""
+
+    REBUILD_THRESHOLD = 0.2  # reference index.py:18 — 20% drift
+
+    def __init__(
+        self,
+        n_blocks: int = 4,
+        m: int = 8,
+        ef_construction: int = 64,
+        metric: str = "l2",
+        seed: int = 42,
+    ) -> None:
+        if metric not in ("l2", "cosine", "ip"):
+            raise ValueError(f"unsupported metric {metric!r}")
+        self.n_blocks = n_blocks
+        self.m = m
+        self.ef_construction = ef_construction
+        self.metric = metric
+        self.seed = seed
+        # coarse router: bounded-sample KMeans centroids only (its
+        # indexed/radii machinery is unused — blocks, not IVF lists)
+        self._router = IVFIndex(
+            n_clusters=n_blocks, seed=seed, eager_stats=False
+        )
+        self.indexed: DataFrame | None = None  # + block_id, neighbors, is_entry
+        self.pending: DataFrame | None = None  # flat tail, original columns
+        self._vec_col = "embedding"
+        self._id_col = "vec_id"
+        self._data_cols: list[str] | None = None
+        self._built_count = 0
+        self._added_count = 0
+
+    # ---------------------------------------------------------------- build
+
+    def _norm_if_cosine(self, X: np.ndarray) -> np.ndarray:
+        if self.metric != "cosine":
+            return X
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        return X / nrm
+
+    def build(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Fit the coarse router, assign block ids (Arrow argmin map — no
+        shuffle), then build every block's NSW graph in one applyInPandas
+        pass (ONE shuffle on block_id; blocks build in parallel)."""
+        self._vec_col, self._id_col = vec_col, id_col
+        self._data_cols = [c for c in df.columns]
+        self._router.centroids = self._router._fit_centroids(
+            df, vec_col, id_col
+        )
+        self._router._vec_col = vec_col
+        assigned = self._router._assign(df, vec_col).withColumnRenamed(
+            "cluster_id", "block_id"
+        )
+        id_type = dict(zip(df.schema.names, df.schema.fields))[
+            id_col
+        ].dataType
+        out_schema = T.StructType(
+            list(assigned.schema.fields)
+            + [
+                T.StructField("neighbors", T.ArrayType(id_type)),
+                T.StructField("is_entry", T.BooleanType()),
+            ]
+        )
+        m, efc, metric, vcol, icol = (
+            self.m, self.ef_construction, self.metric, vec_col, id_col,
+        )
+        norm = self.metric == "cosine"
+
+        def build_block(pdf):
+            pdf = pdf.sort_values(icol, kind="mergesort").reset_index(
+                drop=True
+            )
+            X = np.stack(pdf[vcol].to_numpy()).astype(np.float64)
+            if norm:
+                nrm = np.linalg.norm(X, axis=1, keepdims=True)
+                nrm[nrm == 0.0] = 1.0
+                X = X / nrm
+            adj, entry = _build_block_graph(X, m, efc, metric)
+            ids = pdf[icol].to_numpy()
+            pdf["neighbors"] = [
+                [ids[v] for v in nb] for nb in adj
+            ]
+            pdf["is_entry"] = [i == entry for i in range(len(pdf))]
+            return pdf
+
+        self.indexed = assigned.groupBy("block_id").applyInPandas(
+            build_block, schema=out_schema
+        )
+        self.pending = None
+        self._built_count = df.count()
+        self._added_count = 0
+        return self.indexed
+
+    # ------------------------------------------------------------ searching
+
+    def _probe_blocks(self, qvec, nprobe: int | None) -> list[int]:
+        cents = self._router.centroids
+        assert cents is not None, "build() first"
+        if nprobe is None:
+            return list(range(len(cents)))
+        q = np.asarray(qvec, dtype=np.float64)
+        d = ((cents - q) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d)[: min(nprobe, len(d))]]
+
+    def _graph_candidates(
+        self, qvec, need: int, ef: int | None, nprobe: int | None
+    ) -> DataFrame:
+        """Per-block beam search over the probed blocks: emits each
+        block's best max(ef, need) rows with the metric's score. The
+        block filter is partition pruning once the index is reloaded
+        from its block-partitioned layout."""
+        assert self.indexed is not None, "build() first"
+        probes = self._probe_blocks(qvec, nprobe)
+        cand = self.indexed.filter(F.col("block_id").isin(probes))
+        data_fields = [
+            f for f in self.indexed.schema.fields
+            if f.name not in ("neighbors", "is_entry")
+        ]
+        out_schema = T.StructType(
+            data_fields + [T.StructField("score", T.DoubleType())]
+        )
+        keep = [f.name for f in data_fields]
+        q = np.asarray(qvec, dtype=np.float64)
+        metric, vcol, icol = self.metric, self._vec_col, self._id_col
+        if metric == "cosine":
+            qn = np.linalg.norm(q)
+            q = q / qn if qn else q
+        norm = metric == "cosine"
+
+        def search_block(pdf):
+            pdf = pdf.reset_index(drop=True)
+            X = np.stack(pdf[vcol].to_numpy()).astype(np.float64)
+            if norm:
+                nrm = np.linalg.norm(X, axis=1, keepdims=True)
+                nrm[nrm == 0.0] = 1.0
+                X = X / nrm
+            pos = {v: i for i, v in enumerate(pdf[icol].to_numpy())}
+            # dangling neighbor ids (deleted rows) are skipped by the map
+            adj = [
+                [pos[v] for v in nb if v in pos]
+                for nb in pdf["neighbors"].to_numpy()
+            ]
+            entry_rows = np.flatnonzero(pdf["is_entry"].to_numpy())
+            if len(entry_rows):
+                entries = [int(entry_rows[0])]
+            else:
+                # the stored entry was deleted: deterministic fallback
+                entries = [int(pdf[icol].to_numpy().argmin())]
+            width = None if ef is None else max(ef, need)
+            found = _beam_search(X, adj, entries, q, width, metric)
+            take = found if ef is None else found[: max(ef, need)]
+            rows = pdf.iloc[[p for _, p in take]][keep].copy()
+            rows["score"] = np.round(
+                _score_from_dist(
+                    np.asarray([d for d, _ in take]), metric
+                ),
+                _SCORE_DECIMALS,
+            )
+            return rows
+
+        return cand.groupBy("block_id").applyInPandas(
+            search_block, schema=out_schema
+        )
+
+    def _order(self, score_col, id_col):
+        lead = (
+            score_col.asc() if metric_ascending(self.metric)
+            else score_col.desc()
+        )
+        return [lead, id_col.asc()]
+
+    def search(
+        self,
+        qvec,
+        k: int,
+        ef: int | None = 64,
+        nprobe: int | None = 2,
+        vec_col: str | None = None,
+        id_col: str | None = None,
+        metric: str | None = None,
+    ) -> DataFrame:
+        """Top-k via beam search in the `nprobe` nearest blocks, merged
+        with an EXACT scan of the pending tail. `ef` is hnswlib's ef
+        (reference ef=50, index.py:126); `ef=None` with `nprobe=None`
+        traverses everything — exact on a delete-free graph (the
+        connectivity guarantee) and the oracle-checkable mode.
+        `metric`/`vec_col`/`id_col` accept the family-protocol call shape
+        but must match the build-time values (a graph is metric-bound —
+        same as an hnswlib space)."""
+        if metric is not None and metric != self.metric:
+            raise ValueError(
+                f"index built for metric {self.metric!r}; "
+                f"rebuild for {metric!r} (graphs are metric-bound)"
+            )
+        icol = id_col or self._id_col
+        out = self._graph_candidates(qvec, k, ef, nprobe)
+        if self.pending is not None:
+            tail = self.pending.withColumn(
+                "score",
+                F.round(
+                    metric_expr(
+                        F.col(vec_col or self._vec_col),
+                        F.array(*[F.lit(float(x)) for x in qvec]),
+                        self.metric,
+                    ),
+                    _SCORE_DECIMALS,
+                ),
+            ).withColumn("block_id", F.lit(-1))
+            out = out.unionByName(tail.select(*out.columns))
+        return out.orderBy(
+            *self._order(F.col("score"), F.col(icol))
+        ).limit(k)
+
+    def search_exact(
+        self,
+        qvec,
+        k: int,
+        vec_col: str | None = None,
+        id_col: str | None = None,
+        pre_filter=None,
+    ) -> DataFrame:
+        """Certified-exact brute force over graph rows ∪ pending tail —
+        the family-protocol correctness reference (unaffected by graph
+        quality, deletes, or drift)."""
+        vcol = vec_col or self._vec_col
+        icol = id_col or self._id_col
+        assert self.indexed is not None, "build() first"
+        live = self.indexed.drop("neighbors", "is_entry", "block_id")
+        if self.pending is not None:
+            live = live.unionByName(self.pending.select(*live.columns))
+        return knn(
+            live, qvec, k, vec_col=vcol, id_col=icol, metric=self.metric,
+            pre_filter=pre_filter,
+        )
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int,
+        ef: int | None = 64,
+        nprobe: int | None = 2,
+        query_id: str = "query_id",
+        query_vec: str = "embedding",
+        result_filter=None,
+    ) -> DataFrame:
+        """Batch serving: every query routes to its `nprobe` blocks; ONE
+        applyInPandas pass beam-searches each block for all the queries
+        routed to it (the query batch rides in the task closure — bounded
+        like IVF's knn_join batch surface); the pending tail joins
+        exactly; a salted per-query top-k merges. Returns
+        (query_id, id, score). `result_filter` (a Column over those three
+        output columns) drops rows AFTER traversal but BEFORE the top-k —
+        with `ef=None` the traversal is exhaustive, so the filtered
+        result is exactly the brute-force filtered top-k; with a bounded
+        `ef` it filters the beam's survivors (best-effort, like any
+        post-filtered ANN)."""
+        assert self.indexed is not None, "build() first"
+        qrows = queries.select(query_id, query_vec).collect()
+        routed: dict[int, list[tuple]] = {}
+        for r in qrows:
+            qv = np.asarray(r[query_vec], dtype=np.float64)
+            if self.metric == "cosine":
+                n = np.linalg.norm(qv)
+                qv = qv / n if n else qv
+            for b in self._probe_blocks(r[query_vec], nprobe):
+                routed.setdefault(b, []).append((r[query_id], qv))
+        probed = sorted(routed)
+        cand = self.indexed.filter(F.col("block_id").isin(probed))
+        icol, vcol, metric = self._id_col, self._vec_col, self.metric
+        id_type = dict(
+            zip(self.indexed.schema.names, self.indexed.schema.fields)
+        )[icol].dataType
+        qid_type = dict(
+            zip(queries.schema.names, queries.schema.fields)
+        )[query_id].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField(query_id, qid_type),
+                T.StructField("id_out", id_type),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        norm = metric == "cosine"
+        need = k
+
+        def search_block(pdf):
+            import pandas as pd
+
+            pdf = pdf.reset_index(drop=True)
+            block = int(pdf["block_id"].iloc[0])
+            qs = routed.get(block, [])
+            X = np.stack(pdf[vcol].to_numpy()).astype(np.float64)
+            if norm:
+                nrm = np.linalg.norm(X, axis=1, keepdims=True)
+                nrm[nrm == 0.0] = 1.0
+                X = X / nrm
+            ids = pdf[icol].to_numpy()
+            pos = {v: i for i, v in enumerate(ids)}
+            adj = [
+                [pos[v] for v in nb if v in pos]
+                for nb in pdf["neighbors"].to_numpy()
+            ]
+            entry_rows = np.flatnonzero(pdf["is_entry"].to_numpy())
+            entries = (
+                [int(entry_rows[0])]
+                if len(entry_rows)
+                else [int(ids.argmin())]
+            )
+            out_q, out_i, out_s = [], [], []
+            width = None if ef is None else max(ef, need)
+            for qid, qv in qs:
+                found = _beam_search(X, adj, entries, qv, width, metric)
+                take = found if ef is None else found[: max(ef or 0, need)]
+                out_q.extend([qid] * len(take))
+                out_i.extend(ids[p] for _, p in take)
+                out_s.extend(
+                    np.round(
+                        _score_from_dist(
+                            np.asarray([d for d, _ in take]), metric
+                        ),
+                        _SCORE_DECIMALS,
+                    ).tolist()
+                )
+            return pd.DataFrame(
+                {query_id: out_q, "id_out": out_i, "score": out_s}
+            )
+
+        scored = cand.groupBy("block_id").applyInPandas(
+            search_block, schema=out_schema
+        ).withColumnRenamed("id_out", icol)
+        if self.pending is not None:
+            qv = queries.select(
+                F.col(query_id), F.col(query_vec).alias("__qvec")
+            )
+            tail = (
+                self.pending.crossJoin(F.broadcast(qv))
+                .select(
+                    F.col(query_id),
+                    F.col(icol),
+                    F.round(
+                        metric_expr(F.col(vcol), F.col("__qvec"), metric),
+                        _SCORE_DECIMALS,
+                    ).alias("score"),
+                )
+            )
+            scored = scored.unionByName(tail)
+        if result_filter is not None:
+            scored = scored.filter(result_filter)
+        return per_key_topk(
+            scored, query_id, k,
+            self._order(F.col("score"), F.col(icol)),
+            salt_on=icol,
+        )
+
+    # ---------------------------------------------------------- maintenance
+
+    def add(
+        self,
+        df_new: DataFrame,
+        vec_col: str | None = None,
+        id_col: str | None = None,
+    ) -> DataFrame:
+        """W8 incremental add: new vectors land in the flat pending tail —
+        visible to the NEXT search immediately, at FULL recall (the tail
+        is scanned exactly), with zero graph surgery. They count toward
+        the W11 drift trigger; rebuild() folds the tail into fresh
+        graphs."""
+        assert self.indexed is not None, "build() first"
+        cols = self._data_cols or df_new.columns
+        batch = df_new.select(*cols)
+        n = batch.count()
+        self.pending = (
+            batch if self.pending is None
+            else self.pending.unionByName(batch)
+        )
+        self._added_count += n
+        return self.pending
+
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        vec_col: str | None = None,
+        id_col: str | None = None,
+    ) -> DataFrame:
+        """CDC maintenance (`VectorStore.changes_since` shape): latest
+        event per id wins; changed/deleted ids anti-join out of BOTH
+        segments (a removed graph node's dangling edges are skipped by id
+        at traversal time); upserts append to the pending tail. Upserts
+        AND deletes count toward drift — deletes also erode graph
+        navigability, exactly the reference's deleted/total counter
+        (index.py:85-89)."""
+        from pyspark.sql.window import Window as _W
+
+        icol = id_col or self._id_col
+        assert self.indexed is not None, "build() first"
+        w = _W.partitionBy(icol).orderBy(F.col("write_version").desc())
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        touched = latest.select(icol)
+        self.indexed = self.indexed.join(touched, icol, "left_anti")
+        if self.pending is not None:
+            self.pending = self.pending.join(touched, icol, "left_anti")
+        ups = latest.filter(F.col("change_type") == "upsert").drop(
+            "change_type", "write_version"
+        )
+        cols = self._data_cols or ups.columns
+        ups = ups.select(*cols)
+        n_up = ups.count()
+        n_total = latest.count()
+        if n_up:
+            self.pending = (
+                ups if self.pending is None
+                else self.pending.unionByName(ups)
+            )
+        self._added_count += n_total
+        return self.indexed
+
+    def is_rebuild_required(self) -> bool:
+        """W11 (reference index.py:164-165): drift — tail growth + deletes
+        — reached 20% of the built corpus."""
+        if self._built_count == 0:
+            return False
+        return self._added_count / self._built_count >= self.REBUILD_THRESHOLD
+
+    def note_full_resync(self, n_live: int) -> None:
+        self._built_count = max(1, int(n_live))
+        self._added_count = 0
+
+    def rebuild(self) -> DataFrame:
+        """Fold the pending tail and any delete damage back into fresh
+        per-block graphs (W10): one full build over the live rows."""
+        assert self.indexed is not None
+        live = self.indexed.drop("neighbors", "is_entry", "block_id")
+        if self.pending is not None:
+            live = live.unionByName(self.pending.select(*live.columns))
+        return self.build(live, vec_col=self._vec_col, id_col=self._id_col)
+
+    # ---------------------------------------------------------- persistence
+
+    def save(self, path: str) -> None:
+        """Persist block-partitioned (probe = partition pruning on
+        reload), plus router centroids, the pending tail, and the drift /
+        shape meta."""
+        assert self.indexed is not None
+        spark = self.indexed.sparkSession
+        (
+            self.indexed.write.mode("overwrite")
+            .partitionBy("block_id")
+            .parquet(f"{path}/indexed")
+        )
+        cents = self._router.centroids
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "block_id int, centroid array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        if self.pending is not None:
+            self.pending.write.mode("overwrite").parquet(f"{path}/pending")
+        meta = {
+            "n_blocks": self.n_blocks,
+            "m": self.m,
+            "ef_construction": self.ef_construction,
+            "metric": self.metric,
+            "seed": self.seed,
+            "vec_col": self._vec_col,
+            "id_col": self._id_col,
+            "data_cols": self._data_cols,
+            "built_count": int(self._built_count),
+            "added_count": int(self._added_count),
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "graph_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "GraphANNIndex":
+        with open(os.path.join(path, "graph_meta.json")) as f:
+            meta = json.load(f)
+        idx = cls(
+            n_blocks=meta["n_blocks"],
+            m=meta["m"],
+            ef_construction=meta["ef_construction"],
+            metric=meta["metric"],
+            seed=meta["seed"],
+        )
+        idx._vec_col = meta["vec_col"]
+        idx._id_col = meta["id_col"]
+        idx._data_cols = meta.get("data_cols")
+        idx._built_count = meta["built_count"]
+        idx._added_count = meta["added_count"]
+        cents = (
+            spark.read.parquet(f"{path}/centroids")
+            .orderBy("block_id")
+            .collect()
+        )
+        idx._router.centroids = np.array([r.centroid for r in cents])
+        idx._router._vec_col = meta["vec_col"]
+        idx.indexed = spark.read.parquet(f"{path}/indexed")
+        if os.path.isdir(f"{path}/pending"):
+            idx.pending = spark.read.parquet(f"{path}/pending")
+        return idx

@@ -2227,6 +2227,90 @@ def q_hybrid_ivfpq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "score")
 
 
+_GRAPH_SESSIONS: dict[tuple, object] = {}
+
+
+def session_graph(spark: SparkSession, sf_dir: str, n_blocks: int = 4,
+                  m: int = 8, ef_construction: int = 64, seed: int = 42):
+    """Build-once partitioned NSW graph per (session, sf_dir): construct
+    the per-block small-world graphs, save partitioned BY block_id, and
+    reload — so every later search is beam-probe-only over a physically
+    partition-pruned layout (the session_ivf convention; graph
+    construction is ingest-time work, never query-time)."""
+    import tempfile
+
+    from mlvectordb_spark.operators.graph_ann import GraphANNIndex
+
+    key = (
+        spark.sparkContext.applicationId, sf_dir, n_blocks, m,
+        ef_construction, seed,
+    )
+    idx = _GRAPH_SESSIONS.get(key)
+    if idx is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = GraphANNIndex(
+            n_blocks=n_blocks, m=m, ef_construction=ef_construction,
+            seed=seed,
+        )
+        idx.build(emb)
+        path = tempfile.mkdtemp(prefix="graph_session_")
+        idx.save(path)
+        idx = GraphANNIndex.load(spark, path)
+        _GRAPH_SESSIONS[key] = idx
+    return idx
+
+
+def q_ann_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-k through the partitioned NSW GRAPH layout — the graph-
+    structured counterpart of the reference's actual index (hnswlib,
+    implementations/index.py:18-48), sharded the way distributed graph-ANN
+    systems shard (per-block graphs, coarse KMeans routing). Exhaustive
+    mode (`ef=None, nprobe=None`) traverses every node of every block;
+    each block's undirected graph is provably connected (every insert's
+    nearest link is pruning-protected — a spanning tree survives), so the
+    traversal IS brute force and the oracle is the exact top-k SQL. The
+    bounded-`ef` beam (ann_graph_knn) is the recall/cost dial this
+    exactness certifies."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    idx = session_graph(spark, sf_dir)
+    return idx.search(qvec, KNN_K, ef=None, nprobe=None).select(
+        "vec_id", "label", "score"
+    )
+
+
+def q_ann_graph_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-beam NSW search: `ef` plays hnswlib's ef (reference ef=50,
+    index.py:126), `nprobe` picks the routed blocks — approximate by
+    construction (rows-only check; ann_graph_exact is this layout's
+    oracle row, tests/test_graph_ann.py gates recall ≥ 0.9)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VID).select("embedding").head()[0]
+    idx = session_graph(spark, sf_dir)
+    return idx.search(qvec, KNN_K, ef=48, nprobe=2).select(
+        "vec_id", "block_id", "score"
+    )
+
+
+def q_ann_graph_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN through the graph layout: every query routes to its
+    blocks, ONE applyInPandas pass beam-searches each block for all its
+    routed queries, a salted per-query top-k merges. Run exhaustive
+    (`ef=None, nprobe=None`) with the query rows filtered AFTER traversal
+    — exact by the connectivity guarantee, so the oracle is the same
+    per-query brute-force top-k SQL as ann_ivf_batch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERY_MAX_VID).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = session_graph(spark, sf_dir)
+    out = idx.search_batch(
+        queries, BATCH_K, ef=None, nprobe=None,
+        result_filter=F.col("vec_id") >= BATCH_QUERY_MAX_VID,
+    )
+    return out.select("query_id", "vec_id", "score")
+
+
 _LSH_SESSIONS: dict[tuple, object] = {}
 
 
@@ -4874,6 +4958,33 @@ FROM embeddings, q
 ORDER BY score ASC, vec_id ASC
 LIMIT {KNN_K}
 """,
+    # exhaustive graph traversal == brute force (connectivity guarantee:
+    # protected spanning-tree edges survive degree pruning) -> same
+    # brute-force oracle as ann_ivf_exact
+    "ann_graph_exact": f"""
+WITH q AS {_Q_CTE}
+SELECT vec_id, label, round({_sql_l2sq('embedding', 'qv')}, 4) AS score
+FROM embeddings, q
+ORDER BY score ASC, vec_id ASC
+LIMIT {KNN_K}
+""",
+    # exhaustive per-block traversal with the query rows filtered after
+    # traversal -> the same per-query brute-force top-k as ann_ivf_batch
+    "ann_graph_batch": f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < {BATCH_QUERY_MAX_VID}
+), scored AS (
+  SELECT qs.query_id, e.vec_id,
+         round({_sql_l2sq('e.embedding', 'qv')}, 4) AS score
+  FROM embeddings e CROSS JOIN qs
+  WHERE e.vec_id >= {BATCH_QUERY_MAX_VID}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score ASC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= {BATCH_K}
+""",
     # exact by construction (certified bucket-window rescore) -> same
     # brute-force oracle as ann_ivf_exact
     "ann_lsh_exact": f"""
@@ -6598,6 +6709,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_exact": q_ann_pq_exact,
     "ann_ivfpq_exact": q_ann_ivfpq_exact,
     "hybrid_ivfpq_exact": q_hybrid_ivfpq_exact,
+    # -- partitioned NSW graph (the reference's hnswlib structure,
+    #    oracle-gated via its exhaustive-traversal exact path) --
+    "ann_graph_exact": q_ann_graph_exact,
+    "ann_graph_batch": q_ann_graph_batch,
+    "ann_graph_knn": q_ann_graph_knn,  # rows-only: bounded-beam approx
     # -- lexical retrieval + hybrid fusion --
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
@@ -7297,8 +7413,12 @@ ORACLE_SQL["minhash_sim_est"] = _oracle_minhash_est_sql()
 _WINDOW = [
     # ---- round-8 rotation ----
     # (a) NEW this round: the streaming expectations/quarantine gate
-    # (round-7 verdict #8) gets its driver row the round it ships
+    # (round-7 verdict #8) and the partitioned-NSW graph family (the
+    # reference's hnswlib structure) get driver rows the round they ship
+    # — the graph's exact + batch paths are oracle-backed; the bounded-
+    # beam probe is rows-only (approximate by construction)
     "stream_quarantine",
+    "ann_graph_exact", "ann_graph_batch", "ann_graph_knn",
     # (a') never-driver-checked rows-only entries (round-7 verdict #4,
     # via _ROWS_ONLY_IN_WINDOW): the driver's rows/schema check still
     # catches crashes even without a SQL oracle
@@ -7323,10 +7443,12 @@ _WINDOW = [
     "segment_setops", "seq_pack", "stratified_sample", "tfidf_terms",
     "token_freq", "top_orders_per_cust", "tpch_q1", "tpch_q3", "tpch_q5",
     "train_shuffle", "udaf_geomean",
-    # (d) oldest r5 rows, next in the rest queue — 8 entries
-    "ann_ivfpq_batch", "ann_lsh_exact", "ann_pq_exact", "bm25_topk",
-    "bucketed_join", "conditional_agg", "decontaminate_semantic",
-    "dedup_keep_best",
+    # (d) oldest r5 rows, next in the rest queue — 5 entries (bm25_topk /
+    # conditional_agg / dedup_keep_best deferred one round to make room
+    # for the new graph family's ship-round gating; they lead the r9
+    # rest queue)
+    "ann_ivfpq_batch", "ann_lsh_exact", "ann_pq_exact",
+    "bucketed_join", "decontaminate_semantic",
     # (e) continuity core (the flagship operators)
     "knn_l2", "hybrid_knn", "store_roundtrip",
 ]
@@ -7349,6 +7471,9 @@ _FIRST_50 = list(QUERIES)[:50]
 # sign/rotation isn't SQL-canonical; parity proven by emb_pca_cov).
 _ROWS_ONLY_IN_WINDOW = {
     "dedup_embedding_ivf", "ann_ivf_recall", "rollup_hll_daily", "emb_pca",
+    # bounded-beam NSW probe — approximate by construction; its layout's
+    # exactness is oracle-gated by ann_graph_exact/ann_graph_batch
+    "ann_graph_knn",
 }
 assert all(
     k in ORACLE_SQL or k in _ROWS_ONLY_IN_WINDOW for k in _FIRST_50

@@ -1,0 +1,242 @@
+"""GraphANNIndex (partitioned NSW) — the graph-structured counterpart of
+the reference's hnswlib index (implementations/index.py:18-48).
+
+Strategy: the exhaustive mode (ef=None, nprobe=None) must EQUAL brute
+force (the connectivity guarantee makes it exact, not approximate);
+bounded-ef search is judged by recall against the exact path; structure
+invariants (degree bound, spanning-tree connectivity, determinism) are
+checked on the materialized adjacency."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlvectordb_spark.operators.ann import (
+    NamespaceIndexFamily,
+    recall_at_k,
+)
+from mlvectordb_spark.operators.graph_ann import GraphANNIndex
+from mlvectordb_spark.operators.knn import knn
+from mlvectordb_spark.sources.testdata import load_table
+
+K = 10
+QVID = 7
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return emb.filter(F.col("vec_id") == QVID).select("embedding").head()[0]
+
+
+@pytest.fixture(scope="module")
+def gidx(spark, emb):
+    idx = GraphANNIndex(n_blocks=4, m=8, ef_construction=64, seed=42)
+    idx.build(emb)
+    # materialize once so structure tests and searches don't re-run the
+    # graph construction per action
+    idx.indexed = idx.indexed.localCheckpoint()
+    return idx
+
+
+def test_exhaustive_equals_exact(gidx, emb, qvec):
+    """ef=None + nprobe=None traverses every node of every block — exact
+    by the spanning-tree connectivity guarantee, including scores."""
+    exact = [
+        (r.vec_id, r.score)
+        for r in knn(emb, qvec, K, metric="l2").collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in gidx.search(qvec, K, ef=None, nprobe=None).collect()
+    ]
+    assert got == exact
+
+
+def test_bounded_ef_recall(gidx, emb, qvec):
+    """All-blocks bounded-beam search: the graph navigates to ≥90% of the
+    true top-k (the hnswlib ef=50 quality class on this data)."""
+    exact = knn(emb, qvec, K, metric="l2")
+    approx = gidx.search(qvec, K, ef=48, nprobe=None)
+    assert recall_at_k(approx, exact) >= 0.9
+
+
+def test_structure_invariants(gidx):
+    """Degree ≤ 2m + protected edges stay within 2m+1; adjacency is
+    symmetric; every block is CONNECTED (the exactness precondition)."""
+    rows = gidx.indexed.select(
+        "block_id", "vec_id", "neighbors"
+    ).collect()
+    by_block: dict[int, dict[int, list[int]]] = collections.defaultdict(dict)
+    for r in rows:
+        by_block[r.block_id][r.vec_id] = list(r.neighbors)
+    assert len(by_block) == 4
+    for block, adj in by_block.items():
+        for v, nbrs in adj.items():
+            assert len(nbrs) <= 2 * gidx.m + 1, (block, v, len(nbrs))
+            for u in nbrs:
+                assert v in adj[u], f"asymmetric edge {v}->{u}"
+        start = next(iter(adj))
+        seen = {start}
+        frontier = [start]
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for u in adj[v]:
+                    if u not in seen:
+                        seen.add(u)
+                        nxt.append(u)
+            frontier = nxt
+        assert len(seen) == len(adj), f"block {block} disconnected"
+
+
+def test_build_deterministic(spark, emb):
+    a = GraphANNIndex(n_blocks=2, m=4, ef_construction=32, seed=7)
+    b = GraphANNIndex(n_blocks=2, m=4, ef_construction=32, seed=7)
+    rows_a = sorted(
+        (r.vec_id, r.block_id, tuple(r.neighbors), r.is_entry)
+        for r in a.build(emb).collect()
+    )
+    rows_b = sorted(
+        (r.vec_id, r.block_id, tuple(r.neighbors), r.is_entry)
+        for r in b.build(emb).collect()
+    )
+    assert rows_a == rows_b
+
+
+def test_save_load_roundtrip(tmp_path, spark, gidx, emb, qvec):
+    p = str(tmp_path / "gidx")
+    gidx.save(p)
+    back = GraphANNIndex.load(spark, p)
+    want = [(r.vec_id, r.score) for r in gidx.search(qvec, K).collect()]
+    got = [(r.vec_id, r.score) for r in back.search(qvec, K).collect()]
+    assert got == want
+    assert back._built_count == gidx._built_count
+    assert back.metric == gidx.metric
+    # the reloaded layout serves the exhaustive mode exactly too
+    exact = knn(emb, qvec, K, metric="l2")
+    assert recall_at_k(back.search(qvec, K, ef=None, nprobe=None), exact) == 1.0
+
+
+def test_pending_tail_immediately_visible(spark, emb, qvec):
+    idx = GraphANNIndex(n_blocks=2, m=4, ef_construction=32)
+    idx.build(emb)
+    near = [float(x) for x in qvec]
+    near[0] += 1e-4
+    new = spark.createDataFrame([(999_001, near, 0)], emb.schema)
+    idx.add(new)
+    got = {r.vec_id for r in idx.search(qvec, 2, ef=None, nprobe=None).collect()}
+    assert got == {QVID, 999_001}
+    # exact path sees the tail too
+    got_exact = {r.vec_id for r in idx.search_exact(qvec, 2).collect()}
+    assert got_exact == {QVID, 999_001}
+
+
+def test_apply_changes_delete_and_upsert(spark, emb, qvec):
+    """CDC feed: a deleted graph node disappears from results (dangling
+    edges skipped); an upserted vector is served from the tail."""
+    idx = GraphANNIndex(n_blocks=2, m=4, ef_construction=32)
+    idx.build(emb)
+    exact_before = [r.vec_id for r in knn(emb, qvec, 3, metric="l2").collect()]
+    second = exact_before[1]
+    near = [float(x) for x in qvec]
+    near[1] += 1e-4
+    feed = spark.createDataFrame(
+        [
+            (second, None, None, "delete", 10),
+            (999_002, near, 0, "upsert", 10),
+        ],
+        "vec_id long, embedding array<float>, label int, "
+        "change_type string, write_version long",
+    )
+    idx.apply_changes(feed)
+    got = [r.vec_id for r in idx.search(qvec, 3, ef=None, nprobe=None).collect()]
+    assert second not in got
+    assert 999_002 in got
+    assert got[0] == QVID
+
+
+def test_rebuild_trigger_and_fold(spark, emb):
+    idx = GraphANNIndex(n_blocks=2, m=4, ef_construction=32)
+    idx.build(emb)
+    n = idx._built_count
+    add_n = int(n * 0.25)
+    tail = emb.limit(add_n).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    assert not idx.is_rebuild_required()
+    idx.add(tail)
+    assert idx.is_rebuild_required()
+    idx.rebuild()
+    assert idx.pending is None
+    assert not idx.is_rebuild_required()
+    assert idx._built_count == n + add_n
+    # folded rows are graph-served now
+    assert (
+        idx.indexed.filter(F.col("vec_id") >= 1_000_000).count() == add_n
+    )
+
+
+def test_batch_exhaustive_matches_exact(gidx, emb):
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = gidx.search_batch(queries, 5, ef=None, nprobe=None).collect()
+    got = collections.defaultdict(set)
+    for r in rows:
+        got[r.query_id].add(r.vec_id)
+    for q in range(4):
+        qv = (
+            emb.filter(F.col("vec_id") == q).select("embedding").head()[0]
+        )
+        exact = {r.vec_id for r in knn(emb, qv, 5, metric="l2").collect()}
+        assert got[q] == exact, q
+
+
+def test_metric_bound_graph_rejects_other_metric(gidx, qvec):
+    with pytest.raises(ValueError, match="metric-bound"):
+        gidx.search(qvec, K, metric="cosine")
+
+
+def test_cosine_metric_end_to_end(spark, emb, qvec):
+    idx = GraphANNIndex(n_blocks=2, m=6, ef_construction=48, metric="cosine")
+    idx.build(emb)
+    exact = [
+        (r.vec_id, r.score)
+        for r in knn(emb, qvec, K, metric="cosine").collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.search(qvec, K, ef=None, nprobe=None).collect()
+    ]
+    assert got == exact
+
+
+def test_family_member_protocol(spark, emb):
+    """GraphANNIndex slots into NamespaceIndexFamily (build /
+    apply_changes / search_exact / save / load routed per namespace)."""
+    df = emb.withColumn(
+        "namespace",
+        F.when(F.col("vec_id") % 2 == 0, "even").otherwise("odd"),
+    )
+    fam = NamespaceIndexFamily(
+        factory=lambda: GraphANNIndex(n_blocks=2, m=4, ef_construction=32)
+    )
+    fam.build(df)
+    assert fam.namespaces() == ["even", "odd"]
+    qv = emb.filter(F.col("vec_id") == 8).select("embedding").head()[0]
+    got = [r.vec_id for r in fam.search_exact("even", qv, 5).collect()]
+    exact = [
+        r.vec_id
+        for r in knn(
+            emb.filter(F.col("vec_id") % 2 == 0), qv, 5, metric="l2"
+        ).collect()
+    ]
+    assert got == exact
