@@ -22,8 +22,10 @@ graph-ANN system does it (DiskANN sharding, Vespa/Lucene HNSW segments):
   that guarantee is what makes the exhaustive traversal mode exact.
 - **Beam search at query time** (`ef` plays hnswlib's ef): the probed
   blocks' rows feed a second `applyInPandas`; each block beam-searches
-  from its stored entry point (the block medoid) and emits its best
-  `ef` rows; a global rounded-score top-k merges blocks. `ef=None`
+  from its stored entry seeds (farthest-point-sampled, medoid first —
+  the flat-graph substitute for HNSW's hierarchy, see `_entry_points`)
+  and emits its best `ef` rows; a global rounded-score top-k merges
+  blocks. `ef=None`
   disables beam pruning entirely — on a freshly built (delete-free)
   graph the traversal then visits every node of every probed block
   (connectivity guarantee above), so `nprobe=None, ef=None` is EXACT
@@ -130,15 +132,47 @@ def _beam_search(
     return sorted((-nd, p) for nd, p in best)
 
 
+def _select_diverse(
+    cands: list[tuple[float, int]], X: np.ndarray, m: int, metric: str
+) -> list[int]:
+    """HNSW's SELECT-NEIGHBORS-HEURISTIC (Malkov & Yashunin 2018, Alg. 4):
+    walk candidates nearest-first, keep one only if it is closer to the
+    base than to every already-kept neighbor. Tight clusters then
+    contribute ONE kept neighbor each and the remaining slots go to other
+    regions — the long-range shortcuts that plain nearest-M selection
+    prunes away on clustered data (measured: bounded-beam recall 0.35 →
+    ≥0.9 on the 32-center probe corpus, tools/graph_probe.py). Backfills
+    with the nearest rejected candidates if diversity leaves slots."""
+    kept: list[int] = []
+    for d, p in cands:
+        if len(kept) >= m:
+            break
+        dk = _pair_dists(X[kept], X[p], metric) if kept else None
+        if dk is None or (dk >= d).all():
+            kept.append(p)
+    if len(kept) < m:
+        chosen = set(kept)
+        for _d, p in cands:
+            if len(kept) >= m:
+                break
+            if p not in chosen:
+                kept.append(p)
+    return kept
+
+
 def _build_block_graph(
     X: np.ndarray, m: int, ef_construction: int, metric: str
 ) -> tuple[list[list[int]], int]:
     """NSW construction over one block (rows already in deterministic
-    insert order). Returns (adjacency as position lists, entry position =
-    block medoid). Each insert beam-searches the partial graph, links to
-    the `m` nearest found, prunes degrees to 2m — EXCEPT protected
-    spanning-tree edges (each node's nearest link at insert time), which
-    guarantee the undirected graph stays connected under any pruning."""
+    insert order). Returns (adjacency as position lists, entry seed
+    positions — see _entry_points). Each insert beam-searches the partial
+    graph for
+    `ef_construction` candidates, links to `m` chosen by the HNSW
+    diversity heuristic (_select_diverse — nearest-only selection
+    strands clustered data in islands), prunes degrees to 2m with the
+    same heuristic — EXCEPT protected spanning-tree edges (each node's
+    nearest link at insert time), which guarantee the undirected graph
+    stays connected under any pruning."""
     n = len(X)
     adj: list[set[int]] = [set() for _ in range(n)]
     protected: list[set[int]] = [set() for _ in range(n)]
@@ -147,28 +181,61 @@ def _build_block_graph(
         found = _beam_search(
             X, adj, [0], X[i], max(ef_construction, m), metric
         )
-        nbrs = [p for _, p in found[:m]]
-        if not nbrs:
-            nbrs = [i - 1]
+        nbrs = _select_diverse(found, X, m, metric) or [i - 1]
         for p in nbrs:
             adj[i].add(p)
             adj[p].add(i)
-        protected[i].add(nbrs[0])
-        protected[nbrs[0]].add(i)
-        for p in nbrs:
+        nearest = found[0][1] if found else nbrs[0]
+        protected[i].add(nearest)
+        protected[nearest].add(i)
+        adj[i].add(nearest)
+        adj[nearest].add(i)
+        for p in set(nbrs) | {nearest}:
             if len(adj[p]) <= max_deg:
                 continue
             others = [v for v in adj[p] if v not in protected[p]]
             dd = _pair_dists(X[others], X[p], metric)
-            order = [v for _, v in sorted(zip(dd.tolist(), others))]
-            keep = set(order[: max(0, max_deg - len(protected[p]))])
+            ranked = sorted(zip(dd.tolist(), others))
+            room = max(0, max_deg - len(protected[p]))
+            keep = set(_select_diverse(ranked, X, room, metric))
             keep |= protected[p]
             for v in adj[p] - keep:
                 adj[p].discard(v)
                 adj[v].discard(p)
+    return [sorted(s) for s in adj], _entry_points(X, metric)
+
+
+_ENTRY_FANOUT = 16
+
+
+def _entry_points(X: np.ndarray, metric: str) -> list[int]:
+    """Diverse beam seeds via farthest-point sampling: the block medoid
+    first, then repeatedly the point farthest from every chosen seed.
+    A flat NSW beam started from ONE entry stalls on clustered data —
+    inside the entry's tight cluster every node sits at near-identical
+    distance to a far-away query, so the stop rule (`closest candidate
+    worse than the beam's worst`) fires before any cross-cluster edge is
+    found (measured recall 0.36 on the 32-center probe corpus). HNSW
+    solves this with hierarchy (upper-level long links land the beam in
+    the right region); the flat-graph equivalent is seeding every region:
+    one seed lands near the query's cluster and the nearest-first
+    expansion proceeds from there (recall ≥ 0.9, tools/graph_probe.py).
+    Cost: _ENTRY_FANOUT extra rows in the initial beam — O(E·n) distance
+    evaluations at build, one matmul per seed step."""
+    # seeding is GEOMETRIC diversity — always squared-L2, even for the ip
+    # space (whose traversal "distance" is negative and unusable as a
+    # spread measure); cosine rows are already unit-normalized here
     mean = X.mean(axis=0)
-    entry = int(np.argmin(_pair_dists(X, mean, "l2")))
-    return [sorted(s) for s in adj], entry
+    first = int(np.argmin(_pair_dists(X, mean, "l2")))
+    seeds = [first]
+    min_d = _pair_dists(X, X[first], "l2")
+    for _ in range(min(_ENTRY_FANOUT, len(X)) - 1):
+        nxt = int(np.argmax(min_d))
+        if min_d[nxt] <= 0:
+            break
+        seeds.append(nxt)
+        min_d = np.minimum(min_d, _pair_dists(X, X[nxt], "l2"))
+    return seeds
 
 
 class GraphANNIndex:
@@ -260,12 +327,13 @@ class GraphANNIndex:
                 nrm = np.linalg.norm(X, axis=1, keepdims=True)
                 nrm[nrm == 0.0] = 1.0
                 X = X / nrm
-            adj, entry = _build_block_graph(X, m, efc, metric)
+            adj, entries = _build_block_graph(X, m, efc, metric)
             ids = pdf[icol].to_numpy()
             pdf["neighbors"] = [
                 [ids[v] for v in nb] for nb in adj
             ]
-            pdf["is_entry"] = [i == entry for i in range(len(pdf))]
+            eset = set(entries)
+            pdf["is_entry"] = [i in eset for i in range(len(pdf))]
             return pdf
 
         self.indexed = assigned.groupBy("block_id").applyInPandas(
@@ -327,9 +395,9 @@ class GraphANNIndex:
             ]
             entry_rows = np.flatnonzero(pdf["is_entry"].to_numpy())
             if len(entry_rows):
-                entries = [int(entry_rows[0])]
+                entries = [int(x) for x in entry_rows]
             else:
-                # the stored entry was deleted: deterministic fallback
+                # every stored entry was deleted: deterministic fallback
                 entries = [int(pdf[icol].to_numpy().argmin())]
             width = None if ef is None else max(ef, need)
             found = _beam_search(X, adj, entries, q, width, metric)
@@ -487,7 +555,7 @@ class GraphANNIndex:
             ]
             entry_rows = np.flatnonzero(pdf["is_entry"].to_numpy())
             entries = (
-                [int(entry_rows[0])]
+                [int(x) for x in entry_rows]
                 if len(entry_rows)
                 else [int(ids.argmin())]
             )
@@ -600,6 +668,9 @@ class GraphANNIndex:
                 ups if self.pending is None
                 else self.pending.unionByName(ups)
             )
+        # consumed by resync_index_from_snapshot to size the fresh drift
+        # baseline without re-counting the snapshot (IVF protocol parity)
+        self.last_applied_upserts = n_up
         self._added_count += n_total
         return self.indexed
 
@@ -611,6 +682,14 @@ class GraphANNIndex:
         return self._added_count / self._built_count >= self.REBUILD_THRESHOLD
 
     def note_full_resync(self, n_live: int) -> None:
+        """A floor-forced resync (resync_index_from_snapshot) pushed every
+        live row through the feed — which for a graph parks the whole
+        corpus in the flat tail. IVF's feed re-entry re-ASSIGNS rows into
+        the structure; the graph's equivalent re-entry is the rebuild, so
+        fold the tail into fresh block graphs here rather than serving
+        brute-force scans behind an index that claims zero drift."""
+        if self.pending is not None:
+            self.rebuild()
         self._built_count = max(1, int(n_live))
         self._added_count = 0
 

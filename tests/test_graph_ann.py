@@ -219,6 +219,70 @@ def test_cosine_metric_end_to_end(spark, emb, qvec):
     assert got == exact
 
 
+def test_store_attach_and_cdc_sync(spark, tmp_path):
+    """The graph index serves through the VectorStore like the other
+    families: attach → find_similar(mode='indexed') routes through
+    search_exact; a later upsert reaches the index via sync_indexes
+    (changes_since → apply_changes → the pending tail)."""
+    from mlvectordb_spark.operators.store import VectorStore
+
+    store = VectorStore(
+        spark, str(tmp_path / "gstore"), rebuild_threshold=0.95
+    )
+    store.upsert_df(
+        spark.createDataFrame(
+            [(f"k{i}", [float(i), 0.0], "A") for i in range(12)],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    idx = GraphANNIndex(n_blocks=2, m=4, ef_construction=16)
+    idx.build(
+        store.df().filter(F.col("namespace") == "A").select("id", "values"),
+        vec_col="values",
+        id_col="id",
+    )
+    idx.indexed = idx.indexed.localCheckpoint()
+    store.attach_index("A", idx, vec_col="values", id_col="id")
+    hits = store.find_similar(
+        [5.2, 0.0], 2, namespace="A", metric="l2", mode="indexed"
+    )
+    assert [h["id"] for h in hits] == ["k5", "k6"]
+    # a post-attach write reaches the index through the CDC sync
+    store.upsert_df(
+        spark.createDataFrame(
+            [("fresh", [5.1, 0.0], "A")],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    store.sync_indexes()
+    hits = store.find_similar(
+        [5.2, 0.0], 2, namespace="A", metric="l2", mode="indexed"
+    )
+    assert [h["id"] for h in hits] == ["fresh", "k5"]
+
+
+def test_resync_folds_tail_into_graphs(spark, emb):
+    """resync_index_from_snapshot pushes every live row through the feed;
+    note_full_resync must fold the resulting corpus-sized tail back into
+    block graphs instead of serving brute force behind zero drift."""
+    from mlvectordb_spark.operators.ann import resync_index_from_snapshot
+
+    idx = GraphANNIndex(n_blocks=2, m=4, ef_construction=32)
+    idx.build(emb.limit(100).select("vec_id", "embedding"))
+    snap = emb.limit(120).select(
+        "vec_id", "embedding",
+        F.lit("upsert").alias("change_type"),
+        F.lit(99).cast("long").alias("write_version"),
+    )
+    resync_index_from_snapshot(
+        idx, snap, vec_col="embedding", id_col="vec_id", write_version=99
+    )
+    assert idx.pending is None
+    assert idx._built_count == 120
+    assert not idx.is_rebuild_required()
+    assert idx.indexed.count() == 120
+
+
 def test_family_member_protocol(spark, emb):
     """GraphANNIndex slots into NamespaceIndexFamily (build /
     apply_changes / search_exact / save / load routed per namespace)."""

@@ -127,6 +127,27 @@ def test_ivf_search_exact_prunes_partitions_on_saved_index(spark, sf_dir, tmp_pa
     assert "cluster_id" in after
 
 
+def test_graph_search_prunes_blocks_on_saved_index(spark, sf_dir, tmp_path):
+    """The NSW beam probe's block routing must reach the scan as a
+    partition filter on the block_id layout (the graph analog of the IVF
+    cluster pruning above)."""
+    from pyspark.sql import functions as F
+
+    from mlvectordb_spark.operators.graph_ann import GraphANNIndex
+    from mlvectordb_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    idx = GraphANNIndex(n_blocks=4, m=4, ef_construction=32)
+    idx.build(emb)
+    idx.save(str(tmp_path / "graph_px"))
+    loaded = GraphANNIndex.load(spark, str(tmp_path / "graph_px"))
+    plan = explain_query(loaded.search(qvec, 10, ef=32, nprobe=2))
+    assert "PartitionFilters" in plan["raw"]
+    after = plan["raw"].split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "block_id" in after
+
+
 def test_minhash_enrichment_has_no_forced_broadcast(spark, sf_dir):
     """Round-2 verdict: the per-doc shingle table grows linearly with the
     corpus, so it must never be FORCED into a broadcast. No broadcast hint
