@@ -55,6 +55,7 @@ from __future__ import annotations
 import heapq
 import json
 import os
+from collections.abc import Sequence
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -275,6 +276,11 @@ class GraphANNIndex:
         self._data_cols: list[str] | None = None
         self._built_count = 0
         self._added_count = 0
+        # measured ef → recall@k curve (measure_recall_curve): driver-side
+        # scalars persisted by save(), so a reloaded serving index honors
+        # a recall target without re-measuring — the graph's dial is ef
+        # where IVF's is nprobe, same calibration contract
+        self._recall_curve: dict[int, float] | None = None
 
     # ---------------------------------------------------------------- build
 
@@ -422,6 +428,79 @@ class GraphANNIndex:
         )
         return [lead, id_col.asc()]
 
+    def measure_recall_curve(
+        self,
+        k: int = 10,
+        n_queries: int = 8,
+        efs: Sequence[int] | None = None,
+        vec_col: str | None = None,
+        id_col: str | None = None,
+        nprobe: int | None = None,
+    ) -> dict[int, float]:
+        """Measure mean recall@k of `search(ef=...)` against the
+        certified-exact path over a deterministic xxhash-selected sample
+        of the index's own vectors — the same calibration contract as
+        IVFIndex.measure_recall_curve, with the graph's dial (ef) in
+        place of IVF's (nprobe). One-time ingest-class cost; cached on
+        the object and persisted by save(), so a reloaded serving index
+        honors `target_recall` without re-measuring."""
+        assert self.indexed is not None, "build() first"
+        vcol = vec_col or self._vec_col
+        icol = id_col or self._id_col
+        if efs is None:
+            efs = [16, 32, 64, 128]
+        efs = sorted({int(e) for e in efs if e >= 1})
+        sample = (
+            self.indexed.select(
+                F.col(icol).alias("qk"), F.col(vcol).alias("qv")
+            )
+            .orderBy(F.xxhash64(F.col("qk").cast("string")))
+            .limit(n_queries)
+            .collect()
+        )
+        if not sample:
+            # empty index measures nothing; ef_for_recall then falls back
+            # to the exhaustive mode — conservative, never under-probing
+            self._recall_curve = None
+            return {}
+        totals = {e: 0.0 for e in efs}
+        for row in sample:
+            q = [float(x) for x in row.qv]
+            exact = self.search_exact(q, k, vec_col=vcol, id_col=icol)
+            exact_ids = {r[0] for r in exact.select(icol).collect()}
+            if not exact_ids:
+                for e in efs:
+                    totals[e] += 1.0
+                continue
+            for e in efs:
+                approx = self.search(
+                    q, k, ef=e, nprobe=nprobe, id_col=icol
+                )
+                got = {r[0] for r in approx.select(icol).collect()}
+                totals[e] += len(got & exact_ids) / len(exact_ids)
+        curve = {e: totals[e] / len(sample) for e in efs}
+        self._recall_curve = curve
+        # the curve is only valid at the routing width it was measured at;
+        # target_recall serving replays this nprobe alongside the chosen ef
+        self._curve_nprobe = nprobe
+        return curve
+
+    def ef_for_recall(self, target: float) -> int | None:
+        """Smallest measured ef whose recall@k meets `target`; None when
+        no measured point reaches it — meaning: use the exhaustive mode
+        (`ef=None`, exact coverage). Raises if the curve was never
+        measured — a serving router must not silently guess (the same
+        contract as IVF's nprobe_for_recall)."""
+        if self._recall_curve is None:
+            raise ValueError(
+                "no measured recall curve: call measure_recall_curve() "
+                "(or load() an index saved after measuring)"
+            )
+        for e in sorted(self._recall_curve):
+            if self._recall_curve[e] >= target:
+                return e
+        return None
+
     def search(
         self,
         qvec,
@@ -431,6 +510,7 @@ class GraphANNIndex:
         vec_col: str | None = None,
         id_col: str | None = None,
         metric: str | None = None,
+        target_recall: float | None = None,
     ) -> DataFrame:
         """Top-k via beam search in the `nprobe` nearest blocks, merged
         with an EXACT scan of the pending tail. `ef` is hnswlib's ef
@@ -444,6 +524,18 @@ class GraphANNIndex:
             raise ValueError(
                 f"index built for metric {self.metric!r}; "
                 f"rebuild for {metric!r} (graphs are metric-bound)"
+            )
+        if target_recall is not None:
+            # recall-targeted serving off the persisted calibration curve
+            # (the reference's serving quality class — ef dialed to the
+            # target, never guessed). The curve is only valid at the
+            # routing width it was measured at, so that nprobe serves
+            # too; exhaustive fallback when no measured point reaches the
+            # target.
+            ef = self.ef_for_recall(target_recall)
+            nprobe = (
+                None if ef is None
+                else getattr(self, "_curve_nprobe", None)
             )
         icol = id_col or self._id_col
         out = self._graph_candidates(qvec, k, ef, nprobe)
@@ -733,6 +825,14 @@ class GraphANNIndex:
             "data_cols": self._data_cols,
             "built_count": int(self._built_count),
             "added_count": int(self._added_count),
+            # measured ef→recall points travel with the index (IVF's
+            # recall_curve contract): a reloaded serving index honors
+            # target_recall without paying the calibration jobs again
+            "recall_curve": (
+                None if self._recall_curve is None
+                else {str(e): r for e, r in self._recall_curve.items()}
+            ),
+            "curve_nprobe": getattr(self, "_curve_nprobe", None),
         }
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "graph_meta.json"), "w") as f:
@@ -754,6 +854,10 @@ class GraphANNIndex:
         idx._data_cols = meta.get("data_cols")
         idx._built_count = meta["built_count"]
         idx._added_count = meta["added_count"]
+        curve = meta.get("recall_curve")
+        if curve:
+            idx._recall_curve = {int(e): float(r) for e, r in curve.items()}
+            idx._curve_nprobe = meta.get("curve_nprobe")
         cents = (
             spark.read.parquet(f"{path}/centroids")
             .orderBy("block_id")

@@ -219,6 +219,31 @@ def test_cosine_metric_end_to_end(spark, emb, qvec):
     assert got == exact
 
 
+def test_recall_curve_and_target_recall(tmp_path, spark, emb, qvec):
+    """The ef→recall calibration (IVF's recall-curve contract with the
+    graph's dial): measured, monotone-usable, persisted by save(), and
+    target_recall serving meets the target it promises."""
+    idx = GraphANNIndex(n_blocks=2, m=6, ef_construction=48)
+    idx.build(emb)
+    idx.indexed = idx.indexed.localCheckpoint()
+    with pytest.raises(ValueError, match="recall curve"):
+        idx.ef_for_recall(0.9)
+    curve = idx.measure_recall_curve(k=K, n_queries=4, efs=[8, 32, 96])
+    assert set(curve) == {8, 32, 96}
+    assert all(0.0 <= r <= 1.0 for r in curve.values())
+    ef = idx.ef_for_recall(0.9)
+    assert ef is None or curve[ef] >= 0.9
+    exact = knn(emb, qvec, K, metric="l2")
+    served = idx.search(qvec, K, target_recall=0.9)
+    assert recall_at_k(served, exact) >= 0.9
+    # the curve travels with the index
+    p = str(tmp_path / "gcurve")
+    idx.save(p)
+    back = GraphANNIndex.load(spark, p)
+    assert back._recall_curve == curve
+    assert back.ef_for_recall(0.9) == ef
+
+
 def test_store_attach_and_cdc_sync(spark, tmp_path):
     """The graph index serves through the VectorStore like the other
     families: attach → find_similar(mode='indexed') routes through
