@@ -550,3 +550,39 @@ def test_expectation_surfaces_agree_property(spark, rows, lo, hi):
     else:
         with pytest.raises(Exception):
             exp.enforce(df).count()
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    m=st.integers(min_value=2, max_value=5),
+    n=st.integers(min_value=1, max_value=48),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_graph_exhaustive_exact_property(spark, seed, m, n):
+    """The graph family's exactness claim, fuzzed: for ANY data, block
+    count, and degree bound, exhaustive traversal (ef=None, nprobe=None)
+    must equal brute force — the spanning-tree connectivity guarantee is
+    a structural invariant, not a tuned behavior."""
+    from mlvectordb_spark.operators.graph_ann import GraphANNIndex
+    from mlvectordb_spark.operators.knn import knn
+
+    rng = np.random.default_rng(seed)
+    data = rng.random((n, 5), dtype=np.float32)
+    rows = [(i, data[i].tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    idx = GraphANNIndex(
+        n_blocks=int(rng.integers(1, 4)), m=m,
+        ef_construction=int(rng.integers(m, 3 * m + 1)),
+        seed=int(rng.integers(0, 1000)),
+    )
+    idx.build(df)
+    q = data[int(rng.integers(0, n))].tolist()
+    k = min(5, n)
+    want = [(r.vec_id, r.score) for r in knn(df, q, k, metric="l2").collect()]
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.search(q, k, ef=None, nprobe=None).collect()
+    ]
+    assert got == want
