@@ -308,6 +308,23 @@ def test_resync_folds_tail_into_graphs(spark, emb):
     assert idx.indexed.count() == 120
 
 
+def test_ip_metric_end_to_end(spark, emb, qvec):
+    """Inner-product space (hnswlib 'ip'): traversal orders by -dot,
+    scores surface as the honest dot product (descending) — exhaustive
+    mode must equal the brute-force ip ranking."""
+    idx = GraphANNIndex(n_blocks=2, m=6, ef_construction=48, metric="ip")
+    idx.build(emb)
+    exact = [
+        (r.vec_id, r.score)
+        for r in knn(emb, qvec, K, metric="ip").collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.search(qvec, K, ef=None, nprobe=None).collect()
+    ]
+    assert got == exact
+
+
 def test_family_member_protocol(spark, emb):
     """GraphANNIndex slots into NamespaceIndexFamily (build /
     apply_changes / search_exact / save / load routed per namespace)."""
