@@ -14,12 +14,15 @@ graph-ANN system does it (DiskANN sharding, Vespa/Lucene HNSW segments):
 - **Per-block navigable-small-world graphs** built inside ONE
   `applyInPandas` pass — each block builds independently in parallel
   (no cross-block edges, no driver-side graph state). Construction is
-  the classic NSW insert: beam-search the partial graph for the
-  `ef_construction` nearest, link bidirectionally to the `m` best,
-  prune degrees to `2m`. Every node's nearest link at insert time is
-  PROTECTED from pruning in both directions, so the undirected graph
-  provably stays connected (a spanning tree survives any pruning) —
-  that guarantee is what makes the exhaustive traversal mode exact.
+  vectorized NN-descent (Dong et al. 2011: refine a seeded random m-NN
+  guess against neighbors-of-neighbors + reverse neighbors + random
+  probes, every round one batched numpy pass — ~40× faster than the
+  insert-at-a-time NSW loop it replaced, SCALING.md), then HNSW
+  diversity selection, symmetrization with a 2m degree cap, and an
+  explicit CONNECTIVITY REPAIR: BFS components, each secondary
+  component's medoid linked to its true nearest main-component node.
+  The repaired undirected graph is provably connected — that guarantee
+  is what makes the exhaustive traversal mode exact.
 - **Beam search at query time** (`ef` plays hnswlib's ef): the probed
   blocks' rows feed a second `applyInPandas`; each block beam-searches
   from its stored entry seeds (farthest-point-sampled, medoid first —
@@ -134,22 +137,30 @@ def _beam_search(
 
 
 def _select_diverse(
-    cands: list[tuple[float, int]], X: np.ndarray, m: int, metric: str
+    cands: list[tuple[float, int]],
+    X: np.ndarray,
+    m: int,
+    metric: str,
+    alpha: float = 1.0,
 ) -> list[int]:
-    """HNSW's SELECT-NEIGHBORS-HEURISTIC (Malkov & Yashunin 2018, Alg. 4):
-    walk candidates nearest-first, keep one only if it is closer to the
-    base than to every already-kept neighbor. Tight clusters then
-    contribute ONE kept neighbor each and the remaining slots go to other
-    regions — the long-range shortcuts that plain nearest-M selection
-    prunes away on clustered data (measured: bounded-beam recall 0.35 →
-    ≥0.9 on the 32-center probe corpus, tools/graph_probe.py). Backfills
-    with the nearest rejected candidates if diversity leaves slots."""
+    """HNSW's SELECT-NEIGHBORS-HEURISTIC (Malkov & Yashunin 2018, Alg. 4)
+    with Vamana's alpha relaxation (Subramanya et al. 2019): walk
+    candidates nearest-first, keep one only if alpha× its distance to
+    every already-kept neighbor still exceeds its distance to the base.
+    Tight clusters then contribute ONE kept neighbor each and the
+    remaining slots go to other regions — the long-range shortcuts that
+    plain nearest-M selection prunes away on clustered data (measured:
+    bounded-beam recall 0.35 → ≥0.9 on the 32-center probe corpus,
+    tools/graph_probe.py); alpha>1 keeps a few more mid-range links,
+    which the same probe shows is what beam navigation on near-uniform
+    noise needs. Backfills with the nearest rejected candidates if
+    diversity leaves slots."""
     kept: list[int] = []
     for d, p in cands:
         if len(kept) >= m:
             break
         dk = _pair_dists(X[kept], X[p], metric) if kept else None
-        if dk is None or (dk >= d).all():
+        if dk is None or (dk * alpha >= d).all():
             kept.append(p)
     if len(kept) < m:
         chosen = set(kept)
@@ -161,48 +172,244 @@ def _select_diverse(
     return kept
 
 
-def _build_block_graph(
-    X: np.ndarray, m: int, ef_construction: int, metric: str
-) -> tuple[list[list[int]], int]:
-    """NSW construction over one block (rows already in deterministic
-    insert order). Returns (adjacency as position lists, entry seed
-    positions — see _entry_points). Each insert beam-searches the partial
-    graph for
-    `ef_construction` candidates, links to `m` chosen by the HNSW
-    diversity heuristic (_select_diverse — nearest-only selection
-    strands clustered data in islands), prunes degrees to 2m with the
-    same heuristic — EXCEPT protected spanning-tree edges (each node's
-    nearest link at insert time), which guarantee the undirected graph
-    stays connected under any pruning."""
+def _cand_dists(
+    X: np.ndarray, C: np.ndarray, metric: str, chunk: int = 200_000
+) -> np.ndarray:
+    """Traversal distance from each row i to each candidate C[i, j],
+    computed in bounded chunks of flattened (i, c) pairs — never
+    materializes an n×n matrix, peak memory ~chunk×dim."""
+    n, k = C.shape
+    src = np.repeat(np.arange(n), k)
+    dst = C.reshape(-1)
+    out = np.empty(n * k, dtype=np.float64)
+    for s in range(0, n * k, chunk):
+        e = min(s + chunk, n * k)
+        a = X[src[s:e]]
+        b = X[dst[s:e]]
+        if metric == "ip":
+            out[s:e] = -(a * b).sum(axis=1)
+        else:
+            d = a - b
+            out[s:e] = (d * d).sum(axis=1)
+    return out.reshape(n, k)
+
+
+def _refine_pick(
+    C: np.ndarray, D: np.ndarray, m: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row: the `m` DISTINCT candidates with smallest distance — fully
+    vectorized (no per-row Python). Two stable argsorts give each row a
+    lexicographic (candidate id, distance) order; the first occurrence of
+    every id is its min-distance copy, later copies get +inf; a final
+    stable sort by distance yields the selection. O(n·K log K)."""
+    by_d = np.argsort(D, axis=1, kind="stable")
+    C1 = np.take_along_axis(C, by_d, axis=1)
+    D1 = np.take_along_axis(D, by_d, axis=1)
+    by_id = np.argsort(C1, axis=1, kind="stable")
+    C2 = np.take_along_axis(C1, by_id, axis=1)
+    D2 = np.take_along_axis(D1, by_id, axis=1)
+    dup = np.zeros_like(D2, dtype=bool)
+    dup[:, 1:] = C2[:, 1:] == C2[:, :-1]
+    D2 = np.where(dup, np.inf, D2)
+    by_d2 = np.argsort(D2, axis=1, kind="stable")[:, :m]
+    return (
+        np.take_along_axis(C2, by_d2, axis=1),
+        np.take_along_axis(D2, by_d2, axis=1),
+    )
+
+
+def _reverse_sample(N: np.ndarray, m: int, n: int) -> np.ndarray:
+    """Up to `m` reverse neighbors per node (who points AT me), padded
+    with the node's own index (harmless self-candidates) — the NN-descent
+    ingredient that spreads improvements both ways. Pure numpy scatter:
+    sort edges by destination, take each destination's first `m`."""
+    src = np.repeat(np.arange(n), N.shape[1])
+    dst = N.reshape(-1)
+    order = np.argsort(dst, kind="stable")
+    dst_s, src_s = dst[order], src[order]
+    # rank within each destination run
+    first_idx = np.zeros(len(dst_s), dtype=np.int64)
+    new_run = np.ones(len(dst_s), dtype=bool)
+    new_run[1:] = dst_s[1:] != dst_s[:-1]
+    run_starts = np.flatnonzero(new_run)
+    first_idx[run_starts] = np.arange(len(run_starts))
+    np.maximum.accumulate(first_idx, out=first_idx)
+    rank = np.arange(len(dst_s)) - run_starts[first_idx]
+    keep = rank < m
+    R = np.tile(np.arange(n)[:, None], (1, m))
+    R[dst_s[keep], rank[keep]] = src_s[keep]
+    return R
+
+
+# above this block size the exact pairwise pool (n² float32 BLAS) gives
+# way to NN-descent; at the cutoff the exact path is ~10-30 s of matmul
+_EXACT_POOL_MAX = 32_768
+# candidate-pool width per node before diversity selection: recall on
+# near-uniform noise needs selection from a pool WIDER than the kept
+# degree (measured 0.775 → 0.925 @ ef=64 going from pool=m to pool=2m)
+_POOL_FLOOR = 16
+# Vamana's diversity relaxation, applied to SQUARED l2 (≈1.22 on true
+# distances) — keeps the mid-range links strict diversity drops
+_ALPHA = 1.5
+
+
+def _exact_pool(
+    X: np.ndarray, k: int, metric: str, chunk: int = 1024
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact k-NN candidate pool via chunked float32 BLAS — for blocks up
+    to _EXACT_POOL_MAX the full n² distance matrix in row chunks is
+    cheaper (and better) than any iterative refinement: 12.5k×64d pools
+    in ~6 s where the insert-at-a-time NSW loop took 24 s
+    (tools/graph_probe.py). Distances are used for ORDERING only, so
+    float32 matmul precision is fine."""
     n = len(X)
+    Xf = X.astype(np.float32)
+    sq = (Xf * Xf).sum(axis=1)
+    N = np.empty((n, k), dtype=np.int64)
+    D = np.empty((n, k), dtype=np.float64)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        if metric == "ip":
+            d = -(Xf[s:e] @ Xf.T)
+        else:
+            d = sq[s:e, None] - 2.0 * (Xf[s:e] @ Xf.T) + sq[None, :]
+        d[np.arange(e - s), np.arange(s, e)] = np.inf
+        idx = np.argpartition(d, k, axis=1)[:, :k]
+        dd = np.take_along_axis(d, idx, axis=1)
+        order = np.argsort(dd, axis=1, kind="stable")
+        N[s:e] = np.take_along_axis(idx, order, axis=1)
+        D[s:e] = np.take_along_axis(dd, order, axis=1)
+    return N, D
+
+
+def _descent_pool(
+    X: np.ndarray, k: int, metric: str, seed: int, rounds: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Approximate k-NN candidate pool via vectorized NN-descent (Dong et
+    al. 2011): refine a seeded random guess against neighbors-of-
+    neighbors, reverse neighbors, and random probes — every round one
+    batched numpy pass, O(n·k²) distances, with early stop on
+    convergence. The scale path for blocks past _EXACT_POOL_MAX (linear
+    in n where the exact pool is quadratic)."""
+    n = len(X)
+    rng = np.random.default_rng(seed)
+    arange = np.arange(n)
+    # distinct-from-self random init (duplicates within a row are fine —
+    # the first refine round squeezes them out)
+    N = (arange[:, None] + rng.integers(1, n, size=(n, k))) % n
+    D = _cand_dists(X, N, metric)
+    N, D = _refine_pick(N, D, k)
+    n_rand = max(2, k // 2)
+    for _ in range(rounds):
+        fwd2 = N[N.reshape(-1)].reshape(n, k * k)
+        rev = _reverse_sample(N, k, n)
+        rand = (arange[:, None] + rng.integers(1, n, size=(n, n_rand))) % n
+        C = np.concatenate([N, fwd2, rev, rand], axis=1)
+        # self-candidates (reverse padding) must never win a slot
+        CD = _cand_dists(X, C, metric)
+        CD[C == arange[:, None]] = np.inf
+        newN, newD = _refine_pick(C, CD, k)
+        changed = int((newN != N).sum())
+        N, D = newN, newD
+        if changed <= max(1, (n * k) // 1000):
+            break
+    return N, D
+
+
+def _build_block_graph(
+    X: np.ndarray, m: int, ef_construction: int, metric: str, seed: int = 42
+) -> tuple[list[list[int]], list[int]]:
+    """Vectorized graph construction over one block, in two stages:
+
+    1. A k-NN CANDIDATE POOL per node, wider than the kept degree
+       (pool = max(2m, 16)): exact chunked-BLAS for blocks up to
+       _EXACT_POOL_MAX, NN-descent beyond — both batched numpy, replacing
+       the insert-at-a-time NSW loop (24 s → 8 s per 12.5k block, with
+       BETTER recall; SCALING.md).
+    2. The pool becomes the serving graph: alpha-relaxed HNSW diversity
+       selection keeps m per node (cross-cluster shortcuts + mid-range
+       links), edges symmetrize, degrees cap at 2m by the same
+       heuristic, and CONNECTIVITY REPAIR restores the exactness
+       precondition: BFS finds the undirected components, every
+       secondary component's medoid links to its true nearest node in
+       the main component, and repair edges are exempt from any cap.
+       Exhaustive traversal is therefore still provably exact (the
+       fuzzed invariant in tests/test_properties.py).
+
+    Returns (adjacency position lists, entry seed positions)."""
+    n = len(X)
+    if n <= m + 1:
+        adj = [sorted(set(range(n)) - {i}) for i in range(n)]
+        return adj, _entry_points(X, metric)
+    pool_k = min(n - 1, max(2 * m, _POOL_FLOOR))
+    if n <= _EXACT_POOL_MAX:
+        N, D = _exact_pool(X, pool_k, metric)
+    else:
+        rounds = max(3, min(12, int(ef_construction // max(1, m))))
+        N, D = _descent_pool(X, pool_k, metric, seed, rounds)
+    # alpha relaxes SQUARED-l2 diversity; ip "distances" are negative, so
+    # scaling them inverts the test — keep strict selection there
+    alpha = _ALPHA if metric != "ip" else 1.0
+    # ---- diversify + symmetrize + cap ----
     adj: list[set[int]] = [set() for _ in range(n)]
-    protected: list[set[int]] = [set() for _ in range(n)]
-    max_deg = 2 * m
-    for i in range(1, n):
-        found = _beam_search(
-            X, adj, [0], X[i], max(ef_construction, m), metric
-        )
-        nbrs = _select_diverse(found, X, m, metric) or [i - 1]
-        for p in nbrs:
+    for i in range(n):
+        ranked = [
+            (float(D[i, j]), int(N[i, j]))
+            for j in range(pool_k)
+            if np.isfinite(D[i, j])
+        ]
+        for p in _select_diverse(ranked, X, m, metric, alpha=alpha):
             adj[i].add(p)
             adj[p].add(i)
-        nearest = found[0][1] if found else nbrs[0]
-        protected[i].add(nearest)
-        protected[nearest].add(i)
-        adj[i].add(nearest)
-        adj[nearest].add(i)
-        for p in set(nbrs) | {nearest}:
-            if len(adj[p]) <= max_deg:
+    max_deg = 2 * m
+    for i in range(n):
+        if len(adj[i]) <= max_deg:
+            continue
+        others = sorted(adj[i])
+        dd = _pair_dists(X[others], X[i], metric)
+        ranked = sorted(zip(dd.tolist(), others))
+        keep = set(_select_diverse(ranked, X, max_deg, metric, alpha=alpha))
+        for v in adj[i] - keep:
+            adj[i].discard(v)
+            adj[v].discard(i)
+    # ---- connectivity repair (the exactness precondition) ----
+    comp = np.full(n, -1, dtype=np.int64)
+    n_comp = 0
+    for s in range(n):
+        if comp[s] >= 0:
+            continue
+        comp[s] = n_comp
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if comp[v] < 0:
+                        comp[v] = n_comp
+                        nxt.append(v)
+            frontier = nxt
+        n_comp += 1
+    if n_comp > 1:
+        sizes = np.bincount(comp, minlength=n_comp)
+        main = int(np.argmax(sizes))
+        main_members = np.flatnonzero(comp == main)
+        for c in range(n_comp):
+            if c == main:
                 continue
-            others = [v for v in adj[p] if v not in protected[p]]
-            dd = _pair_dists(X[others], X[p], metric)
-            ranked = sorted(zip(dd.tolist(), others))
-            room = max(0, max_deg - len(protected[p]))
-            keep = set(_select_diverse(ranked, X, room, metric))
-            keep |= protected[p]
-            for v in adj[p] - keep:
-                adj[p].discard(v)
-                adj[v].discard(p)
+            members = np.flatnonzero(comp == c)
+            mean = X[members].mean(axis=0)
+            medoid = int(
+                members[np.argmin(_pair_dists(X[members], mean, "l2"))]
+            )
+            tgt = int(
+                main_members[
+                    np.argmin(
+                        _pair_dists(X[main_members], X[medoid], metric)
+                    )
+                ]
+            )
+            adj[medoid].add(tgt)
+            adj[tgt].add(medoid)
     return [sorted(s) for s in adj], _entry_points(X, metric)
 
 
@@ -322,6 +529,7 @@ class GraphANNIndex:
         m, efc, metric, vcol, icol = (
             self.m, self.ef_construction, self.metric, vec_col, id_col,
         )
+        seed = self.seed
         norm = self.metric == "cosine"
 
         def build_block(pdf):
@@ -333,7 +541,7 @@ class GraphANNIndex:
                 nrm = np.linalg.norm(X, axis=1, keepdims=True)
                 nrm[nrm == 0.0] = 1.0
                 X = X / nrm
-            adj, entries = _build_block_graph(X, m, efc, metric)
+            adj, entries = _build_block_graph(X, m, efc, metric, seed=seed)
             ids = pdf[icol].to_numpy()
             pdf["neighbors"] = [
                 [ids[v] for v in nb] for nb in adj
