@@ -317,7 +317,12 @@ def _descent_pool(
 
 
 def _build_block_graph(
-    X: np.ndarray, m: int, ef_construction: int, metric: str, seed: int = 42
+    X: np.ndarray,
+    m: int,
+    ef_construction: int,
+    metric: str,
+    seed: int = 42,
+    exact_pool_max: int | None = None,
 ) -> tuple[list[list[int]], list[int]]:
     """Vectorized graph construction over one block, in two stages:
 
@@ -342,7 +347,8 @@ def _build_block_graph(
         adj = [sorted(set(range(n)) - {i}) for i in range(n)]
         return adj, _entry_points(X, metric)
     pool_k = min(n - 1, max(2 * m, _POOL_FLOOR))
-    if n <= _EXACT_POOL_MAX:
+    cutoff = _EXACT_POOL_MAX if exact_pool_max is None else exact_pool_max
+    if n <= cutoff:
         N, D = _exact_pool(X, pool_k, metric)
     else:
         rounds = max(3, min(12, int(ef_construction // max(1, m))))
@@ -471,6 +477,10 @@ class GraphANNIndex:
         self.ef_construction = ef_construction
         self.metric = metric
         self.seed = seed
+        # test seam: lowers the exact-pool cutoff so the NN-descent path
+        # is exercised on small fixtures (module constants don't reach
+        # executor workers — the closure value does)
+        self._exact_pool_max: int | None = None
         # coarse router: bounded-sample KMeans centroids only (its
         # indexed/radii machinery is unused — blocks, not IVF lists)
         self._router = IVFIndex(
@@ -530,6 +540,7 @@ class GraphANNIndex:
             self.m, self.ef_construction, self.metric, vec_col, id_col,
         )
         seed = self.seed
+        pool_cutoff = self._exact_pool_max
         norm = self.metric == "cosine"
 
         def build_block(pdf):
@@ -541,7 +552,9 @@ class GraphANNIndex:
                 nrm = np.linalg.norm(X, axis=1, keepdims=True)
                 nrm[nrm == 0.0] = 1.0
                 X = X / nrm
-            adj, entries = _build_block_graph(X, m, efc, metric, seed=seed)
+            adj, entries = _build_block_graph(
+                X, m, efc, metric, seed=seed, exact_pool_max=pool_cutoff
+            )
             ids = pdf[icol].to_numpy()
             pdf["neighbors"] = [
                 [ids[v] for v in nb] for nb in adj

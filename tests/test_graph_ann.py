@@ -308,6 +308,32 @@ def test_resync_folds_tail_into_graphs(spark, emb):
     assert idx.indexed.count() == 120
 
 
+def test_descent_pool_path_exact_and_connected(spark, emb, qvec):
+    """Force the NN-descent pool path (normally blocks > 32k rows) and
+    prove the full invariant set still holds there: exhaustive traversal
+    == brute force (connectivity repair), recall at bounded ef, degree
+    caps. The descent path must not be dead code guarded by a constant
+    no test crosses. The cutoff threads through the instance (a module
+    monkeypatch would not reach executor workers)."""
+    idx = GraphANNIndex(n_blocks=2, m=6, ef_construction=48)
+    idx._exact_pool_max = 8
+    idx.build(emb)
+    exact = [
+        (r.vec_id, r.score)
+        for r in knn(emb, qvec, K, metric="l2").collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.search(qvec, K, ef=None, nprobe=None).collect()
+    ]
+    assert got == exact
+    assert recall_at_k(
+        idx.search(qvec, K, ef=64, nprobe=None), knn(emb, qvec, K, metric="l2")
+    ) >= 0.8
+    for r in idx.indexed.select("neighbors").collect():
+        assert len(r.neighbors) <= 2 * idx.m + 2
+
+
 def test_ip_metric_end_to_end(spark, emb, qvec):
     """Inner-product space (hnswlib 'ip'): traversal orders by -dot,
     scores surface as the honest dot product (descending) — exhaustive
