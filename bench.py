@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mlvectordb_spark.queries import (
     QUERIES,
+    session_bpe,
     session_bucketed,
     session_graph,
     session_ivf,
@@ -73,6 +74,7 @@ HEADLINE = [
     "events_session_stats",
     "doc_quality",
     "doc_fingerprint",
+    "doc_bpe_subword",
     "doc_logprob",
     "doc_dup_ngrams",
     "dedup_exact",
@@ -287,6 +289,9 @@ def main() -> None:
     session_pq(spark, sf_dir)
     session_ivfpq(spark, sf_dir)
     session_graph(spark, sf_dir)
+    # ...and the sample-fit BPE tokenizer (tokenizer training is
+    # ingest-time; doc_bpe_subword measures the Arrow encode pass)
+    session_bpe(spark, sf_dir)
     # ...and the bucketed fact layout: the write-time shuffle is the
     # ingest-time trade; bucketed_join measures the exchange-free read
     session_bucketed(spark, sf_dir)
