@@ -139,13 +139,45 @@ class EngineService:
 
     # -- serving-index lifecycle (W8-W11 + Q23 through the REST surface) ----
 
-    def build_index(self, namespace: str, space: str = "l2") -> dict[str, Any]:
+    def build_index(
+        self,
+        namespace: str,
+        space: str = "l2",
+        family: str = "ivf",
+        m: int | None = None,
+        ef_construction: int | None = None,
+    ) -> dict[str, Any]:
         """Build + attach a serving index over the namespace's current
         rows (reference `build_index`, README.md:239-241). `space` fixes
         the index's distance space at construction like the reference
-        ctor (implementations/index.py:18): l2 or cosine (normalized)."""
+        ctor (implementations/index.py:18): l2 or cosine (normalized).
+        `family="graph"` builds the partitioned small-world graph instead
+        of the default IVF, honoring the reference ctor's other two knobs
+        (`M`, `ef_construction` — defaults 16/200, index.py:18) — the
+        full hnswlib constructor surface, served Spark-side."""
+        factory = None
+        if family == "graph":
+            from mlvectordb_spark.operators.graph_ann import GraphANNIndex
+
+            # the store's cosine space pre-normalizes the stored vectors
+            # and serves by l2-over-normalized (attach_index docstring) —
+            # the member index always ranks l2, for any space
+            factory = lambda: GraphANNIndex(  # noqa: E731
+                m=m if m is not None else 16,
+                ef_construction=(
+                    ef_construction if ef_construction is not None else 200
+                ),
+                metric="l2",
+            )
+        elif family != "ivf":
+            raise ValueError(f"unknown index family {family!r}")
+        elif m is not None or ef_construction is not None:
+            raise ValueError(
+                "m/ef_construction are graph-family knobs; pass "
+                'family="graph"'
+            )
         with self.stats.track("index_build"):
-            idx = self.store.build_index(namespace, space=space)
+            idx = self.store.build_index(namespace, factory=factory, space=space)
         st = self.store.serving_status()[namespace]
         return {
             "status": "success",
@@ -364,8 +396,16 @@ def create_app(service: EngineService):
         )
 
     @app.post("/index/build")
-    def index_build(namespace: str = "default", space: str = "l2"):
-        return guard(service.build_index, namespace, space)
+    def index_build(
+        namespace: str = "default",
+        space: str = "l2",
+        family: str = "ivf",
+        m: int | None = None,
+        ef_construction: int | None = None,
+    ):
+        return guard(
+            service.build_index, namespace, space, family, m, ef_construction
+        )
 
     @app.post("/index/sync")
     def index_sync():

@@ -456,8 +456,8 @@ class GraphANNIndex:
     """Partitioned small-world-graph ANN index (see module docstring).
 
     `m` / `ef_construction` mirror hnswlib's M / ef_construction
-    (reference defaults M=16, ef_construction=200 —
-    `implementations/index.py:44-47`); `n_blocks` is the distribution
+    (reference defaults M=16, ef_construction=200, rebuild at 20% —
+    `implementations/index.py:18,37`); `n_blocks` is the distribution
     dial the single-node reference doesn't have."""
 
     REBUILD_THRESHOLD = 0.2  # reference index.py:18 — 20% drift

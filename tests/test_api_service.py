@@ -249,3 +249,46 @@ def test_indexed_serving_through_service(spark, tmp_path):
     snap = svc.statistics()
     assert snap["index_build_queries"] == 1
     assert snap["index_sync_queries"] == 1
+
+
+def test_graph_family_through_service(spark, tmp_path):
+    """POST /index/build?family=graph honors the reference ctor's full
+    knob set (space, M, ef_construction — implementations/index.py:18):
+    the namespace serves through a partitioned small-world graph, still
+    exact in mode='indexed', and CDC sync keeps it fresh."""
+    import math
+
+    import pytest as _pytest
+
+    store = VectorStore(
+        spark, str(tmp_path / "svc_gidx"), rebuild_threshold=0.95
+    )
+    svc = EngineService(store)
+    store.upsert_by_id(
+        [
+            {"id": f"k{i}", "values": [math.cos(0.4 * i), math.sin(0.4 * i)]}
+            for i in range(30)
+        ]
+    )
+    built = svc.build_index(
+        "default", family="graph", m=4, ef_construction=32
+    )
+    assert built["status"] == "success" and built["index"] == "GraphANNIndex"
+
+    q = [math.cos(0.4 * 3), math.sin(0.4 * 3)]
+    got = svc.search(q, 3, "default", metric="l2", mode="indexed")
+    assert got[0]["id"] == "k3"
+    exact = svc.search(q, 3, "default", metric="l2", mode="exact")
+    assert {h["id"] for h in got} == {h["id"] for h in exact}
+
+    # write + sync: the new vector serves from the graph's pending tail
+    store.upsert_by_id([{"id": "knew", "values": q}])
+    svc.sync_indexes()
+    got2 = svc.search(q, 2, "default", metric="l2", mode="indexed")
+    assert {h["id"] for h in got2} == {"k3", "knew"}
+
+    # the knobs are family-scoped: passing them without family=graph raises
+    with _pytest.raises(ValueError):
+        svc.build_index("default", m=8)
+    with _pytest.raises(ValueError):
+        svc.build_index("default", family="hnswlib")
