@@ -372,3 +372,28 @@ def test_family_member_protocol(spark, emb):
         ).collect()
     ]
     assert got == exact
+
+
+def test_family_save_load_graph_members(tmp_path, spark, emb):
+    """Family persistence resolves GraphANNIndex members through ann.py's
+    lazy-import fallback (the class lives outside ann.py's globals)."""
+    df = emb.withColumn(
+        "namespace",
+        F.when(F.col("vec_id") % 2 == 0, "even").otherwise("odd"),
+    )
+    fam = NamespaceIndexFamily(
+        factory=lambda: GraphANNIndex(n_blocks=2, m=4, ef_construction=32)
+    )
+    fam.build(df)
+    p = str(tmp_path / "gfam")
+    fam.save(p)
+    back = NamespaceIndexFamily.load(
+        spark, p,
+        factory=lambda: GraphANNIndex(n_blocks=2, m=4, ef_construction=32),
+    )
+    assert back.namespaces() == ["even", "odd"]
+    assert type(back.member("even")).__name__ == "GraphANNIndex"
+    qv = emb.filter(F.col("vec_id") == 8).select("embedding").head()[0]
+    want = [r.vec_id for r in fam.search_exact("odd", qv, 5).collect()]
+    got = [r.vec_id for r in back.search_exact("odd", qv, 5).collect()]
+    assert got == want
