@@ -732,6 +732,7 @@ class GraphANNIndex:
         id_col: str | None = None,
         metric: str | None = None,
         target_recall: float | None = None,
+        result_filter=None,
     ) -> DataFrame:
         """Top-k via beam search in the `nprobe` nearest blocks, merged
         with an EXACT scan of the pending tail. `ef` is hnswlib's ef
@@ -740,7 +741,12 @@ class GraphANNIndex:
         connectivity guarantee) and the oracle-checkable mode.
         `metric`/`vec_col`/`id_col` accept the family-protocol call shape
         but must match the build-time values (a graph is metric-bound —
-        same as an hnswlib space)."""
+        same as an hnswlib space). `result_filter` (a Column over the
+        output columns) drops rows AFTER traversal, BEFORE the top-k —
+        the graph analog of hybrid search (ACORN-style post-filtering):
+        exact-filtered in exhaustive mode, best-effort under a bounded
+        beam (widen ef to keep recall under selective filters; the
+        certified-filtered path stays `search_exact(pre_filter=)`)."""
         if metric is not None and metric != self.metric:
             raise ValueError(
                 f"index built for metric {self.metric!r}; "
@@ -773,6 +779,8 @@ class GraphANNIndex:
                 ),
             ).withColumn("block_id", F.lit(-1))
             out = out.unionByName(tail.select(*out.columns))
+        if result_filter is not None:
+            out = out.filter(result_filter)
         return out.orderBy(
             *self._order(F.col("score"), F.col(icol))
         ).limit(k)

@@ -374,6 +374,24 @@ def test_family_member_protocol(spark, emb):
     assert got == exact
 
 
+def test_filtered_search_exhaustive_exact(gidx, emb, qvec):
+    """Hybrid through the graph: result_filter + exhaustive traversal
+    equals the filtered brute-force top-k (post-filtering is exact when
+    the traversal visits everything)."""
+    pred = F.col("label") % 2 == 0
+    exact = [
+        (r.vec_id, r.score)
+        for r in knn(emb, qvec, 5, metric="l2", pre_filter=pred).collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in gidx.search(
+            qvec, 5, ef=None, nprobe=None, result_filter=pred
+        ).collect()
+    ]
+    assert got == exact
+
+
 def test_family_save_load_graph_members(tmp_path, spark, emb):
     """Family persistence resolves GraphANNIndex members through ann.py's
     lazy-import fallback (the class lives outside ann.py's globals)."""
