@@ -926,6 +926,26 @@ class GraphANNIndex:
             salt_on=icol,
         )
 
+    def knn_join_exact(
+        self,
+        queries: DataFrame,
+        k: int,
+        query_vec: str = "embedding",
+        query_id: str = "query_id",
+        vec_col: str | None = None,
+        id_col: str | None = None,
+    ) -> DataFrame:
+        """EXACT batch join through the graph layout — the family-protocol
+        batch surface (`VectorStore.find_similar_batch(mode="indexed")`
+        routes through this, same as IVF/IVFPQ): exhaustive traversal of
+        every block plus the exact pending tail, which the connectivity
+        guarantee makes equal to brute force. `vec_col`/`id_col` accept
+        the protocol call shape; the build-time columns always apply."""
+        return self.search_batch(
+            queries, k, ef=None, nprobe=None,
+            query_id=query_id, query_vec=query_vec,
+        )
+
     # ---------------------------------------------------------- maintenance
 
     def add(

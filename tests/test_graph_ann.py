@@ -286,6 +286,40 @@ def test_store_attach_and_cdc_sync(spark, tmp_path):
     assert [h["id"] for h in hits] == ["fresh", "k5"]
 
 
+def test_store_batch_serving_through_graph(spark, tmp_path):
+    """find_similar_batch(mode='indexed') routes through the graph
+    member's knn_join_exact (exhaustive batch = exact) and agrees with
+    the brute-force batch path row for row."""
+    from mlvectordb_spark.operators.store import VectorStore
+
+    store = VectorStore(
+        spark, str(tmp_path / "gbstore"), rebuild_threshold=0.95
+    )
+    store.upsert_df(
+        spark.createDataFrame(
+            [(f"k{i}", [float(i), float(i % 3)], "A") for i in range(20)],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    idx = GraphANNIndex(n_blocks=2, m=4, ef_construction=16)
+    idx.build(
+        store.df().filter(F.col("namespace") == "A").select("id", "values"),
+        vec_col="values",
+        id_col="id",
+    )
+    idx.indexed = idx.indexed.localCheckpoint()
+    store.attach_index("A", idx, vec_col="values", id_col="id")
+    queries = {"qa": [3.2, 0.0], "qb": [15.1, 2.0]}
+    routed = store.find_similar_batch(
+        queries, 3, namespace="A", metric="l2", mode="indexed"
+    ).collect()
+    brute = store.find_similar_batch(
+        queries, 3, namespace="A", metric="l2", mode="exact"
+    ).collect()
+    key = lambda r: (r.query_id, r.score, r.id)  # noqa: E731
+    assert sorted(key(r) for r in routed) == sorted(key(r) for r in brute)
+
+
 def test_resync_folds_tail_into_graphs(spark, emb):
     """resync_index_from_snapshot pushes every live row through the feed;
     note_full_resync must fold the resulting corpus-sized tail back into
