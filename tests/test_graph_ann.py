@@ -286,6 +286,41 @@ def test_store_attach_and_cdc_sync(spark, tmp_path):
     assert [h["id"] for h in hits] == ["fresh", "k5"]
 
 
+def test_store_approx_serving_through_graph(spark, tmp_path):
+    """mode='approx' through the store rides the graph's bounded beam
+    (its search speaks the nprobe protocol); target_recall through the
+    store raises the documented redirect (the graph's dial is ef, served
+    at the index level)."""
+    from mlvectordb_spark.operators.store import VectorStore
+
+    store = VectorStore(
+        spark, str(tmp_path / "gastore"), rebuild_threshold=0.95
+    )
+    store.upsert_df(
+        spark.createDataFrame(
+            [(f"k{i}", [float(i), 0.0], "A") for i in range(16)],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    idx = GraphANNIndex(n_blocks=2, m=4, ef_construction=16)
+    idx.build(
+        store.df().filter(F.col("namespace") == "A").select("id", "values"),
+        vec_col="values",
+        id_col="id",
+    )
+    idx.indexed = idx.indexed.localCheckpoint()
+    store.attach_index("A", idx, vec_col="values", id_col="id")
+    hits = store.find_similar(
+        [7.1, 0.0], 2, namespace="A", metric="l2", mode="approx", nprobe=2
+    )
+    assert [h["id"] for h in hits] == ["k7", "k8"]
+    with pytest.raises(ValueError, match="ef"):
+        store.find_similar(
+            [7.1, 0.0], 2, namespace="A", metric="l2", mode="approx",
+            target_recall=0.9,
+        )
+
+
 def test_store_batch_serving_through_graph(spark, tmp_path):
     """find_similar_batch(mode='indexed') routes through the graph
     member's knn_join_exact (exhaustive batch = exact) and agrees with
