@@ -526,9 +526,19 @@ class GraphANNIndex:
         assigned = self._router._assign(df, vec_col).withColumnRenamed(
             "cluster_id", "block_id"
         )
-        id_type = dict(zip(df.schema.names, df.schema.fields))[
-            id_col
-        ].dataType
+        self.indexed = self._graph_stage(assigned)
+        self.pending = None
+        self._built_count = df.count()
+        self._added_count = 0
+        return self.indexed
+
+    def _graph_stage(self, assigned: DataFrame) -> DataFrame:
+        """Per-block graph construction over (data cols + block_id): one
+        applyInPandas pass adds neighbors + is_entry. Shared by build()
+        (every block) and fold_pending() (touched blocks only)."""
+        id_type = dict(
+            zip(assigned.schema.names, assigned.schema.fields)
+        )[self._id_col].dataType
         out_schema = T.StructType(
             list(assigned.schema.fields)
             + [
@@ -537,7 +547,8 @@ class GraphANNIndex:
             ]
         )
         m, efc, metric, vcol, icol = (
-            self.m, self.ef_construction, self.metric, vec_col, id_col,
+            self.m, self.ef_construction, self.metric,
+            self._vec_col, self._id_col,
         )
         seed = self.seed
         pool_cutoff = self._exact_pool_max
@@ -563,12 +574,40 @@ class GraphANNIndex:
             pdf["is_entry"] = [i in eset for i in range(len(pdf))]
             return pdf
 
-        self.indexed = assigned.groupBy("block_id").applyInPandas(
+        return assigned.groupBy("block_id").applyInPandas(
             build_block, schema=out_schema
         )
+
+    def fold_pending(self) -> DataFrame:
+        """Fold the pending tail into ONLY the blocks its rows route to —
+        copy-on-write graph maintenance (the MergedTable bucket idea
+        applied to index upkeep): untouched blocks keep their adjacency
+        byte-identical; each touched block rebuilds from its full
+        membership (existing members + routed arrivals) in one
+        applyInPandas over the touched slice. The router's centroids stay
+        FIXED (the IVF no-refit-add contract), so the W11 drift counter
+        keeps accumulating toward the full rebuild() that refits them —
+        folding buys graph-served tail rows at touched-blocks cost, not a
+        fresh baseline. No-op without a tail."""
+        assert self.indexed is not None, "build() first"
+        if self.pending is None:
+            return self.indexed
+        assigned = self._router._assign(
+            self.pending.select(*(self._data_cols or self.pending.columns)),
+            self._vec_col,
+        ).withColumnRenamed("cluster_id", "block_id")
+        # bounded: ≤ n_blocks distinct values
+        touched = [
+            int(r[0])
+            for r in assigned.select("block_id").distinct().collect()
+        ]
+        untouched = self.indexed.filter(~F.col("block_id").isin(touched))
+        old = self.indexed.filter(F.col("block_id").isin(touched)).drop(
+            "neighbors", "is_entry"
+        )
+        members = old.unionByName(assigned.select(*old.columns))
+        self.indexed = untouched.unionByName(self._graph_stage(members))
         self.pending = None
-        self._built_count = df.count()
-        self._added_count = 0
         return self.indexed
 
     # ------------------------------------------------------------ searching

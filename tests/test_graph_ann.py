@@ -184,6 +184,50 @@ def test_rebuild_trigger_and_fold(spark, emb):
     )
 
 
+def test_fold_pending_cow_semantics(spark, emb, qvec):
+    """fold_pending: tail rows become graph-served (exhaustive search ==
+    brute force afterwards), untouched blocks keep their adjacency
+    byte-identical, the drift counter keeps accumulating (router stays
+    stale until the full rebuild)."""
+    idx = GraphANNIndex(n_blocks=4, m=4, ef_construction=32)
+    idx.build(emb)
+    idx.indexed = idx.indexed.localCheckpoint()
+    before = {
+        r.vec_id: (r.block_id, tuple(r.neighbors))
+        for r in idx.indexed.collect()
+    }
+    near = [float(x) for x in qvec]
+    near[0] += 1e-3
+    new = spark.createDataFrame([(777_001, near, 0)], emb.schema)
+    idx.add(new)
+    drift = idx._added_count
+    idx.fold_pending()
+    assert idx.pending is None
+    assert idx._added_count == drift  # router drift survives the fold
+    after = {
+        r.vec_id: (r.block_id, tuple(r.neighbors))
+        for r in idx.indexed.collect()
+    }
+    assert 777_001 in after
+    touched_block = after[777_001][0]
+    for vid, (blk, nbrs) in before.items():
+        if blk != touched_block:
+            assert after[vid] == (blk, nbrs), vid
+    # graph-served now: exhaustive == brute force including the folded row
+    exact = [
+        (r.vec_id, r.score)
+        for r in knn(
+            emb.unionByName(new), qvec, 5, metric="l2"
+        ).collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.search(qvec, 5, ef=None, nprobe=None).collect()
+    ]
+    assert got == exact
+    assert 777_001 in {v for v, _ in got}
+
+
 def test_batch_exhaustive_matches_exact(gidx, emb):
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
