@@ -608,6 +608,8 @@ class GraphANNIndex:
         members = old.unionByName(assigned.select(*old.columns))
         self.indexed = untouched.unionByName(self._graph_stage(members))
         self.pending = None
+        # introspection: how much of the index the fold actually rebuilt
+        self.last_fold_touched = len(touched)
         return self.indexed
 
     # ------------------------------------------------------------ searching

@@ -98,6 +98,27 @@ def main() -> None:
     gidx.search_batch(qdf, K, ef=64, nprobe=2).collect()
     out["graph_batch8_sec"] = round(time.time() - t0, 3)
 
+    # ---- maintenance: CoW tail fold vs full rebuild on a 1% tail ----
+    gidx.indexed = gidx.indexed.localCheckpoint()
+    tail_n = max(1, n // 100)
+    # a hot-spot tail (one source cluster) — the realistic ingest shape,
+    # and the one where CoW folding pays: few blocks touched
+    tail = emb.filter(F.col("label") == 0).limit(tail_n).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding", "label"
+    )
+    gidx.add(tail)
+    blocks_before = gidx.indexed.select("block_id").distinct().count()
+    t0 = time.time()
+    gidx.fold_pending()
+    gidx.indexed.write.format("noop").mode("overwrite").save()
+    out["fold_1pct_sec"] = round(time.time() - t0, 1)
+    out["fold_touched_blocks"] = gidx.last_fold_touched
+    out["n_blocks_total"] = blocks_before
+    t0 = time.time()
+    gidx.rebuild()
+    gidx.indexed.write.format("noop").mode("overwrite").save()
+    out["full_rebuild_sec"] = round(time.time() - t0, 1)
+
     print(json.dumps(out))
 
 
