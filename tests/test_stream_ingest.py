@@ -250,3 +250,97 @@ def test_store_ingest_keeps_all_namespace_indexes_fresh(spark, tmp_path):
         [9.0, 9.0, 9.0], 1, namespace="nsA", metric="l2", mode="indexed"
     )
     assert got[0]["id"] == "a3"
+
+
+def test_indexed_ingest_with_graph_member(spark, tmp_path):
+    """The streaming maintenance loop speaks the graph family too:
+    mutation stream → store versioned writes → CDC feed →
+    GraphANNIndex.apply_changes per micro-batch (upserts to the exact
+    pending tail, deletes anti-joined from both segments) — after the
+    stream drains, certified-exact search over the maintained graph
+    equals brute force over the store's current state."""
+    import json
+    import math
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mlvectordb_spark.operators.graph_ann import GraphANNIndex
+    from mlvectordb_spark.operators.knn import knn
+    from mlvectordb_spark.streaming.ingest import (
+        UPSERT_INGEST_SCHEMA,
+        start_indexed_ingest,
+    )
+
+    def vec(i: int) -> list[float]:
+        return [math.cos(0.1 * i), math.sin(0.1 * i), float(i % 5)]
+
+    store = VectorStore(
+        spark, str(tmp_path / "gistore"), rebuild_threshold=0.95
+    )
+    base_df = spark.createDataFrame(
+        [(f"k{i}", vec(i), "default") for i in range(40)],
+        "id string, values array<float>, namespace string",
+    )
+    store.upsert_df(base_df)
+    idx = GraphANNIndex(n_blocks=2, m=4, ef_construction=16)
+    idx.build(
+        base_df.select(
+            F.col("id").alias("vec_id"), F.col("values").alias("embedding")
+        )
+    )
+
+    src = tmp_path / "gmuts"
+    src.mkdir()
+    b1 = [
+        {"id": f"k{i}", "values": [x * 2.0 for x in vec(i)],
+         "namespace": "default", "op": "upsert", "seq": i}
+        for i in range(0, 40, 8)
+    ]
+    b2 = [
+        {"id": f"k{i}", "values": None, "namespace": "default",
+         "op": "delete", "seq": 100 + i}
+        for i in range(0, 40, 9)
+    ] + [
+        {"id": f"gnew{i}", "values": vec(200 + i), "namespace": "default",
+         "op": "upsert", "seq": 300 + i}
+        for i in range(3)
+    ]
+    now = time.time()
+    for off, (name, recs) in enumerate([("b1.json", b1), ("b2.json", b2)]):
+        p = src / name
+        p.write_text("\n".join(json.dumps(r) for r in recs))
+        os.utime(p, (now + off * 10, now + off * 10))
+
+    stream = (
+        spark.readStream.schema(UPSERT_INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_indexed_ingest(
+        stream, store, idx, str(tmp_path / "gckpt"), "t_graph_ingest"
+    )
+    q.awaitTermination()
+
+    current = store.df().select(
+        F.col("id").alias("vec_id"), F.col("values").alias("embedding")
+    )
+    live = {r.vec_id for r in current.select("vec_id").collect()}
+    assert "gnew0" in live and "k0" not in live
+    qv = vec(3)
+    got = [
+        (r.vec_id, round(r.score, 4))
+        for r in idx.search_exact(
+            qv, 5, vec_col="embedding", id_col="vec_id"
+        ).collect()
+    ]
+    want = [
+        (r.vec_id, round(r.score, 4))
+        for r in knn(current, qv, 5, metric="l2").collect()
+    ]
+    assert got == want
+    # the streamed upserts live in the exact tail until a fold/rebuild
+    assert idx.pending is not None
+    tail_ids = {r.vec_id for r in idx.pending.select("vec_id").collect()}
+    assert "gnew0" in tail_ids
