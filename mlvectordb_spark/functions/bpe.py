@@ -19,8 +19,14 @@ SUBWORD tokens. This module adds a real BPE (Sennrich et al. 2016):
   once per batch), and no shuffle. At 100 TB this is a narrow map
   stage, exactly like the assignment pass of the IVF build.
 
+Known limitation (shared by every Sennrich-style marker BPE): the
+end-of-word marker is IN-BAND, so a text containing the literal "</w>"
+substring does not round-trip through decode() (byte-level BPE is the
+standard fix; out of scope here — token COUNTS, the operators' use,
+are unaffected).
+
 No SQL oracle can express iterative BPE merges, so the registry entry
-(`doc_bpe_tokens`) is rows-only; correctness is gated by
+(`doc_bpe_subword`) is rows-only; correctness is gated by
 tests/test_bpe.py instead: the classic Sennrich fixture with
 hand-computed merges, driver-vs-distributed encode parity, round-trip
 decode, and determinism.

@@ -586,3 +586,37 @@ def test_graph_exhaustive_exact_property(spark, seed, m, n):
         for r in idx.search(q, k, ef=None, nprobe=None).collect()
     ]
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="\x00<"
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_bpe_roundtrip_property(texts):
+    """decode∘encode is whitespace-normalizing identity for any unicode
+    text WITHOUT the literal end-of-word marker (the in-band '</w>'
+    limitation every Sennrich-style BPE shares — documented in
+    functions/bpe.py), including characters never seen at fit time
+    (unseen symbols pass through unmerged) — pure driver-side property,
+    no Spark."""
+    from mlvectordb_spark.functions.bpe import BPETokenizer
+
+    tok = BPETokenizer(vocab_size=40)
+    tok.merges = [("a", "b"), ("ab", "c"), ("e", "</w>")]
+    for t in texts:
+        toks = tok.encode_text(t)
+        want = " ".join(t.lower().split())
+        assert BPETokenizer.decode(toks) == want
+        # subword tokens can only exceed (or equal) whitespace words
+        assert len(toks) >= len(t.split()) or not t.strip()
