@@ -1089,21 +1089,33 @@ class GraphANNIndex:
     def save(self, path: str) -> None:
         """Persist block-partitioned (probe = partition pruning on
         reload), plus router centroids, the pending tail, and the drift /
-        shape meta."""
+        shape meta. STAGED: everything writes into a sibling staging
+        directory, then one atomic swap replaces `path` — so (a) saving a
+        maintained index back OVER the path it was loaded from works (the
+        lazy plan keeps reading the old files while the staging write
+        runs; a direct overwrite fails mid-write and leaves the old
+        layout half-destroyed), and (b) a crashed save never corrupts the
+        previous save (the MergedTable commit lesson applied to index
+        persistence). After the swap the instance re-points at the
+        committed files."""
+        import uuid as _uuid
+
         assert self.indexed is not None
         spark = self.indexed.sparkSession
+        had_pending = self.pending is not None
+        stage = f"{path}.staging-{_uuid.uuid4().hex}"
         (
             self.indexed.write.mode("overwrite")
             .partitionBy("block_id")
-            .parquet(f"{path}/indexed")
+            .parquet(f"{stage}/indexed")
         )
         cents = self._router.centroids
         spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
             "block_id int, centroid array<double>",
-        ).write.mode("overwrite").parquet(f"{path}/centroids")
-        if self.pending is not None:
-            self.pending.write.mode("overwrite").parquet(f"{path}/pending")
+        ).write.mode("overwrite").parquet(f"{stage}/centroids")
+        if had_pending:
+            self.pending.write.mode("overwrite").parquet(f"{stage}/pending")
         meta = {
             "n_blocks": self.n_blocks,
             "m": self.m,
@@ -1124,9 +1136,29 @@ class GraphANNIndex:
             ),
             "curve_nprobe": getattr(self, "_curve_nprobe", None),
         }
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, "graph_meta.json"), "w") as f:
+        with open(os.path.join(stage, "graph_meta.json"), "w") as f:
             json.dump(meta, f)
+        # atomic swap: stage in, old layout aside then gone — readers of
+        # the OLD files (this instance's own lazy plans included) must
+        # re-point, which we do immediately below
+        import shutil as _shutil
+
+        old = None
+        if os.path.exists(path):
+            old = f"{path}.old-{_uuid.uuid4().hex}"
+            os.rename(path, old)
+        try:
+            os.rename(stage, path)
+        except OSError:
+            if old is not None:
+                os.rename(old, path)  # roll back — old save intact
+            raise
+        if old is not None:
+            _shutil.rmtree(old, ignore_errors=True)
+        self.indexed = spark.read.parquet(f"{path}/indexed")
+        self.pending = (
+            spark.read.parquet(f"{path}/pending") if had_pending else None
+        )
 
     @classmethod
     def load(cls, spark, path: str) -> "GraphANNIndex":

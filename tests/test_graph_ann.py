@@ -487,6 +487,29 @@ def test_family_member_protocol(spark, emb):
     assert got == exact
 
 
+def test_save_over_loaded_path_after_fold(tmp_path, spark, emb, qvec):
+    """Maintained-index persistence: load → fold_pending → save back to
+    the SAME path must succeed (staged atomic-swap save — a direct
+    overwrite fails mid-write reading the files it is replacing and
+    leaves the old layout half-destroyed) and the reloaded index serves
+    the folded state exactly."""
+    p = str(tmp_path / "selfsave")
+    idx = GraphANNIndex(n_blocks=2, m=4, ef_construction=16)
+    idx.build(emb)
+    idx.save(p)
+    back = GraphANNIndex.load(spark, p)
+    near = [float(x) for x in qvec]
+    near[2] += 1e-3
+    back.add(spark.createDataFrame([(888_001, near, 0)], emb.schema))
+    back.fold_pending()
+    back.save(p)  # over the path it was loaded from
+    again = GraphANNIndex.load(spark, p)
+    assert again.pending is None
+    assert again.indexed.count() == emb.count() + 1
+    got = {r.vec_id for r in again.search(qvec, 2, ef=None, nprobe=None).collect()}
+    assert got == {QVID, 888_001}
+
+
 def test_filtered_search_exhaustive_exact(gidx, emb, qvec):
     """Hybrid through the graph: result_filter + exhaustive traversal
     equals the filtered brute-force top-k (post-filtering is exact when
