@@ -40,6 +40,37 @@ from mlvectordb_spark.operators.knn import knn
 TOPK_SALT_BUCKETS = 64
 
 
+def staged_index_save(path: str, write_into) -> None:
+    """Staged atomic-swap persistence, shared by every index family's
+    save(): `write_into(stage_dir)` writes the FULL layout into a sibling
+    staging directory, which then swaps over `path` with rollback on
+    failure. Two hazards this removes: saving a maintained index back
+    OVER the path it was loaded from used to make Spark read the files
+    it was replacing (the write fails mid-job and leaves the previous
+    layout half-destroyed — data loss, not just an error), and any crash
+    mid-save destroyed the old save. Callers must re-point their lazy
+    plans at the committed files afterwards (the swap replaced the files
+    the old plans reference)."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    stage = f"{path}.staging-{_uuid.uuid4().hex}"
+    write_into(stage)
+    old = None
+    if _os.path.exists(path):
+        old = f"{path}.old-{_uuid.uuid4().hex}"
+        _os.rename(path, old)
+    try:
+        _os.rename(stage, path)
+    except OSError:
+        if old is not None:
+            _os.rename(old, path)  # roll back — the old save is intact
+        raise
+    if old is not None:
+        _shutil.rmtree(old, ignore_errors=True)
+
+
 def per_key_topk(
     df: DataFrame, key_col: str, k: int, order_cols: list, salt_on: str
 ) -> DataFrame:
@@ -666,45 +697,64 @@ class IVFIndex:
         """Q23 (declared save_index, README:239-241): persist the derived
         index — the clustered DataFrame partitioned BY cluster_id (so a
         probe becomes physical partition pruning on reload) plus the
-        centroid table."""
+        centroid table. Staged atomic-swap (staged_index_save): saving a
+        maintained index back over its own load path is safe and a
+        crashed save never destroys the previous one."""
         assert self.indexed is not None and self.centroids is not None
         spark = self.indexed.sparkSession
-        (
-            self.indexed.write.mode("overwrite")
-            .partitionBy("cluster_id")
-            .parquet(f"{path}/indexed")
-        )
-        cent_rows = [
-            (i, [float(x) for x in c]) for i, c in enumerate(self.centroids)
-        ]
-        spark.createDataFrame(
-            cent_rows, "cluster_id int, centroid array<double>"
-        ).write.mode("overwrite").parquet(f"{path}/centroids")
-        # drift counters AND the build-time vector column travel with the
-        # index — otherwise a reloaded index silently disables the W11
-        # rebuild trigger (round-2 verdict), and maintenance paths that
-        # default to self._vec_col (refresh_stats / apply_changes / save)
-        # would look for the ctor-default 'embedding' column in an index
-        # built over e.g. the store's 'values' (round-6 ADVICE)
-        spark.createDataFrame(
-            [(int(self._built_count), int(self._added_count), self._vec_col)],
-            "built_count long, added_count long, vec_col string",
-        ).write.mode("overwrite").parquet(f"{path}/meta")
-        # exact-search pruning bounds travel with the index (k rows) — a
-        # reloaded index must not pay a corpus scan to re-derive them
         radii, counts = self.cluster_stats()
-        spark.createDataFrame(
-            [(i, float(radii[i]), int(counts[i])) for i in range(len(radii))],
-            "cluster_id int, radius double, n long",
-        ).write.mode("overwrite").parquet(f"{path}/cluster_stats")
-        if self._recall_curve:
-            # measured nprobe→recall points travel with the index: a
-            # reloaded serving index honors target_recall without paying
-            # the calibration jobs again
+
+        def write_into(stage: str) -> None:
+            (
+                self.indexed.write.mode("overwrite")
+                .partitionBy("cluster_id")
+                .parquet(f"{stage}/indexed")
+            )
+            cent_rows = [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(self.centroids)
+            ]
             spark.createDataFrame(
-                [(int(p), float(r)) for p, r in sorted(self._recall_curve.items())],
-                "nprobe int, recall double",
-            ).write.mode("overwrite").parquet(f"{path}/recall_curve")
+                cent_rows, "cluster_id int, centroid array<double>"
+            ).write.mode("overwrite").parquet(f"{stage}/centroids")
+            # drift counters AND the build-time vector column travel with
+            # the index — otherwise a reloaded index silently disables the
+            # W11 rebuild trigger (round-2 verdict), and maintenance paths
+            # that default to self._vec_col (refresh_stats / apply_changes
+            # / save) would look for the ctor-default 'embedding' column
+            # in an index built over e.g. the store's 'values' (round-6
+            # ADVICE)
+            spark.createDataFrame(
+                [(
+                    int(self._built_count),
+                    int(self._added_count),
+                    self._vec_col,
+                )],
+                "built_count long, added_count long, vec_col string",
+            ).write.mode("overwrite").parquet(f"{stage}/meta")
+            # exact-search pruning bounds travel with the index (k rows) —
+            # a reloaded index must not pay a corpus scan to re-derive them
+            spark.createDataFrame(
+                [
+                    (i, float(radii[i]), int(counts[i]))
+                    for i in range(len(radii))
+                ],
+                "cluster_id int, radius double, n long",
+            ).write.mode("overwrite").parquet(f"{stage}/cluster_stats")
+            if self._recall_curve:
+                # measured nprobe→recall points travel with the index: a
+                # reloaded serving index honors target_recall without
+                # paying the calibration jobs again
+                spark.createDataFrame(
+                    [
+                        (int(p), float(r))
+                        for p, r in sorted(self._recall_curve.items())
+                    ],
+                    "nprobe int, recall double",
+                ).write.mode("overwrite").parquet(f"{stage}/recall_curve")
+
+        staged_index_save(path, write_into)
+        self.indexed = spark.read.parquet(f"{path}/indexed")
 
     @classmethod
     def load(cls, spark, path: str) -> "IVFIndex":
@@ -908,19 +958,28 @@ class LSHIndex:
         bucket ids are — and a loaded index then serves `search_exact`
         bucket-window filters as PUSHED parquet predicates with no
         re-hashing of the corpus per query (the 100 TB serving shape; the
-        IVF analog is save's partitionBy(cluster_id))."""
+        IVF analog is save's partitionBy(cluster_id)). Staged atomic-swap
+        (staged_index_save): save-over-own-load-path safe, crash-safe."""
         assert self.model is not None and self.indexed is not None
-        self.model.write().overwrite().save(f"{path}/model")
-        keep = [
-            c for c in self.indexed.columns if c not in ("__hashes", "__features")
-        ]
-        bucket_cols = [
-            self._bucket_col(i).alias(f"b{i}")
-            for i in range(self.num_hash_tables)
-        ]
-        self.indexed.select(*keep, *bucket_cols).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/data")
+        spark = self.indexed.sparkSession
+
+        def write_into(stage: str) -> None:
+            self.model.write().overwrite().save(f"{stage}/model")
+            keep = [
+                c
+                for c in self.indexed.columns
+                if c not in ("__hashes", "__features")
+            ]
+            bucket_cols = [
+                self._bucket_col(i).alias(f"b{i}")
+                for i in range(self.num_hash_tables)
+            ]
+            self.indexed.select(*keep, *bucket_cols).write.mode(
+                "overwrite"
+            ).parquet(f"{stage}/data")
+
+        staged_index_save(path, write_into)
+        self.indexed = spark.read.parquet(f"{path}/data")
 
     @classmethod
     def load(
@@ -1263,54 +1322,65 @@ class IVFPQIndex:
     def save(self, path: str) -> None:
         """Persist ONE physical dataset partitioned by cluster_id (probe =
         partition pruning) carrying codes + error + full vectors, plus the
-        driver-scale state of both layers."""
+        driver-scale state of both layers. Staged atomic-swap
+        (staged_index_save): save-over-own-load-path safe, crash-safe."""
         assert self.encoded is not None
         spark = self.encoded.sparkSession
-        (
-            self.encoded.write.mode("overwrite")
-            .partitionBy("cluster_id")
-            .parquet(f"{path}/encoded")
-        )
-        cent_rows = [
-            (i, [float(x) for x in c]) for i, c in enumerate(self.ivf.centroids)
-        ]
-        spark.createDataFrame(
-            cent_rows, "cluster_id int, centroid array<double>"
-        ).write.mode("overwrite").parquet(f"{path}/centroids")
         radii, counts = self.ivf.cluster_stats()
-        spark.createDataFrame(
-            [(i, float(radii[i]), int(counts[i])) for i in range(len(radii))],
-            "cluster_id int, radius double, n long",
-        ).write.mode("overwrite").parquet(f"{path}/cluster_stats")
-        m, k_sub, sub = self.pq.codebooks.shape
-        spark.createDataFrame(
-            [
-                (b, j, [float(x) for x in self.pq.codebooks[b, j]])
-                for b in range(m)
-                for j in range(k_sub)
-            ],
-            "b int, j int, centroid array<double>",
-        ).write.mode("overwrite").parquet(f"{path}/codebooks")
-        # drift counters + build-time vector column (the IVFIndex meta
-        # contract): without them a reloaded composed index silently
-        # disables is_rebuild_required() and defaults maintenance to the
-        # ctor 'embedding' column
-        spark.createDataFrame(
-            [(
-                int(self.ivf._built_count),
-                int(self.ivf._added_count),
-                self.ivf._vec_col,
-            )],
-            "built_count long, added_count long, vec_col string",
-        ).write.mode("overwrite").parquet(f"{path}/meta")
-        if self._recall_curve:
+
+        def write_into(stage: str) -> None:
+            (
+                self.encoded.write.mode("overwrite")
+                .partitionBy("cluster_id")
+                .parquet(f"{stage}/encoded")
+            )
+            cent_rows = [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(self.ivf.centroids)
+            ]
+            spark.createDataFrame(
+                cent_rows, "cluster_id int, centroid array<double>"
+            ).write.mode("overwrite").parquet(f"{stage}/centroids")
             spark.createDataFrame(
                 [
-                    (int(p), float(r))
-                    for p, r in sorted(self._recall_curve.items())
+                    (i, float(radii[i]), int(counts[i]))
+                    for i in range(len(radii))
                 ],
-                "nprobe int, recall double",
-            ).write.mode("overwrite").parquet(f"{path}/recall_curve")
+                "cluster_id int, radius double, n long",
+            ).write.mode("overwrite").parquet(f"{stage}/cluster_stats")
+            m, k_sub, sub = self.pq.codebooks.shape
+            spark.createDataFrame(
+                [
+                    (b, j, [float(x) for x in self.pq.codebooks[b, j]])
+                    for b in range(m)
+                    for j in range(k_sub)
+                ],
+                "b int, j int, centroid array<double>",
+            ).write.mode("overwrite").parquet(f"{stage}/codebooks")
+            # drift counters + build-time vector column (the IVFIndex meta
+            # contract): without them a reloaded composed index silently
+            # disables is_rebuild_required() and defaults maintenance to
+            # the ctor 'embedding' column
+            spark.createDataFrame(
+                [(
+                    int(self.ivf._built_count),
+                    int(self.ivf._added_count),
+                    self.ivf._vec_col,
+                )],
+                "built_count long, added_count long, vec_col string",
+            ).write.mode("overwrite").parquet(f"{stage}/meta")
+            if self._recall_curve:
+                spark.createDataFrame(
+                    [
+                        (int(p), float(r))
+                        for p, r in sorted(self._recall_curve.items())
+                    ],
+                    "nprobe int, recall double",
+                ).write.mode("overwrite").parquet(f"{stage}/recall_curve")
+
+        staged_index_save(path, write_into)
+        self.encoded = spark.read.parquet(f"{path}/encoded")
+        self.ivf.indexed = self.encoded
 
     @classmethod
     def load(cls, spark, path: str) -> "IVFPQIndex":

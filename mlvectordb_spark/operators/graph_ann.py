@@ -1098,24 +1098,11 @@ class GraphANNIndex:
         previous save (the MergedTable commit lesson applied to index
         persistence). After the swap the instance re-points at the
         committed files."""
-        import uuid as _uuid
+        from mlvectordb_spark.operators.ann import staged_index_save
 
         assert self.indexed is not None
         spark = self.indexed.sparkSession
         had_pending = self.pending is not None
-        stage = f"{path}.staging-{_uuid.uuid4().hex}"
-        (
-            self.indexed.write.mode("overwrite")
-            .partitionBy("block_id")
-            .parquet(f"{stage}/indexed")
-        )
-        cents = self._router.centroids
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-            "block_id int, centroid array<double>",
-        ).write.mode("overwrite").parquet(f"{stage}/centroids")
-        if had_pending:
-            self.pending.write.mode("overwrite").parquet(f"{stage}/pending")
         meta = {
             "n_blocks": self.n_blocks,
             "m": self.m,
@@ -1136,25 +1123,27 @@ class GraphANNIndex:
             ),
             "curve_nprobe": getattr(self, "_curve_nprobe", None),
         }
-        with open(os.path.join(stage, "graph_meta.json"), "w") as f:
-            json.dump(meta, f)
-        # atomic swap: stage in, old layout aside then gone — readers of
-        # the OLD files (this instance's own lazy plans included) must
-        # re-point, which we do immediately below
-        import shutil as _shutil
+        def write_into(stage: str) -> None:
+            (
+                self.indexed.write.mode("overwrite")
+                .partitionBy("block_id")
+                .parquet(f"{stage}/indexed")
+            )
+            cents = self._router.centroids
+            spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+                "block_id int, centroid array<double>",
+            ).write.mode("overwrite").parquet(f"{stage}/centroids")
+            if had_pending:
+                self.pending.write.mode("overwrite").parquet(
+                    f"{stage}/pending"
+                )
+            with open(os.path.join(stage, "graph_meta.json"), "w") as f:
+                json.dump(meta, f)
 
-        old = None
-        if os.path.exists(path):
-            old = f"{path}.old-{_uuid.uuid4().hex}"
-            os.rename(path, old)
-        try:
-            os.rename(stage, path)
-        except OSError:
-            if old is not None:
-                os.rename(old, path)  # roll back — old save intact
-            raise
-        if old is not None:
-            _shutil.rmtree(old, ignore_errors=True)
+        staged_index_save(path, write_into)
+        # re-point this instance's lazy plans at the committed files (the
+        # swap replaced the files any pre-save plans referenced)
         self.indexed = spark.read.parquet(f"{path}/indexed")
         self.pending = (
             spark.read.parquet(f"{path}/pending") if had_pending else None

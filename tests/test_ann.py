@@ -877,3 +877,45 @@ def test_recall_curve_empty_index_is_conservative(spark):
     assert curve == {}
     assert idx._recall_curve is None, "empty measurement must not cache"
     assert _nprobe_for_recall({}, 0.9, 4) == 4
+
+
+def test_ivf_save_over_loaded_path_after_changes(tmp_path, spark, sf_dir):
+    """Maintained-index persistence (every family shares
+    staged_index_save): load -> apply_changes -> save back to the SAME
+    path must succeed — a direct overwrite makes Spark read the files it
+    is replacing, fails mid-write, and leaves the previous layout
+    half-destroyed — and the reloaded index serves the maintained state
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from mlvectordb_spark.operators.ann import IVFIndex
+    from mlvectordb_spark.operators.knn import knn
+    from mlvectordb_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = str(tmp_path / "ivf_selfsave")
+    idx = IVFIndex(n_clusters=4, seed=42)
+    idx.build(emb)
+    idx.save(p)
+    back = IVFIndex.load(spark, p)
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
+    near = [float(x) for x in qvec]
+    near[1] += 1e-3
+    feed = spark.createDataFrame(
+        [(555_001, near, 0, "upsert", 9)],
+        "vec_id long, embedding array<float>, label int, "
+        "change_type string, write_version long",
+    )
+    back.apply_changes(feed)
+    back.save(p)  # over the path it was loaded from
+    again = IVFIndex.load(spark, p)
+    assert again.indexed.count() == emb.count() + 1
+    got = [r.vec_id for r in again.search_exact(qvec, 2).collect()]
+    want = [
+        r.vec_id
+        for r in knn(
+            emb.unionByName(feed.drop("change_type", "write_version")),
+            qvec, 2, metric="l2",
+        ).collect()
+    ]
+    assert got == want
