@@ -432,6 +432,13 @@ def test_scan_count_budgets(spark, sf_dir):
         "orders_expectations": 3,      # rules+FK-graft scan (orders +
                                        # broadcast customer) + uniqueness
         "heavy_bigrams": 1,            # ONE exact pass over CMS survivors
+        # r8: graph family (one scan of the block-partitioned layout per
+        # entry — the probe is partition pruning, never a second read)
+        # and the BPE budgets entry (both aggregates on one doc scan)
+        "ann_graph_exact": 1,
+        "ann_graph_batch": 1,
+        "ann_graph_knn": 1,
+        "doc_bpe_subword": 1,
     }
     over = {}
     for name, budget in budgets.items():
