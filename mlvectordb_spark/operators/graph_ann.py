@@ -28,11 +28,11 @@ graph-ANN system does it (DiskANN sharding, Vespa/Lucene HNSW segments):
   from its stored entry seeds (farthest-point-sampled, medoid first —
   the flat-graph substitute for HNSW's hierarchy, see `_entry_points`)
   and emits its best `ef` rows; a global rounded-score top-k merges
-  blocks. `ef=None`
-  disables beam pruning entirely — on a freshly built (delete-free)
-  graph the traversal then visits every node of every probed block
-  (connectivity guarantee above), so `nprobe=None, ef=None` is EXACT
-  and oracle-checkable against brute-force SQL.
+  blocks. `ef=None` disables beam pruning entirely — the traversal
+  visits every REACHABLE node, and an unvisited-row sweep
+  (`_sweep_unvisited`) covers anything delete-damage disconnected — so
+  `nprobe=None, ef=None` is EXACT unconditionally (not just on a
+  delete-free graph) and oracle-checkable against brute-force SQL.
 - **Pending tail for incremental adds** (the Lucene/Vespa segment
   pattern): `add()`/`apply_changes()` upserts land in a flat tail
   DataFrame that every search scans EXACTLY and merges with the graph
@@ -134,6 +134,28 @@ def _beam_search(
                 if ef is not None and len(best) > ef:
                     heapq.heappop(best)
     return sorted((-nd, p) for nd, p in best)
+
+
+def _sweep_unvisited(
+    X: np.ndarray,
+    found: list[tuple[float, int]],
+    q: np.ndarray,
+    metric: str,
+) -> list[tuple[float, int]]:
+    """Delete-damage sweep for the exhaustive (ef=None) mode: traversal
+    only covers the components REACHABLE from the entry seeds, and CDC
+    deletes can disconnect a repaired graph (removing a bridge endpoint
+    strands its far side — empirically ~1/13k single-delete trials on
+    clustered data, growing with delete volume). Whatever the traversal
+    missed gets its distance computed directly, so exhaustive mode is
+    exact UNCONDITIONALLY — connectivity is an optimization, not a
+    correctness precondition. Cost on an intact graph: one len check."""
+    seen = {p for _, p in found}
+    rest = [i for i in range(len(X)) if i not in seen]
+    if not rest:
+        return found
+    dr = _pair_dists(X[rest], q, metric)
+    return sorted(found + list(zip(dr.tolist(), rest)))
 
 
 def _select_diverse(
@@ -669,6 +691,8 @@ class GraphANNIndex:
                 entries = [int(pdf[icol].to_numpy().argmin())]
             width = None if ef is None else max(ef, need)
             found = _beam_search(X, adj, entries, q, width, metric)
+            if ef is None and len(found) < len(pdf):
+                found = _sweep_unvisited(X, found, q, metric)
             take = found if ef is None else found[: max(ef, need)]
             rows = pdf.iloc[[p for _, p in take]][keep].copy()
             rows["score"] = np.round(
@@ -778,8 +802,9 @@ class GraphANNIndex:
         """Top-k via beam search in the `nprobe` nearest blocks, merged
         with an EXACT scan of the pending tail. `ef` is hnswlib's ef
         (reference ef=50, index.py:126); `ef=None` with `nprobe=None`
-        traverses everything — exact on a delete-free graph (the
-        connectivity guarantee) and the oracle-checkable mode.
+        traverses everything reachable and sweeps whatever delete damage
+        disconnected (`_sweep_unvisited`) — exact UNCONDITIONALLY, the
+        oracle-checkable mode.
         `metric`/`vec_col`/`id_col` accept the family-protocol call shape
         but must match the build-time values (a graph is metric-bound —
         same as an hnswlib space). `result_filter` (a Column over the
@@ -925,6 +950,8 @@ class GraphANNIndex:
             width = None if ef is None else max(ef, need)
             for qid, qv in qs:
                 found = _beam_search(X, adj, entries, qv, width, metric)
+                if ef is None and len(found) < len(X):
+                    found = _sweep_unvisited(X, found, qv, metric)
                 take = found if ef is None else found[: max(ef or 0, need)]
                 out_q.extend([qid] * len(take))
                 out_i.extend(ids[p] for _, p in take)
@@ -979,9 +1006,10 @@ class GraphANNIndex:
         """EXACT batch join through the graph layout — the family-protocol
         batch surface (`VectorStore.find_similar_batch(mode="indexed")`
         routes through this, same as IVF/IVFPQ): exhaustive traversal of
-        every block plus the exact pending tail, which the connectivity
-        guarantee makes equal to brute force. `vec_col`/`id_col` accept
-        the protocol call shape; the build-time columns always apply."""
+        every block plus the unvisited-row sweep plus the exact pending
+        tail — equal to brute force even after deletes disconnect blocks
+        (`_sweep_unvisited`). `vec_col`/`id_col` accept the protocol
+        call shape; the build-time columns always apply."""
         return self.search_batch(
             queries, k, ef=None, nprobe=None,
             query_id=query_id, query_vec=query_vec,

@@ -551,3 +551,63 @@ def test_family_save_load_graph_members(tmp_path, spark, emb):
     want = [r.vec_id for r in fam.search_exact("odd", qv, 5).collect()]
     got = [r.vec_id for r in back.search_exact("odd", qv, 5).collect()]
     assert got == want
+
+
+def test_exhaustive_exact_despite_disconnection(spark, emb, qvec):
+    """Worst-case graph damage: every edge severed (simulated by
+    emptying the adjacency — the limit of the r8 advice finding, where
+    a deleted bridge endpoint stranded live rows). Exhaustive mode must
+    STILL equal brute force: the unvisited-row sweep covers whatever
+    the traversal can't reach. Single-query and batch surfaces."""
+    idx = GraphANNIndex(n_blocks=2, m=4, ef_construction=32)
+    idx.build(emb)
+    idx.indexed = idx.indexed.withColumn(
+        "neighbors", F.expr("slice(neighbors, 1, 0)")
+    ).localCheckpoint()
+    exact = [
+        (r.vec_id, r.score)
+        for r in knn(emb, qvec, K, metric="l2").collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.search(qvec, K, ef=None, nprobe=None).collect()
+    ]
+    assert got == exact
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = idx.knn_join_exact(queries, 5).collect()
+    got_b = collections.defaultdict(set)
+    for r in rows:
+        got_b[r.query_id].add(r.vec_id)
+    for q in range(2):
+        qv = emb.filter(F.col("vec_id") == q).select("embedding").head()[0]
+        want = {r.vec_id for r in knn(emb, qv, 5, metric="l2").collect()}
+        assert got_b[q] == want, q
+
+
+def test_exhaustive_exact_after_heavy_deletes(spark, emb, qvec):
+    """CDC-delete half the corpus (ample bridge-removal opportunity),
+    then certify the exhaustive mode against brute force over the
+    survivors — scores included."""
+    idx = GraphANNIndex(n_blocks=2, m=4, ef_construction=32)
+    idx.build(emb)
+    victims = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    feed = victims.select(
+        "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(None).cast("int").alias("label"),
+        F.lit("delete").alias("change_type"),
+        F.lit(10).cast("long").alias("write_version"),
+    )
+    idx.apply_changes(feed)
+    live = emb.join(victims, "vec_id", "left_anti")
+    exact = [
+        (r.vec_id, r.score)
+        for r in knn(live, qvec, K, metric="l2").collect()
+    ]
+    got = [
+        (r.vec_id, r.score)
+        for r in idx.search(qvec, K, ef=None, nprobe=None).collect()
+    ]
+    assert got == exact
