@@ -515,6 +515,9 @@ class GraphANNIndex:
         self._data_cols: list[str] | None = None
         self._built_count = 0
         self._added_count = 0
+        # add() batches whose drift contribution hasn't been counted yet
+        # (settled in one job when the ratio is consulted — see add())
+        self._uncounted_adds: DataFrame | None = None
         # measured ef → recall@k curve (measure_recall_curve): driver-side
         # scalars persisted by save(), so a reloaded serving index honors
         # a recall target without re-measuring — the graph's dial is ef
@@ -552,6 +555,7 @@ class GraphANNIndex:
         self.pending = None
         self._built_count = df.count()
         self._added_count = 0
+        self._uncounted_adds = None
         return self.indexed
 
     def _graph_stage(self, assigned: DataFrame) -> DataFrame:
@@ -882,6 +886,7 @@ class GraphANNIndex:
         query_id: str = "query_id",
         query_vec: str = "embedding",
         result_filter=None,
+        target_recall: float | None = None,
     ) -> DataFrame:
         """Batch serving: every query routes to its `nprobe` blocks; ONE
         applyInPandas pass beam-searches each block for all the queries
@@ -893,8 +898,17 @@ class GraphANNIndex:
         with `ef=None` the traversal is exhaustive, so the filtered
         result is exactly the brute-force filtered top-k; with a bounded
         `ef` it filters the beam's survivors (best-effort, like any
-        post-filtered ANN)."""
+        post-filtered ANN). `target_recall` replaces the raw dials with
+        the persisted calibration curve's smallest qualifying ef — the
+        same quality contract as the single-query path, applied to the
+        whole batch (r8 verdict #9)."""
         assert self.indexed is not None, "build() first"
+        if target_recall is not None:
+            ef = self.ef_for_recall(target_recall)
+            nprobe = (
+                None if ef is None
+                else getattr(self, "_curve_nprobe", None)
+            )
         qrows = queries.select(query_id, query_vec).collect()
         routed: dict[int, list[tuple]] = {}
         for r in qrows:
@@ -1015,6 +1029,33 @@ class GraphANNIndex:
             query_id=query_id, query_vec=query_vec,
         )
 
+    def knn_join(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int | None = 2,
+        query_vec: str = "embedding",
+        query_id: str = "query_id",
+        vec_col: str | None = None,
+        id_col: str | None = None,
+        ef: int | None = 64,
+        target_recall: float | None = None,
+    ) -> DataFrame:
+        """APPROXIMATE batch join — the protocol twin of
+        `IVFIndex.knn_join` (same call shape, so
+        `VectorStore.find_similar_batch(mode="approx")` serves graph
+        members through one bounded-beam pass per probed block instead of
+        raising). The graph's quality dial is `ef` (hnswlib's), with
+        `nprobe` as the routing width; `target_recall` resolves both from
+        the persisted calibration curve (`ef_for_recall`), exactly like
+        the single-query path. `vec_col`/`id_col` accept the protocol
+        call shape; the build-time columns always apply."""
+        return self.search_batch(
+            queries, k, ef=ef, nprobe=nprobe,
+            query_id=query_id, query_vec=query_vec,
+            target_recall=target_recall,
+        )
+
     # ---------------------------------------------------------- maintenance
 
     def add(
@@ -1026,17 +1067,21 @@ class GraphANNIndex:
         """W8 incremental add: new vectors land in the flat pending tail —
         visible to the NEXT search immediately, at FULL recall (the tail
         is scanned exactly), with zero graph surgery. They count toward
-        the W11 drift trigger; rebuild() folds the tail into fresh
-        graphs."""
+        the W11 drift trigger — LAZILY: no count job runs here (the r8
+        verdict's job-count trim); uncounted batches accumulate as a plan
+        and settle in one job the first time the drift ratio is actually
+        consulted (`is_rebuild_required` / `save`)."""
         assert self.indexed is not None, "build() first"
         cols = self._data_cols or df_new.columns
         batch = df_new.select(*cols)
-        n = batch.count()
         self.pending = (
             batch if self.pending is None
             else self.pending.unionByName(batch)
         )
-        self._added_count += n
+        self._uncounted_adds = (
+            batch if self._uncounted_adds is None
+            else self._uncounted_adds.unionByName(batch)
+        )
         return self.pending
 
     def apply_changes(
@@ -1071,8 +1116,16 @@ class GraphANNIndex:
         )
         cols = self._data_cols or ups.columns
         ups = ups.select(*cols)
-        n_up = ups.count()
-        n_total = latest.count()
+        # ONE count job for the whole feed (total drives drift, upserts
+        # drive the resync baseline) instead of the two separate counts
+        # the r8 verdict flagged on the serving maintenance path
+        counts = latest.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(
+                F.when(F.col("change_type") == "upsert", F.lit(1))
+            ).alias("n_up"),
+        ).head()
+        n_total, n_up = int(counts.n_total), int(counts.n_up)
         if n_up:
             self.pending = (
                 ups if self.pending is None
@@ -1084,11 +1137,19 @@ class GraphANNIndex:
         self._added_count += n_total
         return self.indexed
 
+    def _settle_drift(self) -> None:
+        """Materialize the lazily-accumulated add() drift in ONE count job
+        (only when something is actually pending settlement)."""
+        if self._uncounted_adds is not None:
+            self._added_count += self._uncounted_adds.count()
+            self._uncounted_adds = None
+
     def is_rebuild_required(self) -> bool:
         """W11 (reference index.py:164-165): drift — tail growth + deletes
         — reached 20% of the built corpus."""
         if self._built_count == 0:
             return False
+        self._settle_drift()
         return self._added_count / self._built_count >= self.REBUILD_THRESHOLD
 
     def note_full_resync(self, n_live: int) -> None:
@@ -1102,6 +1163,7 @@ class GraphANNIndex:
             self.rebuild()
         self._built_count = max(1, int(n_live))
         self._added_count = 0
+        self._uncounted_adds = None
 
     def rebuild(self) -> DataFrame:
         """Fold the pending tail and any delete damage back into fresh
@@ -1130,6 +1192,7 @@ class GraphANNIndex:
 
         assert self.indexed is not None
         spark = self.indexed.sparkSession
+        self._settle_drift()  # persisted drift must include lazy adds
         had_pending = self.pending is not None
         meta = {
             "n_blocks": self.n_blocks,

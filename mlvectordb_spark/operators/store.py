@@ -1722,10 +1722,6 @@ class VectorStore:
                 # dial from the same persisted calibration curve as the
                 # single-query path, so the quality contract holds for
                 # the whole batch
-                if target_recall is not None:
-                    nprobe = self._resolve_nprobe(
-                        namespace, top_k, target_recall
-                    )
                 approx_join = getattr(index, "knn_join", None)
                 if approx_join is None:
                     raise ValueError(
@@ -1735,7 +1731,36 @@ class VectorStore:
                     )
                 import functools
 
-                batch_join = functools.partial(approx_join, nprobe=nprobe)
+                if target_recall is not None and hasattr(
+                    index, "ef_for_recall"
+                ):
+                    # graph member: its quality dial is ef, resolved from
+                    # its OWN persisted curve inside knn_join — measured
+                    # lazily once here, the same contract _resolve_nprobe
+                    # applies to the IVF families
+                    if getattr(index, "_recall_curve", None) is None:
+                        index.measure_recall_curve(
+                            k=max(10, top_k), vec_col=vec_col,
+                            id_col=id_col,
+                        )
+                    if getattr(index, "_recall_curve", None) is None:
+                        # measuring an EMPTY index yields no curve:
+                        # exhaustive mode trivially meets any target
+                        batch_join = functools.partial(
+                            approx_join, ef=None, nprobe=None
+                        )
+                    else:
+                        batch_join = functools.partial(
+                            approx_join, target_recall=target_recall
+                        )
+                else:
+                    if target_recall is not None:
+                        nprobe = self._resolve_nprobe(
+                            namespace, top_k, target_recall
+                        )
+                    batch_join = functools.partial(
+                        approx_join, nprobe=nprobe
+                    )
             else:
                 batch_join = getattr(index, "knn_join_exact", None)
             if batch_join is not None:

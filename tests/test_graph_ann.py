@@ -200,7 +200,9 @@ def test_fold_pending_cow_semantics(spark, emb, qvec):
     near[0] += 1e-3
     new = spark.createDataFrame([(777_001, near, 0)], emb.schema)
     idx.add(new)
+    idx._settle_drift()
     drift = idx._added_count
+    assert drift == 1
     idx.fold_pending()
     assert idx.pending is None
     assert idx._added_count == drift  # router drift survives the fold
@@ -611,3 +613,101 @@ def test_exhaustive_exact_after_heavy_deletes(spark, emb, qvec):
         for r in idx.search(qvec, K, ef=None, nprobe=None).collect()
     ]
     assert got == exact
+
+
+def test_add_counts_drift_lazily(spark, emb):
+    """add() must not run a count job eagerly (the r8 verdict's CDC
+    job-count trim): the drift contribution accumulates as a lazy plan
+    and settles in ONE count the first time the ratio is consulted."""
+    idx = GraphANNIndex(n_blocks=2, m=4, ef_construction=32)
+    idx.build(emb)
+    tail = emb.limit(5).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding", "label"
+    )
+    idx.add(tail)
+    assert idx._uncounted_adds is not None
+    assert idx._added_count == 0  # nothing counted yet
+    idx.is_rebuild_required()  # consults the ratio → settles
+    assert idx._uncounted_adds is None
+    assert idx._added_count == 5
+
+
+def test_batch_target_recall_through_graph(spark, emb):
+    """search_batch(target_recall=) resolves ef from the persisted curve
+    (the single-query quality contract applied to the whole batch) and
+    the result meets the target against the exact batch join."""
+    idx = GraphANNIndex(n_blocks=2, m=8, ef_construction=64)
+    idx.build(emb)
+    idx.indexed = idx.indexed.localCheckpoint()
+    idx.measure_recall_curve(k=5, n_queries=4, efs=[16, 64], nprobe=None)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = collections.defaultdict(set)
+    for r in idx.knn_join_exact(queries, 5).collect():
+        exact[r.query_id].add(r.vec_id)
+    got = collections.defaultdict(set)
+    for r in idx.search_batch(queries, 5, target_recall=0.9).collect():
+        got[r.query_id].add(r.vec_id)
+    recalls = [
+        len(got[q] & exact[q]) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9
+    # knn_join (the store's approx protocol shape) threads it too
+    via_join = collections.defaultdict(set)
+    for r in idx.knn_join(queries, 5, target_recall=0.9).collect():
+        via_join[r.query_id].add(r.vec_id)
+    assert via_join == got
+    # never measured → the contract raises rather than guessing
+    fresh = GraphANNIndex(n_blocks=2, m=4, ef_construction=32)
+    fresh.build(emb)
+    with pytest.raises(ValueError, match="recall curve"):
+        fresh.search_batch(queries, 5, target_recall=0.9).collect()
+
+
+def test_store_batch_approx_target_recall_through_graph(spark, tmp_path):
+    """find_similar_batch(mode='approx', target_recall=) serves graph
+    members: the store lazily measures the graph's ef→recall curve and
+    knn_join resolves the dial from it — the batch twin of the IVF
+    families' _resolve_nprobe contract (r8 verdict #9). The batch result
+    meets the target against the exact batch path."""
+    from mlvectordb_spark.operators.store import VectorStore
+
+    store = VectorStore(
+        spark, str(tmp_path / "gtstore"), rebuild_threshold=0.95
+    )
+    store.upsert_df(
+        spark.createDataFrame(
+            [
+                (f"k{i}", [float(i), float((i * 7) % 5)], "A")
+                for i in range(24)
+            ],
+            "id string, values array<float>, namespace string",
+        )
+    )
+    idx = GraphANNIndex(n_blocks=2, m=4, ef_construction=16)
+    idx.build(
+        store.df().filter(F.col("namespace") == "A").select("id", "values"),
+        vec_col="values",
+        id_col="id",
+    )
+    idx.indexed = idx.indexed.localCheckpoint()
+    store.attach_index("A", idx, vec_col="values", id_col="id")
+    queries = {"qa": [3.2, 1.0], "qb": [15.1, 2.0]}
+    got = store.find_similar_batch(
+        queries, 3, namespace="A", metric="l2", mode="approx",
+        target_recall=0.9,
+    ).collect()
+    exact = store.find_similar_batch(
+        queries, 3, namespace="A", metric="l2", mode="exact"
+    ).collect()
+    by_q = collections.defaultdict(set)
+    for r in got:
+        by_q[r.query_id].add(r.id)
+    ex_q = collections.defaultdict(set)
+    for r in exact:
+        ex_q[r.query_id].add(r.id)
+    recalls = [len(by_q[q] & ex_q[q]) / len(ex_q[q]) for q in ex_q]
+    assert sum(recalls) / len(recalls) >= 0.9
+    # the measured curve is cached on the index for the next batch
+    assert idx._recall_curve is not None
