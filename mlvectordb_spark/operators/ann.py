@@ -50,10 +50,39 @@ def staged_index_save(path: str, write_into) -> None:
     layout half-destroyed — data loss, not just an error), and any crash
     mid-save destroyed the old save. Callers must re-point their lazy
     plans at the committed files afterwards (the swap replaced the files
-    the old plans reference)."""
+    the old plans reference).
+
+    Crash-debris handling (r8 verdict #5): a crash mid-`write_into`
+    strands `<path>.staging-<uuid>`; a crash between the two renames
+    strands the previous save in `<path>.old-<uuid>` with nothing at
+    `path`. On entry: if `path` is missing but `.old-*` siblings
+    survive, the NEWEST one is restored to `path` (the crash-window
+    recovery — the data was a complete committed save); then any
+    remaining `.staging-*`/`.old-*` siblings older than an hour are
+    swept (the MergedTable staging-sweep policy applied to index
+    persistence — the age floor keeps a CONCURRENT save's live staging
+    dir safe)."""
+    import glob as _glob
     import os as _os
     import shutil as _shutil
+    import time as _time
     import uuid as _uuid
+
+    if not _os.path.exists(path):
+        survivors = sorted(
+            _glob.glob(f"{path}.old-*"), key=_os.path.getmtime
+        )
+        if survivors:
+            _os.rename(survivors[-1], path)
+    cutoff = _time.time() - 3600
+    for debris in _glob.glob(f"{path}.staging-*") + _glob.glob(
+        f"{path}.old-*"
+    ):
+        try:
+            if _os.path.getmtime(debris) < cutoff:
+                _shutil.rmtree(debris, ignore_errors=True)
+        except OSError:
+            pass  # someone else swept or committed it first
 
     stage = f"{path}.staging-{_uuid.uuid4().hex}"
     write_into(stage)

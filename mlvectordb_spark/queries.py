@@ -1381,12 +1381,10 @@ def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     of events, answer the daily question exactly from it (algebraic aggs
     re-aggregate losslessly). Oracle computes straight from raw events —
     results must be identical."""
-    import tempfile
-
     from mlvectordb_spark.operators.rollup import build_rollup, query_rollup
 
     ev = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="q_rollup_")
+    path = _entry_tmpdir("rollup")
     build_rollup(ev, path, bucket="1 hour")
     return query_rollup(spark, path, grain="day")
 
@@ -1400,12 +1398,10 @@ def q_rollup_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id per bucket; the daily answer UNIONS sketches — distinct users
     per day without re-touching raw events, the only distinct-count shape
     that stays incremental at 100 TB."""
-    import tempfile
-
     from mlvectordb_spark.operators.rollup import build_rollup, query_rollup
 
     ev = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="q_hll_rollup_")
+    path = _entry_tmpdir("hll_rollup")
     build_rollup(ev, path, bucket="1 hour", distinct_col="user_id")
     daily = query_rollup(spark, path, grain="day", distinct_col="user_id")
     return daily.select(
@@ -2009,7 +2005,14 @@ def q_doc_bpe_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("docs"),
             F.sum("n_bpe_tokens").cast("long").alias("bpe_tokens"),
-            F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+            # blank docs count 0 words: split('', '\s+') yields ['']
+            # (size 1), which would skew the per-source whitespace
+            # baseline the subword budget is compared against (r8 advice)
+            F.sum(
+                F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+                    F.size(F.split(F.trim("text"), r"\s+"))
+                )
+            )
             .cast("long")
             .alias("ws_tokens"),
         )

@@ -919,3 +919,87 @@ def test_ivf_save_over_loaded_path_after_changes(tmp_path, spark, sf_dir):
         ).collect()
     ]
     assert got == want
+
+
+def test_staged_save_sweeps_crash_debris(tmp_path, spark):
+    """r8 verdict #5: a crash mid-write_into strands a `.staging-*`
+    sibling and a crash between the two renames strands the previous
+    save in `.old-*` with nothing at `path`. The NEXT save must (a)
+    restore the newest `.old-*` when `path` is missing, (b) sweep
+    stale debris older than an hour, and (c) leave a CONCURRENT save's
+    fresh staging dir (and other paths entirely) untouched."""
+    import json
+    import os
+    import time
+
+    from mlvectordb_spark.operators.ann import staged_index_save
+
+    p = str(tmp_path / "idx")
+
+    def writer(payload):
+        def write_into(stage):
+            os.makedirs(stage, exist_ok=True)
+            with open(os.path.join(stage, "meta.json"), "w") as f:
+                json.dump(payload, f)
+        return write_into
+
+    staged_index_save(p, writer({"v": 1}))
+    # simulate a crash between rename(path→old) and rename(stage→path)
+    old = f"{p}.old-deadbeef"
+    os.rename(p, old)
+    assert not os.path.exists(p)
+    # plus stale debris from a crashed write_into, and a FRESH staging
+    # dir from a concurrent save that must survive the sweep
+    stale = f"{p}.staging-cafe"
+    os.makedirs(stale)
+    past = time.time() - 7200
+    os.utime(stale, (past, past))
+    os.utime(old, (past, past))
+    fresh = f"{p}.staging-live"
+    os.makedirs(fresh)
+    other = str(tmp_path / "other") + ".staging-x"
+    os.makedirs(other)
+    os.utime(other, (past, past))
+
+    staged_index_save(p, writer({"v": 2}))
+    with open(os.path.join(p, "meta.json")) as f:
+        assert json.load(f) == {"v": 2}
+    assert not os.path.exists(stale), "stale staging debris not swept"
+    assert not os.path.exists(old), "recovered .old-* must not linger"
+    assert os.path.exists(fresh), "fresh concurrent staging swept!"
+    assert os.path.exists(other), "unrelated path's debris touched"
+
+
+def test_staged_save_recovers_old_when_path_missing(tmp_path, spark):
+    """The crash-window recovery alone: nothing at `path`, a committed
+    save stranded in `.old-*` — the next save starts from the recovered
+    state (write_into can read it) and commits normally."""
+    import json
+    import os
+
+    from mlvectordb_spark.operators.ann import staged_index_save
+
+    p = str(tmp_path / "idx2")
+    staged_index_save(
+        p, lambda s: (
+            os.makedirs(s, exist_ok=True),
+            open(os.path.join(s, "m.txt"), "w").write("one"),
+        )
+    )
+    os.rename(p, f"{p}.old-1111")
+
+    seen = {}
+
+    def write_into(stage):
+        # recovery happened BEFORE write_into runs: the previous save is
+        # back at `path` for incremental writers to read
+        with open(os.path.join(p, "m.txt")) as f:
+            seen["prev"] = f.read()
+        os.makedirs(stage, exist_ok=True)
+        with open(os.path.join(stage, "m.txt"), "w") as f:
+            f.write("two")
+
+    staged_index_save(p, write_into)
+    assert seen["prev"] == "one"
+    with open(os.path.join(p, "m.txt")) as f:
+        assert f.read() == "two"
