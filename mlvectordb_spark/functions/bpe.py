@@ -1,10 +1,20 @@
-"""Byte-pair-encoding tokenizer, Spark-first.
+"""Byte-level byte-pair-encoding tokenizer, Spark-first.
 
 The curation layer's token counting (`functions/text.py`, `seq_pack`,
 `mixture_budget`, `source_mixture_tokens`) runs on whitespace/regex
 tokens — fine for relative budgets, but an LM training run bills in
-SUBWORD tokens. This module adds a real BPE (Sennrich et al. 2016):
+SUBWORD tokens. This module adds a real BPE (Sennrich et al. 2016),
+built BYTE-LEVEL the way GPT-2's tokenizer is (Radford et al. 2019):
 
+- **Byte alphabet, no in-band marker.** Text pre-tokenizes into
+  whitespace-carrying chunks (`\\s*\\S+|\\s+` — every character of the
+  input belongs to exactly one chunk, so concatenating tokens
+  reconstructs the text EXACTLY); each chunk's UTF-8 bytes map through
+  the GPT-2 byte↔unicode table into visible stand-in characters that
+  the merge loop operates on. Because the alphabet is the 256 bytes,
+  decode round-trips ARBITRARY text — including a literal "</w>",
+  the in-band-marker failure the previous Sennrich-style build
+  documented as its one caveat (r8 verdict #3).
 - **fit() is driver-side over a bounded deterministic sample** — the
   same scalability contract as the IVF centroid fit (`operators/
   ann.py:_fit_centroids`, the faiss recipe): tokenizer state is a few
@@ -14,22 +24,23 @@ SUBWORD tokens. This module adds a real BPE (Sennrich et al. 2016):
   production tokenizers are actually made (GPT-2's BPE was fit on a
   sample, applied to everything).
 - **encode is the distributed part**: one Arrow `mapInPandas` pass with
-  the merge-rank dict in the task closure, a per-batch word cache (real
-  corpora repeat words heavily — each distinct word pays the merge loop
-  once per batch), and no shuffle. At 100 TB this is a narrow map
-  stage, exactly like the assignment pass of the IVF build.
+  the merge-rank dict in the task closure, a per-batch chunk cache
+  (real corpora repeat words heavily — each distinct chunk pays the
+  merge loop once per batch), and no shuffle. At 100 TB this is a
+  narrow map stage, exactly like the assignment pass of the IVF build.
 
-Known limitation (shared by every Sennrich-style marker BPE): the
-end-of-word marker is IN-BAND, so a text containing the literal "</w>"
-substring does not round-trip through decode() (byte-level BPE is the
-standard fix; out of scope here — token COUNTS, the operators' use,
-are unaffected).
+`lowercase=True` (the default — token BUDGETS, the operators' use,
+conventionally case-fold) makes decode∘encode return the LOWERCASED
+text; with `lowercase=False` the round-trip is the exact identity on
+any unicode string (fuzzed in tests/test_properties.py with no
+excluded inputs).
 
 No SQL oracle can express iterative BPE merges, so the registry entry
 (`doc_bpe_subword`) is rows-only; correctness is gated by
 tests/test_bpe.py instead: the classic Sennrich fixture with
-hand-computed merges, driver-vs-distributed encode parity, round-trip
-decode, and determinism.
+hand-computed merges, driver-vs-distributed encode parity, exact
+round-trip decode, token-count parity with the marker construction,
+and determinism.
 """
 
 from __future__ import annotations
@@ -43,18 +54,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_EOW = "</w>"
-_WORD_RE = re.compile(r"\S+")
+# every character of any text belongs to exactly one chunk, so the
+# concatenation of chunks IS the text (the exact-round-trip invariant);
+# a word carries its leading whitespace (the GPT-2 " word" idea), a
+# trailing whitespace run forms its own chunk
+_PRETOK_RE = re.compile(r"\s*\S+|\s+")
 
 
-def _word_freqs(texts, lowercase: bool) -> Counter:
+def _bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's byte↔unicode table (the public construction from the
+    gpt-2 encoder): printable single-byte ranges map to themselves,
+    every other byte shifts into 256+n — so each of the 256 bytes is a
+    distinct, visible, non-whitespace character and merge symbols
+    concatenate without collisions or in-band markers."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_BYTE_TO_CHAR = _bytes_to_unicode()
+_CHAR_TO_BYTE = {c: b for b, c in _BYTE_TO_CHAR.items()}
+
+
+def _to_chars(chunk: str) -> str:
+    """UTF-8 bytes of a pre-token chunk, as byte-stand-in characters."""
+    return "".join(_BYTE_TO_CHAR[b] for b in chunk.encode("utf-8"))
+
+
+def _chunk_freqs(texts, lowercase: bool) -> Counter:
     freqs: Counter = Counter()
     for t in texts:
         if not t:
             continue
         if lowercase:
             t = t.lower()
-        freqs.update(_WORD_RE.findall(t))
+        freqs.update(_PRETOK_RE.findall(t))
     return freqs
 
 
@@ -77,10 +121,11 @@ def _merge_word(
     return tuple(out)
 
 
-def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+def _encode_chars(chars: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Apply merges in rank order (the standard BPE encode): repeatedly
-    merge the lowest-ranked adjacent pair until none applies."""
-    syms = list(word) + [_EOW]
+    merge the lowest-ranked adjacent pair until none applies. Operates
+    on byte-stand-in characters; returns merge-space token strings."""
+    syms = list(chars)
     while len(syms) > 1:
         best_rank = None
         best_i = -1
@@ -96,7 +141,7 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 
 
 class BPETokenizer:
-    """Sample-fit, Arrow-applied byte-pair encoder (module docstring)."""
+    """Sample-fit, Arrow-applied byte-level BPE (module docstring)."""
 
     def __init__(
         self,
@@ -118,7 +163,7 @@ class BPETokenizer:
         """Learn merges from a bounded deterministic sample: xxhash-ordered
         `sample_docs` rows collect to the driver (one bounded job — at
         100 TB still `sample_docs` rows), then the classic greedy pair-
-        merge loop over the word-frequency dict. Ties break
+        merge loop over the chunk-frequency dict. Ties break
         lexicographically so the fit is reproducible across runs and
         engines."""
         order = (
@@ -132,9 +177,9 @@ class BPETokenizer:
             .limit(self.sample_docs)
             .collect()
         )
-        freqs = _word_freqs([r.t for r in rows], self.lowercase)
+        freqs = _chunk_freqs([r.t for r in rows], self.lowercase)
         words: dict[tuple[str, ...], int] = {
-            tuple(w) + (_EOW,): c for w, c in freqs.items()
+            tuple(_to_chars(w)): c for w, c in freqs.items()
         }
         charset = {s for w in words for s in w}
         self.merges = []
@@ -164,15 +209,15 @@ class BPETokenizer:
     def encode_word(self, word: str) -> list[str]:
         if self.lowercase:
             word = word.lower()
-        return _encode_word(word, self.ranks())
+        return _encode_chars(_to_chars(word), self.ranks())
 
     def encode_text(self, text: str) -> list[str]:
         ranks = self.ranks()
         if self.lowercase:
             text = text.lower()
         out: list[str] = []
-        for w in _WORD_RE.findall(text):
-            out.extend(_encode_word(w, ranks))
+        for w in _PRETOK_RE.findall(text):
+            out.extend(_encode_chars(_to_chars(w), ranks))
         return out
 
     def _encode_schema(self, df: DataFrame, counts_only: bool):
@@ -192,8 +237,8 @@ class BPETokenizer:
         self, df: DataFrame, text_col: str, counts_only: bool
     ) -> DataFrame:
         """ONE Arrow map pass; merge ranks ride the task closure (KB-scale,
-        like IVF centroids); a per-batch word cache pays the merge loop
-        once per distinct word. Narrow stage: no join, no shuffle."""
+        like IVF centroids); a per-batch chunk cache pays the merge loop
+        once per distinct chunk. Narrow stage: no join, no shuffle."""
         ranks = self.ranks()
         lower = self.lowercase
         schema = self._encode_schema(df, counts_only)
@@ -207,10 +252,10 @@ class BPETokenizer:
                 if lower:
                     text = text.lower()
                 out: list[str] = []
-                for w in _WORD_RE.findall(text):
+                for w in _PRETOK_RE.findall(text):
                     toks = cache.get(w)
                     if toks is None:
-                        toks = _encode_word(w, ranks)
+                        toks = _encode_chars(_to_chars(w), ranks)
                         cache[w] = toks
                     out.extend(toks)
                 return out
@@ -235,8 +280,11 @@ class BPETokenizer:
 
     @staticmethod
     def decode(tokens: list[str]) -> str:
-        """Inverse of encode_text up to whitespace normalization."""
-        return "".join(tokens).replace(_EOW, " ").strip()
+        """EXACT inverse of encode_text (modulo the constructor's
+        lowercasing): tokens concatenate back to the byte-stand-in
+        stream, which maps 1:1 to the original UTF-8 bytes."""
+        data = bytes(_CHAR_TO_BYTE[c] for c in "".join(tokens))
+        return data.decode("utf-8", errors="replace")
 
     # ---------------------------------------------------------- persistence
 
@@ -245,6 +293,7 @@ class BPETokenizer:
         with open(path, "w", encoding="utf-8") as f:
             json.dump(
                 {
+                    "format": "byte-level",
                     "vocab_size": self.vocab_size,
                     "lowercase": self.lowercase,
                     "sample_docs": self.sample_docs,
@@ -258,6 +307,11 @@ class BPETokenizer:
     def load(cls, path: str) -> "BPETokenizer":
         with open(path, encoding="utf-8") as f:
             meta = json.load(f)
+        if meta.get("format") != "byte-level":
+            raise ValueError(
+                "unsupported tokenizer save format (expected 'byte-level'; "
+                "marker-style saves from older builds must be refit)"
+            )
         tok = cls(
             vocab_size=meta["vocab_size"],
             lowercase=meta["lowercase"],
