@@ -268,6 +268,61 @@ def _recall_tail(spark, sf_dir: str) -> dict[str, float]:
     out["recall_store_ivfpq_target09"] = round(
         sum(recs) / max(1, len(recs)), 3
     )
+    # r9 verdict #1: DESCENT-path bounded-beam recall. The sf corpora are
+    # far below the 32k exact-pool cutoff, so force the NN-descent
+    # construction (the >32k-block scale path) through the instance seam
+    # and track the bounded beam's quality at the shipped dial
+    # round-over-round; the 50k/1M-scale numbers live in SCALING.md
+    # (tools/graph_probe.py / descent probes).
+    from mlvectordb_spark.operators.graph_ann import GraphANNIndex
+
+    didx = GraphANNIndex(n_blocks=4, m=8, ef_construction=64, seed=42)
+    didx._exact_pool_max = 256  # every block builds via NN-descent
+    didx.build(emb)
+    didx.indexed = didx.indexed.localCheckpoint()
+    out["recall_graph_descent"] = round(
+        recall_at_k(
+            didx.search(qvec, KNN_K, ef=128, nprobe=None), exact
+        ), 3
+    )
+    # r9 verdict #9: graph BATCH serving at target_recall=0.9 — the
+    # store's approx batch path through a graph member (knn_join with the
+    # curve-resolved ef), measured against the certified-exact batch
+    # through the same index.
+    g_store = VectorStore(spark, store.path, rebuild_threshold=0.95)
+    g_idx = GraphANNIndex(n_blocks=4, m=8, ef_construction=64, seed=42)
+    g_idx.build(
+        g_store.df().filter(F.col("namespace") == "ns0").select(
+            "id", "values"
+        ),
+        vec_col="values",
+        id_col="id",
+    )
+    g_idx.indexed = g_idx.indexed.localCheckpoint()
+    g_store.attach_index("ns0", g_idx, vec_col="values", id_col="id")
+    # first call pays the one-time lazy curve calibration (ingest-time)
+    g_store.find_similar_batch(
+        qvecs, KNN_K, namespace="ns0", metric="l2", mode="approx",
+        target_recall=0.9,
+    ).collect()
+    t0 = time.time()
+    g_approx = g_store.find_similar_batch(
+        qvecs, KNN_K, namespace="ns0", metric="l2", mode="approx",
+        target_recall=0.9,
+    ).collect()
+    out["store_graph_batch_target09_sec"] = round(time.time() - t0, 3)
+    g_exact = g_store.find_similar_batch(
+        qvecs, KNN_K, namespace="ns0", metric="l2", mode="indexed"
+    ).collect()
+    gex, gap = defaultdict(set), defaultdict(set)
+    for r in g_exact:
+        gex[r["query_id"]].add(r["id"])
+    for r in g_approx:
+        gap[r["query_id"]].add(r["id"])
+    grecs = [len(gex[q] & gap[q]) / max(1, len(gex[q])) for q in gex]
+    out["recall_store_graph_batch_target09"] = round(
+        sum(grecs) / max(1, len(grecs)), 3
+    )
     return out
 
 

@@ -266,10 +266,13 @@ def _reverse_sample(N: np.ndarray, m: int, n: int) -> np.ndarray:
 # above this block size the exact pairwise pool (n² float32 BLAS) gives
 # way to NN-descent; at the cutoff the exact path is ~10-30 s of matmul
 _EXACT_POOL_MAX = 32_768
-# candidate-pool width per node before diversity selection: recall on
-# near-uniform noise needs selection from a pool WIDER than the kept
-# degree (measured 0.775 → 0.925 @ ef=64 going from pool=m to pool=2m)
-_POOL_FLOOR = 16
+# candidate-pool width per node before diversity selection: recall needs
+# selection from a pool WIDER than the kept degree (r7 probe: 0.775 →
+# 0.925 @ ef=64 going pool=m → 2m on exact pools; r9 probe on 50k
+# DESCENT blocks: 0.883 → 0.938 @ ef=128 going 2m → 3m, while widening
+# only at the END of descent bought nothing — the iterations must refine
+# the wide frontier; 4m adds build cost and no recall)
+_POOL_FLOOR = 24
 # Vamana's diversity relaxation, applied to SQUARED l2 (≈1.22 on true
 # distances) — keeps the mid-range links strict diversity drops
 _ALPHA = 1.5
@@ -349,7 +352,7 @@ def _build_block_graph(
     """Vectorized graph construction over one block, in two stages:
 
     1. A k-NN CANDIDATE POOL per node, wider than the kept degree
-       (pool = max(2m, 16)): exact chunked-BLAS for blocks up to
+       (pool = max(3m, 24)): exact chunked-BLAS for blocks up to
        _EXACT_POOL_MAX, NN-descent beyond — both batched numpy, replacing
        the insert-at-a-time NSW loop (24 s → 8 s per 12.5k block, with
        BETTER recall; SCALING.md).
@@ -368,7 +371,7 @@ def _build_block_graph(
     if n <= m + 1:
         adj = [sorted(set(range(n)) - {i}) for i in range(n)]
         return adj, _entry_points(X, metric)
-    pool_k = min(n - 1, max(2 * m, _POOL_FLOOR))
+    pool_k = min(n - 1, max(3 * m, _POOL_FLOOR))
     cutoff = _EXACT_POOL_MAX if exact_pool_max is None else exact_pool_max
     if n <= cutoff:
         N, D = _exact_pool(X, pool_k, metric)

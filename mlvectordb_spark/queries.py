@@ -7461,45 +7461,41 @@ ORACLE_SQL["minhash_sim_est"] = _oracle_minhash_est_sql()
 # reads a reloaded session index); (c) the longest-resting driver rows
 # (last checked r4); (e) a small continuity core of flagship entries.
 _WINDOW = [
-    # ---- round-8 rotation ----
-    # (a) NEW this round: the streaming expectations/quarantine gate
-    # (round-7 verdict #8) and the partitioned-NSW graph family (the
-    # reference's hnswlib structure) get driver rows the round they ship
-    # — the graph's exact + batch paths are oracle-backed; the bounded-
-    # beam probe is rows-only (approximate by construction)
-    "stream_quarantine",
+    # ---- round-9 rotation ----
+    # (a) kernels CHANGED this round, gated the round they change:
+    # the graph family (exhaustive-mode delete sweep, widened descent
+    # pool, lazy CDC drift, batch target_recall), the byte-level BPE
+    # rebase, the rollup scratch-dir convention, and the
+    # find_similar_batch approx-routing change (graph knn_join)
     "ann_graph_exact", "ann_graph_batch", "ann_graph_knn",
     "doc_bpe_subword",
-    # (a') never-driver-checked rows-only entries (round-7 verdict #4,
-    # via _ROWS_ONLY_IN_WINDOW): the driver's rows/schema check still
-    # catches crashes even without a SQL oracle
-    "ann_ivf_recall", "rollup_hll_daily", "emb_pca",
-    # (b) kernels changed in r8 — the heavy_bigrams threshold fix, the
-    # layout_zorder scratch convention, the MergedTable commit protocol
-    # (gapless versions + staging rename: every entry that publishes
-    # table versions re-verifies under the driver), and the store
-    # serving fold (check_dims=False upsert + sync=True reads +
-    # find_similar_batch routing refactor)
-    "heavy_bigrams", "layout_zorder",
-    "table_cdf", "table_cdf_multi", "table_mv", "join_mv",
-    "merge_orders", "merge_evolve",
-    "store_indexed_probe", "store_batch_probe", "store_batch_search",
-    "store_indexed_search",
-    # (c) longest-resting driver rows (all of r4's oracle-backed set —
-    # 13 deferred one extra round in r7 plus the 4 displaced by the r7
-    # third session plus the 6 that naturally aged)
-    "array_ops", "cust_big_orders", "data_split", "dedup_prefix_buckets",
-    "distinct_counts", "doc_chunks", "doc_dup_ngrams", "doc_fingerprint",
-    "events_sliding", "grouping_sets", "orders_cube", "orders_pivot",
-    "segment_setops", "seq_pack", "stratified_sample", "tfidf_terms",
-    "token_freq", "top_orders_per_cust", "tpch_q1", "tpch_q3", "tpch_q5",
-    "train_shuffle", "udaf_geomean",
-    # (d) oldest r5 rows, next in the rest queue — 4 entries (bm25_topk /
-    # conditional_agg / dedup_keep_best / decontaminate_semantic deferred
-    # one round to make room for the new graph family's + BPE entry's
-    # ship-round gating; they lead the r9 rest queue)
-    "ann_ivfpq_batch", "ann_lsh_exact", "ann_pq_exact",
-    "bucketed_join",
+    "rollup_daily", "rollup_hll_daily",
+    "store_batch_search", "store_batch_probe",
+    # (b) the LAST never-driver-checked entries (r8 verdict #2, via
+    # _ROWS_ONLY_IN_WINDOW): after this round every registry entry has
+    # had at least one driver row
+    "ann_ivf_knn", "ann_lsh_knn", "approx_stats", "media_stats",
+    # (c) single longest-resting row (r4)
+    "dedup_embedding_ivf",
+    # (d) the r5 rest queue — 34 of its 38 entries, led by the four the
+    # r8 comment promised (bm25_topk / conditional_agg / dedup_keep_best
+    # / decontaminate_semantic); the 4 deferred to r10 each have an
+    # r8-green sibling exercising the same operator class
+    # (monthly_running_revenue↔monthly_moving_avg+top_orders_per_cust,
+    # orders_rollup↔orders_cube, orders_unpivot↔orders_pivot,
+    # median_price↔distinct_counts percentile kin) — they lead the r10
+    # rest queue together with the r6 cohort
+    "bm25_topk", "conditional_agg", "dedup_keep_best",
+    "decontaminate_semantic",
+    "doc_bpe_tokens", "doc_cross_dup_ngrams", "doc_gopher", "doc_profile",
+    "doc_quality_hist", "doc_stats", "doc_strip_dup_ngrams", "emb_stats",
+    "events_attribution", "events_first_per_key", "hybrid_ivfpq_exact",
+    "hybrid_rrf", "knn_classify", "knn_ip", "label_centroids",
+    "minhash_sim_est", "mixture_materialize", "mixture_materialize_tokens",
+    "pipeline_materialize", "quality_sample", "source_cap",
+    "source_mixture_tokens", "threshold_cosine",
+    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q18", "tpch_q19", "tpch_q6",
+    "vocab_oov",
     # (e) continuity core (the flagship operators)
     "knn_l2", "hybrid_knn", "store_roundtrip",
 ]
@@ -7527,6 +7523,12 @@ _ROWS_ONLY_IN_WINDOW = {
     "ann_graph_knn",
     # iterative BPE merges aren't SQL-expressible; gated by tests/test_bpe.py
     "doc_bpe_subword",
+    # the r9 never-checked backlog (r8 verdict #2): approximate-by-
+    # construction probes (their layouts' exactness is oracle-gated by
+    # ann_ivf_exact/ann_lsh_exact), sketch stats with no cross-engine
+    # value oracle (approx_stats), and the PIL-gated media kernels
+    # (media_stats) — pytest-gated in tests/test_multimodal.py
+    "ann_ivf_knn", "ann_lsh_knn", "approx_stats", "media_stats",
 }
 assert all(
     k in ORACLE_SQL or k in _ROWS_ONLY_IN_WINDOW for k in _FIRST_50

@@ -84,6 +84,18 @@ def main() -> None:
     run("exact_scan", lambda qv: knn(emb, qv, K, metric="l2"))
     run("graph_ef64_np2", lambda qv: gidx.search(qv, K, ef=64, nprobe=2))
     run("graph_ef128_np4", lambda qv: gidx.search(qv, K, ef=128, nprobe=4))
+    if n_blocks >= 16:
+        # separate ROUTING loss (too few probed blocks) from in-block
+        # beam quality: widen nprobe at fixed ef (r8 verdict #10 — the
+        # 1M numbers at nprobe=2/4 of 32 conflated the two)
+        run(
+            "graph_ef128_np8",
+            lambda qv: gidx.search(qv, K, ef=128, nprobe=8),
+        )
+        run(
+            "graph_ef128_np16",
+            lambda qv: gidx.search(qv, K, ef=128, nprobe=16),
+        )
     run("ivf_np2", lambda qv: ivf.search(qv, K, nprobe=2))
     run("ivf_np4", lambda qv: ivf.search(qv, K, nprobe=4))
     for tag in lat:
