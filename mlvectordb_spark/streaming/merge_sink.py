@@ -278,6 +278,40 @@ class MergedTable:
     def has_recorded_changes(self, version: int) -> bool:
         return os.path.isdir(self._cdir(version))
 
+    def _staged_cdir(self, version: int, token: str) -> str:
+        """Per-writer STAGING location for a change recording. Racing
+        writers must never write the final `_cdir` concurrently — two
+        overwrite-mode Spark writes to one path can interleave into a
+        mixed directory — so each writer records under a token-unique
+        sibling and the COMMIT WINNER renames its own into place
+        (`_activate_recording`). Losers delete their own staged dir and
+        nothing else; the winner's feed is untouchable by construction."""
+        return self._cdir(version) + f".w-{token}"
+
+    def _activate_recording(
+        self, version: int, token: str | None, replay: bool = False
+    ) -> None:
+        """Move this writer's staged recording to the final `_cdir` —
+        called ONLY after winning the commit rename (or on an idempotent
+        replay of our own commit), so any directory already at the final
+        path is a crashed never-published writer's orphan (non-replay)
+        or our own original activation (replay) and is safe to replace
+        or keep respectively."""
+        if token is None:
+            return
+        staged = self._staged_cdir(version, token)
+        if not os.path.isdir(staged):
+            return
+        final = self._cdir(version)
+        if os.path.isdir(final):
+            if replay:
+                # the original run activated before crashing — the
+                # recomputed staged feed is an equivalent duplicate
+                shutil.rmtree(staged, ignore_errors=True)
+                return
+            shutil.rmtree(final)
+        os.rename(staged, final)
+
     def _published(self) -> tuple[int | None, int | None]:
         """(current version, last applied batch id) from the pointer.
         The pointer carries both so the idempotency guard and the version
@@ -388,6 +422,7 @@ class MergedTable:
         base_version: int | None = None,
         batch_id: int | None = None,
         recorded: bool = False,
+        recorded_token: str | None = None,
     ) -> None:
         """Publish `df` as `version` with optimistic concurrency.
 
@@ -415,6 +450,10 @@ class MergedTable:
             batch_id = self.last_batch_id()
         if os.path.exists(vdir):
             self._on_commit_conflict(version, own_bid)
+            # reached only on an idempotent replay of our OWN commit —
+            # a conflict raises; activate the replay's recomputed feed
+            # iff the original crashed before its own activation
+            self._activate_recording(version, recorded_token, replay=True)
             return
         self._write_meta()
         zkey = self._zorder_key(df) if self.zorder_cols else None
@@ -474,9 +513,18 @@ class MergedTable:
                 os.rename(stage, vdir)  # THE commit — atomic, exclusive
             except OSError:
                 self._on_commit_conflict(version, own_bid)
+                self._activate_recording(
+                    version, recorded_token, replay=True
+                )
                 return
         finally:
             shutil.rmtree(stage, ignore_errors=True)
+        # the feed goes live between the commit rename and the pointer
+        # flip: a reader racing this window sees recorded=true with the
+        # dir still absent and falls back to the snapshot diff (correct,
+        # just not O(changes)); once the pointer lands the recording is
+        # guaranteed in place
+        self._activate_recording(version, recorded_token)
         cur = self.current_version()
         if cur is None or version > cur:
             self._write_pointer(version, batch_id)
@@ -570,26 +618,31 @@ class MergedTable:
         # content-identical ⇒ the (cur → v) feed is empty; record it in
         # the table's schema so adjacent and composed consumers read a
         # well-formed zero-row feed instead of falling back to a diff
+        import uuid
+
+        token = uuid.uuid4().hex
         (
             df.drop(_BUCKET)
             .limit(0)
             .withColumn("_change_type", F.lit("insert"))
             .write.mode("overwrite")
-            .parquet(self._cdir(v))
+            .parquet(self._staged_cdir(v, token))
         )
         touched = (
             sorted(self._bucket_dirs(cur)) if self.n_buckets else None
         )
         try:
-            self.write_version(df, v, touched_buckets=touched, recorded=True)
+            self.write_version(
+                df, v, touched_buckets=touched, recorded=True,
+                recorded_token=token,
+            )
         except ConcurrentWriteError:
-            # a merge committed v first: abort cleanly — clear the empty
-            # recording written above IF it is still ours (a winner that
-            # recorded its own feed overwrote it; deleting would destroy
-            # the winner's feed), and restore the pre-refresh z cuts so
-            # later merges keep landing rows in the z space the existing
-            # (un-re-packed) files actually follow
-            _clear_orphan_recording(self, v)
+            # a merge committed v first: abort cleanly — clear our staged
+            # empty recording (the winner's feed, if any, lives at the
+            # final _cdir and is untouched), and restore the pre-refresh
+            # z cuts so later merges keep landing rows in the z space the
+            # existing (un-re-packed) files actually follow
+            _clear_orphan_recording(self, v, token)
             self.zorder_cuts, self._zcuts_attempted = old_cuts, old_attempted
             self._write_meta()
             raise
@@ -646,18 +699,32 @@ class MergedTable:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 pass
+        # same policy for staged change recordings (_changes/vN.w-<token>)
+        # stranded by writers that crashed before their commit rename
+        cdir = os.path.join(self.path, "_changes")
+        if os.path.isdir(cdir):
+            for name in os.listdir(cdir):
+                if ".w-" not in name:
+                    continue
+                p = os.path.join(cdir, name)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
         return removed
 
 
-def _clear_orphan_recording(table: MergedTable, version: int) -> None:
-    """After losing a commit race: remove the change recording this writer
-    staged for `version` — unless the WINNER recorded its own feed there
-    (its parquet overwrite replaced ours; the recording is now the
-    winner's and must survive)."""
-    info = table._commit_info(version)
-    winner_recorded = bool(info and info.get("recorded"))
-    if not winner_recorded and table.has_recorded_changes(version):
-        shutil.rmtree(table._cdir(version))
+def _clear_orphan_recording(
+    table: MergedTable, version: int, token: str
+) -> None:
+    """After losing a commit race: remove ONLY this writer's staged
+    recording. The final `_cdir` is written exclusively by the commit
+    winner's activation rename, so a loser has nothing to adjudicate —
+    its own token-unique dir is the whole orphan."""
+    staged = table._staged_cdir(version, token)
+    if os.path.isdir(staged):
+        shutil.rmtree(staged, ignore_errors=True)
 
 
 def _compose_recorded(
@@ -913,6 +980,7 @@ def _record_change_feed(
     delete_col: str | None,
     version: int,
     val_cols: list[str],
+    token: str,
 ) -> None:
     """Derive and persist the (predecessor → version) change feed from
     the SAME source×target join shape the merge runs: matched rows that
@@ -921,14 +989,24 @@ def _record_change_feed(
     Rows the monotonicity guard rejects and value-identical updates emit
     nothing — exactly the snapshot-diff contract, produced at batch scale
     (one extra pruned target scan; every derived frame is
-    micro-batch-sized and cached)."""
+    micro-batch-sized and cached).
+
+    The feed lands in this writer's token-unique STAGING dir; the commit
+    winner's `write_version` renames it into the final `_cdir` — racing
+    writers never touch one path concurrently (two overwrite-mode Spark
+    writes to the same dir can interleave into a mixed feed, and a loser
+    writing after the winner would silently replace the winner's feed
+    with changes that never committed — caught by
+    tests/test_concurrency.py::test_parallel_os_thread_writers_one_wins)."""
     out_type = F.lit("insert").alias("_change_type")
     if target is None:  # bootstrap: the surviving rows ARE the inserts
         feed = src
         if delete_col is not None:
             feed = feed.filter(~F.col(delete_col))
         feed = feed.select(*keys, *val_cols, out_type)
-        feed.write.mode("overwrite").parquet(table._cdir(version))
+        feed.write.mode("overwrite").parquet(
+            table._staged_cdir(version, token)
+        )
         return
     s_cols = [c for c in src.columns if c not in keys]
     s = src.select(*keys, *[F.col(c).alias(f"__s_{c}") for c in s_cols])
@@ -960,7 +1038,9 @@ def _record_change_feed(
             ins = ins.filter(~F.col(delete_col))
         ins = ins.select(*keys, *val_cols, out_type)
         feed = pre.unionByName(post).unionByName(dels).unionByName(ins)
-        feed.write.mode("overwrite").parquet(table._cdir(version))
+        feed.write.mode("overwrite").parquet(
+            table._staged_cdir(version, token)
+        )
     finally:
         matched.unpersist()
 
@@ -1054,6 +1134,9 @@ def apply_merge_batch(
     # SparkSession; the target must be read through the SAME session or
     # the cross-session join resolves incorrectly
     val_cols = [c for c in payload_cols if c not in keys and c != _BUCKET]
+    import uuid
+
+    token = uuid.uuid4().hex if record_changes else None
     if cur is None:
         # bootstrap: the first batch's non-deleted rows ARE the table
         if delete_col is not None:
@@ -1063,16 +1146,16 @@ def apply_merge_batch(
         if record_changes:
             _record_change_feed(
                 table, src, None, keys, order_col, delete_col, version,
-                val_cols,
+                val_cols, token,
             )
         try:
             table.write_version(
                 first, version, touched_buckets=touched, batch_id=batch_id,
-                recorded=record_changes,
+                recorded=record_changes, recorded_token=token,
             )
         except ConcurrentWriteError:
             if record_changes:
-                _clear_orphan_recording(table, version)
+                _clear_orphan_recording(table, version, token)
             raise
         return
     target = table._raw_at(cur, spark=batch.sparkSession)
@@ -1124,7 +1207,7 @@ def apply_merge_batch(
     if record_changes:
         _record_change_feed(
             table, src, target, keys, order_col, delete_col, version,
-            val_cols,
+            val_cols, token,
         )
     try:
         table.write_version(
@@ -1134,14 +1217,15 @@ def apply_merge_batch(
             base_version=cur,
             batch_id=batch_id,
             recorded=record_changes,
+            recorded_token=token,
         )
     except ConcurrentWriteError:
         # lost the commit race (e.g. an external writer or an optimize()
-        # published this version first): clear the feed recorded above if
-        # it is still this writer's orphan, then surface the conflict —
-        # an explicit retryable error beats a silent lost update
+        # published this version first): clear the staged feed recorded
+        # above, then surface the conflict — an explicit retryable error
+        # beats a silent lost update
         if record_changes:
-            _clear_orphan_recording(table, version)
+            _clear_orphan_recording(table, version, token)
         raise
 
 

@@ -206,6 +206,75 @@ def test_sequential_writers_do_not_conflict(spark, tmp_path):
     assert {7, 8} <= set(got)
 
 
+def test_parallel_os_thread_writers_one_wins(spark, tmp_path):
+    """TWO OS THREADS commit merges to the same table at the same time
+    (Spark local mode supports concurrent driver-side job submission).
+    A barrier holds both until each has its own handle; both then read
+    base v1, stage v2 concurrently, and race the commit rename: exactly
+    one ConcurrentWriteError, no version gaps, the winner's feed is the
+    recorded one, and a re-read retry lands the loser's row at v3."""
+    import threading
+
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, record_changes=True)
+
+    barrier = threading.Barrier(2, timeout=60)
+    outcome: dict[str, BaseException | None] = {}
+
+    def writer(tag: str, row, batch_id: int) -> None:
+        t = MergedTable(spark, path)
+        barrier.wait()
+        try:
+            apply_merge_batch(
+                t, _batch(spark, [row]), batch_id=batch_id, on="id",
+                order_col="seq", record_changes=True,
+            )
+            outcome[tag] = None
+        except BaseException as exc:  # noqa: BLE001 — recorded, asserted below
+            outcome[tag] = exc
+
+    rows = {"a": (100, 1.0, 2), "b": (200, 2.0, 2)}
+    threads = [
+        threading.Thread(target=writer, args=(tag, rows[tag], bid))
+        for tag, bid in (("a", 2), ("b", 3))
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not any(th.is_alive() for th in threads)
+
+    losers = {t for t, e in outcome.items() if e is not None}
+    assert len(losers) == 1, f"expected exactly one loser, got {outcome}"
+    loser = losers.pop()
+    assert isinstance(outcome[loser], ConcurrentWriteError)
+    winner = ({"a", "b"} - {loser}).pop()
+
+    t = MergedTable(spark, path)
+    # gapless: bootstrap v1 + exactly one committed racer v2
+    assert t.versions() == [1, 2]
+    assert t._published()[0] == 2
+    got = {r["id"] for r in t.df().collect()}
+    assert rows[winner][0] in got and rows[loser][0] not in got
+    assert _staging_dirs(path) == []
+    # the recorded v2 feed describes the WINNER's insert only
+    feed = table_changes(t, 1, 2)
+    ins = {
+        r["id"]
+        for r in feed.filter(F.col("_change_type") == "insert").collect()
+    }
+    assert ins == {rows[winner][0]}
+
+    # the loser retries against a fresh read and lands cleanly at v3
+    apply_merge_batch(
+        t, _batch(spark, [rows[loser]]), batch_id=4, on="id",
+        order_col="seq", record_changes=True,
+    )
+    assert t.versions() == [1, 2, 3]
+    got = {r["id"] for r in t.df().collect()}
+    assert {rows["a"][0], rows["b"][0]} <= got
+
+
 def test_losing_merge_clears_its_orphan_recording(spark, tmp_path):
     """A record_changes merge that loses the race to a non-recording
     winner must remove the feed it staged — otherwise table_changes

@@ -462,6 +462,17 @@ def test_heavy_bigrams_constructs_with_one_job_and_no_distinct(spark, sf_dir):
     import re
 
     sc = spark.sparkContext
+    # The cold construction pays a schema-inference job whose presence
+    # (and AQE split) depends on what earlier tests left cached — the r8
+    # budget of 5 was loose enough to readmit a 1-2 job eager action
+    # (round-8 advice). Measure the WARM run instead: construct once to
+    # pay the environment-sensitive part, clear caches, then gate the
+    # second construction in a fresh job group. Measured warm floor: 2
+    # jobs (the AQE-split CMS matrix collect), stable across repeats —
+    # budget 3 leaves one job of AQE slack while any reintroduced
+    # corpus-scale action (the r7 countDistinct cost 2+) trips the gate.
+    QUERIES["heavy_bigrams"](spark, sf_dir)  # warmup: schema inference
+    spark.catalog.clearCache()
     group = "hb-construct-gate"
     sc.setJobGroup(group, "heavy_bigrams construction")
     try:
@@ -469,16 +480,9 @@ def test_heavy_bigrams_constructs_with_one_job_and_no_distinct(spark, sf_dir):
     finally:
         sc._jsc.clearJobGroup()
     jobs = sc.statusTracker().getJobIdsForGroup(group)
-    # observed floor: parquet schema inference + the CMS matrix collect,
-    # which AQE splits into 2-3 jobs depending on what earlier tests left
-    # cached (a full-suite run measured 4 total where isolation measures
-    # 3 — the split is environment-sensitive). The budget only needs to
-    # exclude a SECOND corpus-scale action; the binding regression gates
-    # are the source/plan asserts below (the r7 countDistinct cannot
-    # reappear without tripping them).
-    assert len(jobs) <= 5, (
-        f"entry construction ran {len(jobs)} jobs (schema inference + "
-        f"the AQE-split CMS matrix collect, budget 5): {jobs}"
+    assert len(jobs) <= 3, (
+        f"warm entry construction ran {len(jobs)} jobs (measured floor 2 "
+        f"= the AQE-split CMS matrix collect, budget 3): {jobs}"
     )
     # the r7 derivation was an eager corpus-wide countDistinct — invisible
     # in both the returned plan and (at sf0.01) the job byte counts, so
