@@ -741,7 +741,17 @@ class GraphANNIndex:
         vcol = vec_col or self._vec_col
         icol = id_col or self._id_col
         if efs is None:
-            efs = [16, 32, 64, 128]
+            # the tail extends to where large blocks actually reach the
+            # 0.9 serving class: measured at 1M×64d (32 blocks of 31k),
+            # ef=128 saturates at 0.813 regardless of nprobe (4/8/16 all
+            # equal — the loss is in-block beam quality, not routing)
+            # while ef=256 → 0.912 and ef=384 → 0.963 (SCALING.md r9).
+            # Without these points ef_for_recall(0.9) could only fall
+            # back to the exhaustive scan at exactly the block sizes the
+            # 100 TB regime implies. Small corpora still pick the first
+            # (cheapest) ef that reaches target, so the wider sweep only
+            # costs two extra one-time calibration points.
+            efs = [16, 32, 64, 128, 256, 384]
         efs = sorted({int(e) for e in efs if e >= 1})
         sample = (
             self.indexed.select(

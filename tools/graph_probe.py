@@ -14,7 +14,9 @@ Data is synthesized executor-side with a clustered structure (KMeans
 routing over uniform noise would make every block equidistant — real
 embedding corpora are clustered, and nprobe-recall depends on it).
 
-Usage: python tools/graph_probe.py [n_vectors] [n_blocks]
+Usage: python tools/graph_probe.py [n_vectors] [n_blocks] [--no-maintenance]
+(--no-maintenance skips the CoW fold / full-rebuild section — for runs
+that only need the serving latency + recall grid)
 """
 
 from __future__ import annotations
@@ -109,6 +111,10 @@ def main() -> None:
     t0 = time.time()
     gidx.search_batch(qdf, K, ef=64, nprobe=2).collect()
     out["graph_batch8_sec"] = round(time.time() - t0, 3)
+
+    if "--no-maintenance" in sys.argv:
+        print(json.dumps(out))
+        return
 
     # ---- maintenance: CoW tail fold vs full rebuild on a 1% tail ----
     gidx.indexed = gidx.indexed.localCheckpoint()
