@@ -3,12 +3,14 @@
 The Spark-side plumbing — schema (MEDIA_SCHEMA), partitioning, Arrow-batched
 mapInPandas pipelines, UDF signatures, batch shapes — is real and tested.
 Decoding is REAL for every format a pure stdlib/numpy codec can cover:
-PCM16 WAV (RIFF chunk walk), 24-bit BMP, and 8-bit non-interlaced RGB/RGBA
-PNG (zlib inflate + full five-filter scanline unfiltering + CRC checks) —
-the synthetic corpus emits genuine WAV/BMP/PNG payloads and
+PCM16 WAV (RIFF chunk walk), 24-bit BMP, 8-bit non-interlaced RGB/RGBA
+PNG (zlib inflate + full five-filter scanline unfiltering + CRC checks),
+and baseline JPEG (functions/jpeg.py: Huffman + dequant + batched IDCT +
+chroma upsampling, validated against third-party-encoded files) — the
+synthetic corpus emits genuine WAV/BMP/PNG/JPEG payloads and
 `real_feature_extract` computes actual signal features (duration, RMS,
 zero-crossing rate, FFT band energies; image dims and channel statistics).
-Formats that genuinely need an external codec (JPEG/WebP/MP4) remain
+Formats that genuinely need an external codec (WebP/MP4) remain
 import-gated stubs: PIL / torchaudio / av are not in this container, so
 `decode_media` raises NotImplementedError for them, and
 `fake_feature_extract` (deterministic hash features) keeps those pipelines
@@ -233,9 +235,10 @@ def synthetic_media_df(
 ) -> DataFrame:
     """Deterministic media corpus with REAL payloads where a pure-numpy
     codec exists: audio rows are genuine PCM16 WAV (seeded sine mixes),
-    image rows genuine 24-bit BMP (seeded gradients+noise). Video rows
-    stay opaque pseudo-random bytes (no codec without external libs —
-    disclosed). Stands in for spark.read.format('binaryFile')."""
+    image rows rotate genuine 24-bit BMP, 8-bit PNG, and baseline JPEG
+    (seeded gradients+noise). Video rows stay opaque pseudo-random bytes
+    (no codec without external libs — disclosed). Stands in for
+    spark.read.format('binaryFile')."""
     rng = np.random.default_rng(seed)
     modalities = ("image", "audio", "video")
     rows = []
@@ -263,11 +266,18 @@ def synthetic_media_df(
                 ],
                 axis=-1,
             ).astype(np.uint8)
-            # alternate containers so both real image codecs are exercised
-            if (i // 3) % 2 == 0:
+            # rotate containers so all three real image codecs are
+            # exercised (BMP, PNG, baseline JPEG)
+            pick = (i // 3) % 3
+            if pick == 0:
                 payload, mime = encode_bmp(img), "image/bmp"
-            else:
+            elif pick == 1:
                 payload, mime = encode_png(img), "image/png"
+            else:
+                from mlvectordb_spark.functions.jpeg import encode_jpeg
+
+                payload = encode_jpeg(img, quality=90)
+                mime = "image/jpeg"
         else:
             payload = bytes(
                 rng.integers(
@@ -285,9 +295,9 @@ def synthetic_media_df(
 
 
 def decode_media(payload: bytes, modality: str, mime_type: str | None = None):
-    """Decode a payload: REAL for uncompressed formats (PCM16 WAV →
-    (samples, rate); 24-bit BMP → HxWx3 uint8), import-gated stub for
-    compressed formats (PIL / torchaudio / av absent from this
+    """Decode a payload with the native codecs: PCM16 WAV → (samples,
+    rate); 24-bit BMP / 8-bit PNG / baseline JPEG → HxW(x3) uint8.
+    WebP and video stay import-gated (PIL / av absent from this
     container)."""
     mt = (mime_type or "").lower()
     if modality == "audio" and (mt.endswith("wav") or payload[:4] == b"RIFF"):
@@ -298,13 +308,20 @@ def decode_media(payload: bytes, modality: str, mime_type: str | None = None):
         mt.endswith("png") or payload[: len(_PNG_SIG)] == _PNG_SIG
     ):
         return decode_png(payload)
+    if modality == "image" and (
+        mt in ("image/jpeg", "image/jpg") or payload[:2] == b"\xff\xd8"
+    ):
+        from mlvectordb_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if modality == "image":
         try:
             from PIL import Image  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
-                "JPEG/WebP decode requires PIL (not available in this "
-                "environment); BMP and PNG decode natively, or use "
+                "WebP decode requires PIL (not available in this "
+                "environment); BMP, PNG, and baseline JPEG decode "
+                "natively (functions/jpeg.py), or use "
                 "fake_feature_extract for pipeline testing"
             ) from e
     raise NotImplementedError(f"no decoder wired for modality {modality!r}")
@@ -333,14 +350,19 @@ def _audio_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def _image_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Real image features from a BMP or PNG payload: dims, per-channel
-    mean/std, and mean absolute horizontal gradient — zero-padded to
-    `dim`."""
-    raw = (
-        decode_png(payload)
-        if payload[: len(_PNG_SIG)] == _PNG_SIG
-        else decode_bmp(payload)
-    )
+    """Real image features from a BMP, PNG, or baseline-JPEG payload:
+    dims, per-channel mean/std, and mean absolute horizontal gradient —
+    zero-padded to `dim`."""
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        raw = decode_png(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from mlvectordb_spark.functions.jpeg import decode_jpeg
+
+        raw = decode_jpeg(payload)
+        if raw.ndim == 2:  # grayscale JPEG → replicate to 3 channels
+            raw = np.stack([raw, raw, raw], axis=-1)
+    else:
+        raw = decode_bmp(payload)
     img = raw[:, :, :3].astype(np.float64) / 255.0
     out = np.zeros(dim, dtype=np.float32)
     h, w, _ = img.shape

@@ -3182,9 +3182,10 @@ def q_store_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal surface under the driver gate: synthetic binary corpus
-    (REAL WAV/BMP payloads) → real decode-and-extract features for
-    audio/image, hash fallback for opaque video (rows-only: the corpus is
-    generated, not a testdata table)."""
+    (REAL WAV/BMP/PNG/JPEG payloads — the JPEG rows exercise the native
+    baseline codec in functions/jpeg.py) → real decode-and-extract
+    features for audio/image, hash fallback for opaque video (rows-only:
+    the corpus is generated, not a testdata table)."""
     from mlvectordb_spark import multimodal as MM
 
     media = MM.synthetic_media_df(spark, n=60)

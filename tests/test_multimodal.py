@@ -21,8 +21,8 @@ def test_schema_and_partition_counts(media):
 
 
 def test_decode_real_for_wav_bmp_stubbed_for_compressed(media):
-    """WAV and BMP decode natively (pure numpy/struct); compressed formats
-    stay import-gated stubs."""
+    """WAV, BMP, PNG, and baseline JPEG decode natively (pure
+    numpy/struct); WebP and video stay import-gated stubs."""
     img = media.filter(F.col("modality") == "image").first()
     arr = MM.decode_media(img.payload, "image", img.mime_type)
     assert arr.shape == (img.height, img.width, 3)
@@ -30,8 +30,14 @@ def test_decode_real_for_wav_bmp_stubbed_for_compressed(media):
     samples, rate = MM.decode_media(aud.payload, "audio", aud.mime_type)
     assert rate == 8000
     assert abs(len(samples) / rate * 1000 - aud.duration_ms) < 1
-    with pytest.raises(NotImplementedError):
+    # JPEG is now a real decoder: garbage is a MALFORMED stream error,
+    # not an unimplemented-format gate
+    with pytest.raises(ValueError):
         MM.decode_media(b"\xff\xd8\xff fake jpeg", "image", "image/jpeg")
+    with pytest.raises(NotImplementedError):  # WebP still PIL-gated
+        MM.decode_media(
+            b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image", "image/webp"
+        )
     with pytest.raises(NotImplementedError):
         MM.decode_media(b"", "video")
 
@@ -181,11 +187,11 @@ def test_png_roundtrip_and_all_filter_types():
         MM.decode_png(bytes(bad))
 
 
-def test_synthetic_corpus_mixes_bmp_and_png(spark):
+def test_synthetic_corpus_mixes_bmp_png_jpeg(spark):
     media = MM.synthetic_media_df(spark, n=30)
     imgs = media.filter(F.col("modality") == "image").collect()
     mimes = {r.mime_type for r in imgs}
-    assert mimes == {"image/bmp", "image/png"}
+    assert mimes == {"image/bmp", "image/png", "image/jpeg"}
     for r in imgs:
         arr = MM.decode_media(r.payload, "image", r.mime_type)
         assert arr.shape == (r.height, r.width, 3)
