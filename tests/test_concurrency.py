@@ -275,6 +275,51 @@ def test_parallel_os_thread_writers_one_wins(spark, tmp_path):
     assert {rows["a"][0], rows["b"][0]} <= got
 
 
+def test_replay_activates_feed_if_original_crashed_before_activation(
+    spark, tmp_path
+):
+    """Crash window between the commit rename and the feed activation:
+    the version dir exists but _changes/vN does not. The foreachBatch
+    replay (same batch id) must re-activate its recomputed staged feed —
+    and a replay when the ORIGINAL activation survived must keep the
+    original feed and discard the duplicate staged dir."""
+    import os
+
+    path = str(tmp_path / "t")
+    t = _bootstrap(spark, path, record_changes=True)
+    apply_merge_batch(
+        t, _batch(spark, [(4, 44.0, 2)]), batch_id=2, on="id",
+        order_col="seq", record_changes=True,
+    )
+    assert t.has_recorded_changes(2)
+    # simulate the crash: activation undone, pointer rolled back
+    import shutil
+
+    shutil.rmtree(t._cdir(2))
+    t._write_pointer(1, 1)
+    apply_merge_batch(
+        t, _batch(spark, [(4, 44.0, 2)]), batch_id=2, on="id",
+        order_col="seq", record_changes=True,
+    )
+    assert t._published() == (2, 2)
+    assert t.has_recorded_changes(2)
+    feed = table_changes(t, 1, 2)
+    ins = {
+        r["id"]
+        for r in feed.filter(F.col("_change_type") == "insert").collect()
+    }
+    assert ins == {4}
+    # replay with the original feed INTACT: duplicate staged dir removed
+    t._write_pointer(1, 1)
+    apply_merge_batch(
+        t, _batch(spark, [(4, 44.0, 2)]), batch_id=2, on="id",
+        order_col="seq", record_changes=True,
+    )
+    assert t._published() == (2, 2)
+    changes_dir = os.path.join(path, "_changes")
+    assert [n for n in os.listdir(changes_dir) if ".w-" in n] == []
+
+
 def test_losing_merge_clears_its_orphan_recording(spark, tmp_path):
     """A record_changes merge that loses the race to a non-recording
     winner must remove the feed it staged — otherwise table_changes
