@@ -711,3 +711,25 @@ def test_store_batch_approx_target_recall_through_graph(spark, tmp_path):
     assert sum(recalls) / len(recalls) >= 0.9
     # the measured curve is cached on the index for the next batch
     assert idx._recall_curve is not None
+
+
+def test_descent_rho_builds_exact_and_persists(spark, emb, qvec, tmp_path):
+    """The sampled-expansion build dial (descent_rho < 1): exhaustive
+    search stays EXACT (connectivity repair is rho-independent), the
+    dial survives save/load, and an out-of-range value is rejected."""
+    idx = GraphANNIndex(
+        n_blocks=2, m=4, ef_construction=16, seed=7, descent_rho=0.5
+    )
+    idx._exact_pool_max = 8  # force the NN-descent path on the fixture
+    idx.build(emb.limit(400))
+    exact = knn(emb.limit(400), qvec, K, metric="l2")
+    got = idx.search(qvec, K, ef=None, nprobe=None)
+    assert recall_at_k(got, exact) == 1.0
+    path = str(tmp_path / "rho_idx")
+    idx.save(path)
+    back = GraphANNIndex.load(spark, path)
+    assert back.descent_rho == 0.5
+    with pytest.raises(ValueError):
+        GraphANNIndex(descent_rho=0.0)
+    with pytest.raises(ValueError):
+        GraphANNIndex(descent_rho=1.5)
