@@ -159,6 +159,10 @@ HEADLINE = [
     "join_mv",
     "doc_expectations",
     "orders_expectations",
+    # r9: multimodal decode-and-extract — real WAV/BMP/PNG/JPEG codecs
+    # (the JPEG rows exercise the native baseline decoder) through the
+    # Arrow-batched mapInPandas feature pipeline
+    "media_stats",
 ]
 
 
