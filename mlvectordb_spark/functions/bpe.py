@@ -87,8 +87,14 @@ _CHAR_TO_BYTE = {c: b for b, c in _BYTE_TO_CHAR.items()}
 
 
 def _to_chars(chunk: str) -> str:
-    """UTF-8 bytes of a pre-token chunk, as byte-stand-in characters."""
-    return "".join(_BYTE_TO_CHAR[b] for b in chunk.encode("utf-8"))
+    """UTF-8 bytes of a pre-token chunk, as byte-stand-in characters.
+    surrogatepass: Python str can carry lone surrogates (e.g. from
+    os.fsdecode or broken upstream decoders) — strict utf-8 would crash
+    encode_text on them, and a tokenizer must accept any str."""
+    return "".join(
+        _BYTE_TO_CHAR[b]
+        for b in chunk.encode("utf-8", errors="surrogatepass")
+    )
 
 
 def _chunk_freqs(texts, lowercase: bool) -> Counter:
@@ -284,7 +290,14 @@ class BPETokenizer:
         lowercasing): tokens concatenate back to the byte-stand-in
         stream, which maps 1:1 to the original UTF-8 bytes."""
         data = bytes(_CHAR_TO_BYTE[c] for c in "".join(tokens))
-        return data.decode("utf-8", errors="replace")
+        try:
+            # surrogatepass makes decode the exact inverse even for
+            # strings carrying lone surrogates (encode uses it too)
+            return data.decode("utf-8", errors="surrogatepass")
+        except UnicodeDecodeError:
+            # partial token lists can split a multi-byte sequence;
+            # degrade per-character instead of raising
+            return data.decode("utf-8", errors="replace")
 
     # ---------------------------------------------------------- persistence
 

@@ -68,13 +68,24 @@ def staged_index_save(path: str, write_into) -> None:
     import time as _time
     import uuid as _uuid
 
+    cutoff = _time.time() - 3600
     if not _os.path.exists(path):
+        # restore only STALE survivors: a fresh .old-<uuid> with `path`
+        # missing is most likely a CONCURRENT save sitting between its
+        # two renames — restoring it would make that save's commit
+        # rename fail AND its rollback rename fail (the dir we stole).
+        # A genuine crash survivor is, by definition, older than any
+        # live save's seconds-wide rename window.
         survivors = sorted(
-            _glob.glob(f"{path}.old-*"), key=_os.path.getmtime
+            (
+                d
+                for d in _glob.glob(f"{path}.old-*")
+                if _os.path.getmtime(d) < cutoff
+            ),
+            key=_os.path.getmtime,
         )
         if survivors:
             _os.rename(survivors[-1], path)
-    cutoff = _time.time() - 3600
     for debris in _glob.glob(f"{path}.staging-*") + _glob.glob(
         f"{path}.old-*"
     ):

@@ -449,11 +449,7 @@ class MergedTable:
             # CARRY the idempotency watermark forward, never reset it
             batch_id = self.last_batch_id()
         if os.path.exists(vdir):
-            self._on_commit_conflict(version, own_bid)
-            # reached only on an idempotent replay of our OWN commit —
-            # a conflict raises; activate the replay's recomputed feed
-            # iff the original crashed before its own activation
-            self._activate_recording(version, recorded_token, replay=True)
+            self._replay_or_conflict(version, own_bid, recorded_token)
             return
         self._write_meta()
         zkey = self._zorder_key(df) if self.zorder_cols else None
@@ -512,10 +508,7 @@ class MergedTable:
             try:
                 os.rename(stage, vdir)  # THE commit — atomic, exclusive
             except OSError:
-                self._on_commit_conflict(version, own_bid)
-                self._activate_recording(
-                    version, recorded_token, replay=True
-                )
+                self._replay_or_conflict(version, own_bid, recorded_token)
                 return
         finally:
             shutil.rmtree(stage, ignore_errors=True)
@@ -528,6 +521,27 @@ class MergedTable:
         cur = self.current_version()
         if cur is None or version > cur:
             self._write_pointer(version, batch_id)
+
+    def _replay_or_conflict(
+        self, version: int, batch_id: int | None, recorded_token: str | None
+    ) -> None:
+        """The version dir already exists. For an idempotent replay of
+        our OWN commit, re-activate the recomputed staged feed BEFORE
+        repairing the pointer — in the other order a crash between the
+        pointer repair and the activation would publish the version (so
+        every later replay short-circuits on the batch-id watermark)
+        with its feed permanently stranded in the staged dir. A
+        different writer's commit raises via _on_commit_conflict."""
+        info = self._commit_info(version)
+        if (
+            batch_id is not None
+            and info is not None
+            and info.get("batch_id") == batch_id
+        ):
+            self._activate_recording(version, recorded_token, replay=True)
+            self._repair_pointer(version)
+            return
+        self._on_commit_conflict(version, batch_id)
 
     def _on_commit_conflict(self, version: int, batch_id: int | None) -> None:
         """The version directory already exists: either our own earlier
@@ -855,8 +869,14 @@ def table_changes(
     # changes the table never took, and batch-mode version numbering can
     # skip ids (0 then 5), where the adjacent-NUMBER check would both
     # miss the valid (0→5) pair and mislabel (4→5).
+    _to_info = table._commit_info(to_version)
     recorded_ok = (
         to_version in published
+        # the PAIR: the committing writer declared a recording (sidecar)
+        # AND the activated dir exists — a dir alone can be a legacy
+        # never-published orphan under a version later committed by a
+        # non-recording writer, and must fall through to the diff
+        and bool(_to_info and _to_info.get("recorded"))
         and table.has_recorded_changes(to_version)
         and published.index(to_version) > 0
         and published[published.index(to_version) - 1] == from_version
@@ -879,7 +899,18 @@ def table_changes(
     if from_version in published and to_version in published:
         i0, i1 = published.index(from_version), published.index(to_version)
         steps = published[i0 + 1 : i1 + 1]
-        if steps and all(table.has_recorded_changes(v) for v in steps):
+
+        def _step_recorded(v: int) -> bool:
+            # BOTH the dir and the commit sidecar's recorded flag: a dir
+            # alone can be a legacy never-published orphan under a
+            # version later committed by a non-recording writer — the
+            # adjacent-feed path above makes the same paired check
+            info = table._commit_info(v)
+            return bool(info and info.get("recorded")) and (
+                table.has_recorded_changes(v)
+            )
+
+        if steps and all(_step_recorded(v) for v in steps):
             return _compose_recorded(table, steps, keys, preimage)
     if table.n_buckets:
         o_dirs = table._bucket_dirs(from_version)
@@ -1105,13 +1136,14 @@ def apply_merge_batch(
     # recomputes the same number (cur is unchanged); a crash-after-commit
     # replay is recognized by its own batch id in the commit sidecar.
     version = batch_id if cur is None else cur + 1
-    if not record_changes and table.has_recorded_changes(version):
-        # a crashed never-published writer (e.g. an optimize that died
-        # between its recording and its pointer flip) may have left an
-        # orphan recording under this version number; publishing real
-        # changes under it without overwriting the recording would make
-        # table_changes serve the stale (empty) feed for this transition
-        shutil.rmtree(table._cdir(version))
+    # NOTE: no pre-clear of an existing final recording here. Under the
+    # staged protocol a directory at the final _cdir(version) can only
+    # be (a) a COMMITTED winner's activated feed — this writer is about
+    # to lose the race and must not touch it — or (b) a legacy
+    # (pre-staging) never-published orphan, which is harmless junk:
+    # serving requires BOTH the commit sidecar's recorded flag and the
+    # dir (table_changes checks the pair per step), so a stale dir is
+    # never served and falls to vacuum with its version.
     src = dedup_source(batch, keys, order_col)
     touched: list[int] | None = None
     if table.n_buckets:

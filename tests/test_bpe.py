@@ -187,3 +187,15 @@ def test_registry_entry_shape(spark, sf_dir):
     for r in rows:
         # subword tokens can only exceed whitespace words
         assert r.bpe_tokens >= r.ws_tokens
+
+
+def test_lone_surrogates_roundtrip_exactly():
+    """Python str can carry lone surrogates (os.fsdecode artifacts,
+    broken upstream decoders); encode must not crash and decode must be
+    the exact inverse (surrogatepass both ways)."""
+    from mlvectordb_spark.functions.bpe import BPETokenizer
+
+    tok = BPETokenizer(vocab_size=300, lowercase=False)
+    tok.merges = []
+    for s in ("bad\ud800sur", "\udfff", "a😀b", "x \ud800 y"):
+        assert BPETokenizer.decode(tok.encode_text(s)) == s

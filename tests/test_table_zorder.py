@@ -169,12 +169,16 @@ def test_optimize_preserves_composed_cdf_catchup(spark, tmp_path):
     assert len(got) == 8 and all(c == "insert" for _, c in got)
 
 
-def test_crashed_optimize_orphan_recording_is_cleared(spark, tmp_path):
-    """A crash between optimize()'s empty recording and its pointer flip
-    leaves an orphan recording under version cur+1; a later
-    record_changes=False merge that publishes real changes under that
-    version must clear it, or table_changes would serve the stale empty
-    feed for a transition with real changes."""
+def test_crashed_optimize_orphan_recording_is_ignored(spark, tmp_path):
+    """A legacy (pre-staging-protocol) crash left an orphan recording
+    under version cur+1; after a record_changes=False merge publishes
+    real changes under that version, table_changes must NOT serve the
+    stale empty feed — the commit sidecar's recorded flag gates both the
+    adjacent and composed recorded paths, so the orphan is ignored and
+    the transition falls through to the snapshot diff. (The old
+    behavior DELETED the orphan pre-merge, but under the staged
+    protocol a dir at the final _cdir can also be a committed winner's
+    activated feed, which a losing writer must never touch.)"""
     from mlvectordb_spark.streaming.merge_sink import table_changes
 
     t = MergedTable(spark, str(tmp_path / "t"), n_buckets=4)

@@ -40,8 +40,9 @@ K = 10
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    n_blocks = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(pos[0]) if len(pos) > 0 else 200_000
+    n_blocks = int(pos[1]) if len(pos) > 1 else 16
     spark = get_spark("graph-probe")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, object] = {"n": n, "n_blocks": n_blocks}
