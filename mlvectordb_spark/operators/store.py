@@ -1608,6 +1608,27 @@ class VectorStore:
             df, query_values, top_k, metric, metadata_filter
         )
 
+    def _resolve_graph_dial(
+        self, namespace: str, top_k: int, target_recall: float
+    ) -> dict:
+        """Graph-member counterpart of `_resolve_nprobe`: make sure the
+        member's ef→recall calibration curve exists (measured lazily
+        once, persisted by save()), then return the knn_join kwargs that
+        honor the target — `{'target_recall': t}` when a curve exists
+        (knn_join resolves the smallest qualifying ef from it), or the
+        exhaustive dials for an EMPTY index (measuring yields no curve;
+        exhaustive trivially meets any target). Keeping the policy in
+        one helper stops the calibration contract (k choice,
+        empty-index semantics) drifting between call sites."""
+        index, vec_col, id_col, _space = self._serving[namespace]
+        if getattr(index, "_recall_curve", None) is None:
+            index.measure_recall_curve(
+                k=max(10, top_k), vec_col=vec_col, id_col=id_col
+            )
+        if getattr(index, "_recall_curve", None) is None:
+            return {"ef": None, "nprobe": None}
+        return {"target_recall": target_recall}
+
     def _resolve_nprobe(
         self, namespace: str, top_k: int, target_recall: float
     ) -> int:
@@ -1734,25 +1755,14 @@ class VectorStore:
                 if target_recall is not None and hasattr(
                     index, "ef_for_recall"
                 ):
-                    # graph member: its quality dial is ef, resolved from
-                    # its OWN persisted curve inside knn_join — measured
-                    # lazily once here, the same contract _resolve_nprobe
-                    # applies to the IVF families
-                    if getattr(index, "_recall_curve", None) is None:
-                        index.measure_recall_curve(
-                            k=max(10, top_k), vec_col=vec_col,
-                            id_col=id_col,
-                        )
-                    if getattr(index, "_recall_curve", None) is None:
-                        # measuring an EMPTY index yields no curve:
-                        # exhaustive mode trivially meets any target
-                        batch_join = functools.partial(
-                            approx_join, ef=None, nprobe=None
-                        )
-                    else:
-                        batch_join = functools.partial(
-                            approx_join, target_recall=target_recall
-                        )
+                    # graph member: its quality dial is ef — one shared
+                    # policy with the single-query path
+                    batch_join = functools.partial(
+                        approx_join,
+                        **self._resolve_graph_dial(
+                            namespace, top_k, target_recall
+                        ),
+                    )
                 else:
                     if target_recall is not None:
                         nprobe = self._resolve_nprobe(
