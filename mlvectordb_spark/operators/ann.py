@@ -101,6 +101,16 @@ def staged_index_save(path: str, write_into) -> None:
     if _os.path.exists(path):
         old = f"{path}.old-{_uuid.uuid4().hex}"
         _os.rename(path, old)
+        # Stamp the RENAME time: rename(2) keeps the directory's own
+        # mtime (the time its entries last changed, possibly hours ago),
+        # so without this an .old survivor from a save of an old index
+        # would look "stale" to a concurrent saver's <cutoff filter
+        # during this seconds-wide rename window and get stolen —
+        # recreating the race the filter exists to close.
+        try:
+            _os.utime(old, None)
+        except OSError:
+            pass
     try:
         _os.rename(stage, path)
     except OSError:
@@ -109,6 +119,47 @@ def staged_index_save(path: str, write_into) -> None:
         raise
     if old is not None:
         _shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_index_path(path: str, grace_sec: float = 10.0) -> bool:
+    """Crash-window self-heal for the index families' `load()`: if `path`
+    is missing but a committed previous save survives as
+    `<path>.old-<uuid>` (a crash between staged_index_save's two
+    renames), restore the newest survivor so load succeeds WITHOUT
+    waiting for the next save's hour-stale restore pass.
+
+    Telling a crash survivor from a CONCURRENT save sitting between its
+    two renames uses the rename-time stamp staged_index_save writes
+    (os.utime right after renaming path -> .old — rename(2) itself keeps
+    the dir's old content mtime): a live save's survivor is milliseconds
+    old. Survivors younger than `grace_sec` get a wait-and-recheck loop —
+    if the concurrent save commits, `path` reappears and nothing is
+    stolen; if the survivor is still orphaned after the grace, the saver
+    is dead and the survivor is restored. Returns whether `path` exists
+    on exit."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    deadline = _time.time() + grace_sec
+    while True:
+        if _os.path.exists(path):
+            return True
+        survivors = _glob.glob(f"{path}.old-*")
+        if not survivors:
+            return False
+        try:
+            newest = max(survivors, key=_os.path.getmtime)
+            age = _time.time() - _os.path.getmtime(newest)
+        except OSError:
+            continue  # swept/committed under us — re-evaluate
+        if age >= grace_sec or _time.time() >= deadline:
+            try:
+                _os.rename(newest, path)
+            except OSError:
+                pass  # another loader healed it (or a save committed)
+            return _os.path.exists(path)
+        _time.sleep(min(0.2, grace_sec))
 
 
 def per_key_topk(
@@ -801,6 +852,7 @@ class IVFIndex:
         """Q23 load_index: restore centroids + clustered data + drift
         counters (falling back to a count for indexes saved by older
         writers, so is_rebuild_required() stays live across persistence)."""
+        recover_index_path(path)
         cents = (
             spark.read.parquet(f"{path}/centroids")
             .orderBy("cluster_id")
@@ -1030,6 +1082,7 @@ class LSHIndex:
         approx paths re-hash on demand (`_with_features`)."""
         from pyspark.ml.feature import BucketedRandomProjectionLSHModel
 
+        recover_index_path(path)
         idx = cls()
         idx.model = BucketedRandomProjectionLSHModel.load(f"{path}/model")
         idx.bucket_length = float(idx.model.getBucketLength())
@@ -1424,6 +1477,7 @@ class IVFPQIndex:
 
     @classmethod
     def load(cls, spark, path: str) -> "IVFPQIndex":
+        recover_index_path(path)
         cents = (
             spark.read.parquet(f"{path}/centroids").orderBy("cluster_id").collect()
         )
@@ -1939,6 +1993,8 @@ class NamespaceIndexFamily:
         IVFIndex())."""
         import json as _json
         import os as _os
+
+        recover_index_path(path)
 
         with open(_os.path.join(path, "family.json"), encoding="utf-8") as fh:
             manifest = _json.load(fh)

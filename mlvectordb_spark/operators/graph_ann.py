@@ -1289,6 +1289,9 @@ class GraphANNIndex:
 
     @classmethod
     def load(cls, spark, path: str) -> "GraphANNIndex":
+        from mlvectordb_spark.operators.ann import recover_index_path
+
+        recover_index_path(path)
         with open(os.path.join(path, "graph_meta.json")) as f:
             meta = json.load(f)
         idx = cls(

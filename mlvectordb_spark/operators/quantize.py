@@ -243,6 +243,9 @@ class PQIndex:
     def load(cls, spark, path: str) -> "PQIndex":
         import numpy as np
 
+        from mlvectordb_spark.operators.ann import recover_index_path
+
+        recover_index_path(path)
         rows = spark.read.parquet(f"{path}/codebooks").collect()
         m = max(r.b for r in rows) + 1
         k_sub = max(r.j for r in rows) + 1

@@ -1587,11 +1587,24 @@ class VectorStore:
         )
         entry = self._serving.get(namespace)
         if indexable and mode != "exact":
+            dial = None
             if mode == "approx" and target_recall is not None:
-                nprobe = self._resolve_nprobe(namespace, top_k, target_recall)
+                if hasattr(entry[0], "ef_for_recall"):
+                    # graph member: its quality dial is ef — same policy
+                    # helper as the batch path (_resolve_graph_dial)
+                    dial = self._resolve_graph_dial(
+                        namespace, top_k, target_recall
+                    )
+                else:
+                    nprobe = self._resolve_nprobe(
+                        namespace, top_k, target_recall
+                    )
             df = self._indexed_search_df(
                 namespace, query_values, top_k,
-                nprobe=nprobe if mode == "approx" else None,
+                nprobe=(
+                    nprobe if mode == "approx" and dial is None else None
+                ),
+                dial=dial,
             )
             rows = df.collect()
             return [
@@ -1617,9 +1630,10 @@ class VectorStore:
         honor the target — `{'target_recall': t}` when a curve exists
         (knn_join resolves the smallest qualifying ef from it), or the
         exhaustive dials for an EMPTY index (measuring yields no curve;
-        exhaustive trivially meets any target). Keeping the policy in
-        one helper stops the calibration contract (k choice,
-        empty-index semantics) drifting between call sites."""
+        exhaustive trivially meets any target). Shared by the
+        single-query (`find_similar`) and batch (`find_similar_batch`)
+        approx paths, so the calibration contract (k choice,
+        empty-index semantics) cannot drift between them."""
         index, vec_col, id_col, _space = self._serving[namespace]
         if getattr(index, "_recall_curve", None) is None:
             index.measure_recall_curve(
@@ -1929,6 +1943,7 @@ class VectorStore:
         query_values: Sequence[float],
         top_k: int,
         nprobe: int | None = None,
+        dial: dict | None = None,
     ) -> DataFrame:
         """The indexed serving plan: certified pruned top-k from the
         attached index, then the reference's two-step enrichment
@@ -1961,7 +1976,17 @@ class VectorStore:
             # l2 space needs none — selection and final rank share one
             # metric there, so parity is exact by construction.
             fetch_k = top_k + 32
-        if nprobe is not None:
+        if dial is not None:
+            # graph-member recall-targeted serving: the dial kwargs come
+            # from _resolve_graph_dial ({'target_recall': t} when a
+            # calibration curve exists, exhaustive ef=None/nprobe=None
+            # for an empty index) and GraphANNIndex.search resolves the
+            # ef/nprobe pair from its persisted curve
+            hits = index.search(
+                q, fetch_k, vec_col=vec_col, id_col=id_col, metric="l2",
+                **dial,
+            )
+        elif nprobe is not None:
             # approximate probe (mode="approx"): the reference's HNSW-like
             # recall/latency dial — nprobe plays ef's role. Requires an
             # IVF-family member (cluster probes); certified-exact-only

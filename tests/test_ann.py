@@ -1024,3 +1024,129 @@ def test_staged_save_recovers_old_when_path_missing(tmp_path, spark):
     assert seen["prev"] == "one"
     with open(os.path.join(p, "m.txt")) as f:
         assert f.read() == "two"
+
+
+def test_staged_save_stamps_old_rename_time(tmp_path, monkeypatch):
+    """ADVICE r9 (medium): rename(2) keeps the renamed directory's own
+    content mtime, so an index last WRITTEN hours ago would strand an
+    `.old-*` that looks stale during its saver's live rename window —
+    a concurrent save's restore pass would steal it mid-swap.
+    staged_index_save must therefore stamp the `.old` dir at RENAME
+    time. Simulate a hard crash between the two renames (a non-OSError
+    from the commit rename skips the rollback) over an index whose
+    content is 2h old: the survivor's mtime must be now, not 2h ago —
+    with no test-side utime backdating the production path."""
+    import json
+    import os
+    import time
+
+    from mlvectordb_spark.operators.ann import staged_index_save
+
+    p = str(tmp_path / "idx3")
+
+    def writer(tag):
+        def write_into(stage):
+            os.makedirs(stage, exist_ok=True)
+            with open(os.path.join(stage, "m.txt"), "w") as f:
+                f.write(tag)
+
+        return write_into
+
+    staged_index_save(p, writer("one"))
+    past = time.time() - 7200
+    os.utime(p, (past, past))  # content last written 2h ago
+
+    real_rename = os.rename
+
+    def crash_between_renames(src, dst):
+        if dst == p and src.startswith(f"{p}.staging-"):
+            raise RuntimeError("simulated crash before commit rename")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crash_between_renames)
+    try:
+        staged_index_save(p, writer("two"))
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    import glob
+
+    survivors = glob.glob(f"{p}.old-*")
+    assert not os.path.exists(p)
+    assert len(survivors) == 1
+    age = time.time() - os.path.getmtime(survivors[0])
+    assert age < 60, f".old survivor carries content mtime ({age:.0f}s old)"
+
+
+def test_recover_index_path_waits_out_live_save(tmp_path):
+    """recover_index_path must not steal a LIVE save's just-renamed
+    `.old-*`: with a fresh survivor and `path` missing it waits; when
+    the concurrent save commits (path appears), it returns leaving the
+    survivor for the saver's own cleanup. If nothing commits within the
+    grace, the saver is dead and the survivor is restored."""
+    import os
+    import threading
+    import time
+
+    from mlvectordb_spark.operators.ann import recover_index_path
+
+    p = str(tmp_path / "idx4")
+    old = f"{p}.old-live"
+    os.makedirs(old)
+    with open(os.path.join(old, "m.txt"), "w") as f:
+        f.write("prev")
+
+    def commit_later():
+        time.sleep(0.4)
+        os.makedirs(p)
+
+    t = threading.Thread(target=commit_later)
+    t.start()
+    assert recover_index_path(p, grace_sec=3.0) is True
+    t.join()
+    assert os.path.exists(old), "live save's .old was stolen"
+
+    # dead-saver branch: fresh survivor, nothing ever commits — after
+    # the grace the survivor is restored to path
+    import shutil
+
+    shutil.rmtree(p)
+    assert recover_index_path(p, grace_sec=0.5) is True
+    assert not os.path.exists(old)
+    with open(os.path.join(p, "m.txt")) as f:
+        assert f.read() == "prev"
+    # nothing at path, no survivors → heal impossible
+    shutil.rmtree(p)
+    assert recover_index_path(p, grace_sec=0.1) is False
+
+
+def test_load_self_heals_crash_survivor(tmp_path, spark):
+    """r9 verdict #9: a crash between staged_index_save's two renames
+    leaves nothing at `path`; the next load() must succeed WITHOUT an
+    intervening save. Survivor stamped 30s in the past (production
+    stamps rename time — this models a crash 30s ago), so the live-save
+    grace has elapsed and recovery is immediate."""
+    import os
+    import time
+
+    from mlvectordb_spark.operators.ann import IVFIndex
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    p = str(tmp_path / "ivf_heal")
+    idx = IVFIndex(n_clusters=4, seed=42)
+    idx.build(df)
+    idx.save(p)
+    old = f"{p}.old-crashed"
+    os.rename(p, old)
+    past = time.time() - 30
+    os.utime(old, (past, past))
+    assert not os.path.exists(p)
+
+    back = IVFIndex.load(spark, p)  # no save in between
+    assert back.indexed.count() == 40
+    got = [r.vec_id for r in back.search_exact([7.0, 1.0], 1).collect()]
+    assert got == [7]

@@ -335,8 +335,10 @@ def test_store_attach_and_cdc_sync(spark, tmp_path):
 def test_store_approx_serving_through_graph(spark, tmp_path):
     """mode='approx' through the store rides the graph's bounded beam
     (its search speaks the nprobe protocol); target_recall through the
-    store raises the documented redirect (the graph's dial is ef, served
-    at the index level)."""
+    store routes via _resolve_graph_dial — the SAME policy helper as
+    the batch path (r9 ADVICE: the single-query graph-member path used
+    to raise a redirect instead) — lazily measuring the ef→recall curve
+    and serving at a measured dial."""
     from mlvectordb_spark.operators.store import VectorStore
 
     store = VectorStore(
@@ -360,11 +362,18 @@ def test_store_approx_serving_through_graph(spark, tmp_path):
         [7.1, 0.0], 2, namespace="A", metric="l2", mode="approx", nprobe=2
     )
     assert [h["id"] for h in hits] == ["k7", "k8"]
-    with pytest.raises(ValueError, match="ef"):
-        store.find_similar(
-            [7.1, 0.0], 2, namespace="A", metric="l2", mode="approx",
-            target_recall=0.9,
-        )
+    hits = store.find_similar(
+        [7.1, 0.0], 2, namespace="A", metric="l2", mode="approx",
+        target_recall=0.9,
+    )
+    exact = store.find_similar(
+        [7.1, 0.0], 2, namespace="A", metric="l2", mode="exact"
+    )
+    got_ids = {h["id"] for h in hits}
+    want_ids = {h["id"] for h in exact}
+    assert len(got_ids & want_ids) / len(want_ids) >= 0.9
+    # the lazily measured curve is cached for subsequent queries
+    assert idx._recall_curve is not None
 
 
 def test_store_batch_serving_through_graph(spark, tmp_path):
