@@ -378,11 +378,23 @@ def main() -> None:
     total = sum(timings.values())
     recall = _recall_tail(spark, sf_dir)
 
+    # r9 verdict (What's wrong #1): the repo's regression hygiene is
+    # per-entry MIN across ≥3 same-code runs (the shared host has a
+    # measured ~20% CPU-steal spread), but the driver records a single
+    # run — every round re-litigates steal-band movers. Merge in prior
+    # runs of the SAME code (git HEAD) at the SAME sf within the last
+    # 8 h (one round session) and emit both numbers, so BENCH_r{N}.json
+    # itself carries the min-of-runs evidence.
+    min_timings, n_runs = _merge_run_history(timings, sf)
+
     payload = {
         "metric": "headline_queries_total_sec",
         "value": round(total, 3),
+        "value_min_of_runs": round(sum(min_timings.values()), 3),
+        "n_runs": n_runs,
         "unit": "sec",
         "queries": timings,
+        "queries_min_of_runs": min_timings,
         "recall": recall,
         "sf": sf,
     }
@@ -398,10 +410,72 @@ def main() -> None:
     if len(line) > 1800:
         compact = dict(payload)
         compact.pop("queries")
+        compact.pop("queries_min_of_runs")
         compact["queries_file"] = "BENCH_LOCAL.json"
         compact["n_queries"] = len(timings)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
+
+
+def _merge_run_history(
+    timings: dict[str, float], sf: float
+) -> tuple[dict[str, float], int]:
+    """Fold this run into BENCH_RUNS.json and return the per-entry MIN
+    across all recorded runs of the same code at the same sf, plus the
+    run count. Merging is keyed on git HEAD so a code change never
+    inherits the old code's timings, and bounded to the last 8 h so a
+    stale same-hash run from a previous day can't leak in. Entries not
+    in THIS run's headline (rotated out) are dropped from the min."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    head = None
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=here, capture_output=True,
+            text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001 — no git → no cross-run merge
+        pass
+    now = time.time()
+    path = os.path.join(here, "BENCH_RUNS.json")
+    by_sf: dict[str, list] = {}
+    if head is not None:
+        try:
+            with open(path) as f:
+                hist = json.load(f)
+            if hist.get("git") == head:
+                by_sf = {
+                    k: [
+                        r for r in v
+                        if now - r.get("ts", 0) < 8 * 3600
+                    ]
+                    for k, v in hist.get("by_sf", {}).items()
+                }
+        except Exception:  # noqa: BLE001 — absent/corrupt history
+            pass
+    key = str(sf)
+    runs = by_sf.get(key, [])
+    runs.append({"ts": now, "queries": timings})
+    by_sf[key] = runs = runs[-8:]
+    try:
+        with open(path, "w") as f:
+            json.dump({"git": head, "by_sf": by_sf}, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
+    merged = {
+        name: round(
+            min(
+                r["queries"][name]
+                for r in runs
+                if name in r.get("queries", {})
+            ),
+            3,
+        )
+        for name in timings
+    }
+    return merged, len(runs)
 
 
 if __name__ == "__main__":
