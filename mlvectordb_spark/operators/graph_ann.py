@@ -94,6 +94,27 @@ def _score_from_dist(dist: np.ndarray, metric: str) -> np.ndarray:
     return -dist
 
 
+def _rescore64(
+    pdf, vcol: str, sel: list[int], q: np.ndarray, norm: bool, metric: str
+) -> np.ndarray:
+    """Float64 traversal distances of the SELECTED rows, recomputed from
+    the raw stored vectors. The beam works in float32 (ordering only);
+    the reported scores must keep the float64 rounded-score contract the
+    brute-force kernels and the DuckDB oracle share — float32→float64 on
+    the raw values is exact (the column is array<float>), so this is
+    bit-identical to scoring against a float64 working set. Bounded by
+    the beam width per query (the whole block only in exhaustive mode,
+    which already pays a full scan)."""
+    if not sel:
+        return np.zeros(0, dtype=np.float64)
+    V = np.stack(pdf[vcol].to_numpy()[sel]).astype(np.float64)
+    if norm:
+        nrm = np.linalg.norm(V, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        V = V / nrm
+    return _pair_dists(V, q, metric)
+
+
 def _beam_search(
     X: np.ndarray,
     adj: list[set[int]] | list[list[int]],
@@ -203,7 +224,9 @@ def _cand_dists(
     n, k = C.shape
     src = np.repeat(np.arange(n), k)
     dst = C.reshape(-1)
-    out = np.empty(n * k, dtype=np.float64)
+    # distances are ORDERING-only here; follow X's dtype (float32 on the
+    # build path — reference vector semantics, half the bandwidth)
+    out = np.empty(n * k, dtype=X.dtype)
     for s in range(0, n * k, chunk):
         e = min(s + chunk, n * k)
         a = X[src[s:e]]
@@ -288,7 +311,7 @@ def _exact_pool(
     (tools/graph_probe.py). Distances are used for ORDERING only, so
     float32 matmul precision is fine."""
     n = len(X)
-    Xf = X.astype(np.float32)
+    Xf = X.astype(np.float32, copy=False)
     sq = (Xf * Xf).sum(axis=1)
     N = np.empty((n, k), dtype=np.int64)
     D = np.empty((n, k), dtype=np.float64)
@@ -619,7 +642,13 @@ class GraphANNIndex:
             pdf = pdf.sort_values(icol, kind="mergesort").reset_index(
                 drop=True
             )
-            X = np.stack(pdf[vcol].to_numpy()).astype(np.float64)
+            # float32 working set (r9 verdict #4): the stored vectors ARE
+            # float32 (array<float> — reference vector.py:14 semantics),
+            # construction distances order candidates only, and at
+            # descent-scale blocks (≥50k × high-d rows decoded per task)
+            # float64 doubled the dominant memory term for no precision
+            # the graph keeps
+            X = np.stack(pdf[vcol].to_numpy()).astype(np.float32)
             if norm:
                 nrm = np.linalg.norm(X, axis=1, keepdims=True)
                 nrm[nrm == 0.0] = 1.0
@@ -709,10 +738,18 @@ class GraphANNIndex:
             qn = np.linalg.norm(q)
             q = q / qn if qn else q
         norm = metric == "cosine"
+        q32 = q.astype(np.float32)
 
         def search_block(pdf):
             pdf = pdf.reset_index(drop=True)
-            X = np.stack(pdf[vcol].to_numpy()).astype(np.float64)
+            # the beam's working set is float32 (r9 verdict #4): the
+            # stored vectors are float32 already, traversal distances
+            # only ORDER candidates, and halving the decoded block
+            # matrix halves the dominant per-task memory at descent
+            # scale. The REPORTED scores of the selected rows are
+            # recomputed in float64 below, so the rounded-score contract
+            # (and oracle hash parity) is unchanged.
+            X = np.stack(pdf[vcol].to_numpy()).astype(np.float32)
             if norm:
                 nrm = np.linalg.norm(X, axis=1, keepdims=True)
                 nrm[nrm == 0.0] = 1.0
@@ -730,15 +767,14 @@ class GraphANNIndex:
                 # every stored entry was deleted: deterministic fallback
                 entries = [int(pdf[icol].to_numpy().argmin())]
             width = None if ef is None else max(ef, need)
-            found = _beam_search(X, adj, entries, q, width, metric)
+            found = _beam_search(X, adj, entries, q32, width, metric)
             if ef is None and len(found) < len(pdf):
-                found = _sweep_unvisited(X, found, q, metric)
+                found = _sweep_unvisited(X, found, q32, metric)
             take = found if ef is None else found[: max(ef, need)]
-            rows = pdf.iloc[[p for _, p in take]][keep].copy()
+            sel = [p for _, p in take]
+            rows = pdf.iloc[sel][keep].copy()
             rows["score"] = np.round(
-                _score_from_dist(
-                    np.asarray([d for d, _ in take]), metric
-                ),
+                _score_from_dist(_rescore64(pdf, vcol, sel, q, norm, metric), metric),
                 _SCORE_DECIMALS,
             )
             return rows
@@ -963,7 +999,9 @@ class GraphANNIndex:
                 n = np.linalg.norm(qv)
                 qv = qv / n if n else qv
             for b in self._probe_blocks(r[query_vec], nprobe):
-                routed.setdefault(b, []).append((r[query_id], qv))
+                routed.setdefault(b, []).append(
+                    (r[query_id], qv, qv.astype(np.float32))
+                )
         probed = sorted(routed)
         cand = self.indexed.filter(F.col("block_id").isin(probed))
         icol, vcol, metric = self._id_col, self._vec_col, self.metric
@@ -989,7 +1027,10 @@ class GraphANNIndex:
             pdf = pdf.reset_index(drop=True)
             block = int(pdf["block_id"].iloc[0])
             qs = routed.get(block, [])
-            X = np.stack(pdf[vcol].to_numpy()).astype(np.float64)
+            # float32 beam working set; reported scores recompute in
+            # float64 over each query's selected rows (_rescore64) —
+            # same contract as the single-query path
+            X = np.stack(pdf[vcol].to_numpy()).astype(np.float32)
             if norm:
                 nrm = np.linalg.norm(X, axis=1, keepdims=True)
                 nrm[nrm == 0.0] = 1.0
@@ -1008,17 +1049,19 @@ class GraphANNIndex:
             )
             out_q, out_i, out_s = [], [], []
             width = None if ef is None else max(ef, need)
-            for qid, qv in qs:
-                found = _beam_search(X, adj, entries, qv, width, metric)
+            for qid, qv64, qv32 in qs:
+                found = _beam_search(X, adj, entries, qv32, width, metric)
                 if ef is None and len(found) < len(X):
-                    found = _sweep_unvisited(X, found, qv, metric)
+                    found = _sweep_unvisited(X, found, qv32, metric)
                 take = found if ef is None else found[: max(ef or 0, need)]
+                sel = [p for _, p in take]
                 out_q.extend([qid] * len(take))
                 out_i.extend(ids[p] for _, p in take)
                 out_s.extend(
                     np.round(
                         _score_from_dist(
-                            np.asarray([d for d, _ in take]), metric
+                            _rescore64(pdf, vcol, sel, qv64, norm, metric),
+                            metric,
                         ),
                         _SCORE_DECIMALS,
                     ).tolist()
