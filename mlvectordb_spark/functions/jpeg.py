@@ -6,22 +6,31 @@ expects JPEG payloads to decode like any other image
 comes from this repo's multimodal training-data pipeline, where
 image columns are opaque binary + typed metadata). Rather than leaving
 `decode_media("image/jpeg")` import-gated forever, this module
-implements the baseline sequential DCT process end-to-end in numpy:
+implements the baseline sequential AND progressive DCT processes
+end-to-end in numpy:
 
-- decoder: marker parse (DQT/DHT/SOF0/DRI/SOS), canonical Huffman
-  decode with byte unstuffing and restart-interval handling, DC
-  prediction, dezigzag, dequantize, vectorized 8x8 IDCT (orthonormal
-  separable transform — one einsum over all blocks of a component),
-  chroma upsampling for any (h, v) sampling factors incl. 4:2:0, and
-  the JFIF BT.601 YCbCr→RGB transform.
+- decoder: marker parse (DQT/DHT/SOF0/SOF1/SOF2/DRI/SOS, 0xFF
+  fill-byte tolerant per B.1.1.2), canonical Huffman decode with byte
+  unstuffing and restart-interval handling, DC prediction, progressive
+  scan accumulation (spectral selection Ss..Se + successive
+  approximation Ah/Al per T.81 G.1.2: DC first/refine, AC first with
+  EOB runs, AC refinement correction bits), interleaved and
+  non-interleaved scan geometry, dezigzag, dequantize, vectorized 8x8
+  IDCT (orthonormal separable transform — one einsum over all blocks
+  of a component), triangular ("fancy", libjpeg-matching) chroma
+  upsampling for any power-of-two (h, v) sampling incl. 4:2:0, and the
+  JFIF BT.601 YCbCr→RGB transform. Truncated/malformed streams raise
+  ValueError.
 - encoder (test/fixture-grade): the exact inverse pipeline with the
   Annex K quantization tables (libjpeg quality scaling) and Annex K
-  Huffman tables, optional 4:2:0 subsampling, restart intervals off.
+  Huffman tables, optional 4:2:0 subsampling, optional restart
+  intervals, and an optional progressive mode (DC at Al=1 + DC
+  refinement + per-component full-band AC scans).
 
-Scope, disclosed: BASELINE process only — SOF0 (and SOF1's identical
-layout). Progressive (SOF2), arithmetic coding, and hierarchical modes
-raise NotImplementedError with the marker named; 8-bit precision only.
-Grayscale (1 component) and YCbCr (3 components) both decode.
+Scope, disclosed: DCT processes with Huffman coding only — arithmetic
+coding, hierarchical, and lossless modes raise NotImplementedError
+with the marker named; 8-bit precision only. Grayscale (1 component)
+and YCbCr (3 components) both decode.
 
 This is a correctness-first kernel: entropy decode is a Python loop per
 coefficient (JPEG's bitstream is inherently serial within a scan), but
@@ -173,10 +182,19 @@ class _BitWriter:
             self.nbits -= 8
             self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad(self) -> None:
         if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
+            fill = 8 - self.nbits
+            self.write((1 << fill) - 1, fill)  # 1-fill per T.81 F.1.2.3
+
+    def marker(self, mid: int) -> None:
+        """Pad to a byte boundary and emit a marker (markers are raw —
+        never byte-stuffed)."""
+        self.pad()
+        self.buf += bytes([0xFF, mid])
+
+    def flush(self) -> bytes:
+        self.pad()
         return bytes(self.buf)
 
 
@@ -262,6 +280,37 @@ def _encode_plane(
     return pred
 
 
+def _encode_ac_band(
+    blk: np.ndarray,
+    ac_codes: dict[int, tuple[int, int]],
+    writer: _BitWriter,
+) -> None:
+    """Progressive full-band AC scan for one block (Ss=1, Se=63, Al=0):
+    the same run/size coding as the sequential AC section with one
+    plain EOB (a zero-length EOB run) per block — a valid
+    spectral-selection-only progressive encoding."""
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last_nz = int(nz[-1]) + 1 if len(nz) else 0
+    for i in range(1, last_nz + 1):
+        v = int(blk[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size, amp = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(amp, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+
+
 def _quantize_plane(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     blocks = _to_blocks(plane.astype(np.float64) - 128.0)
     coefs = _fdct_blocks(blocks)
@@ -279,11 +328,24 @@ def _subsample2(plane: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 75, subsample: bool = False
+    img: np.ndarray,
+    quality: int = 75,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode an (H, W, 3) uint8 RGB (or (H, W) grayscale) array as a
-    baseline JFIF JPEG. 4:4:4 by default; `subsample=True` emits 4:2:0.
-    Fixture-grade: Annex K Huffman tables, no restart intervals."""
+    JFIF JPEG — baseline sequential by default, spectral-selection
+    progressive (SOF2: one interleaved DC scan + one full-band AC scan
+    per component, no successive approximation) with `progressive=True`.
+    4:4:4 by default; `subsample=True` emits 4:2:0. `restart_interval`
+    > 0 (baseline only) emits a DRI segment and RSTn markers every that
+    many MCUs (DC predictors reset at each boundary). Fixture-grade:
+    Annex K Huffman tables. A progressive stream decodes to EXACTLY the
+    same pixels as the baseline one (identical quantized coefficients —
+    the property test_progressive_roundtrip_matches_baseline pins)."""
+    if progressive and restart_interval:
+        raise ValueError("restart intervals unsupported with progressive")
     img = np.asarray(img)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
@@ -331,7 +393,8 @@ def encode_jpeg(
     for ci in range(ncomp):
         hs, vs = samp[ci]
         sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     huff = [
         (0x00, DC_LUM_BITS, DC_LUM_VALS), (0x10, AC_LUM_BITS, AC_LUM_VALS),
     ] + ([] if gray else [
@@ -341,26 +404,95 @@ def encode_jpeg(
     for tc_th, bits, vals in huff:
         body = bytes([tc_th]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
-    # ---- interleaved entropy-coded scan ----
     dc_l = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
     ac_l = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
     dc_c = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
     ac_c = _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)
-    writer = _BitWriter()
     hmax = max(hs for hs, _ in samp)
     vmax = max(vs for _, vs in samp)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     widths = [planes[ci][0].shape[1] // 8 for ci in range(ncomp)]
+
+    def sos_header(
+        members: list[int], ss: int, se: int, ah: int = 0, al: int = 0
+    ) -> bytes:
+        hdr = bytes([len(members)])
+        for ci in members:
+            hdr += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hs, vs = samp[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield ci, (
+                                (my * vs + by) * widths[ci] + mx * hs + bx
+                            )
+
+    if progressive:
+        # scan 1: interleaved DC at Al=1 (successive approximation —
+        # the high-order bits first, as libjpeg's standard script does)
+        out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
+        writer = _BitWriter()
+        preds = [0] * ncomp
+        for ci, bidx in mcu_blocks():
+            dct = dc_l if ci == 0 else dc_c
+            dc = int(quantized[ci][bidx][0]) >> 1  # arithmetic shift
+            size, amp = _magnitude(dc - preds[ci])
+            code, length = dct[size]
+            writer.write(code, length)
+            writer.write(amp, size)
+            preds[ci] = dc
+        out += writer.flush()
+        # scan 2: DC refinement (Ah=1, Al=0) — one raw bit per block
+        out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
+        writer = _BitWriter()
+        for ci, bidx in mcu_blocks():
+            writer.write(int(quantized[ci][bidx][0]) & 1, 1)
+        out += writer.flush()
+        # scans 2..: one full-band AC scan per component (Ss=1, Se=63)
+        # over the component's OWN block grid (non-interleaved geometry)
+        for ci in range(ncomp):
+            hs, vs = samp[ci]
+            bw = (-(-w * hs // hmax) + 7) // 8
+            bh = (-(-h * vs // vmax) + 7) // 8
+            act = ac_l if ci == 0 else ac_c
+            out += sos_header([ci], 1, 63)
+            writer = _BitWriter()
+            for r in range(bh):
+                for c in range(bw):
+                    _encode_ac_band(
+                        quantized[ci][r * widths[ci] + c], act, writer
+                    )
+            out += writer.flush()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # ---- baseline: one interleaved entropy-coded scan ----
+    out += sos_header(list(range(ncomp)), 0, 63)
+    writer = _BitWriter()
     preds = [0] * ncomp
+    mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                writer.marker(
+                    0xD0 + (mcu_count // restart_interval - 1) % 8
+                )
+                preds = [0] * ncomp
+            mcu_count += 1
             for ci in range(ncomp):
                 hs, vs = samp[ci]
                 dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
@@ -379,9 +511,14 @@ def encode_jpeg(
 # ---------------------------------------------------------------- decoder
 
 
+
+
 class _BitReader:
     """MSB-first reader over the entropy-coded segment with 0xFF00
-    unstuffing; RSTn markers are surfaced to the caller."""
+    unstuffing; RSTn markers are surfaced to the caller; any other
+    marker (or 0xFF fill bytes preceding one — T.81 B.1.1.2) terminates
+    the scan by padding with 1-bits. Running off the end of the payload
+    raises ValueError (truncated stream)."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -390,6 +527,8 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG (entropy data ends early)")
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]
@@ -398,7 +537,9 @@ class _BitReader:
             elif 0xD0 <= nxt <= 0xD7:
                 raise _RestartMarker(nxt)
             else:
-                # scan terminator (EOI / next segment): pad with 1-bits
+                # 0xFF fill byte(s) or the scan terminator (EOI / next
+                # segment): in both cases the entropy data is over —
+                # pad with 1-bits without consuming
                 self.acc = (self.acc << 8) | 0xFF
                 self.nbits += 8
                 return
@@ -419,13 +560,17 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
-    def skip_restart(self) -> None:
-        """Consume an RSTn marker at the current byte boundary."""
+    def restart(self) -> None:
+        """Discard partial bits and consume one RSTn at the byte
+        boundary (tolerating 0xFF fill bytes before it)."""
         self.acc = 0
         self.nbits = 0
-        while self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
-            self.pos += 2
-            return
+        p = self.pos
+        data = self.data
+        while p + 1 < len(data) and data[p] == 0xFF and data[p + 1] == 0xFF:
+            p += 1  # fill bytes before the marker (B.1.1.2)
+        if p + 1 < len(data) and data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
+            self.pos = p + 2
 
 
 class _RestartMarker(Exception):
@@ -450,155 +595,491 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _seg(data: bytes, pos: int) -> tuple[int, bytes]:
+    """(segment length, body) with truncation checks."""
+    if pos + 2 > len(data):
+        raise ValueError("truncated JPEG (segment length cut off)")
+    seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+    if seglen < 2 or pos + seglen > len(data):
+        raise ValueError("truncated JPEG (segment body cut off)")
+    return seglen, data[pos + 2 : pos + seglen]
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JFIF JPEG to (H, W, 3) uint8 RGB ((H, W) for
-    grayscale). Raises NotImplementedError for progressive/arithmetic/
-    hierarchical streams and ValueError for malformed ones."""
+    """Decode a JFIF JPEG — baseline (SOF0/SOF1, single- or multi-scan)
+    or progressive (SOF2, spectral selection + successive approximation)
+    — to (H, W, 3) uint8 RGB ((H, W) for grayscale). Raises
+    NotImplementedError for arithmetic/hierarchical/lossless processes
+    and ValueError for malformed or truncated streams."""
     data = bytes(payload)
-    if data[:2] != b"\xff\xd8":
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None
-    while pos < len(data):
+    state: _FrameState | None = None
+    while True:
+        if pos + 2 > len(data):
+            # a stream missing EOI but with all scans decoded is common
+            # in the wild; require at least one decoded scan below
+            break
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            break
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
-        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
-        body = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
+            seglen, body = _seg(data, pos)
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables")
+                if i + 65 > len(body):
+                    raise ValueError("truncated JPEG (DQT body)")
                 tab = np.frombuffer(
                     body[i + 1 : i + 65], dtype=np.uint8
                 ).astype(np.int64)
                 qtabs[tq] = tab[UNZIGZAG]  # store natural order
                 i += 65
         elif marker == 0xC4:  # DHT
+            seglen, body = _seg(data, pos)
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("truncated JPEG (DHT header)")
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
+                if i + 17 + n > len(body):
+                    raise ValueError("truncated JPEG (DHT values)")
                 vals = list(body[i + 17 : i + 17 + n])
                 htabs[(tc, th)] = _decode_map(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both baseline layout)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 prog
+            seglen, body = _seg(data, pos)
+            if frame is not None:
+                raise ValueError("multiple SOF segments")
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
             fh, fw = struct.unpack(">HH", body[1:5])
+            if fh == 0 or fw == 0:
+                raise ValueError("zero frame dimension")
             ncomp = body[5]
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG (SOF components)")
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError("invalid sampling factors")
+                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
+            frame = {
+                "h": fh, "w": fw, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            state = _FrameState(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG process (SOF marker 0x{marker:02X}); "
-                "only baseline sequential DCT is implemented"
+                f"unsupported JPEG process (SOF marker 0x{marker:02X}); "
+                "baseline sequential and progressive DCT are implemented"
             )
         elif marker == 0xDD:  # DRI
+            seglen, body = _seg(data, pos)
+            if len(body) < 2:
+                raise ValueError("truncated JPEG (DRI)")
             restart_interval = struct.unpack(">H", body[:2])[0]
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
+            seglen, body = _seg(data, pos)
+            if frame is None or state is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG (SOS header)")
             scan = []
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
                 scan.append({"id": cs, "dc": tdta >> 4, "ac": tdta & 0x0F})
-            pos += seglen
-            return _decode_scan(
-                data, pos, frame, scan, qtabs, htabs, restart_interval
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _decode_scan(
+                data, pos + seglen, state, scan, ss, se, ah, al,
+                htabs, restart_interval,
             )
+            continue
+        else:
+            seglen, _body = _seg(data, pos)  # APPn / COM / unknown: skip
         pos += seglen
-    raise ValueError("no SOS segment found")
+    if state is None or not state.any_scan:
+        raise ValueError("no SOS segment found")
+    return _reconstruct(state, qtabs)
 
 
-def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
-    if frame is None:
-        raise ValueError("SOS before SOF")
+class _FrameState:
+    """Per-frame coefficient accumulator: one zigzag-ordered int array
+    per component, sized to the MCU-padded grid, shared by every scan
+    (progressive scans refine it in place; a baseline frame's single
+    scan fills it once)."""
+
+    def __init__(self, frame: dict) -> None:
+        comps = frame["comps"]
+        self.frame = frame
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        self.mcux = (frame["w"] + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (frame["h"] + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.cw = [self.mcux * c["h"] for c in comps]
+        self.ch = [self.mcuy * c["v"] for c in comps]
+        self.coefs = [
+            np.zeros((self.ch[i] * self.cw[i], 64), dtype=np.int64)
+            for i in range(len(comps))
+        ]
+        # non-interleaved scan geometry: only the blocks covering the
+        # actual component samples, not the MCU-padded grid
+        self.bw = [
+            (-(-frame["w"] * c["h"] // self.hmax) + 7) // 8 for c in comps
+        ]
+        self.bh = [
+            (-(-frame["h"] * c["v"] // self.vmax) + 7) // 8 for c in comps
+        ]
+        self.any_scan = False
+
+
+def _scan_units(
+    state: _FrameState, order: list[int]
+) -> list[list[tuple[int, int]]]:
+    """The scan's restart units, each a list of (component, block-index)
+    pairs: MCUs for interleaved scans, single blocks in raster order
+    over the component's own grid for non-interleaved ones (T.81
+    A.2.2/A.2.3)."""
+    comps = state.frame["comps"]
+    if len(order) == 1:
+        ci = order[0]
+        return [
+            [(ci, r * state.cw[ci] + c)]
+            for r in range(state.bh[ci])
+            for c in range(state.bw[ci])
+        ]
+    units = []
+    for my in range(state.mcuy):
+        for mx in range(state.mcux):
+            unit = []
+            for ci in order:
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        unit.append((
+                            ci,
+                            (my * c["v"] + by) * state.cw[ci]
+                            + mx * c["h"] + bx,
+                        ))
+            units.append(unit)
+    return units
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    state: _FrameState,
+    scan: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    htabs: dict,
+    restart_interval: int,
+) -> int:
+    """Decode one entropy-coded scan into the frame's coefficient
+    accumulator and return the byte position of the next marker.
+
+    Baseline scans carry Ss=0/Se=63/Ah=Al=0 and decode DC+AC in one
+    pass; progressive scans split the work by spectral band (Ss..Se)
+    and bit plane (T.81 G.1.2): DC-first / DC-refine scans may be
+    interleaved, AC scans are single-component with EOB-run coding
+    (first pass) or the correction-bit algorithm (refinement)."""
+    frame = state.frame
+    comps = frame["comps"]
+    progressive = frame["progressive"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    order = []
+    for s in scan:
+        if s["id"] not in by_id:
+            raise ValueError(f"scan references unknown component {s['id']}")
+        order.append(by_id[s["id"]])
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if ss > 0 and len(order) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError("invalid spectral selection")
+    else:
+        ss, se, ah, al = 0, 63, 0, 0
+        if sorted(order) != sorted(set(order)):
+            raise ValueError("duplicate component in scan")
+
+    def table(tc: int, th: int) -> dict:
+        t = htabs.get((tc, th))
+        if t is None:
+            raise ValueError(
+                f"missing Huffman table ({'AC' if tc else 'DC'} {th})"
+            )
+        return t
+
+    # per-scan-component entropy tables (DC refinement needs none)
+    dc_t: dict[int, dict] = {}
+    ac_t: dict[int, dict] = {}
+    for si, s in enumerate(scan):
+        ci = order[si]
+        if ss == 0 and ah == 0:
+            dc_t[ci] = table(0, s["dc"])
+        if se > 0:
+            ac_t[ci] = table(1, s["ac"])
+
+    units = _scan_units(state, order)
+    reader = _BitReader(data, pos)
+    preds = dict.fromkeys(order, 0)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    for count, unit in enumerate(units):
+        if restart_interval and count and count % restart_interval == 0:
+            reader.restart()
+            preds = dict.fromkeys(order, 0)
+            eobrun = 0
+        try:
+            for ci, bidx in unit:
+                blk = state.coefs[ci][bidx]
+                if not progressive:
+                    preds[ci] = _decode_block_full(
+                        reader, blk, dc_t[ci], ac_t[ci], preds[ci]
+                    )
+                elif ss == 0:
+                    if ah == 0:  # DC first
+                        size = _huff_decode(reader, dc_t[ci])
+                        diff = _extend(reader.bits(size), size)
+                        preds[ci] += diff
+                        blk[0] = preds[ci] << al
+                    else:  # DC refinement: append one bit
+                        if reader.bit():
+                            blk[0] |= p1
+                elif ah == 0:
+                    eobrun = _ac_first(
+                        reader, blk, ss, se, al, eobrun, ac_t[ci]
+                    )
+                else:
+                    eobrun = _ac_refine(
+                        reader, blk, ss, se, p1, m1, eobrun, ac_t[ci]
+                    )
+        except _RestartMarker:
+            raise ValueError("restart marker inside an entropy unit")
+    state.any_scan = True
+    # resync: the reader stops at the next marker; skip any trailing
+    # fill bytes / stray RSTn so the marker loop lands on 0xFF <id>
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] != 0xFF:
+            p += 1  # junk between scans — scan forward to a marker
+            continue
+        nxt = data[p + 1]
+        if nxt in (0xFF, 0x00) or 0xD0 <= nxt <= 0xD7:
+            p += 1 if nxt == 0xFF else 2
+            continue
+        break
+    return p
+
+
+def _decode_block_full(
+    reader: _BitReader,
+    blk: np.ndarray,
+    dc_table: dict,
+    ac_table: dict,
+    pred: int,
+) -> int:
+    """Sequential-mode block decode (T.81 F.2.2): DC diff + all 63 AC
+    coefficients. Returns the new DC predictor."""
+    size = _huff_decode(reader, dc_table)
+    diff = _extend(reader.bits(size), size)
+    pred += diff
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_table)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        size = rs & 0x0F
+        if k > 63:
+            raise ValueError("AC index overrun")
+        blk[k] = _extend(reader.bits(size), size)
+        k += 1
+    return pred
+
+
+def _ac_first(
+    reader: _BitReader,
+    blk: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+    ac_table: dict,
+) -> int:
+    """Progressive AC first pass (T.81 G.1.2.2): run-length coded
+    coefficients at bit precision Al, with EOB runs spanning blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.bits(r)
+                return eobrun - 1  # this block ends the band
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC index overrun in progressive scan")
+        blk[k] = _extend(reader.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(
+    reader: _BitReader,
+    blk: np.ndarray,
+    ss: int,
+    se: int,
+    p1: int,
+    m1: int,
+    eobrun: int,
+    ac_table: dict,
+) -> int:
+    """Progressive AC refinement (T.81 G.1.2.3): one correction bit per
+    already-nonzero coefficient in the band, newly-nonzero coefficients
+    inserted at ±2^Al, EOB runs carrying correction bits only. The
+    control flow mirrors the spec's decision graph (and libjpeg's
+    jdphuff.c structure, re-derived from G.1.2.3)."""
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    break  # fall into the EOB correction sweep
+                # r == 15 (ZRL): pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                val = p1 if reader.bit() else m1
+            while k <= se:
+                coef = int(blk[k])
+                if coef != 0:
+                    if reader.bit() and (coef & p1) == 0:
+                        blk[k] = coef + (p1 if coef >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break  # the target zero coefficient
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            coef = int(blk[k])
+            if coef != 0:
+                if reader.bit() and (coef & p1) == 0:
+                    blk[k] = coef + (p1 if coef >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _upsample2(p: np.ndarray, axis: int) -> np.ndarray:
+    """Factor-2 triangular ("fancy") upsample along one axis — the
+    libjpeg h2v1/h2v2 filter: each input sample emits two outputs
+    weighted 3/4 toward itself and 1/4 toward its nearer neighbor,
+    edges replicated. Matches what libjpeg-family decoders (and
+    therefore the web's de-facto reference output) produce for 4:2:2 /
+    4:2:0 chroma, where plain pixel replication shows blocky edges."""
+    n = p.shape[axis]
+    idx = np.arange(n)
+    prev = np.take(p, np.maximum(idx - 1, 0), axis=axis)
+    nxt = np.take(p, np.minimum(idx + 1, n - 1), axis=axis)
+    a = 0.75 * p + 0.25 * prev  # out[2i]
+    b = 0.75 * p + 0.25 * nxt  # out[2i + 1]
+    out = np.stack([a, b], axis=axis + 1)
+    shape = list(p.shape)
+    shape[axis] *= 2
+    return out.reshape(shape)
+
+
+def _upsample(plane: np.ndarray, ry: int, rx: int) -> np.ndarray:
+    """Upsample by integer factors: triangular passes for powers of two
+    (the only factors real encoders emit), replication fallback for
+    anything else."""
+    while ry > 1 and ry % 2 == 0:
+        plane = _upsample2(plane, 0)
+        ry //= 2
+    while rx > 1 and rx % 2 == 0:
+        plane = _upsample2(plane, 1)
+        rx //= 2
+    if ry > 1 or rx > 1:
+        plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+    return plane
+
+
+def _reconstruct(state: _FrameState, qtabs: dict) -> np.ndarray:
+    """Dequantize + IDCT + upsample + color-convert the accumulated
+    coefficients (all blocks of a component batched through one
+    einsum)."""
+    frame = state.frame
     fh, fw, comps = frame["h"], frame["w"], frame["comps"]
     ncomp = len(comps)
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
-    by_id = {c["id"]: i for i, c in enumerate(comps)}
-    order = [by_id[s["id"]] for s in scan]
-    if sorted(order) != list(range(ncomp)):
-        raise NotImplementedError("partial / multi-scan decoding")
-    # per-component coefficient storage: (blocks_y, blocks_x, 64)
-    cw = [mcux * c["h"] for c in comps]
-    ch = [mcuy * c["v"] for c in comps]
-    coefs = [np.zeros((ch[i] * cw[i], 64), dtype=np.int64) for i in range(ncomp)]
-    dc_t = [htabs[(0, s["dc"])] for s in scan]
-    ac_t = [htabs[(1, s["ac"])] for s in scan]
-
-    reader = _BitReader(data, pos)
-    preds = [0] * ncomp
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.skip_restart()
-                preds = [0] * ncomp
-            try:
-                for si, ci in enumerate(order):
-                    c = comps[ci]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            blk = coefs[ci][
-                                (my * c["v"] + by) * cw[ci] + mx * c["h"] + bx
-                            ]
-                            # DC
-                            size = _huff_decode(reader, dc_t[si])
-                            diff = _extend(reader.bits(size), size)
-                            preds[ci] += diff
-                            blk[0] = preds[ci]
-                            # AC
-                            k = 1
-                            while k < 64:
-                                rs = _huff_decode(reader, ac_t[si])
-                                if rs == 0x00:  # EOB
-                                    break
-                                if rs == 0xF0:  # ZRL
-                                    k += 16
-                                    continue
-                                k += rs >> 4
-                                size = rs & 0x0F
-                                if k > 63:
-                                    raise ValueError("AC index overrun")
-                                blk[k] = _extend(reader.bits(size), size)
-                                k += 1
-            except _RestartMarker:
-                raise ValueError("restart marker inside an MCU")
-            mcu_count += 1
-
-    # ---- reconstruct each component plane (all blocks batched) ----
     planes = []
     for i, c in enumerate(comps):
+        if c["tq"] not in qtabs:
+            raise ValueError(f"missing quantization table {c['tq']}")
         # coefs are stored in zigzag order — dequantize with the
         # zigzag-ordered table, THEN permute to natural order
         q = qtabs[c["tq"]][ZIGZAG].reshape(1, 64)
-        nat = (coefs[i] * q)[:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+        nat = (
+            (state.coefs[i] * q)[:, UNZIGZAG].reshape(-1, 8, 8)
+            .astype(np.float64)
+        )
         spatial = _idct_blocks(nat) + 128.0
-        plane = _from_blocks(spatial, ch[i] * 8, cw[i] * 8)
+        plane = _from_blocks(
+            spatial, state.ch[i] * 8, state.cw[i] * 8
+        )
         # upsample to full MCU-grid resolution, then crop to frame size
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        ry, rx = state.vmax // c["v"], state.hmax // c["h"]
+        plane = _upsample(plane, ry, rx)
         planes.append(plane[:fh, :fw])
 
     if ncomp == 1:

@@ -5,7 +5,7 @@ mapInPandas pipelines, UDF signatures, batch shapes — is real and tested.
 Decoding is REAL for every format a pure stdlib/numpy codec can cover:
 PCM16 WAV (RIFF chunk walk), 24-bit BMP, 8-bit non-interlaced RGB/RGBA
 PNG (zlib inflate + full five-filter scanline unfiltering + CRC checks),
-and baseline JPEG (functions/jpeg.py: Huffman + dequant + batched IDCT +
+and baseline+progressive JPEG (functions/jpeg.py: Huffman + dequant + batched IDCT +
 chroma upsampling, validated against third-party-encoded files) — the
 synthetic corpus emits genuine WAV/BMP/PNG/JPEG payloads and
 `real_feature_extract` computes actual signal features (duration, RMS,
@@ -235,7 +235,8 @@ def synthetic_media_df(
 ) -> DataFrame:
     """Deterministic media corpus with REAL payloads where a pure-numpy
     codec exists: audio rows are genuine PCM16 WAV (seeded sine mixes),
-    image rows rotate genuine 24-bit BMP, 8-bit PNG, and baseline JPEG
+    image rows rotate genuine 24-bit BMP, 8-bit PNG, and baseline +
+    progressive JPEG
     (seeded gradients+noise). Video rows stay opaque pseudo-random bytes
     (no codec without external libs — disclosed). Stands in for
     spark.read.format('binaryFile')."""
@@ -266,9 +267,9 @@ def synthetic_media_df(
                 ],
                 axis=-1,
             ).astype(np.uint8)
-            # rotate containers so all three real image codecs are
-            # exercised (BMP, PNG, baseline JPEG)
-            pick = (i // 3) % 3
+            # rotate containers so all four real image codecs are
+            # exercised (BMP, PNG, baseline JPEG, progressive JPEG)
+            pick = (i // 3) % 4
             if pick == 0:
                 payload, mime = encode_bmp(img), "image/bmp"
             elif pick == 1:
@@ -276,7 +277,9 @@ def synthetic_media_df(
             else:
                 from mlvectordb_spark.functions.jpeg import encode_jpeg
 
-                payload = encode_jpeg(img, quality=90)
+                payload = encode_jpeg(
+                    img, quality=90, progressive=pick == 3
+                )
                 mime = "image/jpeg"
         else:
             payload = bytes(
@@ -296,7 +299,8 @@ def synthetic_media_df(
 
 def decode_media(payload: bytes, modality: str, mime_type: str | None = None):
     """Decode a payload with the native codecs: PCM16 WAV → (samples,
-    rate); 24-bit BMP / 8-bit PNG / baseline JPEG → HxW(x3) uint8.
+    rate); 24-bit BMP / 8-bit PNG / baseline+progressive JPEG →
+    HxW(x3) uint8.
     WebP and video stay import-gated (PIL / av absent from this
     container)."""
     mt = (mime_type or "").lower()
@@ -320,7 +324,8 @@ def decode_media(payload: bytes, modality: str, mime_type: str | None = None):
         except ImportError as e:
             raise NotImplementedError(
                 "WebP decode requires PIL (not available in this "
-                "environment); BMP, PNG, and baseline JPEG decode "
+                "environment); BMP, PNG, and baseline/progressive JPEG "
+                "decode "
                 "natively (functions/jpeg.py), or use "
                 "fake_feature_extract for pipeline testing"
             ) from e

@@ -58,6 +58,7 @@ from __future__ import annotations
 import heapq
 import json
 import os
+import time
 from collections.abc import Sequence
 
 import numpy as np
@@ -337,6 +338,8 @@ def _descent_pool(
     seed: int,
     rounds: int,
     rho: float = 1.0,
+    delta: float = 0.001,
+    stats: list | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Approximate k-NN candidate pool via vectorized NN-descent (Dong et
     al. 2011): refine a seeded random guess against neighbors-of-
@@ -353,7 +356,14 @@ def _descent_pool(
     ef=64 point (0.925 → 0.812); ρ=0.75 saves only 18%. Default stays
     1.0 — full expansion — so the certified ≥0.9 margin is never spent
     silently; cheap-ingest deployments opt in via
-    GraphANNIndex(descent_rho=0.5)."""
+    GraphANNIndex(descent_rho=0.5).
+
+    `delta` is Dong et al.'s convergence threshold: stop when a round
+    changes fewer than δ·n·k pool entries (the update rate of late
+    rounds decays geometrically, so most of their k² cost buys nothing).
+    `stats`, when given, collects one (changed, seconds) tuple per round
+    — the probe hook behind the measured δ grid in SCALING.md
+    (tools/descent_probe.py)."""
     n = len(X)
     rng = np.random.default_rng(seed)
     arange = np.arange(n)
@@ -364,7 +374,9 @@ def _descent_pool(
     N, D = _refine_pick(N, D, k)
     n_rand = max(2, k // 2)
     n_exp = k if rho >= 1.0 else max(2, int(round(rho * k)))
+    stop = max(1, int(n * k * delta))
     for _ in range(rounds):
+        t0 = time.time() if stats is not None else 0.0
         if n_exp >= k:
             fwd2 = N[N.reshape(-1)].reshape(n, k * k)
         else:
@@ -380,7 +392,9 @@ def _descent_pool(
         newN, newD = _refine_pick(C, CD, k)
         changed = int((newN != N).sum())
         N, D = newN, newD
-        if changed <= max(1, (n * k) // 1000):
+        if stats is not None:
+            stats.append((changed, round(time.time() - t0, 2)))
+        if changed <= stop:
             break
     return N, D
 
@@ -393,6 +407,7 @@ def _build_block_graph(
     seed: int = 42,
     exact_pool_max: int | None = None,
     descent_rho: float = 1.0,
+    descent_delta: float = 0.001,
 ) -> tuple[list[list[int]], list[int]]:
     """Vectorized graph construction over one block, in two stages:
 
@@ -423,7 +438,8 @@ def _build_block_graph(
     else:
         rounds = max(3, min(12, int(ef_construction // max(1, m))))
         N, D = _descent_pool(
-            X, pool_k, metric, seed, rounds, rho=descent_rho
+            X, pool_k, metric, seed, rounds, rho=descent_rho,
+            delta=descent_delta,
         )
     # alpha relaxes SQUARED-l2 diversity; ip "distances" are negative, so
     # scaling them inverts the test — keep strict selection there
@@ -542,11 +558,14 @@ class GraphANNIndex:
         metric: str = "l2",
         seed: int = 42,
         descent_rho: float = 1.0,
+        descent_delta: float = 0.001,
     ) -> None:
         if metric not in ("l2", "cosine", "ip"):
             raise ValueError(f"unsupported metric {metric!r}")
         if not 0.0 < descent_rho <= 1.0:
             raise ValueError("descent_rho must be in (0, 1]")
+        if not 0.0 <= descent_delta < 1.0:
+            raise ValueError("descent_delta must be in [0, 1)")
         self.n_blocks = n_blocks
         self.m = m
         self.ef_construction = ef_construction
@@ -556,6 +575,10 @@ class GraphANNIndex:
         # (default — keeps the certified ≥0.9 margin), <1 trades recall
         # margin for build cost on >cutoff blocks (see _descent_pool)
         self.descent_rho = descent_rho
+        # NN-descent convergence threshold (Dong et al.'s δ): a round
+        # changing fewer than δ·n·k pool entries ends refinement early
+        # (see _descent_pool for the measured δ grid)
+        self.descent_delta = descent_delta
         # test seam: lowers the exact-pool cutoff so the NN-descent path
         # is exercised on small fixtures (module constants don't reach
         # executor workers — the closure value does)
@@ -636,6 +659,7 @@ class GraphANNIndex:
         seed = self.seed
         pool_cutoff = self._exact_pool_max
         rho = self.descent_rho
+        delta = self.descent_delta
         norm = self.metric == "cosine"
 
         def build_block(pdf):
@@ -655,7 +679,7 @@ class GraphANNIndex:
                 X = X / nrm
             adj, entries = _build_block_graph(
                 X, m, efc, metric, seed=seed, exact_pool_max=pool_cutoff,
-                descent_rho=rho,
+                descent_rho=rho, descent_delta=delta,
             )
             ids = pdf[icol].to_numpy()
             pdf["neighbors"] = [
@@ -1290,6 +1314,7 @@ class GraphANNIndex:
             "metric": self.metric,
             "seed": self.seed,
             "descent_rho": self.descent_rho,
+            "descent_delta": self.descent_delta,
             "vec_col": self._vec_col,
             "id_col": self._id_col,
             "data_cols": self._data_cols,
@@ -1344,6 +1369,7 @@ class GraphANNIndex:
             metric=meta["metric"],
             seed=meta["seed"],
             descent_rho=meta.get("descent_rho", 1.0),
+            descent_delta=meta.get("descent_delta", 0.001),
         )
         idx._vec_col = meta["vec_col"]
         idx._id_col = meta["id_col"]
