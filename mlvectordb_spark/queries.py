@@ -7462,41 +7462,40 @@ ORACLE_SQL["minhash_sim_est"] = _oracle_minhash_est_sql()
 # reads a reloaded session index); (c) the longest-resting driver rows
 # (last checked r4); (e) a small continuity core of flagship entries.
 _WINDOW = [
-    # ---- round-9 rotation ----
-    # (a) kernels CHANGED this round, gated the round they change:
-    # the graph family (exhaustive-mode delete sweep, widened descent
-    # pool, lazy CDC drift, batch target_recall), the byte-level BPE
-    # rebase, the rollup scratch-dir convention, and the
-    # find_similar_batch approx-routing change (graph knn_join)
+    # ---- round-10 rotation ----
+    # (a) kernels CHANGED this round, gated the round they change: the
+    # graph family's float32 working set + float64 rescore and the
+    # descent_delta dial (every graph entry re-gates), the JPEG
+    # progressive decode + fancy chroma upsample + the corpus's
+    # progressive rotation (media_stats), the find_similar graph-dial
+    # routing (the store's indexed single-query entries), and the
+    # index-load crash self-heal (recover_index_path — the
+    # load-heaviest persistence entries re-gate)
     "ann_graph_exact", "ann_graph_batch", "ann_graph_knn",
-    "doc_bpe_subword",
-    "rollup_daily", "rollup_hll_daily",
-    "store_batch_search", "store_batch_probe",
-    # (b) the LAST never-driver-checked entries (r8 verdict #2, via
-    # _ROWS_ONLY_IN_WINDOW): after this round every registry entry has
-    # had at least one driver row
-    "ann_ivf_knn", "ann_lsh_knn", "approx_stats", "media_stats",
-    # (c) single longest-resting row (r4)
-    "dedup_embedding_ivf",
-    # (d) the r5 rest queue — 34 of its 38 entries, led by the four the
-    # r8 comment promised (bm25_topk / conditional_agg / dedup_keep_best
-    # / decontaminate_semantic); the 4 deferred to r10 each have an
-    # r8-green sibling exercising the same operator class
-    # (monthly_running_revenue↔monthly_moving_avg+top_orders_per_cust,
-    # orders_rollup↔orders_cube, orders_unpivot↔orders_pivot,
-    # median_price↔distinct_counts percentile kin) — they lead the r10
-    # rest queue together with the r6 cohort
-    "bm25_topk", "conditional_agg", "dedup_keep_best",
-    "decontaminate_semantic",
-    "doc_bpe_tokens", "doc_cross_dup_ngrams", "doc_gopher", "doc_profile",
-    "doc_quality_hist", "doc_stats", "doc_strip_dup_ngrams", "emb_stats",
-    "events_attribution", "events_first_per_key", "hybrid_ivfpq_exact",
-    "hybrid_rrf", "knn_classify", "knn_ip", "label_centroids",
-    "minhash_sim_est", "mixture_materialize", "mixture_materialize_tokens",
-    "pipeline_materialize", "quality_sample", "source_cap",
-    "source_mixture_tokens", "threshold_cosine",
-    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q18", "tpch_q19", "tpch_q6",
-    "vocab_oov",
+    "media_stats",
+    "store_indexed_search", "store_indexed_probe",
+    "ann_lsh_exact", "ann_pq_exact",
+    # (b) the four r5-rest entries deferred by the r9 comment — the
+    # oldest driver rows in the registry (last checked r5)
+    "monthly_running_revenue", "orders_rollup", "orders_unpivot",
+    "median_price",
+    # (c) the r6 TPC-H cohort + monthly_moving_avg, resting since r7
+    # (tpch_q5 since r8)
+    "tpch_q2", "tpch_q5", "tpch_q8", "tpch_q9", "tpch_q21",
+    "monthly_moving_avg",
+    # (d) longest-resting rows (last checked r6) — 29 of the 41; the
+    # remaining 12 (point_read, multi_get, sq8_error, dedup_embedding,
+    # revenue_by_month, part_like, udf_token_count, lineitem_enrich,
+    # doc_regex, orders_above_cust_avg, lineitem_having,
+    # top_event_types_per_user) lead the r11 rest queue
+    "knn_sq8", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_ingest_screen", "dedup_clusters", "dedup_survivors",
+    "mixture_budget", "hard_negatives", "contrastive_triplets",
+    "curation_pipeline", "decontaminate", "pii_scrub",
+    "events_funnel", "events_funnel_users", "dedup_exact",
+    "tpch_q17", "tpch_q4", "tpch_q7", "tpch_q12", "tpch_q16", "tpch_q22",
+    "events_asof_error", "cust_no_orders",
+    "knn_cosine", "range_l2", "knn_batch", "normalize", "pairwise_dist",
     # (e) continuity core (the flagship operators)
     "knn_l2", "hybrid_knn", "store_roundtrip",
 ]
@@ -7510,27 +7509,16 @@ QUERIES = {
 ORACLE_SQL = {k: ORACLE_SQL[k] for k in QUERIES if k in ORACLE_SQL}
 assert set(ORACLE_SQL) <= set(QUERIES), "oracle without a registered query"
 _FIRST_50 = list(QUERIES)[:50]
-# Entries the driver checks rows/schema-only (no SQL-expressible oracle):
-# dedup_embedding_ivf (KMeans blocking; kernel parity proven by the
-# label-blocked dedup_embedding oracle in r3, driver row r4) rests at 51+;
-# the r8 window rotates in the three never-driver-checked rows-only
-# entries (round-7 verdict #4): ann_ivf_recall (recall-curve probe),
-# rollup_hll_daily (HLL sketch stats), emb_pca (eigvec projection —
-# sign/rotation isn't SQL-canonical; parity proven by emb_pca_cov).
-_ROWS_ONLY_IN_WINDOW = {
-    "dedup_embedding_ivf", "ann_ivf_recall", "rollup_hll_daily", "emb_pca",
-    # bounded-beam NSW probe — approximate by construction; its layout's
-    # exactness is oracle-gated by ann_graph_exact/ann_graph_batch
-    "ann_graph_knn",
-    # iterative BPE merges aren't SQL-expressible; gated by tests/test_bpe.py
-    "doc_bpe_subword",
-    # the r9 never-checked backlog (r8 verdict #2): approximate-by-
-    # construction probes (their layouts' exactness is oracle-gated by
-    # ann_ivf_exact/ann_lsh_exact), sketch stats with no cross-engine
-    # value oracle (approx_stats), and the PIL-gated media kernels
-    # (media_stats) — pytest-gated in tests/test_multimodal.py
-    "ann_ivf_knn", "ann_lsh_knn", "approx_stats", "media_stats",
-}
-assert all(
-    k in ORACLE_SQL or k in _ROWS_ONLY_IN_WINDOW for k in _FIRST_50
-), "driver-checked window must be oracle-backed (or explicitly rows-only)"
+# Entries the driver checks rows/schema-only (no SQL-expressible oracle),
+# EXACTLY the window's non-oracle members (r9 verdict #8: the set used to
+# also carry resting out-of-window names, so a typo'd rotation could
+# silently pass — now both directions assert):
+# - ann_graph_knn: bounded-beam NSW probe, approximate by construction;
+#   its layout's exactness is oracle-gated by ann_graph_exact/_batch
+# - media_stats: media decode kernels (WAV/BMP/PNG/JPEG incl. the r10
+#   progressive rows) — no cross-engine value oracle; pytest-gated in
+#   tests/test_jpeg.py (javax.imageio ground truth) + test_multimodal.py
+_ROWS_ONLY_IN_WINDOW = {"ann_graph_knn", "media_stats"}
+assert _ROWS_ONLY_IN_WINDOW == {
+    k for k in _FIRST_50 if k not in ORACLE_SQL
+}, "rows-only set must be exactly the window's non-oracle entries"
