@@ -10,11 +10,13 @@ chroma upsampling, validated against third-party-encoded files) — the
 synthetic corpus emits genuine WAV/BMP/PNG/JPEG payloads and
 `real_feature_extract` computes actual signal features (duration, RMS,
 zero-crossing rate, FFT band energies; image dims and channel statistics).
-Formats that genuinely need an external codec (WebP/MP4) remain
-import-gated stubs: PIL / torchaudio / av are not in this container, so
-`decode_media` raises NotImplementedError for them, and
-`fake_feature_extract` (deterministic hash features) keeps those pipelines
-exercisable end-to-end.
+Formats whose codecs are full video-class engines (WebP's lossy VP8,
+MP4 video, compressed audio) are ADAPTER-DECODED BY DESIGN — the
+permanent contract, not a temporary gap: `register_media_adapter`
+installs a decoder per format, PIL / PyAV auto-register when importable,
+and `decode_media` raises NotImplementedError naming the contract when no
+adapter is installed. `fake_feature_extract` (deterministic hash
+features) keeps opaque pipelines exercisable end-to-end either way.
 
 Scale posture: payloads never pass through the driver; mapInPandas streams
 Arrow batches executor-side, and `batch_rows` caps decoded bytes held per
@@ -297,12 +299,80 @@ def synthetic_media_df(
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+# -- adapter seam for externally-coded formats (r10: the PERMANENT design,
+# not a temporary gap) --------------------------------------------------
+#
+# Native pure-numpy codecs cover WAV, BMP, PNG, and baseline+progressive
+# JPEG — the formats where a from-scratch implementation can be validated
+# against third-party streams (tests/test_jpeg.py). Formats whose codecs
+# are full video-class engines (WebP's lossy VP8, MP4/AV1/H.264 video,
+# compressed audio) are SUPPORTED THROUGH ADAPTERS by design: a deployment
+# registers a callable per format key and decode_media routes to it. PIL
+# and PyAV auto-register when importable; in containers without them the
+# NotImplementedError names the contract. Rationale: hand-rolling a lossy
+# VP8/video decoder would be thousands of lines that can't be
+# cross-validated here (no independent decoder in the container — the JVM's
+# imageio has no WebP plugin), while the adapter seam keeps the Spark-side
+# plumbing (schema, Arrow batching, feature pipelines) fully exercised via
+# the native formats plus fake_feature_extract.
+
+# format key → callable(payload: bytes) -> decoded object
+# (HxW(x3) uint8 for images; (samples, rate) for audio; adapter-defined
+# for video, conventionally an iterable of frames)
+MEDIA_ADAPTERS: dict[str, object] = {}
+
+
+def register_media_adapter(fmt: str, decode_fn) -> None:
+    """Install a decoder for an externally-coded format. `fmt` keys:
+    'webp', 'video' (or a specific video mime suffix like 'mp4').
+    The callable takes the raw payload bytes and returns the decoded
+    object. Registration is process-local; in Spark pipelines register
+    inside the mapInPandas function (executor-side) or at module import
+    on every worker."""
+    MEDIA_ADAPTERS[fmt.lower()] = decode_fn
+
+
+def _auto_register() -> None:
+    """Wire PIL / PyAV in when the environment has them (the supported
+    plug-ins); silently skip otherwise."""
+    try:
+        import io
+
+        from PIL import Image
+
+        MEDIA_ADAPTERS.setdefault(
+            "webp",
+            lambda payload: np.asarray(
+                Image.open(io.BytesIO(payload)).convert("RGB")
+            ),
+        )
+    except ImportError:
+        pass
+    try:
+        import io
+
+        import av
+
+        def _frames(payload: bytes):
+            with av.open(io.BytesIO(payload)) as container:
+                for frame in container.decode(video=0):
+                    yield frame.to_ndarray(format="rgb24")
+
+        MEDIA_ADAPTERS.setdefault("video", _frames)
+    except ImportError:
+        pass
+
+
+_auto_register()
+
+
 def decode_media(payload: bytes, modality: str, mime_type: str | None = None):
-    """Decode a payload with the native codecs: PCM16 WAV → (samples,
+    """Decode a payload. Native numpy codecs: PCM16 WAV → (samples,
     rate); 24-bit BMP / 8-bit PNG / baseline+progressive JPEG →
-    HxW(x3) uint8.
-    WebP and video stay import-gated (PIL / av absent from this
-    container)."""
+    HxW(x3) uint8. WebP and video route through MEDIA_ADAPTERS (PIL /
+    PyAV auto-register when present; see register_media_adapter) and
+    raise NotImplementedError naming the contract when no adapter is
+    installed."""
     mt = (mime_type or "").lower()
     if modality == "audio" and (mt.endswith("wav") or payload[:4] == b"RIFF"):
         return decode_wav(payload)
@@ -318,17 +388,32 @@ def decode_media(payload: bytes, modality: str, mime_type: str | None = None):
         from mlvectordb_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
-    if modality == "image":
-        try:
-            from PIL import Image  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "WebP decode requires PIL (not available in this "
-                "environment); BMP, PNG, and baseline/progressive JPEG "
-                "decode "
-                "natively (functions/jpeg.py), or use "
-                "fake_feature_extract for pipeline testing"
-            ) from e
+    is_webp = mt.endswith("webp") or (
+        payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
+    )
+    if modality == "image" and is_webp:
+        fn = MEDIA_ADAPTERS.get("webp")
+        if fn is not None:
+            return fn(payload)
+        raise NotImplementedError(
+            "WebP is adapter-decoded by design: "
+            "register_media_adapter('webp', fn) — PIL auto-registers "
+            "when importable (absent in this environment). Native "
+            "formats (BMP/PNG/JPEG) need no adapter; "
+            "fake_feature_extract keeps opaque pipelines running."
+        )
+    if modality == "video":
+        for key in (mt.rsplit("/", 1)[-1], "video"):
+            fn = MEDIA_ADAPTERS.get(key)
+            if fn is not None:
+                return fn(payload)
+        raise NotImplementedError(
+            "video is adapter-decoded by design: "
+            "register_media_adapter('video', fn) — PyAV auto-registers "
+            "when importable (absent in this environment); "
+            "frame_sample/fake_feature_extract keep opaque pipelines "
+            "running."
+        )
     raise NotImplementedError(f"no decoder wired for modality {modality!r}")
 
 

@@ -3,6 +3,7 @@ of the fake feature path, stub gating of real decode."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -21,8 +22,9 @@ def test_schema_and_partition_counts(media):
 
 
 def test_decode_real_for_wav_bmp_stubbed_for_compressed(media):
-    """WAV, BMP, PNG, and baseline JPEG decode natively (pure
-    numpy/struct); WebP and video stay import-gated stubs."""
+    """WAV, BMP, PNG, and baseline+progressive JPEG decode natively
+    (pure numpy/struct); WebP and video are adapter-decoded BY DESIGN —
+    without a registered adapter the error names the contract."""
     img = media.filter(F.col("modality") == "image").first()
     arr = MM.decode_media(img.payload, "image", img.mime_type)
     assert arr.shape == (img.height, img.width, 3)
@@ -34,12 +36,78 @@ def test_decode_real_for_wav_bmp_stubbed_for_compressed(media):
     # not an unimplemented-format gate
     with pytest.raises(ValueError):
         MM.decode_media(b"\xff\xd8\xff fake jpeg", "image", "image/jpeg")
-    with pytest.raises(NotImplementedError):  # WebP still PIL-gated
+    with pytest.raises(NotImplementedError, match="register_media_adapter"):
         MM.decode_media(
             b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image", "image/webp"
         )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="register_media_adapter"):
         MM.decode_media(b"", "video")
+
+
+def test_media_adapter_seam_contract():
+    """The r10 end-state for externally-coded formats (r9 verdict #7):
+    `register_media_adapter` is the PERMANENT seam — a registered
+    callable serves decode_media for WebP (sniffed by RIFF/WEBP magic
+    even without a mime type) and video (mime-suffix key wins over the
+    generic 'video' key); deregistering restores the contract-naming
+    NotImplementedError."""
+    webp_payload = b"RIFF\x00\x00\x00\x00WEBPVP8 rest-of-stream"
+    calls = []
+
+    def fake_webp(payload):
+        calls.append(payload)
+        return np.zeros((2, 2, 3), dtype=np.uint8)
+
+    MM.register_media_adapter("webp", fake_webp)
+    try:
+        out = MM.decode_media(webp_payload, "image", "image/webp")
+        assert out.shape == (2, 2, 3)
+        # magic-byte sniffing without a mime type routes too
+        MM.decode_media(webp_payload, "image", None)
+        assert len(calls) == 2
+    finally:
+        MM.MEDIA_ADAPTERS.pop("webp", None)
+    with pytest.raises(NotImplementedError, match="register_media_adapter"):
+        MM.decode_media(webp_payload, "image", "image/webp")
+
+    MM.register_media_adapter("video", lambda p: ["generic"])
+    MM.register_media_adapter("mp4", lambda p: ["specific"])
+    try:
+        assert MM.decode_media(b"x", "video", "video/mp4") == ["specific"]
+        assert MM.decode_media(b"x", "video", "video/ogg") == ["generic"]
+    finally:
+        MM.MEDIA_ADAPTERS.pop("video", None)
+        MM.MEDIA_ADAPTERS.pop("mp4", None)
+
+
+def test_media_adapter_auto_registers_pil(monkeypatch):
+    """PIL is a supported plug-in: when importable, _auto_register wires
+    the webp adapter without user code. Simulated with a stub PIL whose
+    Image.open returns a convertible object."""
+    import sys
+    import types
+
+    class _FakeImg:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return np.full((3, 4, 3), 7, dtype=np.uint8)
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.open = lambda fh: _FakeImg()
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+    assert "webp" not in MM.MEDIA_ADAPTERS
+    try:
+        MM._auto_register()
+        assert "webp" in MM.MEDIA_ADAPTERS
+        out = MM.decode_media(
+            b"RIFF\x00\x00\x00\x00WEBPVP8L...", "image", "image/webp"
+        )
+        assert out.shape == (3, 4, 3) and int(out[0, 0, 0]) == 7
+    finally:
+        MM.MEDIA_ADAPTERS.pop("webp", None)
 
 
 def test_fake_features_deterministic_and_shaped(spark, media):
