@@ -359,11 +359,15 @@ def _descent_pool(
     GraphANNIndex(descent_rho=0.5).
 
     `delta` is Dong et al.'s convergence threshold: stop when a round
-    changes fewer than δ·n·k pool entries (the update rate of late
-    rounds decays geometrically, so most of their k² cost buys nothing).
-    `stats`, when given, collects one (changed, seconds) tuple per round
-    — the probe hook behind the measured δ grid in SCALING.md
-    (tools/descent_probe.py)."""
+    changes fewer than δ·n·k pool entries. Measured honestly (SCALING.md
+    r10, tools/descent_probe.py): on clustered 50k blocks the default
+    δ=0.001 NEVER fires before the round cap — pool-tail churn stays
+    ~2-5% at round 8 while recall saturates by round 6 — so δ is a
+    safety valve for genuinely fast-converging (small/uniform) blocks,
+    and the supported cheap-ingest dial is ef_construction=48 (6
+    rounds, −25% build, recall-identical on the grid corpus). `stats`,
+    when given, collects one (changed, seconds) tuple per round — the
+    probe hook behind those tables."""
     n = len(X)
     rng = np.random.default_rng(seed)
     arange = np.arange(n)

@@ -1657,16 +1657,11 @@ class VectorStore:
         index, vec_col, id_col, _space = self._serving[namespace]
         curve_fn = getattr(index, "nprobe_for_recall", None)
         if curve_fn is None:
-            hint = (
-                " (its recall dial is ef — use the index-level "
-                "search(target_recall=) instead)"
-                if hasattr(index, "ef_for_recall")
-                else ""
-            )
+            # graph members never reach here — both serving paths route
+            # ef-dialed indexes through _resolve_graph_dial first
             raise ValueError(
                 "target_recall through the store requires an index with "
-                f"an nprobe recall curve; {type(index).__name__} has "
-                f"none{hint}"
+                f"an nprobe recall curve; {type(index).__name__} has none"
             )
         if getattr(index, "_recall_curve", None) is None:
             index.measure_recall_curve(

@@ -742,3 +742,26 @@ def test_descent_rho_builds_exact_and_persists(spark, emb, qvec, tmp_path):
         GraphANNIndex(descent_rho=0.0)
     with pytest.raises(ValueError):
         GraphANNIndex(descent_rho=1.5)
+
+
+def test_descent_delta_builds_exact_and_persists(spark, emb, qvec, tmp_path):
+    """The r10 convergence dial (descent_delta — Dong et al.'s δ):
+    exhaustive search stays EXACT whatever the early stop does
+    (connectivity repair + unvisited sweep are pool-independent), the
+    dial survives save/load, and out-of-range values are rejected."""
+    idx = GraphANNIndex(
+        n_blocks=2, m=4, ef_construction=16, seed=7, descent_delta=0.05
+    )
+    idx._exact_pool_max = 8  # force the NN-descent path on the fixture
+    idx.build(emb.limit(400))
+    exact = knn(emb.limit(400), qvec, K, metric="l2")
+    got = idx.search(qvec, K, ef=None, nprobe=None)
+    assert recall_at_k(got, exact) == 1.0
+    path = str(tmp_path / "delta_idx")
+    idx.save(path)
+    back = GraphANNIndex.load(spark, path)
+    assert back.descent_delta == 0.05
+    with pytest.raises(ValueError):
+        GraphANNIndex(descent_delta=-0.1)
+    with pytest.raises(ValueError):
+        GraphANNIndex(descent_delta=1.0)
