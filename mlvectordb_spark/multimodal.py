@@ -3,8 +3,10 @@
 The Spark-side plumbing — schema (MEDIA_SCHEMA), partitioning, Arrow-batched
 mapInPandas pipelines, UDF signatures, batch shapes — is real and tested.
 Decoding is REAL for every format a pure stdlib/numpy codec can cover:
-PCM16 WAV (RIFF chunk walk), 24-bit BMP, 8-bit non-interlaced RGB/RGBA
-PNG (zlib inflate + full five-filter scanline unfiltering + CRC checks),
+PCM16 WAV (RIFF chunk walk), 24-bit BMP, PNG in all five color types at
+bit depths 1/2/4/8 incl. palette+tRNS and Adam7 interlace (zlib inflate +
+full five-filter scanline unfiltering + CRC checks; 16-bit is the one
+disclosed gap),
 and baseline+progressive JPEG (functions/jpeg.py: Huffman + dequant + batched IDCT +
 chroma upsampling, validated against third-party-encoded files) — the
 synthetic corpus emits genuine WAV/BMP/PNG/JPEG payloads and
@@ -163,47 +165,31 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """uint8 HxW x3 (RGB) or x4 (RGBA) array from an 8-bit non-interlaced
-    PNG — a REAL decoder: chunk walk with CRC verification, zlib inflate
-    of the concatenated IDATs, and scanline unfiltering for all five
-    filter types (None/Sub/Up/Average/Paeth per the PNG spec §9)."""
-    import zlib
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    if payload[: len(_PNG_SIG)] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat, meta = len(_PNG_SIG), bytearray(), None
-    while pos + 8 <= len(payload):
-        (size,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + size]
-        (crc,) = struct.unpack(">I", payload[pos + 8 + size : pos + 12 + size])
-        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in {ctype!r} chunk")
-        if ctype == b"IHDR":
-            meta = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + size
-    if meta is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    w, h, depth, ctype_id, comp, filt, interlace = meta
-    if (depth, comp, filt, interlace) != (8, 0, 0, 0) or ctype_id not in (2, 6):
-        raise ValueError("only 8-bit non-interlaced RGB/RGBA PNG supported")
-    ch = 3 if ctype_id == 2 else 4
-    raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (1 + stride):
-        raise ValueError("scanline data size mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ft = raw[y * (1 + stride)]
+
+def _png_unfilter(
+    raw: bytes, off: int, nlines: int, line_bytes: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Undo the five scanline filters (None/Sub/Up/Average/Paeth, PNG
+    spec §9) over `nlines` filtered scanlines of `line_bytes` bytes
+    starting at `off`; `bpp` is the filter's byte distance to the left
+    neighbor (max(1, channels·depth/8) — filters operate on PACKED
+    bytes, so sub-byte depths use bpp=1). Returns (rows, new offset)."""
+    out = np.zeros((nlines, line_bytes), dtype=np.uint8)
+    prev = np.zeros(line_bytes, dtype=np.uint8)
+    for y in range(nlines):
+        if off + 1 + line_bytes > len(raw):
+            raise ValueError("scanline data size mismatch")
+        ft = raw[off]
         line = np.frombuffer(
-            raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)], dtype=np.uint8
+            raw[off + 1 : off + 1 + line_bytes], dtype=np.uint8
         ).copy()
+        off += 1 + line_bytes
         if ft == 0:
             pass
         elif ft == 2:  # Up — vectorizable, no intra-row dependency
@@ -211,15 +197,15 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif ft in (1, 3, 4):  # Sub/Average/Paeth: left-neighbor recurrence
             cur = line.astype(np.int16)
             pv = prev.astype(np.int16)
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
+            for x in range(line_bytes):
+                a = int(cur[x - bpp]) if x >= bpp else 0
                 if ft == 1:
                     cur[x] = (cur[x] + a) & 0xFF
                 elif ft == 3:
                     cur[x] = (cur[x] + (a + int(pv[x])) // 2) & 0xFF
                 else:
                     b_ = int(pv[x])
-                    c_ = int(pv[x - ch]) if x >= ch else 0
+                    c_ = int(pv[x - bpp]) if x >= bpp else 0
                     p = a + b_ - c_
                     pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c_)
                     pr = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c_)
@@ -229,7 +215,124 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = line
         prev = out[y]
-    return out.reshape(h, w, ch)
+    return out, off
+
+
+def _png_samples(
+    raw: bytes, off: int, width: int, nlines: int, nch: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + bit-unpack one (sub)image: returns ((nlines,
+    width·nch) raw sample values, new offset). Depth < 8 samples stay
+    UNSCALED (palette indices / gray levels in [0, 2^depth))."""
+    line_bits = width * nch * depth
+    line_bytes = (line_bits + 7) // 8
+    bpp = max(1, nch * depth // 8)
+    rows, off = _png_unfilter(raw, off, nlines, line_bytes, bpp)
+    if depth == 8:
+        return rows[:, : width * nch], off
+    bits = np.unpackbits(rows, axis=1)[:, : width * nch * depth]
+    grouped = bits.reshape(nlines, width * nch, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grouped * weights).sum(axis=2).astype(np.uint8), off
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """uint8 array from a PNG — a REAL decoder: chunk walk with CRC
+    verification, zlib inflate of the concatenated IDATs, scanline
+    unfiltering for all five filter types (None/Sub/Up/Average/Paeth,
+    spec §9), bit depths 1/2/4/8, all five color types (grayscale →
+    (H, W); RGB/palette → (H, W, 3); gray+alpha / RGBA / palette+tRNS →
+    (H, W, 4)), and Adam7 interlace (§8.2) — validated against
+    third-party streams (libpng's own pngtest.png) and the JVM's
+    independent imageio decoder in tests/test_multimodal.py. 16-bit
+    depth is the one unimplemented variant (raises ValueError)."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = len(_PNG_SIG), bytearray(), None
+    plte: bytes | None = None
+    trns: bytes | None = None
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + size : pos + 12 + size])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = bytes(body)
+        elif ctype == b"tRNS":
+            trns = bytes(body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if meta is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype_id, comp, filt, interlace = meta
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown PNG compression/filter method")
+    if ctype_id not in (0, 2, 3, 4, 6):
+        raise ValueError(f"unknown PNG color type {ctype_id}")
+    if ctype_id in (2, 4, 6):
+        if depth != 8:
+            raise ValueError(
+                f"{depth}-bit depth unsupported for color type {ctype_id} "
+                "(8-bit truecolor/alpha only; 16-bit not implemented)"
+            )
+    elif depth not in (1, 2, 4, 8):
+        raise ValueError(f"invalid PNG bit depth {depth}")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype_id]
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        samples, off = _png_samples(raw, 0, w, h, nch, depth)
+    elif interlace == 1:  # Adam7: seven independently-filtered subimages
+        flat = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            sub, off = _png_samples(raw, off, pw, ph, nch, depth)
+            rows = y0 + dy * np.arange(ph)
+            cols = x0 + dx * np.arange(pw)
+            flat[rows[:, None], cols[None, :], :] = sub.reshape(ph, pw, nch)
+        samples = flat.reshape(h, w * nch)
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    if off != len(raw):
+        raise ValueError("scanline data size mismatch")
+    img = samples.reshape(h, w, nch)
+    if ctype_id == 0:  # grayscale: scale sub-byte levels to full range
+        scale = 255 // ((1 << depth) - 1)
+        return (img[..., 0] * np.uint8(scale)).astype(np.uint8)
+    if ctype_id == 2:
+        return img
+    if ctype_id == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        if len(pal) % 3:
+            raise ValueError("PLTE length not a multiple of 3")
+        pal = pal.reshape(-1, 3)
+        idxs = img[..., 0]
+        if int(idxs.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        rgb = pal[idxs]
+        if trns is not None:
+            alpha = np.full(len(pal), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            return np.dstack([rgb, alpha[idxs]])
+        return rgb
+    if ctype_id == 4:  # gray + alpha → RGBA (gray replicated)
+        g, a = img[..., 0], img[..., 1]
+        return np.dstack([g, g, g, a])
+    return img  # RGBA
 
 
 def synthetic_media_df(
@@ -449,10 +552,10 @@ def _image_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
         from mlvectordb_spark.functions.jpeg import decode_jpeg
 
         raw = decode_jpeg(payload)
-        if raw.ndim == 2:  # grayscale JPEG → replicate to 3 channels
-            raw = np.stack([raw, raw, raw], axis=-1)
     else:
         raw = decode_bmp(payload)
+    if raw.ndim == 2:  # grayscale (JPEG or PNG) → replicate to 3 channels
+        raw = np.stack([raw, raw, raw], axis=-1)
     img = raw[:, :, :3].astype(np.float64) / 255.0
     out = np.zeros(dim, dtype=np.float32)
     h, w, _ = img.shape
