@@ -422,20 +422,33 @@ def _merge_run_history(
 ) -> tuple[dict[str, float], int]:
     """Fold this run into BENCH_RUNS.json and return the per-entry MIN
     across all recorded runs of the same code at the same sf, plus the
-    run count. Merging is keyed on git HEAD so a code change never
-    inherits the old code's timings, and bounded to the last 8 h so a
-    stale same-hash run from a previous day can't leak in. Entries not
-    in THIS run's headline (rotated out) are dropped from the min."""
+    run count. Merging is keyed on a content hash of the CODE the bench
+    executes (the package + this file + the entry module) so a code
+    change never inherits the old code's timings while doc-only commits
+    don't orphan the history, and bounded to the last 8 h so a stale
+    same-hash run from a previous day can't leak in. Entries not in
+    THIS run's headline (rotated out) are dropped from the min."""
     here = os.path.dirname(os.path.abspath(__file__))
     head = None
     try:
-        import subprocess
+        import hashlib
 
-        head = subprocess.run(
-            ["git", "rev-parse", "HEAD"], cwd=here, capture_output=True,
-            text=True, timeout=10,
-        ).stdout.strip() or None
-    except Exception:  # noqa: BLE001 — no git → no cross-run merge
+        hasher = hashlib.sha256()
+        paths = [os.path.join(here, "bench.py"),
+                 os.path.join(here, "__spark_entry__.py")]
+        for root, dirs, files in os.walk(
+            os.path.join(here, "mlvectordb_spark")
+        ):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            paths.extend(
+                os.path.join(root, f) for f in files if f.endswith(".py")
+            )
+        for p in sorted(paths):
+            hasher.update(p.encode())
+            with open(p, "rb") as f:
+                hasher.update(f.read())
+        head = hasher.hexdigest()
+    except OSError:  # unreadable tree → no cross-run merge
         pass
     now = time.time()
     path = os.path.join(here, "BENCH_RUNS.json")
