@@ -527,10 +527,17 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
-        if self.pos + 1 >= len(self.data):
+        if self.pos >= len(self.data):
             raise ValueError("truncated JPEG (entropy data ends early)")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                # lone trailing 0xFF with nothing after it: the entropy
+                # data is over (a stream cut right before EOI) — pad
+                # with 1-bits like any other scan terminator
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2

@@ -152,7 +152,13 @@ def recover_index_path(path: str, grace_sec: float = 10.0) -> bool:
             newest = max(survivors, key=_os.path.getmtime)
             age = _time.time() - _os.path.getmtime(newest)
         except OSError:
-            continue  # swept/committed under us — re-evaluate
+            # swept/committed under us — re-evaluate, but never spin:
+            # a PERSISTENTLY unstattable survivor (foreign uid, stale
+            # NFS dentry) must still hit the deadline and return
+            if _time.time() >= deadline:
+                return _os.path.exists(path)
+            _time.sleep(0.05)
+            continue
         if age >= grace_sec or _time.time() >= deadline:
             try:
                 _os.rename(newest, path)

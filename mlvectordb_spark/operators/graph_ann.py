@@ -378,7 +378,9 @@ def _descent_pool(
     N, D = _refine_pick(N, D, k)
     n_rand = max(2, k // 2)
     n_exp = k if rho >= 1.0 else max(2, int(round(rho * k)))
-    stop = max(1, int(n * k * delta))
+    # delta=0 genuinely disables the early stop (the probe baseline);
+    # any positive delta keeps the >=1-change floor
+    stop = max(1, int(n * k * delta)) if delta > 0 else -1
     for _ in range(rounds):
         t0 = time.time() if stats is not None else 0.0
         if n_exp >= k:
@@ -580,8 +582,9 @@ class GraphANNIndex:
         # margin for build cost on >cutoff blocks (see _descent_pool)
         self.descent_rho = descent_rho
         # NN-descent convergence threshold (Dong et al.'s δ): a round
-        # changing fewer than δ·n·k pool entries ends refinement early
-        # (see _descent_pool for the measured δ grid)
+        # changing fewer than δ·n·k pool entries ends refinement early;
+        # 0 disables the stop entirely (see _descent_pool for the
+        # measured δ grid)
         self.descent_delta = descent_delta
         # test seam: lowers the exact-pool cutoff so the NN-descent path
         # is exercised on small fixtures (module constants don't reach
@@ -1077,21 +1080,32 @@ class GraphANNIndex:
             )
             out_q, out_i, out_s = [], [], []
             width = None if ef is None else max(ef, need)
+            # exhaustive mode selects EVERY row for EVERY query, so the
+            # float64 rescore matrix is built once per block, not
+            # re-stacked per query (O(n·d) instead of O(|qs|·n·d));
+            # bounded-beam mode keeps the per-query ≤ef gather
+            V64 = None
+            if ef is None and qs:
+                V64 = np.stack(pdf[vcol].to_numpy()).astype(np.float64)
+                if norm:
+                    n64 = np.linalg.norm(V64, axis=1, keepdims=True)
+                    n64[n64 == 0.0] = 1.0
+                    V64 = V64 / n64
             for qid, qv64, qv32 in qs:
                 found = _beam_search(X, adj, entries, qv32, width, metric)
                 if ef is None and len(found) < len(X):
                     found = _sweep_unvisited(X, found, qv32, metric)
                 take = found if ef is None else found[: max(ef or 0, need)]
                 sel = [p for _, p in take]
+                if V64 is not None:
+                    d64 = _pair_dists(V64[sel], qv64, metric)
+                else:
+                    d64 = _rescore64(pdf, vcol, sel, qv64, norm, metric)
                 out_q.extend([qid] * len(take))
                 out_i.extend(ids[p] for _, p in take)
                 out_s.extend(
                     np.round(
-                        _score_from_dist(
-                            _rescore64(pdf, vcol, sel, qv64, norm, metric),
-                            metric,
-                        ),
-                        _SCORE_DECIMALS,
+                        _score_from_dist(d64, metric), _SCORE_DECIMALS
                     ).tolist()
                 )
             return pd.DataFrame(

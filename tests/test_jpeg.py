@@ -379,3 +379,17 @@ def test_truncated_streams_raise_valueerror():
             decode_jpeg(prog[:cut])
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_missing_eoi_still_decodes():
+    """A stream cut right before (or including only half of) the EOI
+    marker is common in the wild; the truncation guard must only fire
+    when ENTROPY data is missing, not trailer bytes (r10 review
+    finding)."""
+    img = _gradient_img()
+    pay = encode_jpeg(img, quality=85)
+    full = decode_jpeg(pay)
+    assert np.array_equal(decode_jpeg(pay[:-2]), full)  # EOI stripped
+    assert np.array_equal(decode_jpeg(pay[:-1]), full)  # half an EOI
+    prog = encode_jpeg(img, quality=85, progressive=True)
+    assert np.array_equal(decode_jpeg(prog[:-2]), decode_jpeg(prog))

@@ -36,12 +36,26 @@ def test_decode_real_for_wav_bmp_stubbed_for_compressed(media):
     # not an unimplemented-format gate
     with pytest.raises(ValueError):
         MM.decode_media(b"\xff\xd8\xff fake jpeg", "image", "image/jpeg")
-    with pytest.raises(NotImplementedError, match="register_media_adapter"):
-        MM.decode_media(
-            b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image", "image/webp"
-        )
-    with pytest.raises(NotImplementedError, match="register_media_adapter"):
-        MM.decode_media(b"", "video")
+    # the no-adapter contract — pop any auto-registered plug-ins first
+    # so the test holds in environments where PIL/PyAV ARE importable
+    saved = {
+        k: MM.MEDIA_ADAPTERS.pop(k)
+        for k in ("webp", "video")
+        if k in MM.MEDIA_ADAPTERS
+    }
+    try:
+        with pytest.raises(
+            NotImplementedError, match="register_media_adapter"
+        ):
+            MM.decode_media(
+                b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image", "image/webp"
+            )
+        with pytest.raises(
+            NotImplementedError, match="register_media_adapter"
+        ):
+            MM.decode_media(b"", "video")
+    finally:
+        MM.MEDIA_ADAPTERS.update(saved)
 
 
 def test_media_adapter_seam_contract():
@@ -58,26 +72,29 @@ def test_media_adapter_seam_contract():
         calls.append(payload)
         return np.zeros((2, 2, 3), dtype=np.uint8)
 
-    MM.register_media_adapter("webp", fake_webp)
+    # snapshot whatever the environment auto-registered (PIL/PyAV may
+    # be importable elsewhere) and restore it at the end
+    saved = dict(MM.MEDIA_ADAPTERS)
     try:
+        MM.register_media_adapter("webp", fake_webp)
         out = MM.decode_media(webp_payload, "image", "image/webp")
         assert out.shape == (2, 2, 3)
         # magic-byte sniffing without a mime type routes too
         MM.decode_media(webp_payload, "image", None)
         assert len(calls) == 2
-    finally:
         MM.MEDIA_ADAPTERS.pop("webp", None)
-    with pytest.raises(NotImplementedError, match="register_media_adapter"):
-        MM.decode_media(webp_payload, "image", "image/webp")
+        with pytest.raises(
+            NotImplementedError, match="register_media_adapter"
+        ):
+            MM.decode_media(webp_payload, "image", "image/webp")
 
-    MM.register_media_adapter("video", lambda p: ["generic"])
-    MM.register_media_adapter("mp4", lambda p: ["specific"])
-    try:
+        MM.register_media_adapter("video", lambda p: ["generic"])
+        MM.register_media_adapter("mp4", lambda p: ["specific"])
         assert MM.decode_media(b"x", "video", "video/mp4") == ["specific"]
         assert MM.decode_media(b"x", "video", "video/ogg") == ["generic"]
     finally:
-        MM.MEDIA_ADAPTERS.pop("video", None)
-        MM.MEDIA_ADAPTERS.pop("mp4", None)
+        MM.MEDIA_ADAPTERS.clear()
+        MM.MEDIA_ADAPTERS.update(saved)
 
 
 def test_media_adapter_auto_registers_pil(monkeypatch):
@@ -98,7 +115,10 @@ def test_media_adapter_auto_registers_pil(monkeypatch):
     pil.Image = pil_image
     monkeypatch.setitem(sys.modules, "PIL", pil)
     monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
-    assert "webp" not in MM.MEDIA_ADAPTERS
+    # drop any real auto-registered adapter so _auto_register's
+    # setdefault installs the stub (restored afterwards)
+    saved = dict(MM.MEDIA_ADAPTERS)
+    MM.MEDIA_ADAPTERS.pop("webp", None)
     try:
         MM._auto_register()
         assert "webp" in MM.MEDIA_ADAPTERS
@@ -107,7 +127,8 @@ def test_media_adapter_auto_registers_pil(monkeypatch):
         )
         assert out.shape == (3, 4, 3) and int(out[0, 0, 0]) == 7
     finally:
-        MM.MEDIA_ADAPTERS.pop("webp", None)
+        MM.MEDIA_ADAPTERS.clear()
+        MM.MEDIA_ADAPTERS.update(saved)
 
 
 def test_fake_features_deterministic_and_shaped(spark, media):
