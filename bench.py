@@ -1,7 +1,8 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints per-query `TIMING <name> <sec>` lines, writes the FULL payload
+Prints per-query `TIMING <name> <single-run sec> min <min-of-runs sec>
+n <runs>` lines, writes the FULL payload
 (per-query timings + recall tail) to BENCH_LOCAL.json next to this file,
 and ends with ONE compact JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
@@ -405,15 +406,30 @@ def main() -> None:
         json.dump(payload, f, indent=1)
         f.write("\n")
     for name, sec in timings.items():
-        print(f"TIMING {name} {sec}")
+        print(
+            f"TIMING {name} {sec} min {min_timings.get(name, sec)} "
+            f"n {n_runs}"
+        )
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1800:
+        # The driver keeps only the last ~2000 chars of stdout; the full
+        # 80+-entry maps live in the committed sidecar. Keep the slowest
+        # entries BY MIN inline (explicitly named as a truncation) so
+        # round-over-round comparison of the expensive entries reads
+        # straight from BENCH_r{N}.json (r10 verdict, What's wrong #2).
         compact = dict(payload)
         compact.pop("queries")
         compact.pop("queries_min_of_runs")
         compact["queries_file"] = "BENCH_LOCAL.json"
         compact["n_queries"] = len(timings)
+        slowest = dict(
+            sorted(min_timings.items(), key=lambda kv: -kv[1])[:15]
+        )
+        compact["queries_min_slowest15"] = slowest
         line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1800:
+            compact.pop("queries_min_slowest15")
+            line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 
@@ -450,6 +466,12 @@ def _merge_run_history(
         head = hasher.hexdigest()
     except OSError:  # unreadable tree → no cross-run merge
         pass
+    if head is None:
+        # Can't prove which code produced the history; return single-run
+        # values WITHOUT touching BENCH_RUNS.json — rewriting it as
+        # {"git": null} would discard the accumulated same-code history
+        # the min-of-runs hygiene depends on (r10 ADVICE).
+        return {k: round(v, 3) for k, v in timings.items()}, 1
     now = time.time()
     path = os.path.join(here, "BENCH_RUNS.json")
     by_sf: dict[str, list] = {}

@@ -422,7 +422,13 @@ def encode_jpeg(
     ) -> bytes:
         hdr = bytes([len(members)])
         for ci in members:
-            hdr += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+            # Td (high nibble) is meaningless in an AC-band scan (Ss>0)
+            # and T.81 B.2.3 expects 0 there — emitting the chroma DC
+            # table id (1) is tolerated by mainstream decoders but trips
+            # strict validators (r10 ADVICE).
+            td = 0 if (ss > 0 or ci == 0) else 1
+            ta = 0 if (se == 0 or ci == 0) else 1  # Ta unused in DC scans
+            hdr += bytes([ci + 1, (td << 4) | ta])
         hdr += bytes([ss, se, (ah << 4) | al])
         return b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr
 

@@ -4,9 +4,9 @@ The Spark-side plumbing — schema (MEDIA_SCHEMA), partitioning, Arrow-batched
 mapInPandas pipelines, UDF signatures, batch shapes — is real and tested.
 Decoding is REAL for every format a pure stdlib/numpy codec can cover:
 PCM16 WAV (RIFF chunk walk), 24-bit BMP, PNG in all five color types at
-bit depths 1/2/4/8 incl. palette+tRNS and Adam7 interlace (zlib inflate +
-full five-filter scanline unfiltering + CRC checks; 16-bit is the one
-disclosed gap),
+every legal bit depth (1/2/4/8/16) incl. palette+tRNS, gray/truecolor
+color-key transparency, and Adam7 interlace (zlib inflate + full
+five-filter scanline unfiltering + CRC checks),
 and baseline+progressive JPEG (functions/jpeg.py: Huffman + dequant + batched IDCT +
 chroma upsampling, validated against third-party-encoded files) — the
 synthetic corpus emits genuine WAV/BMP/PNG/JPEG payloads and
@@ -147,16 +147,22 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
 
 
 def encode_png(img: np.ndarray) -> bytes:
-    """Real PNG bytes (8-bit RGB, filter 0, one IDAT) from a uint8 HxWx3
-    array — stdlib zlib DEFLATE + CRC32, no imaging library."""
+    """Real PNG bytes (RGB, filter 0, one IDAT) from an HxWx3 array —
+    stdlib zlib DEFLATE + CRC32, no imaging library. uint8 input writes
+    an 8-bit stream; uint16 input writes a 16-bit stream (big-endian
+    samples per spec §7.1)."""
     import zlib
 
-    img = np.asarray(img, dtype=np.uint8)
+    img = np.asarray(img)
+    if img.dtype != np.uint16:
+        img = img.astype(np.uint8)
+    depth = 16 if img.dtype == np.uint16 else 8
     h, w, _ = img.shape
     raw = bytearray()
     for y in range(h):
-        raw += b"\x00" + img[y].tobytes()  # filter type 0 per scanline
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        line = img[y].astype(">u2") if depth == 16 else img[y]
+        raw += b"\x00" + line.tobytes()  # filter type 0 per scanline
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -228,6 +234,9 @@ def _png_samples(
     line_bytes = (line_bits + 7) // 8
     bpp = max(1, nch * depth // 8)
     rows, off = _png_unfilter(raw, off, nlines, line_bytes, bpp)
+    if depth == 16:  # big-endian sample pairs (RFC 2083 §2.1)
+        pairs = rows.reshape(nlines, width * nch, 2).astype(np.uint16)
+        return (pairs[..., 0] << 8) | pairs[..., 1], off
     if depth == 8:
         return rows[:, : width * nch], off
     bits = np.unpackbits(rows, axis=1)[:, : width * nch * depth]
@@ -237,15 +246,16 @@ def _png_samples(
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """uint8 array from a PNG — a REAL decoder: chunk walk with CRC
-    verification, zlib inflate of the concatenated IDATs, scanline
-    unfiltering for all five filter types (None/Sub/Up/Average/Paeth,
-    spec §9), bit depths 1/2/4/8, all five color types (grayscale →
-    (H, W); RGB/palette → (H, W, 3); gray+alpha / RGBA / palette+tRNS →
-    (H, W, 4)), and Adam7 interlace (§8.2) — validated against
-    third-party streams (libpng's own pngtest.png) and the JVM's
-    independent imageio decoder in tests/test_multimodal.py. 16-bit
-    depth is the one unimplemented variant (raises ValueError)."""
+    """uint8 (or uint16 for depth-16 streams) array from a PNG — a REAL
+    decoder: chunk walk with CRC verification, zlib inflate of the
+    concatenated IDATs, scanline unfiltering for all five filter types
+    (None/Sub/Up/Average/Paeth, spec §9), every legal (color type, bit
+    depth) combination per §11.2.2 incl. 16-bit big-endian samples
+    (grayscale → (H, W); RGB/palette → (H, W, 3); gray+alpha / RGBA /
+    palette+tRNS / gray+color-key / truecolor+color-key → (H, W, 4)),
+    and Adam7 interlace (§8.2) — validated against third-party streams
+    (libpng's own pngtest.png) and the JVM's independent imageio
+    decoder in tests/test_multimodal.py."""
     import zlib
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
@@ -278,20 +288,19 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("unknown PNG compression/filter method")
     if ctype_id not in (0, 2, 3, 4, 6):
         raise ValueError(f"unknown PNG color type {ctype_id}")
-    if ctype_id in (2, 4, 6):
-        if depth != 8:
-            raise ValueError(
-                f"{depth}-bit depth unsupported for color type {ctype_id} "
-                "(8-bit truecolor/alpha only; 16-bit not implemented)"
-            )
-    elif depth not in (1, 2, 4, 8):
-        raise ValueError(f"invalid PNG bit depth {depth}")
+    allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}[ctype_id]  # spec §11.2.2 table
+    if depth not in allowed:
+        raise ValueError(
+            f"invalid PNG bit depth {depth} for color type {ctype_id}"
+        )
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype_id]
+    dtype = np.uint16 if depth == 16 else np.uint8
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
         samples, off = _png_samples(raw, 0, w, h, nch, depth)
     elif interlace == 1:  # Adam7: seven independently-filtered subimages
-        flat = np.zeros((h, w, nch), dtype=np.uint8)
+        flat = np.zeros((h, w, nch), dtype=dtype)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
@@ -308,10 +317,33 @@ def decode_png(payload: bytes) -> np.ndarray:
     if off != len(raw):
         raise ValueError("scanline data size mismatch")
     img = samples.reshape(h, w, nch)
-    if ctype_id == 0:  # grayscale: scale sub-byte levels to full range
-        scale = 255 // ((1 << depth) - 1)
-        return (img[..., 0] * np.uint8(scale)).astype(np.uint8)
+    amax = 65535 if depth == 16 else 255
+    if ctype_id == 0:
+        raw_g = img[..., 0]
+        if depth in (8, 16):
+            g = raw_g
+        else:  # scale sub-byte levels to full range
+            g = (raw_g * np.uint8(255 // ((1 << depth) - 1))).astype(
+                np.uint8
+            )
+        if trns is not None and len(trns) >= 2:
+            # color-key transparency (tRNS, type 0): one 2-byte sample
+            # value compared against the RAW (pre-scaling) level —
+            # matching pixels become fully transparent (spec §11.3.2)
+            (key,) = struct.unpack(">H", trns[:2])
+            alpha = np.where(raw_g == key, 0, amax).astype(g.dtype)
+            return np.dstack([g, g, g, alpha])
+        return g
     if ctype_id == 2:
+        if trns is not None and len(trns) >= 6:
+            kr, kg, kb = struct.unpack(">HHH", trns[:6])
+            match = (
+                (img[..., 0] == kr)
+                & (img[..., 1] == kg)
+                & (img[..., 2] == kb)
+            )
+            alpha = np.where(match, 0, amax).astype(img.dtype)
+            return np.dstack([img, alpha])
         return img
     if ctype_id == 3:
         if plte is None:
@@ -372,13 +404,19 @@ def synthetic_media_df(
                 ],
                 axis=-1,
             ).astype(np.uint8)
-            # rotate containers so all four real image codecs are
-            # exercised (BMP, PNG, baseline JPEG, progressive JPEG)
-            pick = (i // 3) % 4
+            # rotate containers so all five real image codec variants are
+            # exercised (BMP, 8-bit PNG, 16-bit PNG, baseline JPEG,
+            # progressive JPEG)
+            pick = (i // 3) % 5
             if pick == 0:
                 payload, mime = encode_bmp(img), "image/bmp"
             elif pick == 1:
                 payload, mime = encode_png(img), "image/png"
+            elif pick == 4:
+                # 16-bit: spread the 8-bit gradient across the full
+                # uint16 range (v·257 = v·0x101, the exact 8→16 scaling)
+                img16 = img.astype(np.uint16) * np.uint16(257)
+                payload, mime = encode_png(img16), "image/png"
             else:
                 from mlvectordb_spark.functions.jpeg import encode_jpeg
 
@@ -520,6 +558,72 @@ def decode_media(payload: bytes, modality: str, mime_type: str | None = None):
     raise NotImplementedError(f"no decoder wired for modality {modality!r}")
 
 
+DECODE_STATS_SCHEMA = (
+    "media_id string, modality string, decode_path string, "
+    "decoded_units long"
+)
+
+
+def adapter_decode_stats(
+    media: DataFrame,
+    adapters: dict[str, object] | None = None,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Per-row decode outcomes through `decode_media`'s FULL routing —
+    native numpy codecs AND the `register_media_adapter` seam. The
+    `adapters` dict is registered INSIDE the mapInPandas function
+    (executor-side process-local registration, the documented Spark
+    pattern in register_media_adapter's docstring), so adapter-format
+    rows genuinely exercise the seam on workers, not just driver-side
+    tests. Emits (media_id, modality, decode_path, decoded_units):
+    decode_path is 'native' for the built-in codecs, 'adapter' for
+    webp/video routed through MEDIA_ADAPTERS, 'none' when no adapter is
+    installed for the format; decoded_units counts pixels (images),
+    samples (audio), or summed frame pixels (video)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if adapters:
+            for key, fn in adapters.items():
+                register_media_adapter(key, fn)
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                paths, units = [], []
+                for _, row in chunk.iterrows():
+                    payload, m = row["payload"], row["modality"]
+                    mt = (row["mime_type"] or "").lower()
+                    is_adapter = m == "video" or mt.endswith("webp")
+                    try:
+                        obj = decode_media(payload, m, mt)
+                    except (NotImplementedError, ValueError):
+                        paths.append("none")
+                        units.append(0)
+                        continue
+                    paths.append("adapter" if is_adapter else "native")
+                    if m == "audio":
+                        units.append(len(obj[0]))
+                    elif m == "image":
+                        units.append(int(obj.shape[0] * obj.shape[1]))
+                    else:  # video: adapter-defined iterable of frames
+                        units.append(
+                            sum(
+                                int(f.shape[0] * f.shape[1]) for f in obj
+                            )
+                        )
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "modality": chunk["modality"],
+                        "decode_path": paths,
+                        "decoded_units": units,
+                    }
+                )
+
+    return media.select(
+        "media_id", "modality", "payload", "mime_type"
+    ).mapInPandas(stats, schema=DECODE_STATS_SCHEMA)
+
+
 def _audio_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Real signal features from a WAV payload: duration, normalized rate,
     RMS, zero-crossing rate, and 8 coarse FFT band energies — zero-padded
@@ -556,7 +660,8 @@ def _image_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
         raw = decode_bmp(payload)
     if raw.ndim == 2:  # grayscale (JPEG or PNG) → replicate to 3 channels
         raw = np.stack([raw, raw, raw], axis=-1)
-    img = raw[:, :, :3].astype(np.float64) / 255.0
+    denom = 65535.0 if raw.dtype == np.uint16 else 255.0
+    img = raw[:, :, :3].astype(np.float64) / denom
     out = np.zeros(dim, dtype=np.float32)
     h, w, _ = img.shape
     out[0] = h / 256.0

@@ -113,12 +113,28 @@ def staged_index_save(path: str, write_into) -> None:
             pass
     try:
         _os.rename(stage, path)
-    except OSError:
+    except OSError as commit_err:
+        _shutil.rmtree(stage, ignore_errors=True)
         if old is not None:
-            _os.rename(old, path)  # roll back — the old save is intact
+            try:
+                _os.rename(old, path)  # roll back — the old save is intact
+            except OSError:
+                # A saver stalled past recover_index_path's grace window
+                # can find its .old STOLEN (restored to `path` by a
+                # concurrent loader): commit fails on the occupied path
+                # and the rollback source is gone. `path` holding a
+                # committed layout means the store is healed — degrade to
+                # a clean "save lost the race" error instead of a
+                # confusing secondary rename failure (r10 ADVICE).
+                if _os.path.isdir(path):
+                    raise OSError(
+                        f"save lost a recovery race: {path} was restored "
+                        "by a concurrent loader while this save was "
+                        "between renames; the previous layout is intact, "
+                        "re-run the save"
+                    ) from commit_err
+                raise
         raise
-    if old is not None:
-        _shutil.rmtree(old, ignore_errors=True)
 
 
 def recover_index_path(path: str, grace_sec: float = 10.0) -> bool:

@@ -3182,26 +3182,48 @@ def q_store_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal surface under the driver gate: synthetic binary corpus
-    (REAL WAV/BMP/PNG/JPEG payloads — the JPEG rows exercise the native
-    baseline codec in functions/jpeg.py) → real decode-and-extract
-    features for audio/image, hash fallback for opaque video (rows-only:
+    (REAL WAV/BMP/8+16-bit-PNG/JPEG payloads — the JPEG rows exercise the
+    native baseline+progressive codec in functions/jpeg.py) → real
+    decode-and-extract features for audio/image, hash fallback for opaque
+    video, PLUS a decode pass through decode_media's full routing with a
+    registered toy video adapter — the register_media_adapter seam runs
+    executor-side in the entry itself, not just in pytest (rows-only:
     the corpus is generated, not a testdata table)."""
+    import numpy as np
+
     from mlvectordb_spark import multimodal as MM
+
+    def _toy_video(payload: bytes):
+        # deterministic stand-in codec: payload bytes → 4x4x3 frames
+        # (one frame per 48-byte slice, zero-padded) — real video codecs
+        # install the same way (register_media_adapter('mp4', fn))
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        n_frames = max(1, len(buf) // 48)
+        buf = np.resize(buf, n_frames * 48)
+        return list(buf.reshape(n_frames, 4, 4, 3))
 
     media = MM.synthetic_media_df(spark, n=60)
     feats = MM.real_feature_extract(media)
-    return (
-        feats.groupBy("modality")
-        .agg(
-            F.count("*").alias("n_items"),
-            F.sum("payload_bytes").alias("total_bytes"),
-            F.round(F.avg(F.aggregate(
-                F.transform("feature", lambda x: x.cast("double")),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )), 4).alias("avg_feature_sum"),
-        )
+    decoded = MM.adapter_decode_stats(media, adapters={"mp4": _toy_video})
+    feat_agg = feats.groupBy("modality").agg(
+        F.count("*").alias("n_items"),
+        F.sum("payload_bytes").alias("total_bytes"),
+        F.round(F.avg(F.aggregate(
+            F.transform("feature", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )), 4).alias("avg_feature_sum"),
     )
+    dec_agg = decoded.groupBy("modality").agg(
+        F.sum(
+            (F.col("decode_path") == "adapter").cast("long")
+        ).alias("n_adapter_decoded"),
+        F.sum(
+            (F.col("decode_path") == "native").cast("long")
+        ).alias("n_native_decoded"),
+        F.sum("decoded_units").alias("decoded_units"),
+    )
+    return feat_agg.join(F.broadcast(dec_agg), "modality", "left")
 
 
 def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -281,9 +281,13 @@ def test_synthetic_corpus_mixes_bmp_png_jpeg(spark):
     imgs = media.filter(F.col("modality") == "image").collect()
     mimes = {r.mime_type for r in imgs}
     assert mimes == {"image/bmp", "image/png", "image/jpeg"}
+    depths = set()
     for r in imgs:
         arr = MM.decode_media(r.payload, "image", r.mime_type)
         assert arr.shape == (r.height, r.width, 3)
+        depths.add(arr.dtype.name)
+    # the rotation must include both 8-bit rows and a 16-bit PNG row
+    assert depths == {"uint8", "uint16"}
 
 
 # ---------------------------------------------------------------- r10:
@@ -361,28 +365,34 @@ def test_png_third_party_palette_trns(spark):
     assert np.array_equal(_composite(mine), truth)
 
 
-def _build_png(w, h, depth, ctype, rows_samples, plte=None):
+def _build_png(w, h, depth, ctype, rows_samples, plte=None, trns=None):
     """Hand-assemble a filter-0 non-interlaced PNG from raw sample
-    values (palette indices or gray levels), packing sub-byte depths."""
+    values (palette indices / gray levels / flattened channel samples),
+    packing sub-byte depths and big-endian 16-bit samples."""
     import struct
     import zlib
 
     raw = bytearray()
     for r in rows_samples:
-        arr = np.asarray(r, dtype=np.uint8)
-        if depth == 8:
-            packed = arr.tobytes()
+        if depth == 16:
+            packed = np.asarray(r, dtype=np.uint16).astype(">u2").tobytes()
         else:
-            bits = (
-                (arr[:, None] >> np.arange(depth - 1, -1, -1)) & 1
-            ).astype(np.uint8).reshape(-1)
-            packed = np.packbits(bits).tobytes()
+            arr = np.asarray(r, dtype=np.uint8)
+            if depth == 8:
+                packed = arr.tobytes()
+            else:
+                bits = (
+                    (arr[:, None] >> np.arange(depth - 1, -1, -1)) & 1
+                ).astype(np.uint8).reshape(-1)
+                packed = np.packbits(bits).tobytes()
         raw += b"\x00" + packed
     out = MM._PNG_SIG + MM._png_chunk(
         b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
     )
     if plte is not None:
         out += MM._png_chunk(b"PLTE", bytes(plte))
+    if trns is not None:
+        out += MM._png_chunk(b"tRNS", bytes(trns))
     out += MM._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
     return out + MM._png_chunk(b"IEND", b"")
 
@@ -413,9 +423,9 @@ def test_png_sub_byte_depths_vs_independent_decoder(spark):
     assert one_bit.tolist() == [[255, 0, 255]]
 
 
-def test_png_gray_alpha_and_16bit_gate():
-    """Gray+alpha (color type 4) expands to RGBA; 16-bit depth is the
-    one disclosed unsupported variant and raises ValueError."""
+def test_png_gray_alpha_and_illegal_depth():
+    """Gray+alpha (color type 4) expands to RGBA; an illegal (depth,
+    color type) combination per spec §11.2.2 raises ValueError."""
     import struct
     import zlib
 
@@ -435,10 +445,145 @@ def test_png_gray_alpha_and_16bit_gate():
     bad = (
         MM._PNG_SIG
         + MM._png_chunk(
-            b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)
-        )
-        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01" * 12))
+            b"IHDR", struct.pack(">IIBBBBB", 2, 1, 4, 2, 0, 0, 0)
+        )  # 4-bit truecolor is not a legal combination
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01" * 3))
         + MM._png_chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="16-bit"):
+    with pytest.raises(ValueError, match="bit depth"):
         MM.decode_png(bad)
+
+
+# ------------------------------------------------------------- r11:
+# 16-bit depth (all color types that allow it) + tRNS color-key alpha
+
+
+def _imageio_raster_pixels(spark, path: str) -> np.ndarray:
+    """Independent 16-bit-safe ground truth: javax.imageio decodes and
+    the raw Raster hands back full-precision samples via getPixels (the
+    BMP transfer used by the 8-bit tests truncates to 8 bits)."""
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    assert img is not None
+    w, h = img.getWidth(), img.getHeight()
+    raster = img.getRaster()
+    nb = raster.getNumBands()
+    arr = spark.sparkContext._gateway.new_array(jvm.int, w * h * nb)
+    out = raster.getPixels(0, 0, w, h, arr)
+    return np.array(list(out), dtype=np.int64).reshape(h, w, nb)
+
+
+def test_png_16bit_rgba_third_party(spark):
+    """16-bit RGBA against a genuine third-party stream (CPython's
+    idlelib Icons/idle_48.png, PSF license — depth 16, color type 6):
+    every uint16 sample must equal what the JVM's independent decoder
+    reads from its raw raster. Both lossless — zero tolerance."""
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "data", "cpython-idle-48.png")
+    with open(path, "rb") as f:
+        mine = MM.decode_png(f.read())
+    assert mine.shape == (48, 48, 4) and mine.dtype == np.uint16
+    truth = _imageio_raster_pixels(spark, path)
+    assert np.array_equal(mine.astype(np.int64), truth)
+
+
+def test_png_16bit_gray_third_party_encoder(spark, tmp_path):
+    """16-bit grayscale ENCODED by the independent implementation
+    (javax.imageio writes a depth-16 type-0 stream, filters chosen by
+    its encoder): our decoder must reproduce the exact uint16 levels."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    w, h = 13, 9
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+    img = jvm.java.awt.image.BufferedImage(w, h, 11)  # TYPE_USHORT_GRAY
+    arr = gw.new_array(jvm.int, w * h)
+    for i, v in enumerate(vals.reshape(-1)):
+        arr[i] = int(v)
+    img.getRaster().setPixels(0, 0, w, h, arr)
+    path = str(tmp_path / "gray16.png")
+    assert jvm.javax.imageio.ImageIO.write(
+        img, "png", jvm.java.io.File(path)
+    )
+    with open(path, "rb") as f:
+        mine = MM.decode_png(f.read())
+    assert mine.dtype == np.uint16
+    assert np.array_equal(mine, vals)
+
+
+def test_png_16bit_rgb_encode_decode_cross_checked(spark, tmp_path):
+    """encode_png(uint16) writes a real 16-bit RGB stream: our decoder
+    round-trips it exactly AND the independent decoder reads the same
+    uint16 samples from it."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 65536, size=(5, 8, 3), dtype=np.uint16)
+    payload = MM.encode_png(img)
+    assert np.array_equal(MM.decode_png(payload), img)
+    path = str(tmp_path / "rgb16.png")
+    with open(path, "wb") as f:
+        f.write(payload)
+    truth = _imageio_raster_pixels(spark, path)
+    assert np.array_equal(img.astype(np.int64), truth)
+
+
+def test_png_color_key_transparency(spark, tmp_path):
+    """tRNS color-key alpha for grayscale (type 0) and truecolor
+    (type 2): pixels matching the key decode fully transparent, all
+    others opaque; the 8-bit truecolor case is cross-checked against
+    javax.imageio's composited output and the grayscale case against
+    its raw raster samples (AWT's gray compositing applies a
+    linear-gray→sRGB curve, so the BMP-composite harness can't be used
+    for gray — the raster read is conversion-free and stronger)."""
+    import struct
+
+    # 8-bit truecolor, key = (10, 20, 30)
+    px = np.array(
+        [[10, 20, 30, 10, 20, 31], [200, 20, 30, 10, 20, 30]],
+        dtype=np.uint8,
+    )  # 2 rows × 2 RGB pixels
+    payload = _build_png(
+        2, 2, 8, 2, list(px), trns=struct.pack(">HHH", 10, 20, 30)
+    )
+    out = MM.decode_png(payload)
+    assert out.shape == (2, 2, 4)
+    assert out[..., 3].tolist() == [[0, 255], [255, 0]]
+    assert out[0, 0, :3].tolist() == [10, 20, 30]  # RGB kept under key
+    truth = _imageio_rgb_png(spark, payload, "ckey8")
+    assert np.array_equal(_composite(out), truth)
+
+    # 8-bit grayscale, key = 77
+    g = np.array([[77, 5, 77]], dtype=np.uint8)
+    payload = _build_png(3, 1, 8, 0, list(g), trns=struct.pack(">H", 77))
+    out = MM.decode_png(payload)
+    assert out.shape == (1, 3, 4)
+    assert out[..., 3].tolist() == [[0, 255, 0]]
+    assert out[0, 1, :3].tolist() == [5, 5, 5]
+    gpath = str(tmp_path / "ckeyg8.png")
+    with open(gpath, "wb") as f:
+        f.write(payload)
+    truth = _imageio_raster_pixels(spark, gpath)  # bands: (gray, alpha)
+    assert truth.shape == (1, 3, 2)
+    assert np.array_equal(out[..., 0].astype(np.int64), truth[..., 0])
+    assert np.array_equal(out[..., 3].astype(np.int64), truth[..., 1])
+
+    # 4-bit grayscale: the key compares against the RAW (pre-scaling)
+    # level per §11.3.2 — key 3 matches level 3 (scaled output 51)
+    g4 = np.array([[3, 15, 3]], dtype=np.uint8)
+    payload = _build_png(3, 1, 4, 0, list(g4), trns=struct.pack(">H", 3))
+    out = MM.decode_png(payload)
+    assert out[..., 3].tolist() == [[0, 255, 0]]
+    assert out[0, 0, :3].tolist() == [51, 51, 51]
+
+    # 16-bit truecolor: full-range key and 16-bit opaque alpha
+    px16 = np.array(
+        [[1000, 40000, 65535, 1000, 40000, 65534]], dtype=np.uint16
+    )
+    payload = _build_png(
+        2, 1, 16, 2, list(px16),
+        trns=struct.pack(">HHH", 1000, 40000, 65535),
+    )
+    out = MM.decode_png(payload)
+    assert out.dtype == np.uint16
+    assert out[..., 3].tolist() == [[0, 65535]]
