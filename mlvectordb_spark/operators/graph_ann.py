@@ -338,7 +338,7 @@ def _descent_pool(
     seed: int,
     rounds: int,
     rho: float = 1.0,
-    delta: float = 0.001,
+    delta: float = 0.0,
     stats: list | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Approximate k-NN candidate pool via vectorized NN-descent (Dong et
@@ -359,13 +359,14 @@ def _descent_pool(
     GraphANNIndex(descent_rho=0.5).
 
     `delta` is Dong et al.'s convergence threshold: stop when a round
-    changes fewer than δ·n·k pool entries. Measured honestly (SCALING.md
-    r10, tools/descent_probe.py): on clustered 50k blocks the default
-    δ=0.001 NEVER fires before the round cap — pool-tail churn stays
-    ~2-5% at round 8 while recall saturates by round 6 — so δ is a
-    safety valve for genuinely fast-converging (small/uniform) blocks,
-    and the supported cheap-ingest dial is ef_construction=48 (6
-    rounds, −25% build, recall-identical on the grid corpus). `stats`,
+    changes fewer than δ·n·k pool entries. Default 0 = disabled, which
+    matches the measurement (SCALING.md r10, tools/descent_probe.py):
+    on clustered 50k blocks δ=0.001 NEVER fires before the round cap —
+    pool-tail churn stays ~2-5% at round 8 while recall saturates by
+    round 6 — so δ is an opt-in safety valve for genuinely
+    fast-converging (small/uniform) blocks, and the supported
+    cheap-ingest dial is ef_construction=48 (6 rounds, −25% build,
+    recall-identical on the grid corpus). `stats`,
     when given, collects one (changed, seconds) tuple per round — the
     probe hook behind those tables."""
     n = len(X)
@@ -413,7 +414,7 @@ def _build_block_graph(
     seed: int = 42,
     exact_pool_max: int | None = None,
     descent_rho: float = 1.0,
-    descent_delta: float = 0.001,
+    descent_delta: float = 0.0,
 ) -> tuple[list[list[int]], list[int]]:
     """Vectorized graph construction over one block, in two stages:
 
@@ -564,7 +565,7 @@ class GraphANNIndex:
         metric: str = "l2",
         seed: int = 42,
         descent_rho: float = 1.0,
-        descent_delta: float = 0.001,
+        descent_delta: float = 0.0,
     ) -> None:
         if metric not in ("l2", "cosine", "ip"):
             raise ValueError(f"unsupported metric {metric!r}")
@@ -582,9 +583,12 @@ class GraphANNIndex:
         # margin for build cost on >cutoff blocks (see _descent_pool)
         self.descent_rho = descent_rho
         # NN-descent convergence threshold (Dong et al.'s δ): a round
-        # changing fewer than δ·n·k pool entries ends refinement early;
-        # 0 disables the stop entirely (see _descent_pool for the
-        # measured δ grid)
+        # changing fewer than δ·n·k pool entries ends refinement early.
+        # Default 0 = OFF, matching the r10 measurement: δ=0.001 never
+        # fires before the round cap on clustered blocks (SCALING.md
+        # r10 / _descent_pool docstring) — the dial is an opt-in safety
+        # valve for fast-converging blocks, not a default saver; the
+        # supported cheap-ingest dial is ef_construction=48
         self.descent_delta = descent_delta
         # test seam: lowers the exact-pool cutoff so the NN-descent path
         # is exercised on small fixtures (module constants don't reach
@@ -1387,7 +1391,7 @@ class GraphANNIndex:
             metric=meta["metric"],
             seed=meta["seed"],
             descent_rho=meta.get("descent_rho", 1.0),
-            descent_delta=meta.get("descent_delta", 0.001),
+            descent_delta=meta.get("descent_delta", 0.0),
         )
         idx._vec_col = meta["vec_col"]
         idx._id_col = meta["id_col"]

@@ -43,6 +43,19 @@ class ShardingManager:
         )
         return f"shard-{h % self.num_shards}"
 
+    def shard_for_id_expr(self, id_col: str = "id") -> Column:
+        """The distributed form of `shard_for_id` — the SAME md5 routing
+        as a column expression (first 8 digest bytes big-endian, i.e.
+        the first 16 hex chars, mod num_shards), so serving-layer scalar
+        routing and cluster-side bulk assignment agree row-for-row.
+        Unlike `shard_expr`'s xxhash64 fast path this is cross-engine
+        reproducible (md5 is md5 everywhere), which is what lets an
+        external system — or a SQL oracle — recompute the routing
+        table. All JVM-side built-ins (md5/conv), no UDF."""
+        hex16 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 16)
+        h = F.conv(hex16, 16, 10).cast("decimal(20,0)")
+        return F.pmod(h, F.lit(self.num_shards)).cast("int")
+
     def shard_for_vector(self, values, namespace: str = "default") -> str:
         """Declared shard_for_vector: route by content hash of the values."""
         payload = ",".join(repr(float(x)) for x in values).encode()

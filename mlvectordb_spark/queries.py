@@ -207,6 +207,35 @@ def q_ns_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 ShardingManager under the driver oracle gate (the reference
+    declares the Protocol with zero implementation, README:150-155): the
+    md5 routing `shard_for_id` uses, in its distributed column form
+    (`shard_for_id_expr`), assigns every customer to one of 7 shards;
+    per-shard membership counts + key checksums make the FULL assignment
+    value-checkable — DuckDB recomputes the identical md5 route. One
+    shuffle (the groupBy); the routing itself is a scan-local
+    expression."""
+    from mlvectordb_spark.operators.sharding import ShardingManager
+
+    cust = load_table(spark, sf_dir, "customer")
+    mgr = ShardingManager(num_shards=7)
+    assigned = cust.withColumn(
+        "shard_id", mgr.shard_for_id_expr("c_custkey")
+    )
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("c_custkey").alias("sum_custkey"),
+            F.min("c_custkey").alias("min_custkey"),
+            F.max("c_custkey").alias("max_custkey"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 def q_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5: point read by id — equality predicate pushed into the scan
     (storage_engine_in_memory.py:39-40); values surfaced rounded."""
@@ -5176,6 +5205,17 @@ SELECT label, count(*) AS n_vectors, (count(*) * 256)::BIGINT AS est_bytes,
   round(avg({_sql_dot('embedding', 'embedding')}), 4) AS avg_sq_norm
 FROM embeddings GROUP BY label
 """,
+    "shard_assignments": """
+SELECT cast(
+         cast(concat('0x', substr(md5(cast(c_custkey AS varchar)), 1, 16))
+              AS ubigint) % 7 AS int) AS shard_id,
+  count(*) AS n_members,
+  sum(c_custkey) AS sum_custkey,
+  min(c_custkey) AS min_custkey,
+  max(c_custkey) AS max_custkey,
+  round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer GROUP BY 1 ORDER BY shard_id
+""",
     "point_read": """
 SELECT vec_id, label, (i - 1)::INT AS pos,
   round(embedding[i]::DOUBLE, 4) AS component
@@ -6878,6 +6918,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_funnel_users": q_events_funnel_users,
     "ns_stats": q_ns_stats,
+    "shard_assignments": q_shard_assignments,
     "metadata_query": q_metadata_query,
     "dedup_exact": q_dedup_exact,
     "tpch_q1": q_tpch_q1,

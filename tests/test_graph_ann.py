@@ -765,3 +765,43 @@ def test_descent_delta_builds_exact_and_persists(spark, emb, qvec, tmp_path):
         GraphANNIndex(descent_delta=-0.1)
     with pytest.raises(ValueError):
         GraphANNIndex(descent_delta=1.0)
+
+
+def test_readme_presets_match_code():
+    """The README 'Graph-ANN build presets' table documents the shipped
+    constructor defaults — pin them so the docs can't drift from the
+    code (r10 verdict #6)."""
+    import inspect
+    import os
+    import re
+
+    sig = inspect.signature(GraphANNIndex.__init__)
+    defaults = {k: v.default for k, v in sig.parameters.items()}
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "README.md")) as f:
+        readme = f.read()
+    section = readme.split("## Graph-ANN build presets")[1].split("\n## ")[0]
+
+    def table_default(dial: str) -> str:
+        m = re.search(rf"\| `{dial}`[^|]*\| ([^|]+) \|", section)
+        assert m, f"README preset table missing dial {dial}"
+        return m.group(1).strip()
+
+    assert table_default("m") == str(defaults["m"]) == "8"
+    assert (
+        table_default("ef_construction")
+        == str(defaults["ef_construction"])
+        == "64"
+    )
+    assert table_default("descent_rho") == str(defaults["descent_rho"]) == "1.0"
+    assert table_default("descent_delta").startswith(
+        str(defaults["descent_delta"])
+    )
+    assert defaults["descent_delta"] == 0.0  # measured: δ never fires
+    assert table_default("n_blocks") == str(defaults["n_blocks"]) == "4"
+    # float32 working set is the shipped dtype (r10)
+    from mlvectordb_spark.operators import graph_ann as GA
+
+    assert "float32" in section
+    src = inspect.getsource(GA)
+    assert "_rescore64" in src and "float32" in src

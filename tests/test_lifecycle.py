@@ -99,6 +99,24 @@ def test_shard_for_id_stable(spark):
         ShardingManager(0)
 
 
+def test_shard_for_id_expr_matches_scalar(spark):
+    """The distributed md5 routing (shard_for_id_expr) must agree
+    row-for-row with the declared scalar API (shard_for_id) — the
+    property that lets serving-layer routing and bulk assignment share
+    one routing table. Mixed id shapes incl. negative and huge ints."""
+    mgr = ShardingManager(7)
+    ids = ["abc", "42", "-7", str(10**18), "", "x" * 100, "naïve"]
+    df = spark.createDataFrame([(i,) for i in ids], "id string")
+    got = {
+        r.id: r.shard
+        for r in df.select(
+            "id", mgr.shard_for_id_expr("id").alias("shard")
+        ).collect()
+    }
+    for i in ids:
+        assert f"shard-{got[i]}" == mgr.shard_for_id(i), i
+
+
 def test_replication_mirror_and_reconcile(spark, tmp_path):
     paths = [str(tmp_path / "r1"), str(tmp_path / "r2")]
     mgr = ReplicationManager(spark, paths)
