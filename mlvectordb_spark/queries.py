@@ -7525,41 +7525,34 @@ ORACLE_SQL["minhash_sim_est"] = _oracle_minhash_est_sql()
 # reads a reloaded session index); (c) the longest-resting driver rows
 # (last checked r4); (e) a small continuity core of flagship entries.
 _WINDOW = [
-    # ---- round-10 rotation ----
-    # (a) kernels CHANGED this round, gated the round they change: the
-    # graph family's float32 working set + float64 rescore and the
-    # descent_delta dial (every graph entry re-gates), the JPEG
-    # progressive decode + fancy chroma upsample + the corpus's
-    # progressive rotation (media_stats), the find_similar graph-dial
-    # routing (the store's indexed single-query entries), and the
-    # index-load crash self-heal (recover_index_path — the
-    # load-heaviest persistence entries re-gate)
+    # ---- round-11 rotation ----
+    # (a) entries NEW or with kernels CHANGED this round, gated the
+    # round they change: shard_assignments (new — the md5 routing's
+    # DuckDB oracle), media_stats (16-bit PNG corpus row + the
+    # adapter_decode_stats pass through register_media_adapter), and
+    # the graph family (descent_delta default flipped to 0 — builds
+    # now always run descent to the round cap, so every graph entry
+    # re-gates under the driver)
+    "shard_assignments", "media_stats",
     "ann_graph_exact", "ann_graph_batch", "ann_graph_knn",
-    "media_stats",
-    "store_indexed_search", "store_indexed_probe",
-    "ann_lsh_exact", "ann_pq_exact",
-    # (b) the four r5-rest entries deferred by the r9 comment — the
-    # oldest driver rows in the registry (last checked r5)
-    "monthly_running_revenue", "orders_rollup", "orders_unpivot",
-    "median_price",
-    # (c) the r6 TPC-H cohort + monthly_moving_avg, resting since r7
-    # (tpch_q5 since r8)
-    "tpch_q2", "tpch_q5", "tpch_q8", "tpch_q9", "tpch_q21",
-    "monthly_moving_avg",
-    # (d) longest-resting rows (last checked r6) — 29 of the 41; the
-    # remaining 12 (point_read, multi_get, sq8_error, dedup_embedding,
-    # revenue_by_month, part_like, udf_token_count, lineitem_enrich,
-    # doc_regex, orders_above_cust_avg, lineitem_having,
-    # top_event_types_per_user) lead the r11 rest queue
-    "knn_sq8", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_ingest_screen", "dedup_clusters", "dedup_survivors",
-    "mixture_budget", "hard_negatives", "contrastive_triplets",
-    "curation_pipeline", "decontaminate", "pii_scrub",
-    "events_funnel", "events_funnel_users", "dedup_exact",
-    "tpch_q17", "tpch_q4", "tpch_q7", "tpch_q12", "tpch_q16", "tpch_q22",
-    "events_asof_error", "cust_no_orders",
-    "knn_cosine", "range_l2", "knn_batch", "normalize", "pairwise_dist",
-    # (e) continuity core (the flagship operators)
+    # (b) the 12 longest-resting driver rows (last checked r6) — the
+    # rest-queue leads named by the r10 verdict #1
+    "point_read", "multi_get", "sq8_error", "dedup_embedding",
+    "revenue_by_month", "part_like", "udf_token_count",
+    "lineitem_enrich", "doc_regex", "orders_above_cust_avg",
+    "lineitem_having", "top_event_types_per_user",
+    # (c) the full r7 bucket (last checked r7) — 30 entries; after this
+    # round no driver row is older than r8
+    "ann_ivf_batch", "ann_ivf_exact", "ann_ivfpq_exact",
+    "doc_expectations", "doc_lang_id", "doc_logprob", "doc_quality",
+    "doc_repetition", "emb_doc_join", "emb_pca_cov", "events_json",
+    "events_session_stats", "events_sessionize", "events_tumbling",
+    "format_roundtrip", "hybrid_ivf_exact", "metadata_query",
+    "ns_stats", "orders_expectations", "orders_window_analytics",
+    "scd2_orders", "source_mixture", "store_indexed_cosine",
+    "store_indexed_errors", "store_replica_json", "store_timetravel",
+    "tpch_q11", "tpch_q15", "tpch_q20", "udtf_chunks",
+    # (d) continuity core (the flagship operators)
     "knn_l2", "hybrid_knn", "store_roundtrip",
 ]
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
@@ -7578,9 +7571,11 @@ _FIRST_50 = list(QUERIES)[:50]
 # silently pass — now both directions assert):
 # - ann_graph_knn: bounded-beam NSW probe, approximate by construction;
 #   its layout's exactness is oracle-gated by ann_graph_exact/_batch
-# - media_stats: media decode kernels (WAV/BMP/PNG/JPEG incl. the r10
-#   progressive rows) — no cross-engine value oracle; pytest-gated in
-#   tests/test_jpeg.py (javax.imageio ground truth) + test_multimodal.py
+# - media_stats: media decode kernels (WAV/BMP/PNG incl. the r11 16-bit
+#   rows/JPEG incl. progressive, plus the adapter_decode_stats pass
+#   through register_media_adapter) — no cross-engine value oracle;
+#   pytest-gated in tests/test_jpeg.py (javax.imageio ground truth) +
+#   test_multimodal.py (raw-raster 16-bit ground truth)
 _ROWS_ONLY_IN_WINDOW = {"ann_graph_knn", "media_stats"}
 assert _ROWS_ONLY_IN_WINDOW == {
     k for k in _FIRST_50 if k not in ORACLE_SQL
