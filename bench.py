@@ -164,6 +164,10 @@ HEADLINE = [
     # (the JPEG rows exercise the native baseline decoder) through the
     # Arrow-batched mapInPandas feature pipeline
     "media_stats",
+    # r11: the lossless decoders vs committed javax.imageio ground truth,
+    # and the cross-engine md5 shard routing
+    "media_pixel_checksums",
+    "shard_assignments",
 ]
 
 
@@ -475,20 +479,19 @@ def _merge_run_history(
     now = time.time()
     path = os.path.join(here, "BENCH_RUNS.json")
     by_sf: dict[str, list] = {}
-    if head is not None:
-        try:
-            with open(path) as f:
-                hist = json.load(f)
-            if hist.get("git") == head:
-                by_sf = {
-                    k: [
-                        r for r in v
-                        if now - r.get("ts", 0) < 8 * 3600
-                    ]
-                    for k, v in hist.get("by_sf", {}).items()
-                }
-        except Exception:  # noqa: BLE001 — absent/corrupt history
-            pass
+    try:
+        with open(path) as f:
+            hist = json.load(f)
+        if hist.get("git") == head:
+            by_sf = {
+                k: [
+                    r for r in v
+                    if now - r.get("ts", 0) < 8 * 3600
+                ]
+                for k, v in hist.get("by_sf", {}).items()
+            }
+    except Exception:  # noqa: BLE001 — absent/corrupt history
+        pass
     key = str(sf)
     runs = by_sf.get(key, [])
     runs.append({"ts": now, "queries": timings})

@@ -422,11 +422,12 @@ def encode_jpeg(
     ) -> bytes:
         hdr = bytes([len(members)])
         for ci in members:
-            # Td (high nibble) is meaningless in an AC-band scan (Ss>0)
-            # and T.81 B.2.3 expects 0 there — emitting the chroma DC
-            # table id (1) is tolerated by mainstream decoders but trips
-            # strict validators (r10 ADVICE).
-            td = 0 if (ss > 0 or ci == 0) else 1
+            # Td (high nibble) is meaningless in AC-band scans (Ss>0) AND
+            # in refinement scans (Ah>0 — raw bits, no Huffman table);
+            # T.81 B.2.3 expects 0 there — emitting the chroma DC table
+            # id (1) is tolerated by mainstream decoders but trips strict
+            # validators (r10 ADVICE; libjpeg's emit_sos does the same).
+            td = 0 if (ss > 0 or ah > 0 or ci == 0) else 1
             ta = 0 if (se == 0 or ci == 0) else 1  # Ta unused in DC scans
             hdr += bytes([ci + 1, (td << 4) | ta])
         hdr += bytes([ss, se, (ah << 4) | al])

@@ -578,8 +578,10 @@ def adapter_decode_stats(
     tests. Emits (media_id, modality, decode_path, decoded_units):
     decode_path is 'native' for the built-in codecs, 'adapter' for
     webp/video routed through MEDIA_ADAPTERS, 'none' when no adapter is
-    installed for the format; decoded_units counts pixels (images),
-    samples (audio), or summed frame pixels (video)."""
+    installed for the format, 'error' when the payload fails to decode
+    (corrupt rows become report rows, never dead tasks); decoded_units
+    counts pixels (images), samples (audio), or summed frame pixels
+    (video)."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if adapters:
@@ -595,8 +597,17 @@ def adapter_decode_stats(
                     is_adapter = m == "video" or mt.endswith("webp")
                     try:
                         obj = decode_media(payload, m, mt)
-                    except (NotImplementedError, ValueError):
+                    except NotImplementedError:  # no adapter installed
                         paths.append("none")
+                        units.append(0)
+                        continue
+                    except Exception:  # noqa: BLE001 — corrupt payloads
+                        # raise whatever the codec stack throws
+                        # (ValueError, zlib.error, struct.error, ...);
+                        # this function's job is per-row OUTCOME
+                        # accounting, so a bad row must become a row in
+                        # the report, never a dead Spark task
+                        paths.append("error")
                         units.append(0)
                         continue
                     paths.append("adapter" if is_adapter else "native")

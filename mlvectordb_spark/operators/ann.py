@@ -135,6 +135,8 @@ def staged_index_save(path: str, write_into) -> None:
                     ) from commit_err
                 raise
         raise
+    if old is not None:
+        _shutil.rmtree(old, ignore_errors=True)
 
 
 def recover_index_path(path: str, grace_sec: float = 10.0) -> bool:

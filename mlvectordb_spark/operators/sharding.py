@@ -51,7 +51,14 @@ class ShardingManager:
         Unlike `shard_expr`'s xxhash64 fast path this is cross-engine
         reproducible (md5 is md5 everywhere), which is what lets an
         external system — or a SQL oracle — recompute the routing
-        table. All JVM-side built-ins (md5/conv), no UDF."""
+        table. All JVM-side built-ins (md5/conv), no UDF.
+
+        Contract: ids are non-null strings or numerics (the shapes the
+        scalar API sees). A NULL id yields a NULL shard here (no row
+        should route nowhere silently — filter or default upstream),
+        while `shard_for_id(None)` would hash the literal 'None';
+        booleans also stringify differently ('true' vs 'True'). The
+        row-for-row agreement test pins the supported shapes."""
         hex16 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 16)
         h = F.conv(hex16, 16, 10).cast("decimal(20,0)")
         return F.pmod(h, F.lit(self.num_shards)).cast("int")

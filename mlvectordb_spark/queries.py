@@ -3255,6 +3255,65 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat_agg.join(F.broadcast(dec_agg), "modality", "left")
 
 
+def q_media_pixel_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode under a REAL value oracle (r10 verdict, What's wrong
+    #3): the deterministic corpus's lossless image rows (BMP, 8-bit PNG,
+    16-bit PNG — formats whose decode is bit-exact by spec) decode with
+    the repo's pure-numpy codecs executor-side; the oracle is a VALUES
+    literal of (dims, pixel_sum, crc32-of-samples) GENERATED FROM
+    javax.imageio raster reads by tools/gen_media_oracle.py — an
+    independent decoder's ground truth, cross-checked by the driver gate
+    every round. JPEG rows stay out (lossy decode is legitimately
+    decoder-dependent; pytest gates those with tolerances)."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from mlvectordb_spark import multimodal as MM
+
+    media = MM.synthetic_media_df(spark, n=60)
+    imgs = media.filter(
+        (F.col("modality") == "image")
+        & F.col("mime_type").isin("image/bmp", "image/png")
+    ).select("media_id", "payload", "mime_type")
+
+    def checks(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                arr = MM.decode_media(
+                    bytes(row["payload"]), "image", row["mime_type"]
+                )
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                flat = arr.astype(np.int64).reshape(-1)
+                crc = zlib.crc32(
+                    ",".join(str(int(v)) for v in flat).encode()
+                )
+                out.append(
+                    (
+                        row["media_id"], arr.shape[0], arr.shape[1],
+                        arr.shape[2], int(flat.sum()), crc,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "height", "width", "channels",
+                    "pixel_sum", "sample_crc",
+                ],
+            )
+
+    return imgs.mapInPandas(
+        checks,
+        schema=(
+            "media_id string, height int, width int, channels int, "
+            "pixel_sum bigint, sample_crc bigint"
+        ),
+    )
+
+
 def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median (sort-based, association-free — oracle-matchable unlike
     the sketch quantiles in approx_stats)."""
@@ -5205,6 +5264,28 @@ SELECT label, count(*) AS n_vectors, (count(*) * 256)::BIGINT AS est_bytes,
   round(avg({_sql_dot('embedding', 'embedding')}), 4) AS avg_sq_norm
 FROM embeddings GROUP BY label
 """,
+    # Constants generated from javax.imageio raster reads (an independent
+    # decoder) by tools/gen_media_oracle.py — re-run it if the corpus
+    # generator changes. See q_media_pixel_checksums.
+    "media_pixel_checksums": """
+SELECT media_id, height::INT AS height, width::INT AS width,
+  channels::INT AS channels, pixel_sum::BIGINT AS pixel_sum,
+  sample_crc::BIGINT AS sample_crc
+FROM (VALUES
+  ('m0000', 64, 64, 3, 1563273, 2229194120),
+  ('m0003', 67, 67, 3, 1703523, 3604977933),
+  ('m0012', 76, 76, 3, 566200812, 3998496737),
+  ('m0015', 79, 79, 3, 2388226, 560623906),
+  ('m0018', 82, 82, 3, 2562259, 3459803409),
+  ('m0027', 67, 91, 3, 598934645, 1678496717),
+  ('m0030', 70, 94, 3, 2510164, 1507630228),
+  ('m0033', 73, 65, 3, 1803286, 895982080),
+  ('m0042', 82, 74, 3, 596492117, 4212357571),
+  ('m0045', 85, 77, 3, 2498033, 2280968481),
+  ('m0048', 64, 80, 3, 1948120, 912440982),
+  ('m0057', 73, 89, 3, 638435545, 1338912345)
+) AS t(media_id, height, width, channels, pixel_sum, sample_crc)
+""",
     "shard_assignments": """
 SELECT cast(
          cast(concat('0x', substr(md5(cast(c_custkey AS varchar)), 1, 16))
@@ -6999,6 +7080,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_stats": q_approx_stats,
     "rollup_hll_daily": q_rollup_hll_daily,  # HLL impls differ across engines
     "media_stats": q_media_stats,
+    "media_pixel_checksums": q_media_pixel_checksums,
     "ann_ivf_knn": q_ann_ivf_knn,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_lsh_knn": q_ann_lsh_knn,
@@ -7528,12 +7610,14 @@ _WINDOW = [
     # ---- round-11 rotation ----
     # (a) entries NEW or with kernels CHANGED this round, gated the
     # round they change: shard_assignments (new — the md5 routing's
-    # DuckDB oracle), media_stats (16-bit PNG corpus row + the
-    # adapter_decode_stats pass through register_media_adapter), and
-    # the graph family (descent_delta default flipped to 0 — builds
-    # now always run descent to the round cap, so every graph entry
-    # re-gates under the driver)
-    "shard_assignments", "media_stats",
+    # DuckDB oracle), media_pixel_checksums (new — the repo's lossless
+    # image decoders vs committed javax.imageio ground truth, the
+    # pixel-hash oracle the r10 verdict asked for), media_stats (16-bit
+    # PNG corpus row + the adapter_decode_stats pass through
+    # register_media_adapter), and the graph family (descent_delta
+    # default flipped to 0 — builds now always run descent to the round
+    # cap, so every graph entry re-gates under the driver)
+    "shard_assignments", "media_pixel_checksums", "media_stats",
     "ann_graph_exact", "ann_graph_batch", "ann_graph_knn",
     # (b) the 12 longest-resting driver rows (last checked r6) — the
     # rest-queue leads named by the r10 verdict #1
@@ -7541,15 +7625,17 @@ _WINDOW = [
     "revenue_by_month", "part_like", "udf_token_count",
     "lineitem_enrich", "doc_regex", "orders_above_cust_avg",
     "lineitem_having", "top_event_types_per_user",
-    # (c) the full r7 bucket (last checked r7) — 30 entries; after this
-    # round no driver row is older than r8
+    # (c) the r7 bucket (last checked r7) — 29 of its 30 entries; the
+    # one deferred to lead r12 is source_mixture (its tokens-weighted
+    # twin source_mixture_tokens was checked r9), displaced by the new
+    # media_pixel_checksums slot above
     "ann_ivf_batch", "ann_ivf_exact", "ann_ivfpq_exact",
     "doc_expectations", "doc_lang_id", "doc_logprob", "doc_quality",
     "doc_repetition", "emb_doc_join", "emb_pca_cov", "events_json",
     "events_session_stats", "events_sessionize", "events_tumbling",
     "format_roundtrip", "hybrid_ivf_exact", "metadata_query",
     "ns_stats", "orders_expectations", "orders_window_analytics",
-    "scd2_orders", "source_mixture", "store_indexed_cosine",
+    "scd2_orders", "store_indexed_cosine",
     "store_indexed_errors", "store_replica_json", "store_timetravel",
     "tpch_q11", "tpch_q15", "tpch_q20", "udtf_chunks",
     # (d) continuity core (the flagship operators)

@@ -970,6 +970,35 @@ def test_staged_save_sweeps_crash_debris(tmp_path, spark):
     assert os.path.exists(other), "unrelated path's debris touched"
 
 
+def test_staged_save_success_leaves_no_old_sibling(tmp_path):
+    """A SUCCESSFUL re-save must delete its .old-<uuid> rollback dir: a
+    lingering survivor leaks a full index copy per save AND lets
+    recover_index_path silently resurrect an index the user later
+    deletes (r11 review regression — the post-commit rmtree was dropped
+    while adding the lost-race rollback path)."""
+    import glob
+    import json
+    import os
+
+    from mlvectordb_spark.operators.ann import staged_index_save
+
+    p = str(tmp_path / "idx3")
+
+    def writer(payload):
+        def write_into(stage):
+            os.makedirs(stage, exist_ok=True)
+            with open(os.path.join(stage, "meta.json"), "w") as f:
+                json.dump(payload, f)
+        return write_into
+
+    for v in (1, 2, 3):
+        staged_index_save(p, writer({"v": v}))
+    with open(os.path.join(p, "meta.json")) as f:
+        assert json.load(f) == {"v": 3}
+    assert glob.glob(f"{p}.old-*") == [], "committed save left rollback dir"
+    assert glob.glob(f"{p}.staging-*") == []
+
+
 def test_staged_save_recovers_old_when_path_missing(tmp_path, spark):
     """The crash-window recovery alone: nothing at `path`, a committed
     save stranded in `.old-*` — the next save starts from the recovered

@@ -587,3 +587,39 @@ def test_png_color_key_transparency(spark, tmp_path):
     out = MM.decode_png(payload)
     assert out.dtype == np.uint16
     assert out[..., 3].tolist() == [[0, 65535]]
+
+
+def test_adapter_decode_stats_routes_and_accounts(spark):
+    """adapter_decode_stats drives decode_media's FULL routing
+    executor-side: native rows decode 'native', video rows route through
+    an adapter registered INSIDE the map function, unadapted formats
+    report 'none', and a corrupt payload becomes an 'error' ROW in the
+    report — never a dead Spark task."""
+    media = MM.synthetic_media_df(spark, n=12)
+
+    def toy(payload: bytes):
+        buf = np.frombuffer(payload[:48], dtype=np.uint8)
+        return [np.resize(buf, 48).reshape(4, 4, 3)]
+
+    # corrupt image row: PNG signature but garbage body (zlib.error
+    # territory) — must land as decode_path='error'
+    bad = spark.createDataFrame(
+        [(
+            "bad01", "image", MM._PNG_SIG + b"\x00" * 32, "image/png",
+            4, 4, None, {},
+        )],
+        MM.MEDIA_SCHEMA,
+    )
+    out = MM.adapter_decode_stats(
+        media.unionByName(bad), adapters={"mp4": toy}
+    ).collect()
+    by_id = {r.media_id: r for r in out}
+    assert by_id["bad01"].decode_path == "error"
+    assert by_id["bad01"].decoded_units == 0
+    paths = {r.decode_path for r in out}
+    assert paths == {"native", "adapter", "error"}
+    vids = [r for r in out if r.modality == "video"]
+    assert vids and all(r.decode_path == "adapter" for r in vids)
+    assert all(r.decoded_units == 16 for r in vids)  # one 4x4 frame
+    natives = [r for r in out if r.decode_path == "native"]
+    assert natives and all(r.decoded_units > 0 for r in natives)

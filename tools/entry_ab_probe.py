@@ -26,6 +26,14 @@ def main() -> None:
     root = os.path.abspath(sys.argv[1])
     names = sys.argv[2:] or ["dedup_keep_best", "curation_pipeline"]
     sys.path.insert(0, root)
+    # Executor Python workers resolve imports from PYTHONPATH/cwd, not the
+    # driver's sys.path — without this, an entry with executor-side Python
+    # kernels (mapInPandas/pandas_udf) would run the LIVE tree's kernels
+    # under the A tree's driver plans, silently mixing code versions.
+    # (Pure-JVM entries like dedup_keep_best are unaffected either way.)
+    os.environ["PYTHONPATH"] = root + os.pathsep + os.environ.get(
+        "PYTHONPATH", ""
+    )
     from mlvectordb_spark.queries import QUERIES
     from mlvectordb_spark.session import get_spark
 

@@ -1,0 +1,81 @@
+"""Generate the DuckDB VALUES oracle for the `media_pixel_checksums`
+driver entry: decode every LOSSLESS image row of the deterministic
+synthetic media corpus with the JVM's javax.imageio (an independent,
+libpng-family decoder — NOT the repo's codecs) and print one SQL VALUES
+literal of (media_id, height, width, channels, pixel_sum, sample_crc).
+
+Provenance contract: the constants committed in
+mlvectordb_spark/queries.py ORACLE_SQL["media_pixel_checksums"] come
+from THIS script, so the driver gate cross-checks the repo's pure-numpy
+PNG/BMP decoders against an independent implementation every round —
+the pixel-hash oracle mode the r10 verdict asked for, realized inside
+the existing SQL-oracle harness. Lossless formats only: BMP and PNG
+decode bit-exactly by spec; JPEG output is legitimately
+decoder-dependent (IDCT variants) and stays under the pytest
+tolerance gates instead.
+
+Run: python tools/gen_media_oracle.py   (re-run whenever the corpus
+generator changes; paste the output over the committed VALUES)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import zlib
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import numpy as np  # noqa: E402
+
+from mlvectordb_spark import multimodal as MM  # noqa: E402
+from mlvectordb_spark.session import get_spark  # noqa: E402
+
+CORPUS_N = 60  # must match q_media_pixel_checksums
+
+
+def imageio_samples(spark, payload: bytes, tag: str) -> np.ndarray:
+    """Full-precision sample array via the raw Raster (no BMP transfer,
+    no color-space conversion) — (H, W, bands) int64."""
+    jvm = spark._jvm
+    d = tempfile.mkdtemp(prefix="media_oracle_")
+    path = os.path.join(d, tag)
+    with open(path, "wb") as f:
+        f.write(payload)
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    assert img is not None, tag
+    w, h = img.getWidth(), img.getHeight()
+    raster = img.getRaster()
+    nb = raster.getNumBands()
+    arr = spark.sparkContext._gateway.new_array(jvm.int, w * h * nb)
+    out = raster.getPixels(0, 0, w, h, arr)
+    return np.array(list(out), dtype=np.int64).reshape(h, w, nb)
+
+
+def main() -> None:
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    media = MM.synthetic_media_df(spark, n=CORPUS_N)
+    rows = [
+        r
+        for r in media.filter("modality = 'image'").collect()
+        if r.mime_type in ("image/bmp", "image/png")
+    ]
+    lines = []
+    for r in sorted(rows, key=lambda r: r.media_id):
+        samples = imageio_samples(spark, bytes(r.payload), r.media_id)
+        h, w, nb = samples.shape
+        flat = samples.reshape(-1)
+        crc = zlib.crc32(",".join(str(int(v)) for v in flat).encode())
+        lines.append(
+            f"  ('{r.media_id}', {h}, {w}, {nb}, "
+            f"{int(flat.sum())}, {crc})"
+        )
+    print("VALUES")
+    print(",\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
