@@ -3233,7 +3233,14 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = MM.synthetic_media_df(spark, n=60)
     feats = MM.real_feature_extract(media)
-    decoded = MM.adapter_decode_stats(media, adapters={"mp4": _toy_video})
+    # the adapter pass runs over VIDEO rows only: natives are already
+    # decoded by the features pass (and value-gated by the
+    # media_pixel_checksums oracle) — re-decoding them here would be
+    # pure waste at corpus scale
+    decoded = MM.adapter_decode_stats(
+        media.filter(F.col("modality") == "video"),
+        adapters={"mp4": _toy_video},
+    )
     feat_agg = feats.groupBy("modality").agg(
         F.count("*").alias("n_items"),
         F.sum("payload_bytes").alias("total_bytes"),
@@ -3247,9 +3254,6 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             (F.col("decode_path") == "adapter").cast("long")
         ).alias("n_adapter_decoded"),
-        F.sum(
-            (F.col("decode_path") == "native").cast("long")
-        ).alias("n_native_decoded"),
         F.sum("decoded_units").alias("decoded_units"),
     )
     return feat_agg.join(F.broadcast(dec_agg), "modality", "left")
