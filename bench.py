@@ -164,9 +164,10 @@ HEADLINE = [
     # (the JPEG rows exercise the native baseline decoder) through the
     # Arrow-batched mapInPandas feature pipeline
     "media_stats",
-    # r11: the lossless decoders vs committed javax.imageio ground truth,
-    # and the cross-engine md5 shard routing
+    # r11: the lossless decoders vs committed javax.imageio /
+    # javax.sound ground truth, and the cross-engine md5 shard routing
     "media_pixel_checksums",
+    "media_audio_checksums",
     "shard_assignments",
 ]
 

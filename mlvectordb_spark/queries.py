@@ -3318,6 +3318,61 @@ def q_media_pixel_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV decode under a REAL value oracle (the audio side of
+    media_pixel_checksums): the corpus's PCM16 rows decode with the
+    repo's RIFF walker executor-side; the oracle is a VALUES literal of
+    (n_samples, rate, sample_sum, crc32-of-samples) generated from
+    javax.sound.sampled reads by tools/gen_media_oracle.py — an
+    independent container parser's ground truth under the driver gate.
+    decode_wav returns floats i/32767; rint(f*32767) recovers the exact
+    int16 lattice (|i| ≤ 32767 so the double round-trip is lossless)."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from mlvectordb_spark import multimodal as MM
+
+    media = MM.synthetic_media_df(spark, n=60)
+    auds = media.filter(F.col("modality") == "audio").select(
+        "media_id", "payload", "mime_type"
+    )
+
+    def checks(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                samples, rate = MM.decode_media(
+                    bytes(row["payload"]), "audio", row["mime_type"]
+                )
+                ints = np.rint(samples * 32767.0).astype(np.int64)
+                crc = zlib.crc32(
+                    ",".join(str(int(v)) for v in ints).encode()
+                )
+                out.append(
+                    (
+                        row["media_id"], len(ints), int(rate),
+                        int(ints.sum()), crc,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_samples", "sample_rate",
+                    "sample_sum", "sample_crc",
+                ],
+            )
+
+    return auds.mapInPandas(
+        checks,
+        schema=(
+            "media_id string, n_samples int, sample_rate int, "
+            "sample_sum bigint, sample_crc bigint"
+        ),
+    )
+
+
 def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median (sort-based, association-free — oracle-matchable unlike
     the sketch quantiles in approx_stats)."""
@@ -5290,6 +5345,35 @@ FROM (VALUES
   ('m0057', 73, 89, 3, 638435545, 1338912345)
 ) AS t(media_id, height, width, channels, pixel_sum, sample_crc)
 """,
+    # Constants generated from javax.sound.sampled reads (an independent
+    # RIFF/PCM parser) by tools/gen_media_oracle.py.
+    "media_audio_checksums": """
+SELECT media_id, n_samples::INT AS n_samples,
+  sample_rate::INT AS sample_rate, sample_sum::BIGINT AS sample_sum,
+  sample_crc::BIGINT AS sample_crc
+FROM (VALUES
+  ('m0001', 10000, 8000, 0, 3947899155),
+  ('m0004', 16000, 8000, 0, 1630692446),
+  ('m0007', 22000, 8000, 404158, 3263631087),
+  ('m0010', 12000, 8000, 0, 4049555614),
+  ('m0013', 18000, 8000, 55082, 1049143948),
+  ('m0016', 8000, 8000, 0, 1560468128),
+  ('m0019', 14000, 8000, 0, 1104086471),
+  ('m0022', 20000, 8000, 0, 276612464),
+  ('m0025', 10000, 8000, 78988, 3079472524),
+  ('m0028', 16000, 8000, 0, 3898609488),
+  ('m0031', 22000, 8000, 0, 693768208),
+  ('m0034', 12000, 8000, 0, 3380542266),
+  ('m0037', 18000, 8000, 133698, 4060151271),
+  ('m0040', 8000, 8000, 0, 2468370472),
+  ('m0043', 14000, 8000, 0, 3944568335),
+  ('m0046', 20000, 8000, 0, 82130155),
+  ('m0049', 10000, 8000, 404158, 1015367753),
+  ('m0052', 16000, 8000, 0, 2679969101),
+  ('m0055', 22000, 8000, 55082, 2468549624),
+  ('m0058', 12000, 8000, 0, 3185579133)
+) AS t(media_id, n_samples, sample_rate, sample_sum, sample_crc)
+""",
     "shard_assignments": """
 SELECT cast(
          cast(concat('0x', substr(md5(cast(c_custkey AS varchar)), 1, 16))
@@ -7085,6 +7169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_hll_daily": q_rollup_hll_daily,  # HLL impls differ across engines
     "media_stats": q_media_stats,
     "media_pixel_checksums": q_media_pixel_checksums,
+    "media_audio_checksums": q_media_audio_checksums,
     "ann_ivf_knn": q_ann_ivf_knn,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_lsh_knn": q_ann_lsh_knn,
@@ -7621,7 +7706,8 @@ _WINDOW = [
     # register_media_adapter), and the graph family (descent_delta
     # default flipped to 0 — builds now always run descent to the round
     # cap, so every graph entry re-gates under the driver)
-    "shard_assignments", "media_pixel_checksums", "media_stats",
+    "shard_assignments", "media_pixel_checksums", "media_audio_checksums",
+    "media_stats",
     "ann_graph_exact", "ann_graph_batch", "ann_graph_knn",
     # (b) the 12 longest-resting driver rows (last checked r6) — the
     # rest-queue leads named by the r10 verdict #1
@@ -7629,10 +7715,11 @@ _WINDOW = [
     "revenue_by_month", "part_like", "udf_token_count",
     "lineitem_enrich", "doc_regex", "orders_above_cust_avg",
     "lineitem_having", "top_event_types_per_user",
-    # (c) the r7 bucket (last checked r7) — 29 of its 30 entries; the
-    # one deferred to lead r12 is source_mixture (its tokens-weighted
-    # twin source_mixture_tokens was checked r9), displaced by the new
-    # media_pixel_checksums slot above
+    # (c) the r7 bucket (last checked r7) — 28 of its 30 entries; the
+    # two deferred to lead r12 are source_mixture and tpch_q11 (its
+    # tokens-weighted twin source_mixture_tokens was checked r9; q11's
+    # agg/having kernels ride many other window entries), displaced by
+    # the two new media-checksum slots above
     "ann_ivf_batch", "ann_ivf_exact", "ann_ivfpq_exact",
     "doc_expectations", "doc_lang_id", "doc_logprob", "doc_quality",
     "doc_repetition", "emb_doc_join", "emb_pca_cov", "events_json",
@@ -7641,7 +7728,7 @@ _WINDOW = [
     "ns_stats", "orders_expectations", "orders_window_analytics",
     "scd2_orders", "store_indexed_cosine",
     "store_indexed_errors", "store_replica_json", "store_timetravel",
-    "tpch_q11", "tpch_q15", "tpch_q20", "udtf_chunks",
+    "tpch_q15", "tpch_q20", "udtf_chunks",
     # (d) continuity core (the flagship operators)
     "knn_l2", "hybrid_knn", "store_roundtrip",
 ]

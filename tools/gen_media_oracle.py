@@ -1,8 +1,10 @@
-"""Generate the DuckDB VALUES oracle for the `media_pixel_checksums`
-driver entry: decode every LOSSLESS image row of the deterministic
-synthetic media corpus with the JVM's javax.imageio (an independent,
-libpng-family decoder — NOT the repo's codecs) and print one SQL VALUES
-literal of (media_id, height, width, channels, pixel_sum, sample_crc).
+"""Generate the DuckDB VALUES oracles for the `media_pixel_checksums`
+and `media_audio_checksums` driver entries: decode every LOSSLESS image
+row of the deterministic synthetic media corpus with the JVM's
+javax.imageio and every WAV row with javax.sound.sampled (independent
+decoders — NOT the repo's codecs) and print the SQL VALUES literals of
+(media_id, height, width, channels, pixel_sum, sample_crc) /
+(media_id, n_samples, sample_rate, sample_sum, sample_crc).
 
 Provenance contract: the constants committed in
 mlvectordb_spark/queries.py ORACLE_SQL["media_pixel_checksums"] come
@@ -54,6 +56,25 @@ def imageio_samples(spark, payload: bytes, tag: str) -> np.ndarray:
     return np.array(list(out), dtype=np.int64).reshape(h, w, nb)
 
 
+def javax_sound_samples(spark, payload: bytes, tag: str) -> tuple:
+    """Independent WAV ground truth: javax.sound.sampled parses the RIFF
+    container and hands back the PCM frames — returns (rate, int16
+    sample array)."""
+    jvm = spark._jvm
+    d = tempfile.mkdtemp(prefix="media_oracle_")
+    path = os.path.join(d, tag)
+    with open(path, "wb") as f:
+        f.write(payload)
+    ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+        jvm.java.io.File(path)
+    )
+    fmt = ais.getFormat()
+    assert fmt.getSampleSizeInBits() == 16 and fmt.getChannels() == 1
+    raw = bytes(ais.readAllBytes())
+    dt = ">i2" if fmt.isBigEndian() else "<i2"
+    return float(fmt.getSampleRate()), np.frombuffer(raw, dtype=dt)
+
+
 def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
@@ -73,7 +94,22 @@ def main() -> None:
             f"  ('{r.media_id}', {h}, {w}, {nb}, "
             f"{int(flat.sum())}, {crc})"
         )
-    print("VALUES")
+    print("-- media_pixel_checksums VALUES")
+    print(",\n".join(lines))
+
+    audio = media.filter("modality = 'audio'").collect()
+    lines = []
+    for r in sorted(audio, key=lambda r: r.media_id):
+        rate, samples = javax_sound_samples(
+            spark, bytes(r.payload), r.media_id + ".wav"
+        )
+        flat = samples.astype(np.int64)
+        crc = zlib.crc32(",".join(str(int(v)) for v in flat).encode())
+        lines.append(
+            f"  ('{r.media_id}', {len(flat)}, {int(rate)}, "
+            f"{int(flat.sum())}, {crc})"
+        )
+    print("-- media_audio_checksums VALUES")
     print(",\n".join(lines))
 
 
