@@ -25,7 +25,13 @@ Scale design — the classic two-phase moment aggregation:
 
 Sign convention: each component is flipped so its largest-|entry|
 coordinate is positive — eigenvectors are sign-deterministic across
-platforms."""
+platforms.
+
+Incremental form (r11): `MomentState` carries the same (n, Σx, Σxxᵀ)
+as a mergeable value — batch updates, exact merges, atomic .npz
+persistence, and a foreachBatch accumulator (`start_pca_moments`) with
+a replay-idempotent batch-id watermark, so a PCA model over an ingest
+stream's full history is always one driver-local eig away."""
 
 from __future__ import annotations
 
@@ -111,8 +117,7 @@ def covariance(df: DataFrame, vec_col: str) -> tuple[np.ndarray, np.ndarray, int
     return mean, cov, n
 
 
-def fit_pca(df: DataFrame, vec_col: str, k: int) -> PCAModel:
-    mean, cov, n = covariance(df, vec_col)
+def _model_from_cov(mean: np.ndarray, cov: np.ndarray, n: int, k: int) -> PCAModel:
     d = cov.shape[0]
     k = min(k, d)
     vals, vecs = np.linalg.eigh(cov)  # ascending
@@ -130,6 +135,148 @@ def fit_pca(df: DataFrame, vec_col: str, k: int) -> PCAModel:
         total_variance=float(np.trace(cov)),
         n=n,
     )
+
+
+def fit_pca(df: DataFrame, vec_col: str, k: int) -> PCAModel:
+    mean, cov, n = covariance(df, vec_col)
+    return _model_from_cov(mean, cov, n, k)
+
+
+@dataclass
+class MomentState:
+    """Mergeable sufficient statistics for PCA — the INCREMENTAL form of
+    the one-pass moment kernel above. (n, Σx, Σxxᵀ) is closed under
+    addition, so a model over ingest-so-far never re-reads old data:
+    each new batch contributes its own moment triple (one distributed
+    pass over THAT batch only) and states merge exactly — the same
+    mergeable-sketch contract as the HLL rollups (operators/rollup.py),
+    applied to dense second moments. The eig step stays driver-local on
+    the merged d×d matrix, so refreshing the model after a merge costs
+    O(d³) microseconds, not a scan.
+
+    Replay safety for streaming (`start_pca_moments` /
+    `apply_pca_moments_batch`): `last_batch_id` is a foreachBatch
+    watermark — a replayed batch id is a no-op, so retries never
+    double-count (the merge_sink batch-id guard, applied to moments).
+    Persistence is a single .npz staged next to `path` and committed by
+    one atomic rename."""
+
+    n: int
+    s: np.ndarray  # (d,) Σx
+    o: np.ndarray  # (d, d) Σxxᵀ
+    last_batch_id: int = -1
+
+    @classmethod
+    def zero(cls, d: int) -> "MomentState":
+        return cls(n=0, s=np.zeros(d), o=np.zeros((d, d)))
+
+    @classmethod
+    def of(cls, df: DataFrame, vec_col: str) -> "MomentState":
+        """One distributed pass over `df` → its moment triple."""
+        rows = sorted(
+            moment_partials(df, vec_col).collect(), key=lambda r: r["pid"]
+        )
+        if not rows:
+            raise ValueError("empty input: no vectors to accumulate")
+        d = len(rows[0]["s"])
+        st = cls.zero(d)
+        st.n = sum(r["n"] for r in rows)
+        for r in rows:
+            st.s += np.asarray(r["s"])
+            st.o += np.asarray(r["o"]).reshape(d, d)
+        return st
+
+    def merge(self, other: "MomentState") -> "MomentState":
+        if self.n and other.n and len(self.s) != len(other.s):
+            raise ValueError(
+                f"dimension mismatch: {len(self.s)} vs {len(other.s)}"
+            )
+        return MomentState(
+            n=self.n + other.n,
+            s=self.s + other.s,
+            o=self.o + other.o,
+            last_batch_id=max(self.last_batch_id, other.last_batch_id),
+        )
+
+    def mean_cov(self) -> tuple[np.ndarray, np.ndarray]:
+        if self.n == 0:
+            raise ValueError("empty state")
+        mean = self.s / self.n
+        if self.n < 2:
+            return mean, np.zeros((len(self.s), len(self.s)))
+        cov = (self.o - self.n * np.outer(mean, mean)) / (self.n - 1)
+        return mean, (cov + cov.T) / 2.0
+
+    def to_model(self, k: int) -> PCAModel:
+        mean, cov = self.mean_cov()
+        return _model_from_cov(mean, cov, self.n, k)
+
+    def save(self, path: str) -> None:
+        import os
+        import uuid
+
+        stage = f"{path}.staging-{uuid.uuid4().hex}"
+        with open(stage, "wb") as f:
+            np.savez(
+                f, n=self.n, s=self.s, o=self.o,
+                last_batch_id=self.last_batch_id,
+            )
+        os.replace(stage, path)
+
+    @classmethod
+    def load(cls, path: str) -> "MomentState":
+        with np.load(path) as z:
+            return cls(
+                n=int(z["n"]), s=z["s"], o=z["o"],
+                last_batch_id=int(z["last_batch_id"]),
+            )
+
+
+def apply_pca_moments_batch(
+    state_path: str, batch_df: DataFrame, batch_id: int, vec_col: str
+) -> MomentState:
+    """foreachBatch body: fold one micro-batch's moments into the
+    persisted state (replay-idempotent via the batch-id watermark).
+    Returns the state after the fold."""
+    import os
+
+    state = (
+        MomentState.load(state_path)
+        if os.path.exists(state_path)
+        else None
+    )
+    if state is not None and batch_id <= state.last_batch_id:
+        return state  # retried/replayed batch — already counted
+    delta = MomentState.of(batch_df, vec_col)
+    merged = delta if state is None else state.merge(delta)
+    merged.last_batch_id = batch_id
+    merged.save(state_path)
+    return merged
+
+
+def start_pca_moments(
+    stream_df: DataFrame,
+    vec_col: str,
+    state_path: str,
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+):
+    """Structured-Streaming wiring: accumulate PCA moments over an
+    ingest stream. The model over everything-ingested-so-far is
+    `MomentState.load(state_path).to_model(k)` at any time — no rescan
+    of history, exactly-once under retries (batch-id watermark)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_pca_moments_batch(state_path, batch_df, batch_id, vec_col)
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def project(

@@ -223,17 +223,13 @@ def q_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = cust.withColumn(
         "shard_id", mgr.shard_for_id_expr("c_custkey")
     )
-    return (
-        assigned.groupBy("shard_id")
-        .agg(
-            F.count("*").alias("n_members"),
-            F.sum("c_custkey").alias("sum_custkey"),
-            F.min("c_custkey").alias("min_custkey"),
-            F.max("c_custkey").alias("max_custkey"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
-        )
-        .orderBy("shard_id")
-    )
+    return assigned.groupBy("shard_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum("c_custkey").alias("sum_custkey"),
+        F.min("c_custkey").alias("min_custkey"),
+        F.max("c_custkey").alias("max_custkey"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )  # no ORDER BY: 7 rows post-agg, and a sort would add an Exchange
 
 
 def q_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4866,6 +4862,45 @@ def q_emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r11 MERGEABLE moment form of the PCA kernel
+    (operators/pca.py MomentState): the embeddings table folds in three
+    label-ranged micro-batches — each a distributed pass over its OWN
+    chunk only, plus a replayed batch that the batch-id watermark must
+    no-op — and the merged state's covariance must equal DuckDB's
+    covar_samp over the whole table. Gates batch-update + merge +
+    replay idempotence + persistence round-trip in one oracle."""
+    import os
+    import tempfile
+
+    from mlvectordb_spark.operators.pca import (
+        MomentState,
+        apply_pca_moments_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="pca_inc_"), "moments.npz"
+    )
+    chunks = [
+        emb.filter(F.col("vec_id") % 3 == m).select("embedding")
+        for m in range(3)
+    ]
+    for bid, chunk in enumerate(chunks):
+        apply_pca_moments_batch(path, chunk, bid, "embedding")
+    apply_pca_moments_batch(path, chunks[1], 1, "embedding")  # replay
+    st = MomentState.load(path)
+    _mean, cov = st.mean_cov()
+    rows = [
+        (i, j, float(cov[i, j])) for i in range(8) for j in range(i, 8)
+    ]
+    return (
+        spark.createDataFrame(rows, "i int, j int, cov_raw double")
+        .select("i", "j", F.round("cov_raw", 6).alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
 def q_table_cdf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-version CDC catch-up: three recorded merge batches, then the
     composed (v0 → v2) change feed — served by folding the two recorded
@@ -5383,7 +5418,7 @@ SELECT cast(
   min(c_custkey) AS min_custkey,
   max(c_custkey) AS max_custkey,
   round(sum(c_acctbal), 2) AS sum_acctbal
-FROM customer GROUP BY 1 ORDER BY shard_id
+FROM customer GROUP BY 1
 """,
     "point_read": """
 SELECT vec_id, label, (i - 1)::INT AS pos,
@@ -7153,6 +7188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_orders": q_merge_orders,
     "format_roundtrip": q_format_roundtrip,
     "emb_pca_cov": q_emb_pca_cov,
+    "emb_pca_incremental": q_emb_pca_incremental,
     "table_cdf": q_table_cdf,
     "table_mv": q_table_mv,
     "merge_evolve": q_merge_evolve,
@@ -7539,7 +7575,7 @@ ORDER BY k, valid_from
 
 # the distributed PCA moment kernel, re-derived by DuckDB's covar_samp
 # (embedding[] is 1-indexed in DuckDB)
-ORACLE_SQL["emb_pca_cov"] = """
+ORACLE_SQL["emb_pca_incremental"] = ORACLE_SQL["emb_pca_cov"] = """
 SELECT (p.i - 1)::INT AS i, (p.j - 1)::INT AS j,
   round(covar_samp(e.embedding[p.i], e.embedding[p.j]), 6) AS cov
 FROM embeddings e
@@ -7707,7 +7743,7 @@ _WINDOW = [
     # default flipped to 0 — builds now always run descent to the round
     # cap, so every graph entry re-gates under the driver)
     "shard_assignments", "media_pixel_checksums", "media_audio_checksums",
-    "media_stats",
+    "emb_pca_incremental", "media_stats",
     "ann_graph_exact", "ann_graph_batch", "ann_graph_knn",
     # (b) the 12 longest-resting driver rows (last checked r6) — the
     # rest-queue leads named by the r10 verdict #1
@@ -7715,11 +7751,12 @@ _WINDOW = [
     "revenue_by_month", "part_like", "udf_token_count",
     "lineitem_enrich", "doc_regex", "orders_above_cust_avg",
     "lineitem_having", "top_event_types_per_user",
-    # (c) the r7 bucket (last checked r7) — 28 of its 30 entries; the
-    # two deferred to lead r12 are source_mixture and tpch_q11 (its
-    # tokens-weighted twin source_mixture_tokens was checked r9; q11's
-    # agg/having kernels ride many other window entries), displaced by
-    # the two new media-checksum slots above
+    # (c) the r7 bucket (last checked r7) — 27 of its 30 entries; the
+    # three deferred to lead r12 are source_mixture, tpch_q11, and
+    # tpch_q20 (their kernels — temperature mixes, agg/having,
+    # semi-join — ride many other window entries), displaced by the
+    # four brand-new oracle slots above, which policy (a) gates the
+    # round they appear
     "ann_ivf_batch", "ann_ivf_exact", "ann_ivfpq_exact",
     "doc_expectations", "doc_lang_id", "doc_logprob", "doc_quality",
     "doc_repetition", "emb_doc_join", "emb_pca_cov", "events_json",
@@ -7728,7 +7765,7 @@ _WINDOW = [
     "ns_stats", "orders_expectations", "orders_window_analytics",
     "scd2_orders", "store_indexed_cosine",
     "store_indexed_errors", "store_replica_json", "store_timetravel",
-    "tpch_q15", "tpch_q20", "udtf_chunks",
+    "tpch_q15", "udtf_chunks",
     # (d) continuity core (the flagship operators)
     "knn_l2", "hybrid_knn", "store_roundtrip",
 ]

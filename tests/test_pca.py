@@ -91,3 +91,76 @@ def test_k_clamped_and_empty_raises(spark, data):
     empty = df.filter(F.col("id") < 0)
     with pytest.raises(ValueError, match="empty"):
         fit_pca(empty, "vec", k=2)
+
+
+def test_moment_state_incremental_matches_batch(spark, data, tmp_path):
+    """The r11 mergeable form: per-chunk MomentState folds (with a
+    replayed batch — must be a no-op) reproduce the one-shot batch fit
+    over the union, without ever re-reading earlier chunks."""
+    from mlvectordb_spark.operators.pca import (
+        MomentState,
+        apply_pca_moments_batch,
+    )
+
+    mat, df = data
+    path = str(tmp_path / "moments.npz")
+    chunks = [
+        df.filter(F.col("id") < 150),
+        df.filter((F.col("id") >= 150) & (F.col("id") < 400)),
+        df.filter(F.col("id") >= 400),
+    ]
+    for bid, chunk in enumerate(chunks):
+        apply_pca_moments_batch(path, chunk, bid, "vec")
+    # replayed micro-batch (foreachBatch retry): already-counted id is
+    # a no-op, nothing double-counts
+    st_before = MomentState.load(path)
+    apply_pca_moments_batch(path, chunks[1], 1, "vec")
+    st = MomentState.load(path)
+    assert st.n == st_before.n == 500 and st.last_batch_id == 2
+
+    inc = st.to_model(4)
+    ref = fit_pca(df, "vec", 4)
+    np.testing.assert_allclose(inc.mean, ref.mean, atol=1e-10)
+    np.testing.assert_allclose(
+        inc.components, ref.components, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        inc.explained_variance, ref.explained_variance, rtol=1e-10
+    )
+    # states merge exactly and dimension mismatches are rejected
+    merged = MomentState.of(chunks[0], "vec").merge(
+        MomentState.of(chunks[1], "vec")
+    ).merge(MomentState.of(chunks[2], "vec"))
+    np.testing.assert_allclose(merged.o, st.o, rtol=1e-12)
+    with pytest.raises(ValueError, match="dimension"):
+        merged.merge(MomentState(n=1, s=np.zeros(3), o=np.zeros((3, 3))))
+
+
+def test_start_pca_moments_stream(spark, data, tmp_path):
+    """End-to-end Structured Streaming accumulation: a file-source
+    stream of vector chunks drives start_pca_moments; the persisted
+    state equals the batch covariance over everything ingested."""
+    from mlvectordb_spark.operators.pca import MomentState, start_pca_moments
+
+    mat, df = data
+    src = str(tmp_path / "src")
+    for i, (lo, hi) in enumerate([(0, 200), (200, 500)]):
+        df.filter(
+            (F.col("id") >= lo) & (F.col("id") < hi)
+        ).write.mode("overwrite").parquet(f"{src}/chunk={i}")
+    stream = spark.readStream.schema("id bigint, vec array<double>").option(
+        "recursiveFileLookup", "true"
+    ).parquet(src)
+    state_path = str(tmp_path / "stream_moments.npz")
+    q = start_pca_moments(
+        stream, "vec", state_path,
+        checkpoint_dir=str(tmp_path / "ckpt"), trigger_once=True,
+    )
+    q.awaitTermination(120)
+    st = MomentState.load(state_path)
+    assert st.n == 500
+    mean, cov = st.mean_cov()
+    np.testing.assert_allclose(mean, mat.mean(axis=0), atol=1e-10)
+    np.testing.assert_allclose(
+        cov, np.cov(mat, rowvar=False), atol=1e-8
+    )

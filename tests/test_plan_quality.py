@@ -643,3 +643,18 @@ def test_batch_serving_prunes_clusters_and_broadcasts_enrichment(
     assert any("cluster_id" in s for s in segs), segs
     assert any("namespace" in s for s in segs), segs
     assert "BroadcastHashJoin" in raw or "BroadcastExchange" in raw, raw
+
+
+def test_shard_assignments_single_shuffle_narrow_scan(spark, sf_dir):
+    """The md5 routing is a scan-local expression: exactly one Exchange
+    (the per-shard groupBy) and the customer scan reads only the two
+    consumed columns — no row ever shuffles to 'compute its shard'."""
+    plan = explain_query(QUERIES["shard_assignments"](spark, sf_dir))
+    raw = plan["raw"]
+    ops = _ops(plan)
+    assert ops.count("Exchange") == 1, ops
+    assert "rangepartitioning" not in raw, raw  # no sort shuffle
+    assert all(
+        "c_name" not in rs and "c_address" not in rs
+        for rs in plan["read_schemas"]
+    ), plan["read_schemas"]
