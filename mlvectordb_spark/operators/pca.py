@@ -96,25 +96,13 @@ def moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
 
 
 def covariance(df: DataFrame, vec_col: str) -> tuple[np.ndarray, np.ndarray, int]:
-    """Driver-side reduction of the partials: (mean, cov, n). Partials are
-    summed in partition order for determinism."""
-    rows = sorted(moment_partials(df, vec_col).collect(), key=lambda r: r["pid"])
-    if not rows:
-        raise ValueError("empty input: cannot fit PCA over zero vectors")
-    n = sum(r["n"] for r in rows)
-    d = len(rows[0]["s"])
-    s = np.zeros(d)
-    o = np.zeros((d, d))
-    for r in rows:
-        s += np.asarray(r["s"])
-        o += np.asarray(r["o"]).reshape(d, d)
-    mean = s / n
-    if n < 2:
-        return mean, np.zeros((d, d)), n
-    cov = (o - n * np.outer(mean, mean)) / (n - 1)
-    # enforce exact symmetry (FP asymmetry ~1e-16 would leak into eigh)
-    cov = (cov + cov.T) / 2.0
-    return mean, cov, n
+    """Driver-side reduction of the partials: (mean, cov, n). One
+    implementation shared with the incremental path — the batch form is
+    just a single-state MomentState (a future numeric change lands on
+    both paths by construction)."""
+    st = MomentState.of(df, vec_col)
+    mean, cov = st.mean_cov()
+    return mean, cov, st.n
 
 
 def _model_from_cov(mean: np.ndarray, cov: np.ndarray, n: int, k: int) -> PCAModel:
@@ -172,7 +160,8 @@ class MomentState:
 
     @classmethod
     def of(cls, df: DataFrame, vec_col: str) -> "MomentState":
-        """One distributed pass over `df` → its moment triple."""
+        """One distributed pass over `df` → its moment triple. Partials
+        are summed in partition order for determinism."""
         rows = sorted(
             moment_partials(df, vec_col).collect(), key=lambda r: r["pid"]
         )
@@ -221,7 +210,21 @@ class MomentState:
                 f, n=self.n, s=self.s, o=self.o,
                 last_batch_id=self.last_batch_id,
             )
+            # fsync BEFORE the rename: without it an OS crash can commit
+            # the directory entry over the last good state while the new
+            # file's blocks were never written — replace() alone is
+            # atomic against process crashes, not power loss
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(stage, path)
+        try:
+            dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass  # non-POSIX-dir fsync (or perms) — rename is still atomic
 
     @classmethod
     def load(cls, path: str) -> "MomentState":

@@ -3210,10 +3210,12 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (REAL WAV/BMP/8+16-bit-PNG/JPEG payloads — the JPEG rows exercise the
     native baseline+progressive codec in functions/jpeg.py) → real
     decode-and-extract features for audio/image, hash fallback for opaque
-    video, PLUS a decode pass through decode_media's full routing with a
-    registered toy video adapter — the register_media_adapter seam runs
-    executor-side in the entry itself, not just in pytest (rows-only:
-    the corpus is generated, not a testdata table)."""
+    video, PLUS a decode-stats pass over the VIDEO rows with a registered
+    toy adapter — the register_media_adapter seam runs executor-side in
+    the entry itself, not just in pytest. Native decode routing is
+    value-gated by the media_pixel_checksums / media_audio_checksums
+    oracles, not here (rows-only: the corpus is generated, not a
+    testdata table)."""
     import numpy as np
 
     from mlvectordb_spark import multimodal as MM

@@ -26,14 +26,19 @@ def main() -> None:
     root = os.path.abspath(sys.argv[1])
     names = sys.argv[2:] or ["dedup_keep_best", "curation_pipeline"]
     sys.path.insert(0, root)
-    # Executor Python workers resolve imports from PYTHONPATH/cwd, not the
-    # driver's sys.path — without this, an entry with executor-side Python
-    # kernels (mapInPandas/pandas_udf) would run the LIVE tree's kernels
-    # under the A tree's driver plans, silently mixing code versions.
+    # Executor Python workers resolve imports from cwd + PYTHONPATH, not
+    # the driver's sys.path — and the worker's `-m pyspark.daemon` launch
+    # puts its CWD entry AHEAD of PYTHONPATH, so setting PYTHONPATH alone
+    # still resolves the LIVE tree when the probe is launched from it.
+    # chdir into the probed tree so both resolution channels agree;
+    # without this, an entry with executor-side Python kernels
+    # (mapInPandas/pandas_udf) would run one tree's kernels under the
+    # other tree's driver plans, silently mixing code versions.
     # (Pure-JVM entries like dedup_keep_best are unaffected either way.)
     os.environ["PYTHONPATH"] = root + os.pathsep + os.environ.get(
         "PYTHONPATH", ""
     )
+    os.chdir(root)
     from mlvectordb_spark.queries import QUERIES
     from mlvectordb_spark.session import get_spark
 
