@@ -5416,7 +5416,7 @@ SELECT cast(
          cast(concat('0x', substr(md5(cast(c_custkey AS varchar)), 1, 16))
               AS ubigint) % 7 AS int) AS shard_id,
   count(*) AS n_members,
-  sum(c_custkey) AS sum_custkey,
+  sum(c_custkey)::BIGINT AS sum_custkey,
   min(c_custkey) AS min_custkey,
   max(c_custkey) AS max_custkey,
   round(sum(c_acctbal), 2) AS sum_acctbal

@@ -1,8 +1,16 @@
 """Local stand-in for the driver's correctness gate.
 
 Runs every queries() entry on Spark and its oracle_sql() on DuckDB over the
-same sf dir, then compares row count, column names, and an order-insensitive
-value hash (rows sorted, columns sorted by name, values canonicalized).
+same sf dir, then compares row count, column names, an order-insensitive
+value hash (rows sorted, columns sorted by name, values canonicalized), AND
+a normalized per-column output TYPE signature (Spark schema vs the DuckDB
+result fetched as Arrow).
+
+The type check exists because the driver's value hash is type-sensitive
+while string-canonicalized values are not: in round 11 `shard_assignments`
+shipped with an uncast DuckDB `sum(BIGINT)` (→ HUGEINT / decimal128(38,0)),
+passed the 174/174 string-value gate here, and failed the driver hash.
+Normalized type tokens make that class of drift fail locally.
 
 Usage: python tools/verify_local.py [sf_dir] [name ...]
 """
@@ -15,6 +23,7 @@ import time
 from datetime import date, datetime
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, "/root/repo")
 
@@ -51,57 +60,187 @@ def table_sig(cols: list[str], rows: list[tuple]) -> tuple:
     return (len(rows), tuple(sorted(cols)), hash(tuple(canon_rows)), canon_rows)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(QUERIES)
-    spark = get_spark("verify-local")
+def norm_spark_type(dt) -> str:
+    """Normalize a pyspark.sql.types.DataType to a comparable token."""
+    from pyspark.sql import types as T
+
+    simple = {
+        T.BooleanType: "bool",
+        T.ByteType: "int8",
+        T.ShortType: "int16",
+        T.IntegerType: "int32",
+        T.LongType: "int64",
+        T.FloatType: "float32",
+        T.DoubleType: "float64",
+        T.StringType: "string",
+        T.BinaryType: "binary",
+        T.DateType: "date",
+        # tz-aware vs NTZ timestamps canonicalize to the same wall-clock
+        # values on both engines at the gate's UTC session — one token.
+        T.TimestampType: "timestamp",
+        T.NullType: "null",
+    }
+    for cls, token in simple.items():
+        if isinstance(dt, cls):
+            return token
+    if type(dt).__name__ == "TimestampNTZType":
+        return "timestamp"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"array<{norm_spark_type(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return (
+            f"map<{norm_spark_type(dt.keyType)},"
+            f"{norm_spark_type(dt.valueType)}>"
+        )
+    if isinstance(dt, T.StructType):
+        inner = ",".join(
+            f"{f.name}:{norm_spark_type(f.dataType)}" for f in dt.fields
+        )
+        return f"struct<{inner}>"
+    return f"other:{dt.simpleString()}"
+
+
+def norm_arrow_type(t: pa.DataType) -> str:
+    """Normalize a pyarrow DataType (DuckDB result schema) to a token.
+
+    Deliberately keeps DuckDB HUGEINT — surfaced by Arrow as
+    decimal128(38,0) — DISTINCT from int64 so the uncast-sum() drift that
+    broke the r11 driver gate fails here too.
+    """
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_int8(t):
+        return "int8"
+    if pa.types.is_int16(t):
+        return "int16"
+    if pa.types.is_int32(t):
+        return "int32"
+    if pa.types.is_int64(t):
+        return "int64"
+    if pa.types.is_uint8(t):
+        return "int8"
+    if pa.types.is_uint16(t):
+        return "int16"
+    if pa.types.is_uint32(t):
+        return "int32"
+    if pa.types.is_uint64(t):
+        return "uint64"
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_null(t):
+        return "null"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_fixed_size_list(t)
+    ):
+        return f"array<{norm_arrow_type(t.value_type)}>"
+    if pa.types.is_map(t):
+        return (
+            f"map<{norm_arrow_type(t.key_type)},"
+            f"{norm_arrow_type(t.item_type)}>"
+        )
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{f.name}:{norm_arrow_type(f.type)}" for f in t
+        )
+        return f"struct<{inner}>"
+    return f"other:{t}"
+
+
+def type_mismatches(sdf, arrow_schema: pa.Schema) -> list[str]:
+    """Per-column normalized-type diffs between a Spark DF and a DuckDB
+    Arrow result schema; empty list when compatible. A `null` token on
+    either side (an all-NULL literal column) matches anything."""
+    s_types = {f.name: norm_spark_type(f.dataType) for f in sdf.schema.fields}
+    o_types = {
+        arrow_schema.field(i).name: norm_arrow_type(arrow_schema.field(i).type)
+        for i in range(len(arrow_schema))
+    }
+    diffs = []
+    for name in sorted(set(s_types) & set(o_types)):
+        st, ot = s_types[name], o_types[name]
+        if st != ot and "null" not in (st, ot):
+            diffs.append(f"{name}: spark={st} duckdb={ot}")
+    return diffs
+
+
+def compare_entry(spark, con, name: str, sf_dir: str, sql: str | None = None):
+    """Run one registry entry vs its oracle; returns (status, detail).
+
+    status: "OK" | "SKIP" (no oracle) | "FAIL". `sql` overrides the
+    registered oracle (used by the canary test in
+    tests/test_verify_gate.py to prove type drift fails locally).
+    """
+    fn = QUERIES[name]
+    t0 = time.time()
+    try:
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:  # noqa: BLE001
+        return "FAIL", f"spark error: {e}"
+    t1 = time.time()
+    sql = sql if sql is not None else ORACLE_SQL.get(name)
+    if sql is None:
+        return "SKIP", f"no oracle ({len(srows)} rows, {t1 - t0:.1f}s)"
+    try:
+        cur = con.execute(sql)
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+        oschema = con.execute(sql).arrow().schema
+    except Exception as e:  # noqa: BLE001
+        return "FAIL", f"duckdb error: {e}"
+    s_sig = table_sig(scols, srows)
+    o_sig = table_sig(ocols, orows)
+    if s_sig[0] != o_sig[0]:
+        return "FAIL", f"rows spark={s_sig[0]} duckdb={o_sig[0]}"
+    if s_sig[1] != o_sig[1]:
+        return "FAIL", f"cols spark={s_sig[1]} duckdb={o_sig[1]}"
+    tdiffs = type_mismatches(sdf, oschema)
+    if tdiffs:
+        return "FAIL", f"output types diverge: {'; '.join(tdiffs)}"
+    if s_sig[2] != o_sig[2]:
+        diff = [(a, b) for a, b in zip(s_sig[3], o_sig[3]) if a != b][:3]
+        return "FAIL", f"value hash mismatch; first diffs: {diff}"
+    return "OK", f"{s_sig[0]} rows, spark {t1 - t0:.1f}s"
+
+
+def make_duckdb(sf_dir: str):
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    return con
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or list(QUERIES)
+    spark = get_spark("verify-local")
+    con = make_duckdb(sf_dir)
     failures = []
     for name in names:
-        fn = QUERIES[name]
-        t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {e}")
+        status, detail = compare_entry(spark, con, name, sf_dir)
+        print(f"{status:4s} {name}: {detail}" if status != "OK"
+              else f"OK   {name} ({detail})")
+        if status == "FAIL":
             failures.append(name)
-            continue
-        t1 = time.time()
-        if name not in ORACLE_SQL:
-            print(f"SKIP {name}: no oracle ({len(srows)} rows, {t1 - t0:.1f}s)")
-            continue
-        try:
-            cur = con.execute(ORACLE_SQL[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {e}")
-            failures.append(name)
-            continue
-        s_sig = table_sig(scols, srows)
-        o_sig = table_sig(ocols, orows)
-        if s_sig[0] != o_sig[0]:
-            print(f"FAIL {name}: rows spark={s_sig[0]} duckdb={o_sig[0]}")
-            failures.append(name)
-        elif s_sig[1] != o_sig[1]:
-            print(f"FAIL {name}: cols spark={s_sig[1]} duckdb={o_sig[1]}")
-            failures.append(name)
-        elif s_sig[2] != o_sig[2]:
-            diff = [
-                (a, b)
-                for a, b in zip(s_sig[3], o_sig[3])
-                if a != b
-            ][:3]
-            print(f"FAIL {name}: value hash mismatch; first diffs: {diff}")
-            failures.append(name)
-        else:
-            print(f"OK   {name} ({s_sig[0]} rows, spark {t1 - t0:.1f}s)")
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
     return 1 if failures else 0
 
