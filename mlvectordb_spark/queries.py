@@ -3266,9 +3266,10 @@ def q_media_pixel_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     javax.imageio raster reads by tools/gen_media_oracle.py — an
     independent decoder's ground truth, cross-checked by the driver gate
     every round. JPEG rows stay out (lossy decode is legitimately
-    decoder-dependent; pytest gates those with tolerances)."""
-    import zlib
-
+    decoder-dependent; pytest gates those with tolerances). The checksum
+    is multimodal.sample_crc32 — shared with the generator so entry and
+    constants cannot drift; tests/test_media_oracle_pin.py regenerates
+    the javax ground truth and pins the committed VALUES to it."""
     import numpy as np
     import pandas as pd
 
@@ -3290,9 +3291,7 @@ def q_media_pixel_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if arr.ndim == 2:
                     arr = arr[:, :, None]
                 flat = arr.astype(np.int64).reshape(-1)
-                crc = zlib.crc32(
-                    ",".join(str(int(v)) for v in flat).encode()
-                )
+                crc = MM.sample_crc32(flat)
                 out.append(
                     (
                         row["media_id"], arr.shape[0], arr.shape[1],
@@ -3324,9 +3323,9 @@ def q_media_audio_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     javax.sound.sampled reads by tools/gen_media_oracle.py — an
     independent container parser's ground truth under the driver gate.
     decode_wav returns floats i/32767; rint(f*32767) recovers the exact
-    int16 lattice (|i| ≤ 32767 so the double round-trip is lossless)."""
-    import zlib
-
+    int16 lattice (|i| ≤ 32767 so the double round-trip is lossless).
+    Checksum = multimodal.sample_crc32, shared with the generator and
+    pinned to the corpus by tests/test_media_oracle_pin.py."""
     import numpy as np
     import pandas as pd
 
@@ -3345,9 +3344,7 @@ def q_media_audio_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
                     bytes(row["payload"]), "audio", row["mime_type"]
                 )
                 ints = np.rint(samples * 32767.0).astype(np.int64)
-                crc = zlib.crc32(
-                    ",".join(str(int(v)) for v in ints).encode()
-                )
+                crc = MM.sample_crc32(ints)
                 out.append(
                     (
                         row["media_id"], len(ints), int(rate),
@@ -5368,18 +5365,18 @@ SELECT media_id, height::INT AS height, width::INT AS width,
   channels::INT AS channels, pixel_sum::BIGINT AS pixel_sum,
   sample_crc::BIGINT AS sample_crc
 FROM (VALUES
-  ('m0000', 64, 64, 3, 1563273, 2229194120),
-  ('m0003', 67, 67, 3, 1703523, 3604977933),
-  ('m0012', 76, 76, 3, 566200812, 3998496737),
-  ('m0015', 79, 79, 3, 2388226, 560623906),
-  ('m0018', 82, 82, 3, 2562259, 3459803409),
-  ('m0027', 67, 91, 3, 598934645, 1678496717),
-  ('m0030', 70, 94, 3, 2510164, 1507630228),
-  ('m0033', 73, 65, 3, 1803286, 895982080),
-  ('m0042', 82, 74, 3, 596492117, 4212357571),
-  ('m0045', 85, 77, 3, 2498033, 2280968481),
-  ('m0048', 64, 80, 3, 1948120, 912440982),
-  ('m0057', 73, 89, 3, 638435545, 1338912345)
+  ('m0000', 64, 64, 3, 1563273, 3173777524),
+  ('m0003', 67, 67, 3, 1703523, 3096511938),
+  ('m0012', 76, 76, 3, 566200812, 309608659),
+  ('m0015', 79, 79, 3, 2388226, 3930396406),
+  ('m0018', 82, 82, 3, 2562259, 3800540479),
+  ('m0027', 67, 91, 3, 598934645, 1561923201),
+  ('m0030', 70, 94, 3, 2510164, 1100391746),
+  ('m0033', 73, 65, 3, 1803286, 2681713531),
+  ('m0042', 82, 74, 3, 596492117, 672382283),
+  ('m0045', 85, 77, 3, 2498033, 4102928035),
+  ('m0048', 64, 80, 3, 1948120, 3806661189),
+  ('m0057', 73, 89, 3, 638435545, 1778699272)
 ) AS t(media_id, height, width, channels, pixel_sum, sample_crc)
 """,
     # Constants generated from javax.sound.sampled reads (an independent
@@ -5389,26 +5386,26 @@ SELECT media_id, n_samples::INT AS n_samples,
   sample_rate::INT AS sample_rate, sample_sum::BIGINT AS sample_sum,
   sample_crc::BIGINT AS sample_crc
 FROM (VALUES
-  ('m0001', 10000, 8000, 0, 3947899155),
-  ('m0004', 16000, 8000, 0, 1630692446),
-  ('m0007', 22000, 8000, 404158, 3263631087),
-  ('m0010', 12000, 8000, 0, 4049555614),
-  ('m0013', 18000, 8000, 55082, 1049143948),
-  ('m0016', 8000, 8000, 0, 1560468128),
-  ('m0019', 14000, 8000, 0, 1104086471),
-  ('m0022', 20000, 8000, 0, 276612464),
-  ('m0025', 10000, 8000, 78988, 3079472524),
-  ('m0028', 16000, 8000, 0, 3898609488),
-  ('m0031', 22000, 8000, 0, 693768208),
-  ('m0034', 12000, 8000, 0, 3380542266),
-  ('m0037', 18000, 8000, 133698, 4060151271),
-  ('m0040', 8000, 8000, 0, 2468370472),
-  ('m0043', 14000, 8000, 0, 3944568335),
-  ('m0046', 20000, 8000, 0, 82130155),
-  ('m0049', 10000, 8000, 404158, 1015367753),
-  ('m0052', 16000, 8000, 0, 2679969101),
-  ('m0055', 22000, 8000, 55082, 2468549624),
-  ('m0058', 12000, 8000, 0, 3185579133)
+  ('m0001', 10000, 8000, 0, 3133615853),
+  ('m0004', 16000, 8000, 0, 1778345491),
+  ('m0007', 22000, 8000, 404158, 1844766655),
+  ('m0010', 12000, 8000, 0, 376072971),
+  ('m0013', 18000, 8000, 55082, 558047502),
+  ('m0016', 8000, 8000, 0, 1191032288),
+  ('m0019', 14000, 8000, 0, 1356164791),
+  ('m0022', 20000, 8000, 0, 2327336),
+  ('m0025', 10000, 8000, 78988, 2561652856),
+  ('m0028', 16000, 8000, 0, 3192298168),
+  ('m0031', 22000, 8000, 0, 352280270),
+  ('m0034', 12000, 8000, 0, 1269552412),
+  ('m0037', 18000, 8000, 133698, 1060715003),
+  ('m0040', 8000, 8000, 0, 1218624315),
+  ('m0043', 14000, 8000, 0, 4241067913),
+  ('m0046', 20000, 8000, 0, 3444496895),
+  ('m0049', 10000, 8000, 404158, 2810252405),
+  ('m0052', 16000, 8000, 0, 2316181416),
+  ('m0055', 22000, 8000, 55082, 1907904708),
+  ('m0058', 12000, 8000, 0, 225385614)
 ) AS t(media_id, n_samples, sample_rate, sample_sum, sample_crc)
 """,
     "shard_assignments": """

@@ -55,10 +55,12 @@ def test_type_token_normalization():
     import pyarrow as pa
     from pyspark.sql import types as T
 
-    # HUGEINT stays distinct from int64 — the whole point of the gate.
+    # HUGEINT stays distinct from the int token — the point of the gate.
     assert norm_arrow_type(pa.decimal128(38, 0)) == "decimal(38,0)"
-    assert norm_spark_type(T.LongType()) == "int64"
-    assert norm_arrow_type(pa.int64()) == "int64"
+    assert norm_spark_type(T.LongType()) == "int"
+    assert norm_arrow_type(pa.int64()) == "int"
+    # Int widths collapse (driver-proven equivalent: rank()/year() rows).
+    assert norm_spark_type(T.IntegerType()) == norm_arrow_type(pa.int64())
     # Equivalences the driver has proven across green rounds.
     assert norm_arrow_type(pa.large_string()) == norm_spark_type(
         T.StringType()

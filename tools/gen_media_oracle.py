@@ -25,7 +25,6 @@ from __future__ import annotations
 import os
 import sys
 import tempfile
-import zlib
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
@@ -75,42 +74,62 @@ def javax_sound_samples(spark, payload: bytes, tag: str) -> tuple:
     return float(fmt.getSampleRate()), np.frombuffer(raw, dtype=dt)
 
 
-def main() -> None:
-    spark = get_spark()
-    spark.sparkContext.setLogLevel("ERROR")
+def pixel_tuples(spark) -> list[tuple]:
+    """javax.imageio ground-truth tuples (media_id, h, w, channels,
+    pixel_sum, sample_crc) for the corpus's lossless image rows —
+    checksum shared with q_media_pixel_checksums via
+    multimodal.sample_crc32. Imported by tests/test_media_oracle_pin.py
+    to pin the committed VALUES to the corpus."""
     media = MM.synthetic_media_df(spark, n=CORPUS_N)
     rows = [
         r
         for r in media.filter("modality = 'image'").collect()
         if r.mime_type in ("image/bmp", "image/png")
     ]
-    lines = []
+    out = []
     for r in sorted(rows, key=lambda r: r.media_id):
         samples = imageio_samples(spark, bytes(r.payload), r.media_id)
         h, w, nb = samples.shape
         flat = samples.reshape(-1)
-        crc = zlib.crc32(",".join(str(int(v)) for v in flat).encode())
-        lines.append(
-            f"  ('{r.media_id}', {h}, {w}, {nb}, "
-            f"{int(flat.sum())}, {crc})"
+        out.append(
+            (r.media_id, h, w, nb, int(flat.sum()), MM.sample_crc32(flat))
         )
-    print("-- media_pixel_checksums VALUES")
-    print(",\n".join(lines))
+    return out
 
+
+def audio_tuples(spark) -> list[tuple]:
+    """javax.sound.sampled ground-truth tuples (media_id, n_samples,
+    rate, sample_sum, sample_crc) for the corpus's WAV rows."""
+    media = MM.synthetic_media_df(spark, n=CORPUS_N)
     audio = media.filter("modality = 'audio'").collect()
-    lines = []
+    out = []
     for r in sorted(audio, key=lambda r: r.media_id):
         rate, samples = javax_sound_samples(
             spark, bytes(r.payload), r.media_id + ".wav"
         )
         flat = samples.astype(np.int64)
-        crc = zlib.crc32(",".join(str(int(v)) for v in flat).encode())
-        lines.append(
-            f"  ('{r.media_id}', {len(flat)}, {int(rate)}, "
-            f"{int(flat.sum())}, {crc})"
+        out.append(
+            (
+                r.media_id, len(flat), int(rate),
+                int(flat.sum()), MM.sample_crc32(flat),
+            )
         )
+    return out
+
+
+def main() -> None:
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    print("-- media_pixel_checksums VALUES")
+    print(",\n".join(
+        f"  ('{t[0]}', {t[1]}, {t[2]}, {t[3]}, {t[4]}, {t[5]})"
+        for t in pixel_tuples(spark)
+    ))
     print("-- media_audio_checksums VALUES")
-    print(",\n".join(lines))
+    print(",\n".join(
+        f"  ('{t[0]}', {t[1]}, {t[2]}, {t[3]}, {t[4]})"
+        for t in audio_tuples(spark)
+    ))
 
 
 if __name__ == "__main__":
