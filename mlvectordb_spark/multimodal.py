@@ -460,6 +460,39 @@ def synthetic_media_df(
 # format key → callable(payload: bytes) -> decoded object
 # (HxW(x3) uint8 for images; (samples, rate) for audio; adapter-defined
 # for video, conventionally an iterable of frames)
+def partition_by_format(media: DataFrame, n_partitions: int) -> DataFrame:
+    """Deterministic cost-BALANCED decode layout: stripe each format's
+    rows across all partitions (partition ≈ rank-within-format mod n),
+    so every partition carries the same per-format mix.
+
+    Measured rationale (tools/media_probe.py A/Bs, SCALING.md r12):
+    per-row decode cost is format-heterogeneous — a progressive-JPEG row
+    costs ~10× a BMP row. Three layouts at 8 cores / 8k rows:
+    format-PURE equal-row partitions (repartitionByRange on mime_type)
+    lose outright (~377 rows/s — the heavy format's partitions dominate
+    makespan); round-robin and this stripe tie within host noise
+    (~650–785 rows/s) BECAUSE the synthetic corpus interleaves formats,
+    so round-robin happens to inherit the balance. The stripe's value is
+    that the balance is guaranteed regardless of INPUT ORDER: real
+    ingest corpora arrive format-clustered (per-source directories), and
+    Spark's round-robin repartition batches rows per input split, so
+    clustered inputs re-cluster — the stripe does not. Costs one window
+    pass + one shuffle; use it once before a decode-bound stage."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("mime_type").orderBy("media_id")
+    return (
+        media.withColumn(
+            "_stripe", (F.row_number().over(w) - 1) % n_partitions
+        )
+        # range-partition on the stripe id: n distinct values into n
+        # partitions maps ~1:1 (hash would collide stripes into shared
+        # buckets and leave others empty)
+        .repartitionByRange(n_partitions, "_stripe")
+        .drop("_stripe")
+    )
+
+
 def sample_crc32(flat) -> int:
     """CRC32 over the canonical little-endian int64 serialization of a
     flat sample array — THE shared checksum between the
@@ -602,15 +635,23 @@ def adapter_decode_stats(
         # adapter registered here must not leak into LATER decode_media /
         # adapter_decode_stats calls in the same worker (they would
         # silently report 'adapter' where 'none' is expected).
-        snapshot = dict(MEDIA_ADAPTERS)
+        # MUST resolve the registry through the imported module, not a
+        # closure global: cloudpickle rebinds a shipped closure's globals
+        # to a DETACHED per-function dict, so a bare MEDIA_ADAPTERS here
+        # would snapshot/clear a worker-side copy while decode_media
+        # (pickled by module reference) keeps reading the real module
+        # dict — the restore would silently no-op.
+        from mlvectordb_spark import multimodal as _mm
+
+        snapshot = dict(_mm.MEDIA_ADAPTERS)
         if adapters:
             for key, fn in adapters.items():
-                register_media_adapter(key, fn)
+                _mm.register_media_adapter(key, fn)
         try:
             yield from _stats_inner(batches)
         finally:
-            MEDIA_ADAPTERS.clear()
-            MEDIA_ADAPTERS.update(snapshot)
+            _mm.MEDIA_ADAPTERS.clear()
+            _mm.MEDIA_ADAPTERS.update(snapshot)
 
     def _stats_inner(
         batches: Iterator[pd.DataFrame],

@@ -4868,9 +4868,17 @@ def q_emb_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk only, plus a replayed batch that the batch-id watermark must
     no-op — and the merged state's covariance must equal DuckDB's
     covar_samp over the whole table. Gates batch-update + merge +
-    replay idempotence + persistence round-trip in one oracle."""
+    replay idempotence + persistence round-trip in one oracle.
+
+    NOTE (bench semantics): the distributed folds run EAGERLY here, at
+    query-construction time — the returned DF is a literal of the merged
+    state — so this entry's cost is measured by bench.py's per-entry
+    construction+force timing; re-forcing the returned DF alone would
+    time nothing. The state dir is the per-(entry, pid) _entry_tmpdir
+    slot, wiped on re-entry (bounded leak, and each bench run re-folds
+    from an EMPTY state rather than replay-no-op'ing against the last
+    run's watermark)."""
     import os
-    import tempfile
 
     from mlvectordb_spark.operators.pca import (
         MomentState,
@@ -4878,9 +4886,9 @@ def q_emb_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = os.path.join(
-        tempfile.mkdtemp(prefix="pca_inc_"), "moments.npz"
-    )
+    state_dir = _entry_tmpdir("pca_inc")
+    os.makedirs(state_dir, exist_ok=True)
+    path = os.path.join(state_dir, "moments.npz")
     chunks = [
         emb.filter(F.col("vec_id") % 3 == m).select("embedding")
         for m in range(3)

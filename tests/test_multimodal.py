@@ -623,3 +623,51 @@ def test_adapter_decode_stats_routes_and_accounts(spark):
     assert all(r.decoded_units == 16 for r in vids)  # one 4x4 frame
     natives = [r for r in out if r.decode_path == "native"]
     assert natives and all(r.decoded_units > 0 for r in natives)
+
+
+def test_partition_by_format_stripes_every_format(spark):
+    """Every partition gets ~the same per-format mix (cost balance is
+    deterministic, independent of input order), and no partition is
+    empty — the measured layout contract in partition_by_format."""
+    media = MM.synthetic_media_df(spark, n=120)
+    n_parts = 6
+    laid = MM.partition_by_format(media, n_parts)
+    assert laid.rdd.getNumPartitions() == n_parts
+    pdf = (
+        laid.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", "mime_type")
+        .count()
+        .toPandas()
+    )
+    assert pdf["pid"].nunique() == n_parts
+    # per (format, partition) counts differ by at most 1 from the
+    # format's ideal share: the stripe assigns rank % n
+    for mt, grp in pdf.groupby("mime_type"):
+        counts = grp.set_index("pid")["count"].reindex(
+            range(n_parts), fill_value=0
+        )
+        assert counts.max() - counts.min() <= 1, (mt, dict(counts))
+    # row totals preserved
+    assert int(pdf["count"].sum()) == 120
+
+
+def test_adapter_decode_stats_restores_registry(spark):
+    """Caller-supplied adapters must not leak into the process-global
+    MEDIA_ADAPTERS after the pass (reused executor workers would
+    silently route later decodes through a stale toy adapter)."""
+    media = MM.synthetic_media_df(spark, n=12).filter(
+        F.col("modality") == "video"
+    )
+    toy = lambda payload: iter(())  # noqa: E731
+    MM.adapter_decode_stats(media, adapters={"video": toy}).collect()
+    # driver-side registry untouched (the mutation happens executor-side
+    # inside a snapshot/restore); and a second pass WITHOUT adapters
+    # must report 'none', proving no worker kept the toy registered
+    assert "video" not in MM.MEDIA_ADAPTERS or MM.MEDIA_ADAPTERS[
+        "video"
+    ] is not toy
+    paths = {
+        r.decode_path
+        for r in MM.adapter_decode_stats(media).collect()
+    }
+    assert paths == {"none"}

@@ -34,7 +34,13 @@ def run_at(cores: int, n: int) -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    media = MM.synthetic_media_df(spark, n=n).repartition(cores * 4)
+    # deterministic cost-balanced decode partitions (each holds the same
+    # per-format mix — see partition_by_format's measured rationale);
+    # ties round-robin on this interleaved corpus, and stays balanced on
+    # format-clustered inputs where round-robin re-clusters
+    media = MM.partition_by_format(
+        MM.synthetic_media_df(spark, n=n), cores * 4
+    )
     media = media.cache()
     total_bytes = media.agg(
         F.sum(F.length("payload"))
