@@ -1730,3 +1730,53 @@ def test_batch_approx_serving_ivf_and_ivfpq(spark, tmp_path):
             qvecs, 5, namespace="A", metric="l2", mode="indexed",
             target_recall=0.9,
         )
+
+
+def test_readme_serving_dials_match_code():
+    """The README 'Store serving dials' table documents the shipped
+    find_similar/find_similar_batch defaults and the shared resolver
+    policy — pin them so the docs can't drift from the code (r11
+    verdict #8, the presets-pinning pattern extended to the store)."""
+    import inspect
+    import os
+    import re
+
+    from mlvectordb_spark.operators.store import VectorStore
+
+    sig_single = inspect.signature(VectorStore.find_similar)
+    sig_batch = inspect.signature(VectorStore.find_similar_batch)
+    shared = ("namespace", "metric", "mode", "nprobe", "target_recall",
+              "sync")
+    for name in shared:
+        assert (
+            sig_single.parameters[name].default
+            == sig_batch.parameters[name].default
+        ), f"single/batch default drift on {name}"
+    defaults = {k: sig_single.parameters[k].default for k in shared}
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "README.md")) as f:
+        readme = f.read()
+    section = readme.split("## Store serving dials")[1].split("\n## ")[0]
+
+    def table_default(dial: str) -> str:
+        m = re.search(rf"\| `{dial}`[^|]*\| ([^|]+) \|", section)
+        assert m, f"README serving table missing dial {dial}"
+        return m.group(1).strip()
+
+    assert table_default("mode") == defaults["mode"] == "auto"
+    assert table_default("metric") == defaults["metric"] == "cosine"
+    assert table_default("nprobe") == str(defaults["nprobe"]) == "4"
+    assert table_default("target_recall").startswith("None")
+    assert defaults["target_recall"] is None
+    assert table_default("sync") == str(defaults["sync"]) == "False"
+
+    # the documented calibration k and empty-index fallbacks are the
+    # ones in the shared resolvers (both paths route through them)
+    src_graph = inspect.getsource(VectorStore._resolve_graph_dial)
+    src_nprobe = inspect.getsource(VectorStore._resolve_nprobe)
+    assert "max(10, top_k)" in src_graph and "max(10, top_k)" in src_nprobe
+    assert "max(10, top_k)" in section
+    assert '{"ef": None, "nprobe": None}' in src_graph  # graph: exhaustive
+    assert "return index.n_clusters" in src_nprobe  # IVF: probe everything
+    assert "n_clusters" in section
