@@ -77,6 +77,7 @@ HEADLINE = [
     "doc_fingerprint",
     "doc_bpe_subword",
     "doc_logprob",
+    "doc_dsir_weights",
     "doc_dup_ngrams",
     "dedup_exact",
     "dedup_minhash",

@@ -915,3 +915,89 @@ def budget_mixture(
         F.round(target, 2).alias("tokens_target"),
         F.round(target / F.col("n"), 6).alias("sampling_rate"),
     )
+
+
+DSIR_BUCKETS = 4096
+DSIR_SALT = "dsir:"
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = DSIR_SALT,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its hashed n-gram features are under a TARGET
+    corpus's bag-of-ngrams model than under the raw corpus's own —
+
+        log w(doc) = Σ_f∈doc [ log p̂_target(b(f)) − log p̂_raw(b(f)) ]
+
+    with features f = unigrams + bigrams, b(f) an md5 hash bucket in
+    [0, n_buckets), and add-one smoothed bucket probabilities
+    p̂(b) = (count_b + 1) / (total + n_buckets). Sampling ∝ exp(log w)
+    (Gumbel-top-k in the paper) turns the weights into the
+    importance-resampled subset; rank/threshold consumers can use the
+    weight directly. `target_pred` is a Column predicate selecting the
+    target slice of the SAME corpus (the common case: a trusted
+    high-quality subset); docs with zero tokens have no features and are
+    omitted (consistent on any engine).
+
+    Scale shape: ONE explode produces the (doc, feature) stream; the
+    bucket LM is ONE conditional aggregation over it (target counts via
+    count-if, never a second corpus pass); the per-bucket log-ratio
+    table is ≤ n_buckets rows → broadcast join back; the per-doc sum is
+    one doc_id shuffle. Two shuffles + one broadcast total, independent
+    of corpus size. The md5 bucket (hash_bucket_wide) is the
+    cross-engine hash, so the DuckDB oracle states the identical
+    expression."""
+    toks = docs.select(
+        F.col(id_col),
+        target_pred.alias("is_target"),
+        TX.tokens(text_col).alias("toks"),
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.zip_with(
+            F.slice(F.col("toks"), 1, F.size("toks") - 1),
+            F.slice(F.col("toks"), 2, F.size("toks") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toks.select(
+        id_col,
+        "is_target",
+        F.explode(F.concat(F.col("toks"), bigrams)).alias("feat"),
+    ).withColumn(
+        "bucket",
+        F.pmod(hash_bucket_wide(F.col("feat"), salt, nibbles=4), n_buckets),
+    )
+    lm = feats.groupBy("bucket").agg(
+        F.count("*").alias("raw_n"),
+        F.sum(F.col("is_target").cast("long")).alias("tgt_n"),
+    )
+    # totals as full-frame WINDOW sums over the ≤n_buckets-row LM table,
+    # not an agg + crossJoin — the join form re-plans the whole corpus
+    # aggregation a second time for two scalars (the budget_mixture
+    # lesson; verified in-plan: 3 corpus scans → 2)
+    from pyspark.sql import Window
+
+    full = Window.partitionBy()
+    lr = lm.select(
+        "bucket",
+        (
+            F.log((F.col("tgt_n") + 1) / (F.sum("tgt_n").over(full) + n_buckets))
+            - F.log((F.col("raw_n") + 1) / (F.sum("raw_n").over(full) + n_buckets))
+        ).alias("lr"),
+    )
+    return (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.round(F.sum("lr"), 4).alias("log_weight"),
+        )
+    )

@@ -3662,6 +3662,19 @@ def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs)
 
 
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): per-doc hashed-ngram
+    log importance ratio of a target LM (here the English slice of the
+    corpus) over the raw corpus LM — the published importance-resampling
+    data-selection signal, engine-native. Unigram+bigram features, md5
+    buckets (the cross-engine hash), add-one smoothing; the oracle
+    restates the identical bucket expression and smoothing in DuckDB."""
+    from mlvectordb_spark.operators.curation import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_log_weights(docs, F.col("lang") == "en")
+
+
 def q_doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate 3-gram coverage per document (Gopher/RefinedWeb 'fraction
     of tokens in duplicated n-grams' filter)."""
@@ -6161,6 +6174,45 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM t JOIN freq USING (token), tot
 GROUP BY doc_id
 """,
+    # DSIR (Xie et al. 2023): identical md5 bucket fold + add-one
+    # smoothing as operators/curation.dsir_log_weights. tt/tr sums pass
+    # through DOUBLE division, so no HUGEINT reaches the output.
+    "doc_dsir_weights": """
+WITH toks_t AS (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         list_filter(string_split(text, ' '), t -> t != '') AS toks
+  FROM documents
+), feat_t AS (
+  SELECT doc_id, is_target, unnest(toks) AS feat FROM toks_t
+  UNION ALL
+  SELECT doc_id, is_target, toks[i] || ' ' || toks[i+1] AS feat
+  FROM toks_t, UNNEST(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+), bk AS (
+  SELECT doc_id, is_target,
+    ((((instr('0123456789abcdef', md5('dsir:' || feat)[1:1]) - 1)::BIGINT
+       * 16 + (instr('0123456789abcdef', md5('dsir:' || feat)[2:2]) - 1))
+       * 16 + (instr('0123456789abcdef', md5('dsir:' || feat)[3:3]) - 1))
+       * 16 + (instr('0123456789abcdef', md5('dsir:' || feat)[4:4]) - 1))
+      % 4096 AS bucket
+  FROM feat_t
+), lm AS (
+  SELECT bucket, count(*) AS raw_n,
+         count(*) FILTER (WHERE is_target) AS tgt_n
+  FROM bk GROUP BY bucket
+), tot AS (
+  SELECT sum(raw_n) AS tr, sum(tgt_n) AS tt FROM lm
+), lr AS (
+  SELECT bucket,
+    ln((tgt_n + 1)::DOUBLE / (tt + 4096)::DOUBLE)
+      - ln((raw_n + 1)::DOUBLE / (tr + 4096)::DOUBLE) AS lr
+  FROM lm, tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_feats,
+  round(sum(lr), 4) AS log_weight
+FROM bk JOIN lr USING (bucket)
+GROUP BY doc_id
+""",
     "doc_dup_ngrams": f"""
 WITH toks_t AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
@@ -7103,6 +7155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udaf_geomean": q_udaf_geomean,
     "events_sessionize": q_events_sessionize,
     "doc_logprob": q_doc_logprob,
+    "doc_dsir_weights": q_doc_dsir_weights,
     "doc_dup_ngrams": q_doc_dup_ngrams,
     # r7b: Python UDTF surface (lateral table function, oracle shared
     # with doc_chunks)
@@ -7767,9 +7820,13 @@ _WINDOW = [
     "table_cdf_multi", "table_mv", "tfidf_terms", "token_freq",
     "top_orders_per_cust", "tpch_q1", "tpch_q3", "train_shuffle",
     "udaf_geomean",
-    # (d) four oldest r9-bucket oracle rows, starting that bucket's
-    # drain (dedup_keep_best doubles as the r10/r11 watch entry)
-    "bm25_topk", "conditional_agg", "decontaminate_semantic",
+    # (d) doc_dsir_weights is NEW this round (DSIR importance weights,
+    # Xie et al. 2023 — policy (a) gates new entries the round they
+    # appear), plus three oldest r9-bucket oracle rows starting that
+    # bucket's drain (dedup_keep_best doubles as the r10/r11 watch
+    # entry; conditional_agg defers to r13 — its kernel rides many
+    # other window entries)
+    "doc_dsir_weights", "bm25_topk", "decontaminate_semantic",
     "dedup_keep_best",
     # (e) continuity core (the flagship operators)
     "knn_l2", "hybrid_knn", "store_roundtrip",

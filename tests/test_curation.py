@@ -529,3 +529,56 @@ def test_budget_mixture_fills_budget_exactly(spark):
 
     full = budget_mixture(docs, budget_frac=1.0).collect()
     assert all(r.saturated and r.sampling_rate == 1.0 for r in full)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR sanity on a constructed corpus: docs sharing the target
+    slice's vocabulary score a higher log importance weight than docs
+    from a disjoint vocabulary, and the target docs outrank both (their
+    bigrams are the target LM's). Absolute signs are not asserted:
+    add-one smoothing over n_buckets >> corpus size shifts every weight
+    negative on a toy corpus — only the ordering is the signal."""
+    from mlvectordb_spark.operators.curation import dsir_log_weights
+
+    tgt = ["clean measured prose with careful words"] * 6
+    near = ["careful measured words in clean prose"] * 3
+    junk = ["zzz qqq xxx lorem garble blort"] * 6
+    rows = (
+        [(i, t, True) for i, t in enumerate(tgt)]
+        + [(100 + i, t, False) for i, t in enumerate(near)]
+        + [(200 + i, t, False) for i, t in enumerate(junk)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, is_tgt boolean"
+    )
+    out = {
+        r.doc_id: r.log_weight
+        for r in dsir_log_weights(docs, F.col("is_tgt")).collect()
+    }
+    assert len(out) == 15
+    near_w = sum(out[100 + i] for i in range(3)) / 3
+    junk_w = sum(out[200 + i] for i in range(6)) / 6
+    tgt_w = sum(out[i] for i in range(6)) / 6
+    assert tgt_w > near_w > junk_w, (tgt_w, near_w, junk_w)
+    # deterministic: a second invocation reproduces the weights exactly
+    again = {
+        r.doc_id: r.log_weight
+        for r in dsir_log_weights(docs, F.col("is_tgt")).collect()
+    }
+    assert again == out
+
+
+def test_dsir_single_token_docs_have_no_bigrams(spark):
+    """A one-token doc contributes exactly one unigram feature (the
+    bigram branch must not blow up on size-1 or empty token arrays);
+    zero-token docs are omitted."""
+    from mlvectordb_spark.operators.curation import dsir_log_weights
+
+    docs = spark.createDataFrame(
+        [(1, "word", True), (2, "", True), (3, "two tokens", False)],
+        "doc_id long, text string, is_tgt boolean",
+    )
+    rows = {r.doc_id: r for r in dsir_log_weights(docs, F.col("is_tgt")).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1].n_feats == 1
+    assert rows[3].n_feats == 3  # two unigrams + one bigram
