@@ -78,6 +78,7 @@ HEADLINE = [
     "doc_bpe_subword",
     "doc_logprob",
     "doc_dsir_weights",
+    "doc_bigram_logprob",
     "doc_dup_ngrams",
     "dedup_exact",
     "dedup_minhash",

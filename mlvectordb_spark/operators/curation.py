@@ -1001,3 +1001,83 @@ def dsir_log_weights(
             F.round(F.sum("lr"), 4).alias("log_weight"),
         )
     )
+
+
+BIGRAM_LAMBDA = 0.7
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = BIGRAM_LAMBDA,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED bigram log-likelihood under the
+    corpus's own bigram LM — the next fidelity step past
+    `unigram_logprob` toward the CCNet/KenLM perplexity signal:
+    boilerplate with corpus-typical word PAIRS scores high, token soup
+    that happens to reuse common words scores low.
+
+        p(w | prev) = λ·c₂(prev,w)/c₁(prev) + (1−λ)·(cᵤ(w)+1)/(T+V)
+
+    Every count is a marginal of ONE bigram count table: c₁(prev) and
+    cᵤ(w) are its two marginals, T its total and V its distinct-w count
+    (the conventional bigram-table marginals; first/last tokens of a doc
+    appear in one marginal only — stated here because the DuckDB oracle
+    mirrors the same convention). The backoff term is add-one smoothed;
+    the λ-weighted ML term is 0 for unseen pairs, so every probability
+    is positive and finite. Docs with <2 tokens have no bigrams and are
+    omitted (consistent on any engine). Emits (id, n_bigrams,
+    avg_logprob rounded 4).
+
+    Scale shape: ONE bigram-count shuffle builds the LM; ALL marginals
+    (c₁, cᵤ, T, V) are window aggregates over that vocab²-row table —
+    never a second corpus pass (the budget_mixture lesson); the scored
+    stream pays one (prev,w) join shuffle + one doc shuffle. Two corpus
+    scans total (LM build + scoring), like dsir_log_weights."""
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col), TX.tokens(text_col).alias("toks"))
+    bigram_pairs = toks.filter(F.size("toks") >= 2).select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("w")),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
+    c2 = bigram_pairs.groupBy("prev", "w").agg(F.count("*").alias("c2"))
+    by_prev = Window.partitionBy("prev")
+    by_w = Window.partitionBy("w")
+    full = Window.partitionBy()
+    # V (distinct w) as a sum of first-row-per-w markers — NOT
+    # collect_set over the full frame, which would materialize the whole
+    # vocabulary as one in-memory array
+    first_of_w = (
+        F.row_number().over(by_w.orderBy("prev")) == 1
+    ).cast("long")
+    lp = c2.withColumn("is_first_w", first_of_w).select(
+        "prev",
+        "w",
+        F.log(
+            F.lit(float(lam))
+            * F.col("c2")
+            / F.sum("c2").over(by_prev)
+            + F.lit(1.0 - float(lam))
+            * (F.sum("c2").over(by_w) + 1)
+            / (
+                F.sum("c2").over(full)
+                + F.sum("is_first_w").over(full)
+            )
+        ).alias("logp"),
+    )
+    return (
+        bigram_pairs.join(lp, ["prev", "w"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("avg_logprob"),
+        )
+    )

@@ -3662,6 +3662,20 @@ def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs)
 
 
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score (the fidelity step past
+    doc_logprob's unigram LM toward CCNet/KenLM perplexity): mean
+    log p(w|prev) with λ-interpolated ML bigram + add-one-smoothed
+    unigram backoff, all counts marginals of one bigram table. The
+    oracle mirrors the marginal conventions and computes 1−λ the same
+    way (1 - 0.7 in double arithmetic — parsing '0.3' would differ in
+    the last ulp and can flip the 4-decimal rounding)."""
+    from mlvectordb_spark.operators.curation import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
+
+
 def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): per-doc hashed-ngram
     log importance ratio of a target LM (here the English slice of the
@@ -6174,6 +6188,33 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM t JOIN freq USING (token), tot
 GROUP BY doc_id
 """,
+    # Interpolated bigram LM (operators/curation.bigram_logprob): every
+    # count is a marginal of the one bigram table; T and V are scalar
+    # subqueries (DuckDB's window engine — same values, simpler SQL).
+    # 1−λ is computed as (1 - 0.7), matching Spark's double arithmetic.
+    "doc_bigram_logprob": """
+WITH toks_t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] AS prev, toks[i+1] AS w
+  FROM toks_t, UNNEST(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+), c2_t AS (
+  SELECT prev, w, count(*) AS c2 FROM bg GROUP BY prev, w
+), lp AS (
+  SELECT prev, w,
+    ln(0.7 * c2 / sum(c2) OVER (PARTITION BY prev)
+       + (1 - 0.7) * (sum(c2) OVER (PARTITION BY w) + 1)::DOUBLE
+         / ((SELECT sum(c2) FROM c2_t)
+            + (SELECT count(DISTINCT w) FROM c2_t))::DOUBLE) AS logp
+  FROM c2_t
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+  round(avg(logp), 4) AS avg_logprob
+FROM bg JOIN lp USING (prev, w)
+GROUP BY doc_id
+""",
     # DSIR (Xie et al. 2023): identical md5 bucket fold + add-one
     # smoothing as operators/curation.dsir_log_weights. tt/tr sums pass
     # through DOUBLE division, so no HUGEINT reaches the output.
@@ -7155,6 +7196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udaf_geomean": q_udaf_geomean,
     "events_sessionize": q_events_sessionize,
     "doc_logprob": q_doc_logprob,
+    "doc_bigram_logprob": q_doc_bigram_logprob,
     "doc_dsir_weights": q_doc_dsir_weights,
     "doc_dup_ngrams": q_doc_dup_ngrams,
     # r7b: Python UDTF surface (lateral table function, oracle shared
@@ -7820,13 +7862,13 @@ _WINDOW = [
     "table_cdf_multi", "table_mv", "tfidf_terms", "token_freq",
     "top_orders_per_cust", "tpch_q1", "tpch_q3", "train_shuffle",
     "udaf_geomean",
-    # (d) doc_dsir_weights is NEW this round (DSIR importance weights,
-    # Xie et al. 2023 — policy (a) gates new entries the round they
-    # appear), plus three oldest r9-bucket oracle rows starting that
-    # bucket's drain (dedup_keep_best doubles as the r10/r11 watch
-    # entry; conditional_agg defers to r13 — its kernel rides many
-    # other window entries)
-    "doc_dsir_weights", "bm25_topk", "decontaminate_semantic",
+    # (d) doc_dsir_weights and doc_bigram_logprob are NEW this round
+    # (DSIR importance weights, Xie et al. 2023; interpolated bigram-LM
+    # scoring — policy (a) gates new entries the round they appear),
+    # plus two r9-bucket oracle rows starting that bucket's drain
+    # (dedup_keep_best doubles as the r10/r11 watch entry;
+    # conditional_agg / decontaminate_semantic defer to r13)
+    "doc_dsir_weights", "doc_bigram_logprob", "bm25_topk",
     "dedup_keep_best",
     # (e) continuity core (the flagship operators)
     "knn_l2", "hybrid_knn", "store_roundtrip",

@@ -582,3 +582,25 @@ def test_dsir_single_token_docs_have_no_bigrams(spark):
     assert set(rows) == {1, 3}
     assert rows[1].n_feats == 1
     assert rows[3].n_feats == 3  # two unigrams + one bigram
+
+
+def test_bigram_logprob_rewards_typical_pairs(spark):
+    """Interpolated bigram LM: a doc made of corpus-typical PAIRS must
+    outrank a doc reusing the same words in atypical order (the signal
+    unigram_logprob cannot see), and docs with <2 tokens are omitted."""
+    from mlvectordb_spark.operators.curation import bigram_logprob
+
+    common = ["the cat sat on the mat"] * 8
+    scrambled = ["mat the on sat cat the"]
+    rows = (
+        [(i, t) for i, t in enumerate(common)]
+        + [(50, scrambled[0]), (60, "solo"), (70, "")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    assert set(out) == set(range(8)) | {50}
+    assert out[0].n_bigrams == 5
+    assert out[0].avg_logprob > out[50].avg_logprob
+    # determinism across invocations
+    again = {r.doc_id: r.avg_logprob for r in bigram_logprob(docs).collect()}
+    assert again == {k: v.avg_logprob for k, v in out.items()}

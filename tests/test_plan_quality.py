@@ -678,3 +678,18 @@ def test_dsir_two_shuffles_one_broadcast(spark, sf_dir):
     # the only other exchange is the tiny-window SinglePartition
     assert sum(o.startswith("Exchange") for o in ops) == 3, ops
     assert raw.count("Arguments: SinglePartition") == 1, raw
+
+
+def test_bigram_logprob_two_corpus_scans(spark, sf_dir):
+    """bigram_logprob's contract: two corpus scans (LM build + scoring)
+    and marginals as windows over the bigram-count table — never a
+    corpus re-aggregation for the T/V scalars (one SinglePartition of
+    the vocab-sized table is the window evaluation, not a replan)."""
+    plan = explain_query(QUERIES["doc_bigram_logprob"](spark, sf_dir))
+    ops = [s["operator"] for s in plan["execution_plan"]["steps"]]
+    raw = plan["raw"]
+    assert sum(o.startswith("Scan parquet") for o in ops) == 2, ops
+    assert raw.count("Arguments: SinglePartition") == 1, raw
+    # corpus-sized shuffles: (prev,w) count + doc_id sum; LM-table
+    # shuffles: the w/prev window partitionings — never more
+    assert raw.count("Arguments: hashpartitioning") <= 4, raw
