@@ -954,23 +954,24 @@ def dsir_log_weights(
     of corpus size. The md5 bucket (hash_bucket_wide) is the
     cross-engine hash, so the DuckDB oracle states the identical
     expression."""
+    # NULL predicate (e.g. a nullable flag column) means "not target" —
+    # an un-coalesced NULL would poison its bucket's tgt_n sum and
+    # silently drop that bucket's log-ratio from every doc's sum
+    # (r12 review finding)
     toks = docs.select(
         F.col(id_col),
-        target_pred.alias("is_target"),
+        F.coalesce(target_pred, F.lit(False)).alias("is_target"),
         TX.tokens(text_col).alias("toks"),
     )
-    bigrams = F.when(
-        F.size("toks") >= 2,
-        F.zip_with(
-            F.slice(F.col("toks"), 1, F.size("toks") - 1),
-            F.slice(F.col("toks"), 2, F.size("toks") - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     feats = toks.select(
         id_col,
         "is_target",
-        F.explode(F.concat(F.col("toks"), bigrams)).alias("feat"),
+        F.explode(
+            F.concat(
+                F.col("toks"),
+                TX.word_shingles(F.col("toks"), 2),
+            )
+        ).alias("feat"),
     ).withColumn(
         "bucket",
         F.pmod(hash_bucket_wide(F.col("feat"), salt, nibbles=4), n_buckets),

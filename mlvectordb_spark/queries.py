@@ -3667,9 +3667,10 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_logprob's unigram LM toward CCNet/KenLM perplexity): mean
     log p(w|prev) with λ-interpolated ML bigram + add-one-smoothed
     unigram backoff, all counts marginals of one bigram table. The
-    oracle mirrors the marginal conventions and computes 1−λ the same
-    way (1 - 0.7 in double arithmetic — parsing '0.3' would differ in
-    the last ulp and can flip the 4-decimal rounding)."""
+    oracle mirrors the marginal conventions with its λ literals
+    ::DOUBLE-cast — bare DuckDB numeric literals are DECIMALs whose
+    exact arithmetic drifts ~1 ulp per term from Spark's doubles and
+    can flip the 4-decimal rounding (r12 review finding)."""
     from mlvectordb_spark.operators.curation import bigram_logprob
 
     docs = load_table(spark, sf_dir, "documents")
@@ -6191,7 +6192,12 @@ GROUP BY doc_id
     # Interpolated bigram LM (operators/curation.bigram_logprob): every
     # count is a marginal of the one bigram table; T and V are scalar
     # subqueries (DuckDB's window engine — same values, simpler SQL).
-    # 1−λ is computed as (1 - 0.7), matching Spark's double arithmetic.
+    # λ literals are ::DOUBLE-cast: bare 0.7 / (1 - 0.7) would be DuckDB
+    # DECIMALs evaluated exactly (0.3 → double ...99889, products kept
+    # exact pre-division), drifting ~1 ulp per term from Spark's double
+    # arithmetic (r12 review, verified empirically: 0.7*3/12 differs).
+    # With the casts both engines compute the identical doubles,
+    # including 1−λ = double(1)−double(0.7) = 0.30000000000000004.
     "doc_bigram_logprob": """
 WITH toks_t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
@@ -6204,8 +6210,9 @@ WITH toks_t AS (
   SELECT prev, w, count(*) AS c2 FROM bg GROUP BY prev, w
 ), lp AS (
   SELECT prev, w,
-    ln(0.7 * c2 / sum(c2) OVER (PARTITION BY prev)
-       + (1 - 0.7) * (sum(c2) OVER (PARTITION BY w) + 1)::DOUBLE
+    ln(0.7::DOUBLE * c2 / sum(c2) OVER (PARTITION BY prev)
+       + (1::DOUBLE - 0.7::DOUBLE)
+         * (sum(c2) OVER (PARTITION BY w) + 1)::DOUBLE
          / ((SELECT sum(c2) FROM c2_t)
             + (SELECT count(DISTINCT w) FROM c2_t))::DOUBLE) AS logp
   FROM c2_t

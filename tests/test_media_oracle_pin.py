@@ -18,7 +18,9 @@ import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo/tools")
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from mlvectordb_spark.queries import ORACLE_SQL
 

@@ -14,12 +14,14 @@ import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo/tools")
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from verify_local import (  # noqa: E402
     compare_entry,
     make_duckdb,
-    norm_arrow_type,
+    norm_duck_type,
     norm_spark_type,
 )
 
@@ -52,25 +54,20 @@ def test_uncast_hugeint_oracle_fails_locally(spark, duck, sf_dir):
 
 
 def test_type_token_normalization():
-    import pyarrow as pa
     from pyspark.sql import types as T
 
     # HUGEINT stays distinct from the int token — the point of the gate.
-    assert norm_arrow_type(pa.decimal128(38, 0)) == "decimal(38,0)"
+    assert norm_duck_type("HUGEINT") == "decimal(38,0)"
     assert norm_spark_type(T.LongType()) == "int"
-    assert norm_arrow_type(pa.int64()) == "int"
+    assert norm_duck_type("BIGINT") == "int"
     # Int widths collapse (driver-proven equivalent: rank()/year() rows).
-    assert norm_spark_type(T.IntegerType()) == norm_arrow_type(pa.int64())
+    assert norm_spark_type(T.IntegerType()) == norm_duck_type("INTEGER")
     # Equivalences the driver has proven across green rounds.
-    assert norm_arrow_type(pa.large_string()) == norm_spark_type(
-        T.StringType()
-    )
-    assert norm_arrow_type(pa.timestamp("us")) == norm_spark_type(
+    assert norm_duck_type("VARCHAR") == norm_spark_type(T.StringType())
+    assert norm_duck_type("TIMESTAMP") == norm_spark_type(
         T.TimestampType()
     )
-    assert norm_arrow_type(
-        pa.large_list(pa.float64())
-    ) == norm_spark_type(T.ArrayType(T.DoubleType()))
-    assert norm_spark_type(
-        T.StructType([T.StructField("a", T.IntegerType())])
-    ) == norm_arrow_type(pa.struct([pa.field("a", pa.int32())]))
+    assert norm_duck_type("DOUBLE[]") == norm_spark_type(
+        T.ArrayType(T.DoubleType())
+    )
+    assert norm_duck_type("DECIMAL(12,2)") == "decimal(12,2)"

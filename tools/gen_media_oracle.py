@@ -74,17 +74,31 @@ def javax_sound_samples(spark, payload: bytes, tag: str) -> tuple:
     return float(fmt.getSampleRate()), np.frombuffer(raw, dtype=dt)
 
 
+_CORPUS_CACHE: dict[int, list] = {}
+
+
+def _corpus_rows(spark) -> list:
+    """Collect the synthetic corpus ONCE per process — pixel_tuples and
+    audio_tuples both need it, and main()/the pin test call both
+    (r12 review: the first refactor regenerated the corpus per call)."""
+    if CORPUS_N not in _CORPUS_CACHE:
+        _CORPUS_CACHE[CORPUS_N] = MM.synthetic_media_df(
+            spark, n=CORPUS_N
+        ).collect()
+    return _CORPUS_CACHE[CORPUS_N]
+
+
 def pixel_tuples(spark) -> list[tuple]:
     """javax.imageio ground-truth tuples (media_id, h, w, channels,
     pixel_sum, sample_crc) for the corpus's lossless image rows —
     checksum shared with q_media_pixel_checksums via
     multimodal.sample_crc32. Imported by tests/test_media_oracle_pin.py
     to pin the committed VALUES to the corpus."""
-    media = MM.synthetic_media_df(spark, n=CORPUS_N)
     rows = [
         r
-        for r in media.filter("modality = 'image'").collect()
-        if r.mime_type in ("image/bmp", "image/png")
+        for r in _corpus_rows(spark)
+        if r.modality == "image"
+        and r.mime_type in ("image/bmp", "image/png")
     ]
     out = []
     for r in sorted(rows, key=lambda r: r.media_id):
@@ -100,8 +114,7 @@ def pixel_tuples(spark) -> list[tuple]:
 def audio_tuples(spark) -> list[tuple]:
     """javax.sound.sampled ground-truth tuples (media_id, n_samples,
     rate, sample_sum, sample_crc) for the corpus's WAV rows."""
-    media = MM.synthetic_media_df(spark, n=CORPUS_N)
-    audio = media.filter("modality = 'audio'").collect()
+    audio = [r for r in _corpus_rows(spark) if r.modality == "audio"]
     out = []
     for r in sorted(audio, key=lambda r: r.media_id):
         rate, samples = javax_sound_samples(

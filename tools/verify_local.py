@@ -3,8 +3,9 @@
 Runs every queries() entry on Spark and its oracle_sql() on DuckDB over the
 same sf dir, then compares row count, column names, an order-insensitive
 value hash (rows sorted, columns sorted by name, values canonicalized), AND
-a normalized per-column output TYPE signature (Spark schema vs the DuckDB
-result fetched as Arrow).
+a normalized per-column output TYPE signature (Spark schema vs
+`DESCRIBE <oracle>` — DuckDB types the result without executing it, so
+the oracle still runs exactly once).
 
 The type check exists because the driver's value hash is type-sensitive
 while string-canonicalized values are not: in round 11 `shard_assignments`
@@ -23,7 +24,6 @@ import time
 from datetime import date, datetime
 
 import duckdb
-import pyarrow as pa
 
 sys.path.insert(0, "/root/repo")
 
@@ -106,61 +106,41 @@ def norm_spark_type(dt) -> str:
     return f"other:{dt.simpleString()}"
 
 
-def norm_arrow_type(t: pa.DataType) -> str:
-    """Normalize a pyarrow DataType (DuckDB result schema) to a token.
-
-    Deliberately keeps DuckDB HUGEINT — surfaced by Arrow as
-    decimal128(38,0) — DISTINCT from int64 so the uncast-sum() drift that
-    broke the r11 driver gate fails here too.
-    """
-    if pa.types.is_boolean(t):
-        return "bool"
-    if pa.types.is_integer(t):  # all widths+signs: see norm_spark_type
-        return "int"
-    if pa.types.is_float32(t):
-        return "float32"
-    if pa.types.is_float64(t):
-        return "float64"
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return "string"
-    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        return "binary"
-    if pa.types.is_date(t):
-        return "date"
-    if pa.types.is_timestamp(t):
+def norm_duck_type(t: str) -> str:
+    """Normalize a DuckDB type STRING (from `DESCRIBE <query>` — which
+    types the result without executing it) to the same tokens as
+    norm_spark_type. HUGEINT maps to decimal(38,0), NOT the int token —
+    the r11 drift this gate exists to catch. Current oracle universe is
+    seven scalar types; the recursive cases cover list/decimal growth."""
+    t = t.strip()
+    u = t.upper()
+    if u.endswith("[]"):
+        return f"array<{norm_duck_type(t[:-2])}>"
+    if u.startswith("DECIMAL"):
+        return "decimal" + u[len("DECIMAL"):].replace(" ", "")
+    simple = {
+        "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int",
+        "BIGINT": "int", "UTINYINT": "int", "USMALLINT": "int",
+        "UINTEGER": "int", "UBIGINT": "uint64",
+        "HUGEINT": "decimal(38,0)",
+        "FLOAT": "float32", "REAL": "float32", "DOUBLE": "float64",
+        "VARCHAR": "string", "BLOB": "binary", "BOOLEAN": "bool",
+        "DATE": "date", '"NULL"': "null", "NULL": "null",
+    }
+    if u in simple:
+        return simple[u]
+    if u.startswith("TIMESTAMP"):
         return "timestamp"
-    if pa.types.is_null(t):
-        return "null"
-    if pa.types.is_decimal(t):
-        return f"decimal({t.precision},{t.scale})"
-    if (
-        pa.types.is_list(t)
-        or pa.types.is_large_list(t)
-        or pa.types.is_fixed_size_list(t)
-    ):
-        return f"array<{norm_arrow_type(t.value_type)}>"
-    if pa.types.is_map(t):
-        return (
-            f"map<{norm_arrow_type(t.key_type)},"
-            f"{norm_arrow_type(t.item_type)}>"
-        )
-    if pa.types.is_struct(t):
-        inner = ",".join(
-            f"{f.name}:{norm_arrow_type(f.type)}" for f in t
-        )
-        return f"struct<{inner}>"
     return f"other:{t}"
 
 
-def type_mismatches(sdf, arrow_schema: pa.Schema) -> list[str]:
-    """Per-column normalized-type diffs between a Spark DF and a DuckDB
-    Arrow result schema; empty list when compatible. A `null` token on
-    either side (an all-NULL literal column) matches anything."""
+def type_mismatches(sdf, duck_types: dict[str, str]) -> list[str]:
+    """Per-column normalized-type diffs between a Spark DF and the
+    DuckDB DESCRIBE column types; empty list when compatible. A `null`
+    token on either side (an all-NULL literal column) matches
+    anything."""
     s_types = {f.name: norm_spark_type(f.dataType) for f in sdf.schema.fields}
-    o_types = {
-        arrow_schema.field(i).name: norm_arrow_type(arrow_schema.field(i).type)
-        for i in range(len(arrow_schema))
-    }
+    o_types = {name: norm_duck_type(t) for name, t in duck_types.items()}
     diffs = []
     for name in sorted(set(s_types) & set(o_types)):
         st, ot = s_types[name], o_types[name]
@@ -189,10 +169,15 @@ def compare_entry(spark, con, name: str, sf_dir: str, sql: str | None = None):
     if sql is None:
         return "SKIP", f"no oracle ({len(srows)} rows, {t1 - t0:.1f}s)"
     try:
+        # DESCRIBE types the result WITHOUT executing it, so the oracle
+        # runs once (a second .arrow() execution doubled the DuckDB half
+        # of a full sweep — r12 review finding)
+        duck_types = {
+            r[0]: r[1] for r in con.execute("DESCRIBE " + sql).fetchall()
+        }
         cur = con.execute(sql)
         ocols = [d[0] for d in cur.description]
         orows = cur.fetchall()
-        oschema = con.execute(sql).arrow().schema
     except Exception as e:  # noqa: BLE001
         return "FAIL", f"duckdb error: {e}"
     s_sig = table_sig(scols, srows)
@@ -201,7 +186,7 @@ def compare_entry(spark, con, name: str, sf_dir: str, sql: str | None = None):
         return "FAIL", f"rows spark={s_sig[0]} duckdb={o_sig[0]}"
     if s_sig[1] != o_sig[1]:
         return "FAIL", f"cols spark={s_sig[1]} duckdb={o_sig[1]}"
-    tdiffs = type_mismatches(sdf, oschema)
+    tdiffs = type_mismatches(sdf, duck_types)
     if tdiffs:
         return "FAIL", f"output types diverge: {'; '.join(tdiffs)}"
     if s_sig[2] != o_sig[2]:
