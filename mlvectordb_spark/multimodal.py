@@ -460,10 +460,12 @@ def synthetic_media_df(
 # format key → callable(payload: bytes) -> decoded object
 # (HxW(x3) uint8 for images; (samples, rate) for audio; adapter-defined
 # for video, conventionally an iterable of frames)
-def partition_by_format(media: DataFrame, n_partitions: int) -> DataFrame:
+def partition_by_format(
+    media: DataFrame, n_partitions: int, sub_splits: int = 16
+) -> DataFrame:
     """Deterministic cost-BALANCED decode layout: stripe each format's
-    rows across all partitions (partition ≈ rank-within-format mod n),
-    so every partition carries the same per-format mix.
+    rows across all partitions, so every partition carries ~the same
+    per-format mix.
 
     Measured rationale (tools/media_probe.py A/Bs, SCALING.md r12):
     per-row decode cost is format-heterogeneous — a progressive-JPEG row
@@ -476,20 +478,65 @@ def partition_by_format(media: DataFrame, n_partitions: int) -> DataFrame:
     that the balance is guaranteed regardless of INPUT ORDER: real
     ingest corpora arrive format-clustered (per-source directories), and
     Spark's round-robin repartition batches rows per input split, so
-    clustered inputs re-cluster — the stripe does not. Costs one window
-    pass + one shuffle; use it once before a decode-bound stage."""
+    clustered inputs re-cluster — the stripe does not.
+
+    The rank runs per (mime_type, salted sub-stream), NOT per format:
+    windowing a whole format through one rank task would serialize and
+    spill the dominant format's payloads at ingest scale (r12 review).
+    Each of the `sub_splits` sub-streams stripes its rows round-robin
+    with a rotated start (+sub offset), so per-(format, partition)
+    counts stay within ±1 PER SUB-STREAM (aggregate skew ≤ sub_splits
+    rows — negligible at any scale where the skew matters). Costs one
+    bounded window pass + one shuffle; use once before a decode-bound
+    stage. sub_splits=1 restores the exact ≤1-row guarantee for small
+    corpora."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("mime_type").orderBy("media_id")
+    # stripe id → partition must be a BIJECTION or the balance guarantee
+    # dies: repartition(n, col) hash-collides stripe values into shared
+    # buckets, and repartitionByRange's SAMPLER can merge two stripes
+    # and leave a partition empty (observed in the layout test). So
+    # pre-image Spark's Murmur3: one tiny driver probe finds, for each
+    # target partition p, an int v with pmod(hash(v), n) == p, and the
+    # stripe maps through that lookup before a plain hash repartition.
+    spark = media.sparkSession
+    probe = (
+        spark.range(max(4096, 64 * n_partitions))
+        .select(
+            F.col("id").cast("int").alias("v"),
+            F.pmod(
+                F.hash(F.col("id").cast("int")), F.lit(n_partitions)
+            ).alias("p"),
+        )
+        .collect()
+    )
+    preimage: dict[int, int] = {}
+    for r in probe:
+        preimage.setdefault(r.p, r.v)
+    if len(preimage) < n_partitions:
+        raise ValueError(
+            f"hash preimage probe did not cover {n_partitions} partitions"
+        )
+    lookup = F.array(
+        *[F.lit(preimage[p]) for p in range(n_partitions)]
+    )
+    w = Window.partitionBy("mime_type", "_sub").orderBy("media_id")
     return (
         media.withColumn(
-            "_stripe", (F.row_number().over(w) - 1) % n_partitions
+            "_sub", F.pmod(F.xxhash64("media_id"), F.lit(sub_splits))
         )
-        # range-partition on the stripe id: n distinct values into n
-        # partitions maps ~1:1 (hash would collide stripes into shared
-        # buckets and leave others empty)
-        .repartitionByRange(n_partitions, "_stripe")
-        .drop("_stripe")
+        .withColumn(
+            "_stripe",
+            F.pmod(
+                F.row_number().over(w) - 1 + F.col("_sub"),
+                F.lit(n_partitions),
+            ),
+        )
+        .withColumn(
+            "_skey", F.element_at(lookup, F.col("_stripe").cast("int") + 1)
+        )
+        .repartition(n_partitions, "_skey")
+        .drop("_sub", "_stripe", "_skey")
     )
 
 
@@ -644,10 +691,12 @@ def adapter_decode_stats(
         from mlvectordb_spark import multimodal as _mm
 
         snapshot = dict(_mm.MEDIA_ADAPTERS)
-        if adapters:
-            for key, fn in adapters.items():
-                _mm.register_media_adapter(key, fn)
         try:
+            # registration INSIDE the try: a bad adapter key that raises
+            # mid-loop must still restore the earlier registrations
+            if adapters:
+                for key, fn in adapters.items():
+                    _mm.register_media_adapter(key, fn)
             yield from _stats_inner(batches)
         finally:
             _mm.MEDIA_ADAPTERS.clear()

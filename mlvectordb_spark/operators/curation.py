@@ -1031,11 +1031,15 @@ def bigram_logprob(
     omitted (consistent on any engine). Emits (id, n_bigrams,
     avg_logprob rounded 4).
 
-    Scale shape: ONE bigram-count shuffle builds the LM; ALL marginals
-    (c₁, cᵤ, T, V) are window aggregates over that vocab²-row table —
-    never a second corpus pass (the budget_mixture lesson); the scored
-    stream pays one (prev,w) join shuffle + one doc shuffle. Two corpus
-    scans total (LM build + scoring), like dsir_log_weights."""
+    Scale shape: ONE bigram-count shuffle builds the LM, which is
+    localCheckpoint-materialized (it is vocab²-sized — it grows with
+    the corpus, so the T/V scalars can be neither full-frame windows,
+    which drag the whole table through one SinglePartition task, nor a
+    second lineage branch, which would re-run the corpus pass); c₁/cᵤ
+    are parallel per-key windows over the materialized table and the
+    1-row T/V aggregate broadcasts. The scored stream pays one (prev,w)
+    join shuffle + one doc shuffle. Two corpus scans total (LM build +
+    scoring), like dsir_log_weights."""
     from pyspark.sql import Window
 
     toks = docs.select(F.col(id_col), TX.tokens(text_col).alias("toks"))
@@ -1049,17 +1053,23 @@ def bigram_logprob(
             )
         ).alias("bg"),
     ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
-    c2 = bigram_pairs.groupBy("prev", "w").agg(F.count("*").alias("c2"))
+    # The count table is vocab²-sized — it GROWS with the corpus, so the
+    # T/V scalars must be neither full-frame windows (a SinglePartition
+    # pass of the whole table through one task — r12 review) nor a
+    # second lineage branch (which would re-run the corpus pass).
+    # localCheckpoint materializes c2 once; the scalar aggregate and the
+    # marginal windows then both read the materialized table, and the
+    # 1-row totals broadcast.
+    c2 = bigram_pairs.groupBy("prev", "w").agg(
+        F.count("*").alias("c2")
+    ).localCheckpoint()
+    tv = c2.agg(
+        F.sum("c2").alias("t_total"),
+        F.count_distinct("w").alias("v_vocab"),
+    )
     by_prev = Window.partitionBy("prev")
     by_w = Window.partitionBy("w")
-    full = Window.partitionBy()
-    # V (distinct w) as a sum of first-row-per-w markers — NOT
-    # collect_set over the full frame, which would materialize the whole
-    # vocabulary as one in-memory array
-    first_of_w = (
-        F.row_number().over(by_w.orderBy("prev")) == 1
-    ).cast("long")
-    lp = c2.withColumn("is_first_w", first_of_w).select(
+    lp = c2.crossJoin(F.broadcast(tv)).select(
         "prev",
         "w",
         F.log(
@@ -1068,10 +1078,7 @@ def bigram_logprob(
             / F.sum("c2").over(by_prev)
             + F.lit(1.0 - float(lam))
             * (F.sum("c2").over(by_w) + 1)
-            / (
-                F.sum("c2").over(full)
-                + F.sum("is_first_w").over(full)
-            )
+            / (F.col("t_total") + F.col("v_vocab"))
         ).alias("logp"),
     )
     return (

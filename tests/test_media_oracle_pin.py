@@ -42,9 +42,14 @@ def gen(spark):
         import gen_media_oracle as G
 
         # Probe the JVM bridge once; environments without javax media
-        # support skip rather than fail.
-        jvm = spark._jvm
-        assert jvm.javax.imageio.ImageIO is not None
+        # support (headless/stripped JREs) skip rather than fail.
+        # Class.forName RAISES on absence — a bare package attribute
+        # access returns a truthy JavaPackage even for missing classes,
+        # so it can never trigger the skip (r12 review).
+        spark._jvm.java.lang.Class.forName("javax.imageio.ImageIO")
+        spark._jvm.java.lang.Class.forName(
+            "javax.sound.sampled.AudioSystem"
+        )
     except Exception as e:  # noqa: BLE001
         pytest.skip(f"javax ground-truth bridge unavailable: {e}")
     return G

@@ -628,27 +628,39 @@ def test_adapter_decode_stats_routes_and_accounts(spark):
 def test_partition_by_format_stripes_every_format(spark):
     """Every partition gets ~the same per-format mix (cost balance is
     deterministic, independent of input order), and no partition is
-    empty — the measured layout contract in partition_by_format."""
+    empty — the measured layout contract in partition_by_format.
+    sub_splits=1 pins the exact ≤1-row guarantee; the default salted
+    mode (windows bounded per sub-stream so no single task ranks a
+    whole format) keeps aggregate skew ≤ sub_splits."""
     media = MM.synthetic_media_df(spark, n=120)
     n_parts = 6
-    laid = MM.partition_by_format(media, n_parts)
-    assert laid.rdd.getNumPartitions() == n_parts
-    pdf = (
-        laid.withColumn("pid", F.spark_partition_id())
-        .groupBy("pid", "mime_type")
-        .count()
-        .toPandas()
-    )
-    assert pdf["pid"].nunique() == n_parts
-    # per (format, partition) counts differ by at most 1 from the
-    # format's ideal share: the stripe assigns rank % n
-    for mt, grp in pdf.groupby("mime_type"):
+
+    def mix(laid):
+        assert laid.rdd.getNumPartitions() == n_parts
+        pdf = (
+            laid.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid", "mime_type")
+            .count()
+            .toPandas()
+        )
+        assert int(pdf["count"].sum()) == 120
+        assert pdf["pid"].nunique() == n_parts
+        return pdf
+
+    exact = mix(MM.partition_by_format(media, n_parts, sub_splits=1))
+    for mt, grp in exact.groupby("mime_type"):
         counts = grp.set_index("pid")["count"].reindex(
             range(n_parts), fill_value=0
         )
         assert counts.max() - counts.min() <= 1, (mt, dict(counts))
-    # row totals preserved
-    assert int(pdf["count"].sum()) == 120
+
+    sub_splits = 4
+    salted = mix(MM.partition_by_format(media, n_parts, sub_splits))
+    for mt, grp in salted.groupby("mime_type"):
+        counts = grp.set_index("pid")["count"].reindex(
+            range(n_parts), fill_value=0
+        )
+        assert counts.max() - counts.min() <= sub_splits, (mt, dict(counts))
 
 
 def test_adapter_decode_stats_restores_registry(spark):

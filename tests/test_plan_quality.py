@@ -680,16 +680,33 @@ def test_dsir_two_shuffles_one_broadcast(spark, sf_dir):
     assert raw.count("Arguments: SinglePartition") == 1, raw
 
 
-def test_bigram_logprob_two_corpus_scans(spark, sf_dir):
-    """bigram_logprob's contract: two corpus scans (LM build + scoring)
-    and marginals as windows over the bigram-count table — never a
-    corpus re-aggregation for the T/V scalars (one SinglePartition of
-    the vocab-sized table is the window evaluation, not a replan)."""
+def test_bigram_logprob_no_single_partition_of_lm_table(spark, sf_dir):
+    """bigram_logprob's contract: the vocab²-sized count table is
+    localCheckpoint-materialized (an ExistingRDD leaf in the plan), the
+    T/V scalars broadcast from a 1-row aggregate of it, and NOTHING
+    corpus- or vocab-scale passes through a SinglePartition exchange —
+    the full-frame-window form dragged the whole LM table through one
+    task (r12 review). One parquet scan remains in the final plan (the
+    scoring pass; the LM build ran at checkpoint time)."""
     plan = explain_query(QUERIES["doc_bigram_logprob"](spark, sf_dir))
     ops = [s["operator"] for s in plan["execution_plan"]["steps"]]
     raw = plan["raw"]
-    assert sum(o.startswith("Scan parquet") for o in ops) == 2, ops
+    assert sum(o.startswith("Scan parquet") for o in ops) == 1, ops
+    assert any("ExistingRDD" in o or "Scan ExistingRDD" in o for o in ops), ops
+    # the one SinglePartition is the 1-row T/V scalar aggregate — only
+    # per-partition PARTIAL rows flow through it, never the table; the
+    # rejected full-frame-window form put Sort+Window behind it
     assert raw.count("Arguments: SinglePartition") == 1, raw
-    # corpus-sized shuffles: (prev,w) count + doc_id sum; LM-table
-    # shuffles: the w/prev window partitionings — never more
-    assert raw.count("Arguments: hashpartitioning") <= 4, raw
+    single_idx = next(
+        s["step_id"] for s in plan["execution_plan"]["steps"]
+        if s["operator"].startswith("Exchange")
+        and f"({s['step_id']}) Exchange" in raw
+        and "SinglePartition" in raw.split(f"({s['step_id']}) Exchange", 1)[1][:300]
+    )
+    after = [
+        s["operator"]
+        for s in plan["execution_plan"]["steps"]
+        if s["step_id"] == single_idx + 1
+    ]
+    assert after == ["HashAggregate"], (single_idx, after)
+    assert plan["uses_broadcast"]  # the 1-row T/V totals
