@@ -946,14 +946,16 @@ def dsir_log_weights(
     high-quality subset); docs with zero tokens have no features and are
     omitted (consistent on any engine).
 
-    Scale shape: ONE explode produces the (doc, feature) stream; the
-    bucket LM is ONE conditional aggregation over it (target counts via
-    count-if, never a second corpus pass); the per-bucket log-ratio
-    table is ≤ n_buckets rows → broadcast join back; the per-doc sum is
-    one doc_id shuffle. Two shuffles + one broadcast total, independent
-    of corpus size. The md5 bucket (hash_bucket_wide) is the
-    cross-engine hash, so the DuckDB oracle states the identical
-    expression."""
+    Scale shape: ONE corpus pass produces the (doc, is_target, bucket)
+    stream — tokenize+shingle+md5, the dominant map work — which is
+    repartitioned on bucket and localCheckpoint-materialized (~17
+    bytes/row) because BOTH the LM aggregation and the scoring join
+    consume it; the lazy form recomputed the pass twice and measured 2×
+    slower. The bucket LM is one conditional aggregation (target counts
+    via count-if, never a second corpus pass); the ≤n_buckets-row
+    log-ratio table broadcasts back; the per-doc sum is one doc_id
+    shuffle. The md5 bucket (hash_bucket_wide) is the cross-engine
+    hash, so the DuckDB oracle states the identical expression."""
     # NULL predicate (e.g. a nullable flag column) means "not target" —
     # an un-coalesced NULL would poison its bucket's tgt_n sum and
     # silently drop that bucket's log-ratio from every doc's sum
@@ -963,18 +965,35 @@ def dsir_log_weights(
         F.coalesce(target_pred, F.lit(False)).alias("is_target"),
         TX.tokens(text_col).alias("toks"),
     )
-    feats = toks.select(
-        id_col,
-        "is_target",
-        F.explode(
-            F.concat(
-                F.col("toks"),
-                TX.word_shingles(F.col("toks"), 2),
-            )
-        ).alias("feat"),
-    ).withColumn(
-        "bucket",
-        F.pmod(hash_bucket_wide(F.col("feat"), salt, nibbles=4), n_buckets),
+    # The feature stream (tokenize → shingle → md5 bucket) feeds BOTH
+    # the LM aggregation and the scoring join; left lazy it would be
+    # computed twice — and the md5-over-strings map work dominates the
+    # entry (measured: the two-pass form was the bench's slowest entry
+    # at 5.0 s / sf0.1). Repartition on bucket + localCheckpoint
+    # materializes it once as (doc_id, bool, int) ≈ 17 bytes/row — far
+    # smaller than re-reading and re-hashing the text — and the bucket
+    # partitioning is exactly what the groupBy and the scoring join
+    # need, so neither adds an exchange.
+    feats = (
+        toks.select(
+            id_col,
+            "is_target",
+            F.explode(
+                F.concat(
+                    F.col("toks"),
+                    TX.word_shingles(F.col("toks"), 2),
+                )
+            ).alias("feat"),
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(
+                hash_bucket_wide(F.col("feat"), salt, nibbles=4), n_buckets
+            ),
+        )
+        .drop("feat")
+        .repartition("bucket")
+        .localCheckpoint()
     )
     lm = feats.groupBy("bucket").agg(
         F.count("*").alias("raw_n"),

@@ -661,22 +661,23 @@ def test_shard_assignments_single_shuffle_narrow_scan(spark, sf_dir):
 
 
 def test_dsir_two_shuffles_one_broadcast(spark, sf_dir):
-    """dsir_log_weights' contract plan: two CORPUS shuffles only — the
-    bucket shuffle that builds the hashed-ngram LM and the doc_id
-    shuffle that sums per doc. The smoothing totals are full-frame
-    window sums over the <=n_buckets-row LM table (one SinglePartition
-    exchange of <=4096 tiny rows — NOT a corpus replan; the rejected
-    agg+crossJoin form re-scanned and re-aggregated the whole corpus
-    for two scalars, 3 scans -> 2). Log-ratio table broadcasts back."""
+    """dsir_log_weights' contract plan: the (doc, is_target, bucket)
+    feature stream — whose tokenize+shingle+md5 map work dominates the
+    entry — is materialized ONCE (repartition on bucket +
+    localCheckpoint; the lazy form computed it twice and was the
+    bench's slowest entry at 5.0 s). The final plan therefore reads
+    ExistingRDD leaves and ZERO parquet (the one corpus scan ran at
+    checkpoint time); the smoothing totals are full-frame window sums
+    over the <=n_buckets-row LM table (one SinglePartition of tiny
+    rows, never a corpus replan); the log-ratio table broadcasts
+    back."""
     plan = explain_query(QUERIES["doc_dsir_weights"](spark, sf_dir))
     ops = [s["operator"] for s in plan["execution_plan"]["steps"]]
     raw = plan["raw"]
+    assert sum(o.startswith("Scan parquet") for o in ops) == 0, ops
+    assert any("ExistingRDD" in o for o in ops), ops
     assert raw.count("Arguments: hashpartitioning") == 2, raw
     assert sum(o.startswith("BroadcastExchange") for o in ops) == 1
-    # two corpus scans (LM build + doc scoring) — the honest minimum
-    assert sum(o.startswith("Scan parquet") for o in ops) == 2
-    # the only other exchange is the tiny-window SinglePartition
-    assert sum(o.startswith("Exchange") for o in ops) == 3, ops
     assert raw.count("Arguments: SinglePartition") == 1, raw
 
 
