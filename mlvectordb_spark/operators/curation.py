@@ -956,15 +956,6 @@ def dsir_log_weights(
     log-ratio table broadcasts back; the per-doc sum is one doc_id
     shuffle. The md5 bucket (hash_bucket_wide) is the cross-engine
     hash, so the DuckDB oracle states the identical expression."""
-    # NULL predicate (e.g. a nullable flag column) means "not target" —
-    # an un-coalesced NULL would poison its bucket's tgt_n sum and
-    # silently drop that bucket's log-ratio from every doc's sum
-    # (r12 review finding)
-    toks = docs.select(
-        F.col(id_col),
-        F.coalesce(target_pred, F.lit(False)).alias("is_target"),
-        TX.tokens(text_col).alias("toks"),
-    )
     # The feature stream (tokenize → shingle → md5 bucket) feeds BOTH
     # the LM aggregation and the scoring join; left lazy it would be
     # computed twice — and the md5-over-strings map work dominates the
@@ -975,6 +966,52 @@ def dsir_log_weights(
     # partitioning is exactly what the groupBy and the scoring join
     # need, so neither adds an exchange.
     feats = (
+        dsir_feature_stream(
+            docs, target_pred, text_col, id_col, n_buckets, salt
+        )
+        .repartition("bucket")
+        .localCheckpoint()
+    )
+    lm = dsir_bucket_counts(feats)
+    # totals as full-frame WINDOW sums over the ≤n_buckets-row LM table,
+    # not an agg + crossJoin — the join form re-plans the whole corpus
+    # aggregation a second time for two scalars (the budget_mixture
+    # lesson; verified in-plan: 3 corpus scans → 2)
+    from pyspark.sql import Window
+
+    full = Window.partitionBy()
+    lr = lm.select(
+        "bucket",
+        (
+            F.log((F.col("tgt_n") + 1) / (F.sum("tgt_n").over(full) + n_buckets))
+            - F.log((F.col("raw_n") + 1) / (F.sum("raw_n").over(full) + n_buckets))
+        ).alias("lr"),
+    )
+    return dsir_score_stream(feats, lr, id_col)
+
+
+def dsir_feature_stream(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = DSIR_SALT,
+) -> DataFrame:
+    """THE DSIR feature definition — (id, is_target, bucket), one row
+    per unigram+bigram occurrence — shared by the batch scorer above
+    and the incremental LM (operators/dsir.DSIRState), so the two paths
+    cannot drift (the single-numeric-implementation discipline of
+    operators/pca.py). NULL predicates coalesce to False: an
+    un-coalesced NULL would poison its bucket's tgt_n sum and silently
+    drop that bucket's log-ratio from every doc (r12 review finding).
+    Not materialized here — callers checkpoint when they reuse it."""
+    toks = docs.select(
+        F.col(id_col),
+        F.coalesce(target_pred, F.lit(False)).alias("is_target"),
+        TX.tokens(text_col).alias("toks"),
+    )
+    return (
         toks.select(
             id_col,
             "is_target",
@@ -992,27 +1029,25 @@ def dsir_log_weights(
             ),
         )
         .drop("feat")
-        .repartition("bucket")
-        .localCheckpoint()
     )
-    lm = feats.groupBy("bucket").agg(
+
+
+def dsir_bucket_counts(feats: DataFrame) -> DataFrame:
+    """One conditional aggregation of the feature stream → the bucket LM
+    (bucket, raw_n, tgt_n). Shared by the batch scorer and the
+    incremental state's per-batch fold."""
+    return feats.groupBy("bucket").agg(
         F.count("*").alias("raw_n"),
         F.sum(F.col("is_target").cast("long")).alias("tgt_n"),
     )
-    # totals as full-frame WINDOW sums over the ≤n_buckets-row LM table,
-    # not an agg + crossJoin — the join form re-plans the whole corpus
-    # aggregation a second time for two scalars (the budget_mixture
-    # lesson; verified in-plan: 3 corpus scans → 2)
-    from pyspark.sql import Window
 
-    full = Window.partitionBy()
-    lr = lm.select(
-        "bucket",
-        (
-            F.log((F.col("tgt_n") + 1) / (F.sum("tgt_n").over(full) + n_buckets))
-            - F.log((F.col("raw_n") + 1) / (F.sum("raw_n").over(full) + n_buckets))
-        ).alias("lr"),
-    )
+
+def dsir_score_stream(
+    feats: DataFrame, lr: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Score a feature stream against a (bucket, lr) log-ratio table:
+    broadcast join + one per-doc sum. Shared scoring tail, so the batch
+    and incremental paths compute bit-identical weights."""
     return (
         feats.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)

@@ -3690,6 +3690,41 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_log_weights(docs, F.col("lang") == "en")
 
 
+def q_dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE form of the DSIR LM (operators/dsir.DSIRState —
+    the incremental-PCA pattern applied to the r12 DSIR operator): the
+    documents table folds in three id-ranged micro-batches — each one
+    distributed conditional-count pass over its OWN chunk, plus a
+    replayed batch that the batch-id watermark must no-op — and scoring
+    the whole corpus against the accumulated LM must equal the one-shot
+    batch computation bit-for-bit (the oracle is doc_dsir_weights'
+    DuckDB SQL verbatim). Gates fold + merge + replay idempotence +
+    persistence round-trip + the shared feature/scoring path in one
+    oracle.
+
+    Bench semantics: like emb_pca_incremental, the folds run EAGERLY at
+    query construction (bench times construction+force); the state dir
+    is the per-(entry, pid) _entry_tmpdir slot wiped on re-entry, so
+    every run re-folds from empty state."""
+    import os
+
+    from mlvectordb_spark.operators.dsir import (
+        DSIRState,
+        apply_dsir_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    state_dir = _entry_tmpdir("dsir_inc")
+    os.makedirs(state_dir, exist_ok=True)
+    path = os.path.join(state_dir, "dsir_lm.npz")
+    pred = F.col("lang") == "en"
+    chunks = [docs.filter(F.col("doc_id") % 3 == m) for m in range(3)]
+    for bid, chunk in enumerate(chunks):
+        apply_dsir_batch(path, chunk, bid, pred)
+    apply_dsir_batch(path, chunks[1], 1, pred)  # replay → must no-op
+    return DSIRState.load(path).score(docs)
+
+
 def q_doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate 3-gram coverage per document (Gopher/RefinedWeb 'fraction
     of tokens in duplicated n-grams' filter)."""
@@ -7205,6 +7240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_logprob": q_doc_logprob,
     "doc_bigram_logprob": q_doc_bigram_logprob,
     "doc_dsir_weights": q_doc_dsir_weights,
+    "dsir_incremental": q_dsir_incremental,
     "doc_dup_ngrams": q_doc_dup_ngrams,
     # r7b: Python UDTF surface (lateral table function, oracle shared
     # with doc_chunks)
@@ -7828,6 +7864,11 @@ JOIN sig_t sb ON sb.doc_id = doc_b
 
 ORACLE_SQL["minhash_sim_est"] = _oracle_minhash_est_sql()
 
+# The incremental DSIR fold must reproduce the one-shot batch LM exactly
+# (counts are additive; the shared feature stream and scoring tail make
+# the arithmetic identical), so its oracle IS doc_dsir_weights' SQL.
+ORACLE_SQL["dsir_incremental"] = ORACLE_SQL["doc_dsir_weights"]
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (round 7). The driver oracle-checks the FIRST 50
 # registry entries each round; everything else is re-verified locally via
@@ -7869,13 +7910,13 @@ _WINDOW = [
     "table_cdf_multi", "table_mv", "tfidf_terms", "token_freq",
     "top_orders_per_cust", "tpch_q1", "tpch_q3", "train_shuffle",
     "udaf_geomean",
-    # (d) doc_dsir_weights and doc_bigram_logprob are NEW this round
-    # (DSIR importance weights, Xie et al. 2023; interpolated bigram-LM
-    # scoring — policy (a) gates new entries the round they appear),
-    # plus two r9-bucket oracle rows starting that bucket's drain
-    # (dedup_keep_best doubles as the r10/r11 watch entry;
-    # conditional_agg / decontaminate_semantic defer to r13)
-    "doc_dsir_weights", "doc_bigram_logprob", "bm25_topk",
+    # (d) doc_dsir_weights, doc_bigram_logprob, and dsir_incremental
+    # are NEW this round (DSIR importance weights, Xie et al. 2023;
+    # interpolated bigram-LM scoring; the mergeable/streaming DSIR LM —
+    # policy (a) gates new entries the round they appear), plus the
+    # dedup_keep_best r10/r11 watch entry (bm25_topk / conditional_agg
+    # / decontaminate_semantic defer to the r13 r9-bucket drain)
+    "doc_dsir_weights", "doc_bigram_logprob", "dsir_incremental",
     "dedup_keep_best",
     # (e) continuity core (the flagship operators)
     "knn_l2", "hybrid_knn", "store_roundtrip",
