@@ -500,23 +500,7 @@ def partition_by_format(
     # target partition p, an int v with pmod(hash(v), n) == p, and the
     # stripe maps through that lookup before a plain hash repartition.
     spark = media.sparkSession
-    probe = (
-        spark.range(max(4096, 64 * n_partitions))
-        .select(
-            F.col("id").cast("int").alias("v"),
-            F.pmod(
-                F.hash(F.col("id").cast("int")), F.lit(n_partitions)
-            ).alias("p"),
-        )
-        .collect()
-    )
-    preimage: dict[int, int] = {}
-    for r in probe:
-        preimage.setdefault(r.p, r.v)
-    if len(preimage) < n_partitions:
-        raise ValueError(
-            f"hash preimage probe did not cover {n_partitions} partitions"
-        )
+    preimage = _hash_preimages(spark, n_partitions)
     lookup = F.array(
         *[F.lit(preimage[p]) for p in range(n_partitions)]
     )
@@ -538,6 +522,36 @@ def partition_by_format(
         .repartition(n_partitions, "_skey")
         .drop("_sub", "_stripe", "_skey")
     )
+
+
+_PREIMAGE_CACHE: dict[int, dict[int, int]] = {}
+
+
+def _hash_preimages(spark, n_partitions: int) -> dict[int, int]:
+    """For each target partition p in [0, n), the smallest int v with
+    pmod(murmur3(v), n) == p — probed once per n and memoized; the
+    aggregate collects exactly n rows (not the probe range)."""
+    if n_partitions not in _PREIMAGE_CACHE:
+        rows = (
+            spark.range(max(4096, 64 * n_partitions))
+            .select(
+                F.col("id").cast("int").alias("v"),
+                F.pmod(
+                    F.hash(F.col("id").cast("int")), F.lit(n_partitions)
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.min("v").alias("v"))
+            .collect()
+        )
+        got = {r.p: int(r.v) for r in rows}
+        if len(got) < n_partitions:
+            raise ValueError(
+                f"hash preimage probe did not cover {n_partitions} "
+                "partitions"
+            )
+        _PREIMAGE_CACHE[n_partitions] = got
+    return _PREIMAGE_CACHE[n_partitions]
 
 
 def sample_crc32(flat) -> int:

@@ -928,6 +928,7 @@ def dsir_log_weights(
     id_col: str = "doc_id",
     n_buckets: int = DSIR_BUCKETS,
     salt: str = DSIR_SALT,
+    materialize: bool = True,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every document by
@@ -948,30 +949,28 @@ def dsir_log_weights(
 
     Scale shape: ONE corpus pass produces the (doc, is_target, bucket)
     stream — tokenize+shingle+md5, the dominant map work — which is
-    repartitioned on bucket and localCheckpoint-materialized (~17
-    bytes/row) because BOTH the LM aggregation and the scoring join
-    consume it; the lazy form recomputed the pass twice and measured 2×
-    slower. The bucket LM is one conditional aggregation (target counts
-    via count-if, never a second corpus pass); the ≤n_buckets-row
-    log-ratio table broadcasts back; the per-doc sum is one doc_id
-    shuffle. The md5 bucket (hash_bucket_wide) is the cross-engine
-    hash, so the DuckDB oracle states the identical expression."""
-    # The feature stream (tokenize → shingle → md5 bucket) feeds BOTH
-    # the LM aggregation and the scoring join; left lazy it would be
-    # computed twice — and the md5-over-strings map work dominates the
-    # entry (measured: the two-pass form was the bench's slowest entry
-    # at 5.0 s / sf0.1). Repartition on bucket + localCheckpoint
-    # materializes it once as (doc_id, bool, int) ≈ 17 bytes/row — far
-    # smaller than re-reading and re-hashing the text — and the bucket
-    # partitioning is exactly what the groupBy and the scoring join
-    # need, so neither adds an exchange.
-    feats = (
-        dsir_feature_stream(
-            docs, target_pred, text_col, id_col, n_buckets, salt
-        )
-        .repartition("bucket")
-        .localCheckpoint()
+    localCheckpoint-materialized (~17 bytes/row, no extra shuffle: the
+    LM aggregation map-side-combines to ≤n_buckets partials and the
+    scoring join broadcasts lr, so neither needs a bucket layout)
+    because BOTH consume it; the lazy form recomputed the pass twice
+    and measured 2× slower. The bucket LM is one conditional
+    aggregation (target counts via count-if, never a second corpus
+    pass); the ≤n_buckets-row log-ratio table broadcasts back; the
+    per-doc sum is one doc_id shuffle. The md5 bucket
+    (hash_bucket_wide) is the cross-engine hash, so the DuckDB oracle
+    states the identical expression.
+
+    `materialize=False` keeps the stream lazy (it is recomputed for
+    the scoring pass, ~2× the map work): localCheckpoint pins blocks
+    in NON-replicated executor-local storage with truncated lineage,
+    so on clusters with dynamic allocation / spot executors an
+    executor loss after the checkpoint is unrecoverable — prefer the
+    lazy form there, the speed-up where executors are stable."""
+    feats = dsir_feature_stream(
+        docs, target_pred, text_col, id_col, n_buckets, salt
     )
+    if materialize:
+        feats = feats.localCheckpoint()
     lm = dsir_bucket_counts(feats)
     # totals as full-frame WINDOW sums over the ≤n_buckets-row LM table,
     # not an agg + crossJoin — the join form re-plans the whole corpus
@@ -1066,6 +1065,7 @@ def bigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     lam: float = BIGRAM_LAMBDA,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document mean INTERPOLATED bigram log-likelihood under the
     corpus's own bigram LM — the next fidelity step past
@@ -1093,7 +1093,12 @@ def bigram_logprob(
     are parallel per-key windows over the materialized table and the
     1-row T/V aggregate broadcasts. The scored stream pays one (prev,w)
     join shuffle + one doc shuffle. Two corpus scans total (LM build +
-    scoring), like dsir_log_weights."""
+    scoring), like dsir_log_weights.
+
+    `materialize=False` trades speed for executor-loss resilience
+    (localCheckpoint pins non-replicated blocks with truncated
+    lineage — see dsir_log_weights): the T/V scalars then come from a
+    second lineage branch that re-runs the bigram-count pass."""
     from pyspark.sql import Window
 
     toks = docs.select(F.col(id_col), TX.tokens(text_col).alias("toks"))
@@ -1114,9 +1119,9 @@ def bigram_logprob(
     # localCheckpoint materializes c2 once; the scalar aggregate and the
     # marginal windows then both read the materialized table, and the
     # 1-row totals broadcast.
-    c2 = bigram_pairs.groupBy("prev", "w").agg(
-        F.count("*").alias("c2")
-    ).localCheckpoint()
+    c2 = bigram_pairs.groupBy("prev", "w").agg(F.count("*").alias("c2"))
+    if materialize:
+        c2 = c2.localCheckpoint()
     tv = c2.agg(
         F.sum("c2").alias("t_total"),
         F.count_distinct("w").alias("v_vocab"),

@@ -45,17 +45,26 @@ from mlvectordb_spark.operators.curation import (
 
 @dataclass
 class DSIRState:
-    """Mergeable DSIR LM: per-bucket raw and target feature counts."""
+    """Mergeable DSIR LM: per-bucket raw and target feature counts.
+
+    The hash `salt` is part of the state's identity (it defines the
+    bucket space): it persists with the counts, and merge/score reject
+    a mismatched salt — mixing salts would silently hash features into
+    unrelated buckets (r12 review)."""
 
     raw: np.ndarray  # (n_buckets,) int64 — all-corpus feature counts
     tgt: np.ndarray  # (n_buckets,) int64 — target-slice feature counts
+    salt: str = DSIR_SALT
     last_batch_id: int = field(default=-1)
 
     @classmethod
-    def zero(cls, n_buckets: int = DSIR_BUCKETS) -> "DSIRState":
+    def zero(
+        cls, n_buckets: int = DSIR_BUCKETS, salt: str = DSIR_SALT
+    ) -> "DSIRState":
         return cls(
             raw=np.zeros(n_buckets, dtype=np.int64),
             tgt=np.zeros(n_buckets, dtype=np.int64),
+            salt=salt,
         )
 
     @classmethod
@@ -70,7 +79,7 @@ class DSIRState:
     ) -> "DSIRState":
         """One distributed conditional-count pass over `docs` → its LM
         delta. Collects ≤n_buckets aggregated rows, never the stream."""
-        st = cls.zero(n_buckets)
+        st = cls.zero(n_buckets, salt)
         rows = dsir_bucket_counts(
             dsir_feature_stream(
                 docs, target_pred, text_col, id_col, n_buckets, salt
@@ -86,9 +95,15 @@ class DSIRState:
             raise ValueError(
                 f"bucket-count mismatch: {len(self.raw)} vs {len(other.raw)}"
             )
+        if self.salt != other.salt:
+            raise ValueError(
+                f"salt mismatch: {self.salt!r} vs {other.salt!r} — the "
+                "states count features in unrelated bucket spaces"
+            )
         return DSIRState(
             raw=self.raw + other.raw,
             tgt=self.tgt + other.tgt,
+            salt=self.salt,
             last_batch_id=max(self.last_batch_id, other.last_batch_id),
         )
 
@@ -103,6 +118,7 @@ class DSIRState:
         with open(stage, "wb") as f:
             np.savez(
                 f, raw=self.raw, tgt=self.tgt,
+                salt=np.array(self.salt),
                 last_batch_id=self.last_batch_id,
             )
             f.flush()
@@ -123,18 +139,24 @@ class DSIRState:
             return cls(
                 raw=z["raw"].astype(np.int64),
                 tgt=z["tgt"].astype(np.int64),
+                salt=str(z["salt"]),
                 last_batch_id=int(z["last_batch_id"]),
             )
 
     def log_ratio_table(self, spark) -> DataFrame:
-        """The ≤n_buckets-row (bucket, lr) table, computed with the SAME
-        Spark expressions as the batch path (long+1 / long+m double
-        division under F.log) — driver numpy would risk last-ulp libm
-        drift against the JVM and flip the 4-decimal rounding."""
+        """The FULL n_buckets-row (bucket, lr) table, computed with the
+        SAME Spark expressions as the batch path (long+1 / long+m
+        double division under F.log) — driver numpy would risk last-ulp
+        libm drift against the JVM and flip the 4-decimal rounding.
+
+        ALL buckets are emitted, including never-seen ones (their ratio
+        is the pure smoothing term log((tr+m)/(tt+m))): the streaming
+        contract scores corpora that may contain features the folded LM
+        never saw, and a seen-only table would silently drop those
+        features from n_feats and the weight sum (r12 review)."""
         m = len(self.raw)
         rows = [
-            (int(b), int(self.raw[b]), int(self.tgt[b]))
-            for b in np.nonzero(self.raw)[0]
+            (int(b), int(self.raw[b]), int(self.tgt[b])) for b in range(m)
         ]
         lm = spark.createDataFrame(
             rows, "bucket bigint, raw_n bigint, tgt_n bigint"
@@ -153,13 +175,14 @@ class DSIRState:
         docs: DataFrame,
         text_col: str = "text",
         id_col: str = "doc_id",
-        salt: str = DSIR_SALT,
     ) -> DataFrame:
         """Score `docs` against the accumulated LM — shared feature
         stream and scoring tail with the batch path, so a state folded
-        over the whole corpus reproduces dsir_log_weights exactly."""
+        over the whole corpus reproduces dsir_log_weights exactly; docs
+        with features the LM never saw score them under the smoothing
+        term (never silently dropped). Uses the state's own salt."""
         feats = dsir_feature_stream(
-            docs, F.lit(False), text_col, id_col, len(self.raw), salt
+            docs, F.lit(False), text_col, id_col, len(self.raw), self.salt
         )
         return dsir_score_stream(
             feats, self.log_ratio_table(docs.sparkSession), id_col
@@ -188,7 +211,7 @@ def apply_dsir_batch(
         return state  # retried/replayed batch — already counted
     delta = DSIRState.of(
         batch_df, target_pred, text_col, id_col, n_buckets, salt
-    )
+    )  # merge() rejects a salt/bucket mismatch with the persisted state
     merged = delta if state is None else state.merge(delta)
     merged.last_batch_id = batch_id
     merged.save(state_path)
@@ -203,6 +226,7 @@ def start_dsir_lm(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = DSIR_BUCKETS,
+    salt: str = DSIR_SALT,
     trigger_once: bool = False,
 ):
     """Structured-Streaming wiring: accumulate the DSIR LM over an
@@ -215,7 +239,7 @@ def start_dsir_lm(
             return
         apply_dsir_batch(
             state_path, batch_df, batch_id, target_pred,
-            text_col, id_col, n_buckets,
+            text_col, id_col, n_buckets, salt,
         )
 
     writer = stream_df.writeStream.foreachBatch(handle).option(

@@ -102,3 +102,39 @@ def test_streaming_accumulator_reaches_batch_state(spark, docs, tmp_path):
     one = DSIRState.of(docs, F.col("is_tgt"))
     assert np.array_equal(st.raw, one.raw)
     assert np.array_equal(st.tgt, one.tgt)
+
+
+def test_merge_rejects_salt_mismatch(spark, docs):
+    a = DSIRState.of(docs, F.col("is_tgt"), salt="a:")
+    b = DSIRState.of(docs, F.col("is_tgt"), salt="b:")
+    with pytest.raises(ValueError, match="salt mismatch"):
+        a.merge(b)
+
+
+def test_score_covers_unseen_buckets(spark, docs):
+    """Features the folded LM never saw must score under the smoothing
+    term, not vanish: n_feats counts every feature of the scored doc
+    even when the LM was folded from a disjoint corpus (r12 review —
+    a seen-only log-ratio table silently dropped them)."""
+    st = DSIRState.of(docs.filter("doc_id < 30"), F.col("is_tgt"))
+    novel = spark.createDataFrame(
+        [(999, "zzzunseen qqqnever wwwbefore")], "doc_id long, text string"
+    )
+    rows = st.score(novel).collect()
+    assert len(rows) == 1
+    # 3 unigrams + 2 bigrams, all almost surely unseen — every one
+    # counted, each contributing the identical pure-smoothing ratio
+    assert rows[0].n_feats == 5
+    m = len(st.raw)
+    import math
+
+    expected = round(
+        5 * (math.log(1.0 / (int(st.tgt.sum()) + m))
+             - math.log(1.0 / (int(st.raw.sum()) + m))), 4)
+    assert abs(rows[0].log_weight - expected) < 5e-4
+
+
+def test_state_salt_persists(spark, docs, tmp_path):
+    path = str(tmp_path / "salted.npz")
+    DSIRState.of(docs, F.col("is_tgt"), salt="custom:").save(path)
+    assert DSIRState.load(path).salt == "custom:"

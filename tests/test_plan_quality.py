@@ -695,19 +695,11 @@ def test_bigram_logprob_no_single_partition_of_lm_table(spark, sf_dir):
     assert sum(o.startswith("Scan parquet") for o in ops) == 1, ops
     assert any("ExistingRDD" in o or "Scan ExistingRDD" in o for o in ops), ops
     # the one SinglePartition is the 1-row T/V scalar aggregate — only
-    # per-partition PARTIAL rows flow through it, never the table; the
-    # rejected full-frame-window form put Sort+Window behind it
+    # per-partition PARTIAL rows flow through it, never the table. The
+    # rejected full-frame-window form is pinned out directly: a
+    # partition-less window spec renders as
+    # windowspecdefinition(specifiedwindowframe...) with no leading
+    # partition columns — none may appear anywhere in the plan.
     assert raw.count("Arguments: SinglePartition") == 1, raw
-    single_idx = next(
-        s["step_id"] for s in plan["execution_plan"]["steps"]
-        if s["operator"].startswith("Exchange")
-        and f"({s['step_id']}) Exchange" in raw
-        and "SinglePartition" in raw.split(f"({s['step_id']}) Exchange", 1)[1][:300]
-    )
-    after = [
-        s["operator"]
-        for s in plan["execution_plan"]["steps"]
-        if s["step_id"] == single_idx + 1
-    ]
-    assert after == ["HashAggregate"], (single_idx, after)
+    assert "windowspecdefinition(specifiedwindowframe" not in raw, raw
     assert plan["uses_broadcast"]  # the 1-row T/V totals

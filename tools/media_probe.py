@@ -38,8 +38,12 @@ def run_at(cores: int, n: int) -> None:
     # per-format mix — see partition_by_format's measured rationale);
     # ties round-robin on this interleaved corpus, and stays balanced on
     # format-clustered inputs where round-robin re-clusters
+    # sub_splits=1: the probe corpora are small enough that one rank
+    # window per format is fine, and the exact ≤1-row balance is what
+    # the timing methodology wants (the salted default's ≤sub_splits
+    # skew bound can exceed the per-(format,partition) share here)
     media = MM.partition_by_format(
-        MM.synthetic_media_df(spark, n=n), cores * 4
+        MM.synthetic_media_df(spark, n=n), cores * 4, sub_splits=1
     )
     media = media.cache()
     total_bytes = media.agg(
