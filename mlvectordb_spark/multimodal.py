@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mlvectordb_spark.functions.localdf import local_rows_df
+
 from mlvectordb_spark.schema import MEDIA_SCHEMA
 
 FEATURE_DIM = 32
@@ -437,7 +439,7 @@ def synthetic_media_df(
                 {"source": f"src{i % 4}"},
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return local_rows_df(spark, rows, MEDIA_SCHEMA)
 
 
 # -- adapter seam for externally-coded formats (r10: the PERMANENT design,

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mlvectordb_spark.functions.localdf import local_rows_df
+
 from mlvectordb_spark.operators.knn import knn
 
 # fan-out for two-phase per-key top-k: phase 1 runs over key×salt groups
@@ -226,6 +228,10 @@ class IVFIndex:
     """
 
     REBUILD_THRESHOLD = 0.2  # reference index.py:18 — refit at 20% drift
+    # apply_changes materializes its own bounded pieces and folds the
+    # pending tail itself — the store sync must NOT re-checkpoint the
+    # whole index after every bounded batch (see _sync_namespace)
+    manages_materialization = True
 
     def __init__(
         self,
@@ -260,6 +266,10 @@ class IVFIndex:
         # reloaded serving index can honor a recall target without
         # re-measuring
         self._recall_curve: dict[int, float] | None = None
+        # pending-tail CDC state (apply_changes): syncs/rows accumulated
+        # since the last full fold of the anti-join/union chain
+        self._tail_syncs = 0
+        self._tail_rows = 0
 
     def _fit_centroids(
         self, df: DataFrame, vec_col: str, id_col: str
@@ -299,31 +309,47 @@ class IVFIndex:
             cent[nonempty] = sums[nonempty] / counts[nonempty, None]
         return cent
 
-    def _assign(self, df: DataFrame, vec_col: str) -> DataFrame:
+    def _assign(
+        self, df: DataFrame, vec_col: str, with_dist: bool = False
+    ) -> DataFrame:
         """Attach cluster_id = argmin ||x - c||² over the trained centroids:
         an Arrow-batched mapInPandas (one numpy matmul per batch, centroids
         broadcast in the task closure) — a narrow map stage with NO join,
         NO window, NO shuffle. First-occurrence argmin ties break toward
-        the lowest cluster_id."""
+        the lowest cluster_id.
+
+        `with_dist=True` additionally emits `__cdist` = the true L2
+        distance to the chosen centroid, from the SAME matmul (one extra
+        x·x term) — so a maintenance caller that needs radius growth
+        (apply_changes) doesn't pay a second Python pass over the batch
+        (guide §4: one boundary crossing, not two)."""
         assert self.centroids is not None
         cent = self.centroids
         cc = (cent * cent).sum(axis=1)
         # StructType.add mutates in place — build a fresh schema instead of
         # appending to the input DataFrame's cached one
-        out_schema = T.StructType(
-            list(df.schema.fields)
-            + [T.StructField("cluster_id", T.IntegerType())]
-        )
+        extra = [T.StructField("cluster_id", T.IntegerType())]
+        if with_dist:
+            extra.append(T.StructField("__cdist", T.DoubleType()))
+        out_schema = T.StructType(list(df.schema.fields) + extra)
 
         def assign_batches(batches):
             for pdf in batches:
                 if len(pdf) == 0:
                     pdf["cluster_id"] = np.array([], dtype=np.int32)
+                    if with_dist:
+                        pdf["__cdist"] = np.array([], dtype=np.float64)
                     yield pdf
                     continue
                 mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 d = cc - 2.0 * (mat @ cent.T)
-                pdf["cluster_id"] = d.argmin(axis=1).astype(np.int32)
+                cids = d.argmin(axis=1).astype(np.int32)
+                pdf["cluster_id"] = cids
+                if with_dist:
+                    xx = (mat * mat).sum(axis=1)
+                    dmin = d[np.arange(len(cids)), cids] + xx
+                    # clamp tiny negative rounding to zero before sqrt
+                    pdf["__cdist"] = np.sqrt(np.maximum(dmin, 0.0))
                 yield pdf
 
         return df.mapInPandas(assign_batches, schema=out_schema)
@@ -454,30 +480,56 @@ class IVFIndex:
         vec_col = vec_col or self._vec_col
         assert self.indexed is not None and self.centroids is not None
         w = _W.partitionBy(id_col).orderBy(F.col("write_version").desc())
+        cols = self.indexed.columns
+        # Materialize the DEDUPED FEED once (bounded by the sync
+        # interval, guide §2.3 — shuffle/checkpoint the metadata-scale
+        # rows, never the index): the retire anti-join and the
+        # assignment both read it, and materializing detaches the plan
+        # from the store's parquet/tombstone files before compaction or
+        # tombstone retirement can rewrite them.
         latest = (
             changes.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
-        )
-        survivors = self.indexed.join(
-            latest.select(id_col), id_col, "left_anti"
-        )
+        ).localCheckpoint()
         ups = latest.filter(F.col("change_type") == "upsert").drop(
             "change_type", "write_version", "cluster_id"
         )
-        assigned = self._assign(ups, vec_col)
-        # one job counts the upsert batch and grows the cached radii over
-        # it; deletes only shrink true radii (stale value stays a valid
-        # upper bound). Counts refresh lazily (cheap cluster_id aggregate).
+        # Materialize the ASSIGNED batch once: the Arrow assignment map
+        # used to be re-executed by the stats collect AND by every
+        # consumer of the updated index (guide §4 — one boundary
+        # crossing). __cdist rides the same matmul, so the radius growth
+        # below is a JVM-only aggregate.
+        assigned = self._assign(ups, vec_col, with_dist=True).localCheckpoint()
         n_new = self._absorb_batch_stats(assigned, vec_col)
         # consumed by resync_index_from_snapshot to size the fresh drift
         # baseline without re-counting the snapshot
         self.last_applied_upserts = n_new
-        self.indexed = survivors.unionByName(
-            assigned.select(*survivors.columns)
-        )
+        # PENDING-TAIL composition (the graph family's fold pattern):
+        # retire this feed's ids with one bounded broadcast anti-join and
+        # union the checkpointed batch — per-sync cost is O(feed), not
+        # O(index). The old shape (store sync re-checkpointing the WHOLE
+        # index after every bounded batch) paid a full index
+        # materialization per sync cycle — at continuous-ingest scale
+        # that is an O(corpus) write amplification per micro-batch.
+        self.indexed = self.indexed.join(
+            F.broadcast(latest.select(id_col)), id_col, "left_anti"
+        ).unionByName(assigned.select(*cols))
         self._added_count += n_new
         self._counts = None
+        # FOLD: collapse the anti-join/union chain when the accumulated
+        # tail is no longer small next to the index (the same 20%
+        # economics as the store's compaction trigger), or when plan
+        # depth alone starts to cost analysis time. A resync-sized feed
+        # trips the row bound immediately, so catch-up still ends in one
+        # fully-materialized index.
+        self._tail_syncs += 1
+        self._tail_rows += n_new
+        base = max(1024, self._built_count + self._added_count)
+        if self._tail_syncs >= 8 or self._tail_rows >= 0.2 * base:
+            self.indexed = self.indexed.localCheckpoint()
+            self._tail_syncs = 0
+            self._tail_rows = 0
         return self.indexed
 
     def _radius_rows(self, df: DataFrame, vec_col: str):
@@ -525,8 +577,19 @@ class IVFIndex:
         are cached, falls back to a bare count (no vector decode)."""
         if self._radii is None:
             return batch.count()
+        if "__cdist" in batch.columns:
+            # the assignment matmul already emitted the member→centroid
+            # distance: radius growth is a plain JVM aggregate, no second
+            # Python pass over the batch (see _assign with_dist)
+            rows = (
+                batch.groupBy("cluster_id")
+                .agg(F.max("__cdist").alias("radius"), F.count("*").alias("n"))
+                .collect()
+            )
+        else:
+            rows = self._radius_rows(batch, vec_col)
         n = 0
-        for r in self._radius_rows(batch, vec_col):
+        for r in rows:
             j = int(r.cluster_id)
             n += int(r.n)
             if float(r.radius) > self._radii[j]:
@@ -707,7 +770,7 @@ class IVFIndex:
                 np.asarray(r[query_vec], dtype=np.float64), k, radii, counts
             )
         ]
-        probe_df = spark.createDataFrame(
+        probe_df = local_rows_df(spark, 
             pairs, f"{query_id} long, cluster_id int"
         )
         probed_clusters = sorted({c for _, c in pairs})
@@ -773,7 +836,7 @@ class IVFIndex:
                 np.asarray(r[query_vec], dtype=np.float64), nprobe
             )
         ]
-        probe_df = spark.createDataFrame(
+        probe_df = local_rows_df(spark, 
             pairs, f"{query_id} long, cluster_id int"
         )
         cand = self.indexed.filter(
@@ -829,7 +892,7 @@ class IVFIndex:
                 (i, [float(x) for x in c])
                 for i, c in enumerate(self.centroids)
             ]
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 cent_rows, "cluster_id int, centroid array<double>"
             ).write.mode("overwrite").parquet(f"{stage}/centroids")
             # drift counters AND the build-time vector column travel with
@@ -839,7 +902,7 @@ class IVFIndex:
             # / save) would look for the ctor-default 'embedding' column
             # in an index built over e.g. the store's 'values' (round-6
             # ADVICE)
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 [(
                     int(self._built_count),
                     int(self._added_count),
@@ -849,7 +912,7 @@ class IVFIndex:
             ).write.mode("overwrite").parquet(f"{stage}/meta")
             # exact-search pruning bounds travel with the index (k rows) —
             # a reloaded index must not pay a corpus scan to re-derive them
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 [
                     (i, float(radii[i]), int(counts[i]))
                     for i in range(len(radii))
@@ -860,7 +923,7 @@ class IVFIndex:
                 # measured nprobe→recall points travel with the index: a
                 # reloaded serving index honors target_recall without
                 # paying the calibration jobs again
-                spark.createDataFrame(
+                local_rows_df(spark, 
                     [
                         (int(p), float(r))
                         for p, r in sorted(self._recall_curve.items())
@@ -1203,7 +1266,7 @@ class LSHIndex:
             ]
         except Exception:  # noqa: BLE001 — private accessor moved/renamed
             spark = self.indexed.sparkSession
-            qdf = spark.createDataFrame(
+            qdf = local_rows_df(spark, 
                 [([float(x) for x in qvec],)], "qv array<double>"
             ).withColumn("__features", array_to_vector(F.col("qv")))
             row = self.model.transform(qdf).head()
@@ -1455,10 +1518,10 @@ class IVFPQIndex:
                 (i, [float(x) for x in c])
                 for i, c in enumerate(self.ivf.centroids)
             ]
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 cent_rows, "cluster_id int, centroid array<double>"
             ).write.mode("overwrite").parquet(f"{stage}/centroids")
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 [
                     (i, float(radii[i]), int(counts[i]))
                     for i in range(len(radii))
@@ -1466,7 +1529,7 @@ class IVFPQIndex:
                 "cluster_id int, radius double, n long",
             ).write.mode("overwrite").parquet(f"{stage}/cluster_stats")
             m, k_sub, sub = self.pq.codebooks.shape
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 [
                     (b, j, [float(x) for x in self.pq.codebooks[b, j]])
                     for b in range(m)
@@ -1478,7 +1541,7 @@ class IVFPQIndex:
             # contract): without them a reloaded composed index silently
             # disables is_rebuild_required() and defaults maintenance to
             # the ctor 'embedding' column
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 [(
                     int(self.ivf._built_count),
                     int(self.ivf._added_count),
@@ -1487,7 +1550,7 @@ class IVFPQIndex:
                 "built_count long, added_count long, vec_col string",
             ).write.mode("overwrite").parquet(f"{stage}/meta")
             if self._recall_curve:
-                spark.createDataFrame(
+                local_rows_df(spark, 
                     [
                         (int(p), float(r))
                         for p, r in sorted(self._recall_curve.items())
@@ -1676,7 +1739,7 @@ class IVFPQIndex:
                 diff = books[b] - q[b * sub : (b + 1) * sub][None, :]
                 lut[b] = (diff * diff).sum(axis=1)
             luts[r[query_id]] = lut
-        probe_df = spark.createDataFrame(
+        probe_df = local_rows_df(spark, 
             pairs, f"{query_id} long, cluster_id int"
         )
         cand = self.encoded.filter(
@@ -1736,7 +1799,7 @@ class IVFPQIndex:
         pool = bounded.join(F.broadcast(taus), query_id, "left").filter(
             F.col("__tau_sq").isNull() | (lb * lb <= F.col("__tau_sq"))
         )
-        qv = spark.createDataFrame(
+        qv = local_rows_df(spark, 
             [
                 (r[query_id], [float(x) for x in r[query_vec]])
                 for r in qrows
@@ -1788,7 +1851,7 @@ class IVFPQIndex:
             for r in qrows
             for c in self.ivf._probe_clusters(r[query_vec], nprobe)
         ]
-        probe_df = spark.createDataFrame(
+        probe_df = local_rows_df(spark, 
             pairs, f"{query_id} long, cluster_id int"
         )
         cand = self.encoded.filter(

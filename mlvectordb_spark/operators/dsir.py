@@ -34,6 +34,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mlvectordb_spark.functions.localdf import local_rows_df
+
 from mlvectordb_spark.operators.curation import (
     DSIR_BUCKETS,
     DSIR_SALT,
@@ -158,7 +160,7 @@ class DSIRState:
         rows = [
             (int(b), int(self.raw[b]), int(self.tgt[b])) for b in range(m)
         ]
-        lm = spark.createDataFrame(
+        lm = local_rows_df(spark, 
             rows, "bucket bigint, raw_n bigint, tgt_n bigint"
         )
         tr, tt = int(self.raw.sum()), int(self.tgt.sum())

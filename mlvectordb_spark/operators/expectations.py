@@ -25,6 +25,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mlvectordb_spark.functions.localdf import local_rows_df
+
 _FAILED = "_failed_rules"
 
 
@@ -220,7 +222,7 @@ class Expectations:
         re-evaluating every predicate, re-grafting FK broadcasts, and the
         uniqueness shuffle."""
         spark = ann.sparkSession
-        base = spark.createDataFrame(
+        base = local_rows_df(spark, 
             [(n,) for n in self._all_names], "rule string"
         )
         counts = (

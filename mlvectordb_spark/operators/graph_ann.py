@@ -66,6 +66,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mlvectordb_spark.functions.localdf import local_rows_df
+
 from mlvectordb_spark.functions.vector import metric_ascending, metric_expr
 from mlvectordb_spark.operators.ann import IVFIndex, per_key_topk
 from mlvectordb_spark.operators.knn import knn
@@ -1358,7 +1360,7 @@ class GraphANNIndex:
                 .parquet(f"{stage}/indexed")
             )
             cents = self._router.centroids
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
                 "block_id int, centroid array<double>",
             ).write.mode("overwrite").parquet(f"{stage}/centroids")

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mlvectordb_spark.functions.localdf import local_rows_df
+
 from mlvectordb_spark.functions.vector import l2_sq
 
 
@@ -234,7 +236,7 @@ class PQIndex:
             for b in range(m)
             for j in range(k_sub)
         ]
-        spark.createDataFrame(
+        local_rows_df(spark, 
             rows, "b int, j int, centroid array<double>"
         ).write.mode("overwrite").parquet(f"{path}/codebooks")
         self.encoded.write.mode("overwrite").parquet(f"{path}/encoded")

@@ -36,6 +36,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mlvectordb_spark.functions.localdf import local_rows_df
+
 
 def _bucket(col: Column, seed: int, width: int) -> Column:
     """Row-`seed` hash bucket: xxhash64 (JVM, codegen) salted by seed."""
@@ -94,7 +96,7 @@ def with_cms_estimate(
             for i in range(depth)
         ]
     )
-    cms_df = spark.createDataFrame([tuple(mat)], schema=schema)
+    cms_df = local_rows_df(spark, [tuple(mat)], schema=schema)
     est = F.least(
         *[
             F.element_at(

@@ -48,6 +48,8 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import Window as SqlWindow
 from pyspark.sql import functions as F
 
+from mlvectordb_spark.functions.localdf import local_rows_df
+
 from mlvectordb_spark.functions.vector import metric_ascending, metric_expr
 from mlvectordb_spark.schema import STORAGE_SCHEMA, VECTOR_SCHEMA
 
@@ -306,17 +308,28 @@ class VectorStore:
         tomb = self._tombstones()
         if tomb is None:
             return
+        # cheap existence probe FIRST: steady-state serving upserts rarely
+        # resurrect a deleted id, and the no-overlap case previously paid
+        # two counts plus a full tombstone rewrite on EVERY upsert batch
+        # (measured ~0.5 s/probe on the bench store entries — guide §1.2:
+        # don't compute things you throw away). One bounded semi-join
+        # probe replaces all three jobs when nothing matches.
+        hit = (
+            tomb.join(keys, ["id", "namespace"], "left_semi")
+            .limit(1)
+            .count()
+        )
+        if hit == 0:
+            return
         remaining = tomb.join(keys, ["id", "namespace"], "left_anti")
-        n_before, n_after = tomb.count(), remaining.count()
         tmp = os.path.join(self.path, ".tomb_upsert_tmp")
         remaining.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(self.tomb_path)
         os.rename(tmp, self.tomb_path)
-        if n_after < n_before:
-            # a delete EVENT was physically erased (the resurrecting upsert
-            # supersedes it in the live view) — history before this point
-            # can no longer be reconstructed exactly
-            self._bump_history_floor()
+        # hit > 0 ⟺ a delete EVENT was physically erased (the resurrecting
+        # upsert supersedes it in the live view) — history before this
+        # point can no longer be reconstructed exactly
+        self._bump_history_floor()
 
     def _tombstones(self) -> DataFrame | None:
         # write_version stamps the DELETE event for time-travel/CDC
@@ -336,7 +349,7 @@ class VectorStore:
         write_version column is storage-internal and dropped here."""
         raw = self._raw()
         if raw is None:
-            return self.spark.createDataFrame([], VECTOR_SCHEMA)
+            return local_rows_df(self.spark, [], VECTOR_SCHEMA)
         tomb = self._tombstones()
         if tomb is not None:
             raw = raw.join(
@@ -401,7 +414,7 @@ class VectorStore:
         self._check_floor(version)
         raw = self._raw()
         if raw is None:
-            return self.spark.createDataFrame([], VECTOR_SCHEMA)
+            return local_rows_df(self.spark, [], VECTOR_SCHEMA)
         wv = F.coalesce(F.col("write_version"), F.lit(0))
         events = raw.withColumn("__kind", F.lit(1))
         tomb = self._tombstones()
@@ -470,7 +483,7 @@ class VectorStore:
             schema = "id string, namespace string, values array<float>, " \
                 "metadata map<string,string>, metadata_json string, " \
                 "change_type string, write_version long"
-            return self.spark.createDataFrame([], schema)
+            return local_rows_df(self.spark, [], schema)
         return out
 
     # -- writes (W1-W4, W8) -------------------------------------------------
@@ -526,7 +539,7 @@ class VectorStore:
     def _append(self, rows: list[Row]) -> None:
         self._check_dims(rows)
         (
-            self.spark.createDataFrame(rows, VECTOR_SCHEMA)
+            local_rows_df(self.spark, rows, VECTOR_SCHEMA)
             .withColumn("write_version", F.lit(self._next_version()))
             .write.mode("append")
             .partitionBy("namespace")
@@ -587,7 +600,7 @@ class VectorStore:
         had_data = self._raw() is not None
         self._append(rows)
         if had_data:
-            keys = self.spark.createDataFrame(
+            keys = local_rows_df(self.spark, 
                 [(r.id, namespace) for r in rows], "id string, namespace string"
             )
             self._clear_tombstones_for(keys)
@@ -774,28 +787,42 @@ class VectorStore:
             return
         ns_list = list(namespaces)
         dirty = self._dirty_namespaces()
-        stats = {
-            r.namespace: (r.n, r.n_ids)
-            for r in raw.filter(F.col("namespace").isin(ns_list))
+        # ONE Spark job for both sides: the live-rows aggregate and the
+        # tombstone count union into a single collect (they were two
+        # back-to-back jobs on every upsert/delete — pure scheduling
+        # overhead on the steady-state serving path, guide §2.4's "two
+        # operations keyed the same way can share one pass" applied to
+        # the maintenance bookkeeping).
+        raw_agg = (
+            raw.filter(F.col("namespace").isin(ns_list))
             .groupBy("namespace")
             .agg(
                 F.count("*").alias("n"),
                 F.count_distinct("id").alias("n_ids"),
             )
-            .collect()
-        }
-        tomb = self._tombstones()
-        dead = (
-            {}
-            if tomb is None
-            else {
-                r.namespace: r.n
-                for r in tomb.filter(F.col("namespace").isin(ns_list))
-                .groupBy("namespace")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
+            .select("namespace", "n", "n_ids", F.lit(0).cast("long").alias("dead"))
         )
+        tomb = self._tombstones()
+        if tomb is not None:
+            tomb_agg = (
+                tomb.filter(F.col("namespace").isin(ns_list))
+                .groupBy("namespace")
+                .agg(F.count("*").alias("dead"))
+                .select(
+                    "namespace",
+                    F.lit(0).cast("long").alias("n"),
+                    F.lit(0).cast("long").alias("n_ids"),
+                    "dead",
+                )
+            )
+            raw_agg = raw_agg.unionByName(tomb_agg)
+        stats: dict[str, tuple[int, int]] = {}
+        dead: dict[str, int] = {}
+        for r in raw_agg.collect():
+            if r.dead:
+                dead[r.namespace] = dead.get(r.namespace, 0) + int(r.dead)
+            else:
+                stats[r.namespace] = (int(r.n), int(r.n_ids))
         for ns in ns_list:
             total, n_ids = stats.get(ns, (0, 0))
             superseded = (total - n_ids) if ns in dirty else 0
@@ -823,7 +850,7 @@ class VectorStore:
             return []
         v = self._next_version()
         (
-            self.spark.createDataFrame(
+            local_rows_df(self.spark, 
                 [(i, namespace, v) for i in present],
                 "id string, namespace string, write_version long",
             )
@@ -1019,7 +1046,7 @@ class VectorStore:
         order/None-preserving idiom SURVEY.md flags as easy to get wrong."""
         if not ids:
             return []
-        req = self.spark.createDataFrame(
+        req = local_rows_df(self.spark, 
             [(i, str(v)) for i, v in enumerate(ids)], "pos int, req_id string"
         )
         live = self.df().filter(F.col("namespace") == namespace)
@@ -1242,7 +1269,7 @@ class VectorStore:
                 .select("version", "n_upserts", "n_deletes")
             )
         if not parts:
-            return self.spark.createDataFrame(
+            return local_rows_df(self.spark, 
                 [], "version long, n_upserts long, n_deletes long"
             )
         out = parts[0].select("version", "n_upserts", "n_deletes")
@@ -1497,9 +1524,14 @@ class VectorStore:
         except ValueError:
             self._resync_index(ns, index, vec_col, id_col, space)
             v1 = self.current_version()
-        # cut the union/anti-join lineage AND detach the plan from the
-        # store's parquet files before compaction can delete them
-        index.indexed = index.indexed.localCheckpoint()
+        if not getattr(index, "manages_materialization", False):
+            # cut the union/anti-join lineage AND detach the plan from the
+            # store's parquet files before compaction can delete them.
+            # Indexes that manage their own pending tail (IVF) already
+            # checkpointed the bounded pieces inside apply_changes — the
+            # blanket re-checkpoint here was an O(index) materialization
+            # per bounded sync batch.
+            index.indexed = index.indexed.localCheckpoint()
         self._serving_synced_at[ns] = v1
 
     def _resync_index(
@@ -1719,7 +1751,7 @@ class VectorStore:
                 for qid, vec in queries.items()
             ]
         if not qrows:
-            return self.spark.createDataFrame(
+            return local_rows_df(self.spark, 
                 [], "query_id string, id string, score double, "
                 "values array<float>, metadata map<string,string>"
             )
@@ -1801,7 +1833,7 @@ class VectorStore:
                     qprep = [
                         (i, qid, v) for i, (qid, v) in enumerate(qrows)
                     ]
-                qdf = self.spark.createDataFrame(
+                qdf = local_rows_df(self.spark, 
                     [(i, q) for i, _, q in qprep],
                     "__qid long, __qvec array<float>",
                 )
@@ -1812,7 +1844,7 @@ class VectorStore:
                     F.col("__qid"),
                     F.col(id_col).cast("string").alias("id"),
                 )
-                qmap = self.spark.createDataFrame(
+                qmap = local_rows_df(self.spark, 
                     [(i, qid, v) for i, (qid, v) in enumerate(qrows)],
                     "__qid long, query_id string, __qraw array<double>",
                 )
@@ -1842,7 +1874,7 @@ class VectorStore:
         # id-join to re-attach values/metadata
         from mlvectordb_spark.operators.knn import knn_join
 
-        qdf_raw = self.spark.createDataFrame(
+        qdf_raw = local_rows_df(self.spark, 
             qrows, "query_id string, __qvec array<float>"
         )
         hits = knn_join(
@@ -2018,7 +2050,7 @@ class VectorStore:
             str(r[0]) for r in hits.select(F.col(id_col)).collect()
         ]
         if not hit_ids:
-            return self.spark.createDataFrame(
+            return local_rows_df(self.spark, 
                 [], "id string, values array<float>, "
                 "metadata map<string,string>, score double"
             )
@@ -2026,7 +2058,7 @@ class VectorStore:
         if len(hit_ids) <= 1024:
             joined = ns_df.filter(F.col("id").isin(hit_ids))
         else:
-            id_frame = self.spark.createDataFrame(
+            id_frame = local_rows_df(self.spark, 
                 [(i,) for i in hit_ids], "id string"
             )
             joined = ns_df.join(F.broadcast(id_frame), "id")

@@ -21,6 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mlvectordb_spark.functions.localdf import local_rows_df
+
 from mlvectordb_spark.functions import text as TX
 from mlvectordb_spark.functions import vector as V
 from mlvectordb_spark.operators.knn import knn, knn_df, knn_join
@@ -250,7 +252,7 @@ def q_multi_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     (storage_engine_in_memory.py:42-44; alignment test :76-82).
     Requested ids include two misses (-1 and 10**9)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    req = spark.createDataFrame(
+    req = local_rows_df(spark, 
         [(1, 3), (2, -1), (3, 7), (4, 10**9), (5, 0)], "pos INT, req_id BIGINT"
     )
     return (
@@ -1057,7 +1059,7 @@ def q_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "FURNITURE")).select(
         "c_mktsegment"
     )
-    lit_df = a.sparkSession.createDataFrame([("FURNITURE",)], "c_mktsegment STRING")
+    lit_df = local_rows_df(a.sparkSession, [("FURNITURE",)], "c_mktsegment STRING")
     return a.intersect(b).exceptAll(lit_df)
 
 
@@ -2191,7 +2193,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nprobe in (1, 4, 16):
         approx = idx.search(qvec, KNN_K, nprobe=nprobe, metric="l2")
         rows.append((nprobe, float(recall_at_k(approx, exact))))
-    return spark.createDataFrame(rows, "nprobe INT, recall DOUBLE")
+    return local_rows_df(spark, rows, "nprobe INT, recall DOUBLE")
 
 
 def q_hybrid_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2719,7 +2721,7 @@ def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = store.find_similar(
         [float(x) for x in qvec], top_k=5, namespace="ns0", metric="l2"
     )
-    fs = spark.createDataFrame(
+    fs = local_rows_df(spark, 
         [(
             "__find_similar",
             len(hits),
@@ -2797,7 +2799,7 @@ def q_store_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         metric="l2",
         mode="indexed",
     )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(h["id"], float(h["score"])) for h in hits], "id string, score double"
     )
 
@@ -2845,7 +2847,7 @@ def q_store_indexed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         metric="cosine",
         mode="indexed",
     )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(h["id"], float(h["score"])) for h in hits], "id string, score double"
     )
 
@@ -2942,12 +2944,18 @@ def q_store_indexed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
         F.transform("embedding", lambda x: x * F.lit(3.0)).alias("values"),
     )
-    store.upsert_df(batch, namespace="ns0", check_dims=False)
+    # the fixed-id CDC batch has unique ids by construction (one row per
+    # qualifying vec_id), so the documented bulk-ingest contract applies:
+    # assume_unique_ids skips the batch-collapse window — one less shuffle
+    # on the steady-state write (guide §2.4), identical rows written
+    store.upsert_df(
+        batch, namespace="ns0", check_dims=False, assume_unique_ids=True
+    )
     hits = store.find_similar(
         qvec, top_k=KNN_K, namespace="ns0", metric="l2", mode="indexed",
         sync=True,
     )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(h["id"], float(h["score"])) for h in hits], "id string, score double"
     )
 
@@ -3122,7 +3130,7 @@ def q_store_indexed_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         qvec, top_k=5, namespace="main", metric="l2", mode="indexed"
     )
     rows = checks + [(h["id"], float(h["score"])) for h in hits]
-    return spark.createDataFrame(rows, "item string, val double")
+    return local_rows_df(spark, rows, "item string, val double")
 
 
 def q_store_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3143,7 +3151,11 @@ def q_store_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
         F.transform("embedding", lambda x: x * F.lit(3.0)).alias("values"),
     )
-    store.upsert_df(batch, namespace="ns0", check_dims=False)
+    # unique-id CDC batch: skip the collapse window (see
+    # store_indexed_probe) — identical rows written, one less shuffle
+    store.upsert_df(
+        batch, namespace="ns0", check_dims=False, assume_unique_ids=True
+    )
     qvecs = {
         f"q{r.vec_id}": [float(x) for x in r.embedding]
         for r in emb.filter(F.col("vec_id") < BATCH_QUERY_MAX_VID)
@@ -4918,7 +4930,7 @@ def q_emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, j, float(cov[i, j])) for i in range(8) for j in range(i, 8)
     ]
     return (
-        spark.createDataFrame(rows, "i int, j int, cov_raw double")
+        local_rows_df(spark, rows, "i int, j int, cov_raw double")
         .select("i", "j", F.round("cov_raw", 6).alias("cov"))
         .orderBy("i", "j")
     )
@@ -4965,7 +4977,7 @@ def q_emb_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, j, float(cov[i, j])) for i in range(8) for j in range(i, 8)
     ]
     return (
-        spark.createDataFrame(rows, "i int, j int, cov_raw double")
+        local_rows_df(spark, rows, "i int, j int, cov_raw double")
         .select("i", "j", F.round("cov_raw", 6).alias("cov"))
         .orderBy("i", "j")
     )
@@ -5216,11 +5228,11 @@ def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(8)
     ]
-    spec_df = spark.createDataFrame(
+    spec_df = local_rows_df(spark, 
         spectrum, "component int, eigenvalue double, ratio double"
     )
     msq = per_axis.collect()[0]
-    msq_df = spark.createDataFrame(
+    msq_df = local_rows_df(spark, 
         [(i, float(msq[f"msq_{i}"])) for i in range(8)], "component int, msq double"
     )
     return (

@@ -26,6 +26,8 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mlvectordb_spark.functions.localdf import local_rows_df
+
 from mlvectordb_spark.operators.sketches import (
     _bucket,
     with_cms_estimate,
@@ -44,7 +46,7 @@ def _write_meta(spark: SparkSession, path: str, width: int, depth: int) -> None:
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(p):
         return
-    spark.createDataFrame(
+    local_rows_df(spark, 
         [(json.dumps({"width": width, "depth": depth}),)], "value string"
     ).coalesce(1).write.mode("overwrite").text(_meta_path(path))
 

@@ -1123,7 +1123,10 @@ def apply_merge_batch(
         # pointer flip and the checkpoint commit): applying it again would
         # overwrite its version dir WHILE the merge plan reads it — skip.
         return
-    if batch.isEmpty():
+    if not table.n_buckets and batch.isEmpty():
+        # bucketed tables skip this pass: the touched-bucket collect below
+        # is the same batch scan and its emptiness answers the same
+        # question — one pass instead of two per merge (guide §1.2)
         return
     # GAPLESS allocation: always base + 1 (bootstrap takes the batch id,
     # so streams whose ids start at 0/1 keep their familiar numbering).
@@ -1159,6 +1162,10 @@ def apply_merge_batch(
             .distinct()
             .collect()
         )
+        if not touched:
+            # empty batch (this collect doubles as the isEmpty check —
+            # the guard above skips its own pass for bucketed tables)
+            return
     payload_cols = [c for c in batch.columns if c != delete_col]
     if table.n_buckets:
         payload_cols = payload_cols + [_BUCKET]
