@@ -472,7 +472,8 @@ def quality_weighted_sample(
 
 
 def gopher_rules(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    keep_cols: bool = False,
 ) -> DataFrame:
     """Gopher-style rule-based quality filter: per-rule boolean flags plus
     the conjunction, one row per document. Complements `quality_score`
@@ -489,7 +490,14 @@ def gopher_rules(
     `quality_score` already spends.
 
     Reference analog: none — the reference has no text surface; this is
-    the LLM-pipeline extension layer."""
+    the LLM-pipeline extension layer.
+
+    `keep_cols=True` carries every input column through alongside the
+    flags (caller guarantees no name collision with the signal columns):
+    a pipeline that gates then KEEPS the payload can filter in the same
+    scan instead of re-reading the corpus for a semi-join against the
+    flag table — at 100 TB that halves stage-1 input bytes (guide §1.2:
+    the gate decision is row-local, so one pass suffices)."""
     toks = TX.tokens(F.col(text_col))
     n = F.size(toks)
     nd = n.cast("double")
@@ -504,8 +512,11 @@ def gopher_rules(
         / nd,
         4,
     )
+    base = (
+        [F.col(c) for c in docs.columns] if keep_cols else [F.col(id_col)]
+    )
     out = docs.select(
-        F.col(id_col),
+        *base,
         n.cast("bigint").alias("n_words"),
         F.when(n > 0, mean_wlen).otherwise(F.lit(0.0)).alias("mean_word_len"),
         stop_hits.cast("bigint").alias("stop_hits"),

@@ -1514,12 +1514,20 @@ class VectorStore:
                     "write_version",
                 )
             )
-            if feed.limit(1).count() == 0:
-                # namespace-partition-pruned metadata-scale read: the
-                # writes since v0 all went elsewhere — bookmark moves,
-                # no apply/checkpoint re-materialization
-                self._serving_synced_at[ns] = v1
-                return
+            if not (last_write is not None and last_write > v0):
+                # emptiness probe ONLY when this object has no record of
+                # writing the namespace since the bookmark: when it does
+                # (last_write > v0 — the steady serving cycle), the feed
+                # is known non-empty and the probe job is pure overhead
+                # (guide §1.2). Skipping is safe even if the tracked
+                # write carried zero rows — apply_changes on an empty
+                # feed is a bounded no-op.
+                if feed.limit(1).count() == 0:
+                    # namespace-partition-pruned metadata-scale read: the
+                    # writes since v0 all went elsewhere — bookmark moves,
+                    # no apply/checkpoint re-materialization
+                    self._serving_synced_at[ns] = v1
+                    return
             index.apply_changes(feed, vec_col=vec_col, id_col=id_col)
         except ValueError:
             self._resync_index(ns, index, vec_col, id_col, space)

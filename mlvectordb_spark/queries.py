@@ -3894,8 +3894,14 @@ def q_pipeline_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eval_docs = docs.filter(F.col("doc_id") % EVAL_SET_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % EVAL_SET_MOD != 0)
-    passed = gopher_rules(corpus).filter(F.col("passes_gopher")).select("doc_id")
-    s1 = corpus.join(passed, "doc_id", "left_semi")
+    # the gate decision is row-local: keep_cols folds gate + filter into
+    # the SAME corpus pass (the flag-table semi-join re-scanned the
+    # corpus — 2 scans → 1, r12 plan diff in plans/r12)
+    s1 = (
+        gopher_rules(corpus, keep_cols=True)
+        .filter(F.col("passes_gopher"))
+        .select(*corpus.columns)
+    )
     w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
     # the post-dedup survivor set feeds THREE consumers (decon shingling,
     # the anti join's left side, the split aggregation): materialize it
