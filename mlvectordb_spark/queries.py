@@ -1561,7 +1561,9 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score per document (length / diversity / density)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return docs.select("doc_id", TX.quality_score("text").alias("quality"))
 
 
@@ -1588,7 +1590,9 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (doc_id, gram) — bounded by doc length per group, no per-doc O(n²)
     higher-order-function loops (HOF lambdas are interpreted and a
     nested count-within-transform would go quadratic per doc)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = docs.select("doc_id", TX.tokens("text").alias("toks")).filter(
         F.size("toks") > 0
     )
@@ -3471,7 +3475,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Null fingerprints (docs shorter than the shingle width) coalesce to a
     sentinel outside md5's hex alphabet so they form one group, exactly as
     the null-partition window did."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     staged = docs.select(
         TX.quality_score("text").alias("q"),
         TX.lang_id_expr("text").alias("pred_lang"),
@@ -3505,7 +3511,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval shingle set is broadcast — the corpus is never self-joined."""
     from mlvectordb_spark.operators.curation import decontaminate
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     corpus = docs.filter(F.col("doc_id") % EVAL_SET_MOD != 0)
     eval_docs = docs.filter(F.col("doc_id") % EVAL_SET_MOD == 0)
     out = decontaminate(corpus, eval_docs, k=SHINGLE_K)
@@ -3525,7 +3533,9 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     redaction counts and scrubbed-text hash non-trivial)."""
     from mlvectordb_spark.operators.curation import scrub_pii
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     did = F.col("doc_id").cast("string")
     synth = docs.withColumn(
         "text",
@@ -3581,7 +3591,9 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document."""
     from mlvectordb_spark.operators.curation import tfidf_top_terms
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return tfidf_top_terms(docs, top_n=3)
 
 
@@ -3685,7 +3697,9 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     can flip the 4-decimal rounding (r12 review finding)."""
     from mlvectordb_spark.operators.curation import bigram_logprob
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return bigram_logprob(docs)
 
 
@@ -3698,7 +3712,9 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     restates the identical bucket expression and smoothing in DuckDB."""
     from mlvectordb_spark.operators.curation import dsir_log_weights
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return dsir_log_weights(docs, F.col("lang") == "en")
 
 
@@ -3725,7 +3741,9 @@ def q_dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_dsir_batch,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     state_dir = _entry_tmpdir("dsir_inc")
     os.makedirs(state_dir, exist_ok=True)
     path = os.path.join(state_dir, "dsir_lm.npz")
@@ -3946,7 +3964,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_best_per_cluster,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     pairs = (
         q_dedup_ngram_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
@@ -4437,7 +4457,9 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤RRF_POOL-row lists."""
     from mlvectordb_spark.operators.retrieval import bm25_scored, rrf_fuse, with_rank
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = emb.filter(F.col("vec_id") == QUERY_VID)
     lex = (
