@@ -444,13 +444,17 @@ def _merge_run_history(
     timings: dict[str, float], sf: float
 ) -> tuple[dict[str, float], int]:
     """Fold this run into BENCH_RUNS.json and return the per-entry MIN
-    across all recorded runs of the same code at the same sf, plus the
-    run count. Merging is keyed on a content hash of the CODE the bench
-    executes (the package + this file + the entry module) so a code
-    change never inherits the old code's timings while doc-only commits
-    don't orphan the history, and bounded to the last 8 h so a stale
-    same-hash run from a previous day can't leak in. Entries not in
-    THIS run's headline (rotated out) are dropped from the min."""
+    across all recorded runs of the same code at the same sf AND the
+    same core count, plus the run count. Merging is keyed on a content
+    hash of the CODE the bench executes (the package + this file + the
+    entry module) so a code change never inherits the old code's
+    timings while doc-only commits don't orphan the history, and
+    bounded to the last 8 h so a stale same-hash run from a previous
+    day can't leak in. The history key includes $SPARK_GRAFT_CPUS
+    (r12 verdict, What's wrong #2: a low-core scaling run must not
+    inherit the 32-core minimums, or the core-scaling artifact reads
+    exactly 1.0 everywhere). Entries not in THIS run's headline
+    (rotated out) are dropped from the min."""
     here = os.path.dirname(os.path.abspath(__file__))
     head = None
     try:
@@ -495,7 +499,7 @@ def _merge_run_history(
             }
     except Exception:  # noqa: BLE001 — absent/corrupt history
         pass
-    key = str(sf)
+    key = f"{sf}@c{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}"
     runs = by_sf.get(key, [])
     runs.append({"ts": now, "queries": timings})
     by_sf[key] = runs = runs[-8:]

@@ -25,14 +25,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+def _contains_nan(v) -> bool:
+    """True when a (possibly nested) value holds a float NaN. The
+    pandas/Arrow fast path silently converts NaN in a float column to
+    NULL (pyarrow's from_pandas semantics) while the classic pickled
+    path preserves NaN — a silent value divergence, not an exception,
+    so the generic fallback never triggers (r12 ADVICE). NaN rows are
+    detected up front and routed to the classic path."""
+    if v is None or isinstance(v, (str, bytes, bool, int)):
+        return False
+    if isinstance(v, float):
+        return v != v
+    if isinstance(v, dict):
+        return any(_contains_nan(x) for x in v.values())
+    if hasattr(v, "__iter__"):
+        return any(_contains_nan(x) for x in v)
+    try:
+        return bool(v != v)  # numpy scalar NaN
+    except Exception:  # noqa: BLE001 — incomparable exotic type
+        return False
+
+
 def local_rows_df(
     spark: SparkSession, rows: Iterable, schema: str | StructType
 ) -> DataFrame:
     """Small driver-local rows → DataFrame via the Arrow/pandas path
     (no pickled-row RDD, no per-action Python workers); falls back to
-    `spark.createDataFrame(rows, schema)` verbatim on any gap."""
+    `spark.createDataFrame(rows, schema)` verbatim on any gap, including
+    rows carrying float NaN (which the Arrow path would coerce to NULL)."""
     rows = list(rows)
     try:
+        if any(
+            _contains_nan(v)
+            for r in rows
+            for v in (r.values() if isinstance(r, dict) else r)
+        ):
+            return spark.createDataFrame(rows, schema)
         import pandas as pd
 
         st = (

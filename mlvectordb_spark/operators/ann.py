@@ -232,6 +232,13 @@ class IVFIndex:
     # pending tail itself — the store sync must NOT re-checkpoint the
     # whole index after every bounded batch (see _sync_namespace)
     manages_materialization = True
+    # retire anti-join strategy bound: a steady-state CDC feed (bounded
+    # by the sync interval) broadcasts its id set; a catch-up/resync
+    # feed above this row count must NOT be forced through a broadcast
+    # (the 8 GB / 512M-row broadcast cap, r12 ADVICE medium) — it falls
+    # back to the AQE-sized anti-join, and the pending-tail fold
+    # materializes the result right after anyway.
+    BROADCAST_FEED_ROWS = 2_000_000
 
     def __init__(
         self,
@@ -346,10 +353,17 @@ class IVFIndex:
                 cids = d.argmin(axis=1).astype(np.int32)
                 pdf["cluster_id"] = cids
                 if with_dist:
-                    xx = (mat * mat).sum(axis=1)
-                    dmin = d[np.arange(len(cids)), cids] + xx
-                    # clamp tiny negative rounding to zero before sqrt
-                    pdf["__cdist"] = np.sqrt(np.maximum(dmin, 0.0))
+                    # direct (x − c)² for the argmin cluster — one gather
+                    # + subtract per batch. The expanded form (c·c − 2x·c
+                    # + x·x) suffers catastrophic cancellation for members
+                    # near their centroid with large norms, which could
+                    # record a radius slightly BELOW the true max member
+                    # distance; certified-exact pruning needs radii to be
+                    # true upper bounds, and _radius_rows computes the
+                    # direct form, so build-time and incremental radii now
+                    # agree numerically (r12 ADVICE).
+                    diff = mat - cent[cids]
+                    pdf["__cdist"] = np.sqrt((diff * diff).sum(axis=1))
                 yield pdf
 
         return df.mapInPandas(assign_batches, schema=out_schema)
@@ -469,52 +483,83 @@ class IVFIndex:
         Scale shape: the event collapse is a window over the FEED (bounded
         by the sync interval, not the corpus); retiring changed ids is one
         anti-join of the indexed table against that bounded id set
-        (AQE-sized); assignment is the same Arrow argmin map as add() —
-        narrow, no shuffle of the corpus. Upserts count toward the W11
-        drift trigger exactly like add(); exactness of `search_exact` is
-        unaffected either way (certified pruning holds on any assignment).
-        The feed must carry every non-derived column of the indexed table
-        (the union is by name)."""
+        (broadcast while the feed is provably small, AQE-sized above the
+        bound — a catch-up/resync-sized feed must not be forced through a
+        broadcast, r12 ADVICE); assignment is the same Arrow argmin map as
+        add() — narrow, no shuffle of the corpus. Upserts count toward the
+        W11 drift trigger exactly like add(); exactness of `search_exact`
+        is unaffected either way (certified pruning holds on any
+        assignment). The feed must carry every non-derived column of the
+        indexed table (the union is by name)."""
         from pyspark.sql.window import Window as _W
 
         vec_col = vec_col or self._vec_col
         assert self.indexed is not None and self.centroids is not None
         w = _W.partitionBy(id_col).orderBy(F.col("write_version").desc())
         cols = self.indexed.columns
-        # Materialize the DEDUPED FEED once (bounded by the sync
-        # interval, guide §2.3 — shuffle/checkpoint the metadata-scale
-        # rows, never the index): the retire anti-join and the
-        # assignment both read it, and materializing detaches the plan
-        # from the store's parquet/tombstone files before compaction or
-        # tombstone retirement can rewrite them.
         latest = (
             changes.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
-        ).localCheckpoint()
+        )
         ups = latest.filter(F.col("change_type") == "upsert").drop(
             "change_type", "write_version", "cluster_id"
         )
-        # Materialize the ASSIGNED batch once: the Arrow assignment map
-        # used to be re-executed by the stats collect AND by every
-        # consumer of the updated index (guide §4 — one boundary
-        # crossing). __cdist rides the same matmul, so the radius growth
-        # below is a JVM-only aggregate.
-        assigned = self._assign(ups, vec_col, with_dist=True).localCheckpoint()
-        n_new = self._absorb_batch_stats(assigned, vec_col)
+        # ONE materialization job for the whole sync (guide §1.2): the
+        # assigned upserts and the delete events union into a single
+        # LAZY localCheckpoint whose first (and only) materializing
+        # action is the stats aggregate below — it yields the radius
+        # growth (from __cdist, emitted by the same Arrow matmul as the
+        # assignment — one boundary crossing, guide §4), the upsert
+        # count (W11 drift), AND the total feed size (the broadcast
+        # bound). The r12 shape paid three jobs here: checkpoint(latest)
+        # + checkpoint(assigned) + stats collect. Materializing detaches
+        # the plan from the store's parquet/tombstone files before
+        # compaction or tombstone retirement can rewrite them; deletes
+        # are discriminated by cluster_id NULL (the assignment map stamps
+        # every upsert with a real cluster).
+        assigned = self._assign(ups, vec_col, with_dist=True)
+        dels = (
+            latest.filter(F.col("change_type") == "delete")
+            .drop("change_type", "write_version", "cluster_id")
+            .withColumn("cluster_id", F.lit(None).cast("int"))
+            .withColumn("__cdist", F.lit(None).cast("double"))
+        )
+        feed = assigned.unionByName(dels).localCheckpoint(eager=False)
+        stats_rows = (
+            feed.groupBy("cluster_id")
+            .agg(F.max("__cdist").alias("radius"), F.count("*").alias("n"))
+            .collect()
+        )
+        n_new = 0
+        n_del = 0
+        for r in stats_rows:
+            if r.cluster_id is None:
+                n_del += int(r.n)
+                continue
+            n_new += int(r.n)
+            if (
+                self._radii is not None
+                and r.radius is not None
+                and float(r.radius) > self._radii[int(r.cluster_id)]
+            ):
+                self._radii[int(r.cluster_id)] = float(r.radius)
         # consumed by resync_index_from_snapshot to size the fresh drift
         # baseline without re-counting the snapshot
         self.last_applied_upserts = n_new
         # PENDING-TAIL composition (the graph family's fold pattern):
-        # retire this feed's ids with one bounded broadcast anti-join and
-        # union the checkpointed batch — per-sync cost is O(feed), not
-        # O(index). The old shape (store sync re-checkpointing the WHOLE
-        # index after every bounded batch) paid a full index
-        # materialization per sync cycle — at continuous-ingest scale
-        # that is an O(corpus) write amplification per micro-batch.
-        self.indexed = self.indexed.join(
-            F.broadcast(latest.select(id_col)), id_col, "left_anti"
-        ).unionByName(assigned.select(*cols))
+        # retire this feed's ids with one bounded anti-join and union the
+        # checkpointed batch — per-sync cost is O(feed), not O(index).
+        # The old shape (store sync re-checkpointing the WHOLE index
+        # after every bounded batch) paid a full index materialization
+        # per sync cycle — at continuous-ingest scale that is an
+        # O(corpus) write amplification per micro-batch.
+        ids = feed.select(id_col)
+        if n_new + n_del <= self.BROADCAST_FEED_ROWS:
+            ids = F.broadcast(ids)
+        self.indexed = self.indexed.join(ids, id_col, "left_anti").unionByName(
+            feed.filter(F.col("cluster_id").isNotNull()).select(*cols)
+        )
         self._added_count += n_new
         self._counts = None
         # FOLD: collapse the anti-join/union chain when the accumulated
@@ -1385,6 +1430,12 @@ class IVFPQIndex:
     residual encoding would shrink e and the pool, not change answers).
     Driver state: k centroids + k radii + m·k_sub sub-centroids."""
 
+    # apply_changes materializes its own bounded pieces and folds the
+    # pending tail itself (the IVFIndex contract) — the store sync must
+    # not re-checkpoint the whole encoded table after every bounded
+    # batch (r12 verdict, next-round #5)
+    manages_materialization = True
+
     def __init__(
         self,
         n_clusters: int = 16,
@@ -1399,6 +1450,9 @@ class IVFPQIndex:
         self.encoded: DataFrame | None = None
         # measured nprobe → recall@k (same contract as IVFIndex)
         self._recall_curve: dict[int, float] | None = None
+        # pending-tail CDC state (apply_changes, the IVFIndex fold)
+        self._tail_syncs = 0
+        self._tail_rows = 0
 
     @property
     def n_clusters(self) -> int:
@@ -1474,30 +1528,84 @@ class IVFPQIndex:
     ) -> DataFrame:
         """CDC maintenance through the composed layout (the IVFIndex.
         apply_changes contract): latest event per id wins over the bounded
-        feed, changed ids retire via one anti-join, upserts re-enter
-        through add()'s assign+encode path (existing centroids and
+        feed, changed ids retire via one anti-join (broadcast while the
+        feed is provably small, AQE-sized above the bound), upserts
+        re-enter through the assign+encode path (existing centroids and
         codebooks — no refit). Exactness is unconditional, as with add():
-        errors are computed fresh per re-encoded vector and radii
-        recompute lazily; only pruning quality drifts, tracked by the W11
-        counter."""
+        errors are computed fresh per re-encoded vector; only pruning
+        quality drifts, tracked by the W11 counter.
+
+        Job economics mirror IVFIndex.apply_changes: ONE lazy
+        localCheckpoint over (encoded upserts ∪ delete events) whose
+        materializing action is the stats aggregate — radius growth (from
+        the assignment matmul's __cdist), upsert count, and feed size in
+        one job — then a pending-tail composition that folds at 20% drift
+        or 8 syncs, so per-sync cost is O(feed), not O(index)."""
         from pyspark.sql.window import Window as _W
 
-        assert self.encoded is not None
+        assert self.encoded is not None and self.ivf.centroids is not None
         w = _W.partitionBy(id_col).orderBy(F.col("write_version").desc())
+        cols = self.encoded.columns
         latest = (
             changes.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        self.encoded = self.encoded.join(
-            latest.select(id_col), id_col, "left_anti"
-        )
-        self.ivf.indexed = self.encoded
-        self.pq.encoded = self.encoded
         ups = latest.filter(F.col("change_type") == "upsert").drop(
             "change_type", "write_version", "cluster_id"
         )
-        return self.add(ups, vec_col=vec_col, id_col=id_col)
+        encoded_new = self.pq.encode(
+            self.ivf._assign(ups, vec_col, with_dist=True), vec_col
+        )
+        dels = (
+            latest.filter(F.col("change_type") == "delete")
+            .drop("change_type", "write_version", "cluster_id")
+            .withColumn("cluster_id", F.lit(None).cast("int"))
+            .withColumn("__cdist", F.lit(None).cast("double"))
+            .withColumn(
+                "pq_codes", F.lit(None).cast("array<int>")
+            )
+            .withColumn("pq_err", F.lit(None).cast("double"))
+        )
+        feed = encoded_new.unionByName(dels).localCheckpoint(eager=False)
+        stats_rows = (
+            feed.groupBy("cluster_id")
+            .agg(F.max("__cdist").alias("radius"), F.count("*").alias("n"))
+            .collect()
+        )
+        n_new = 0
+        n_del = 0
+        for r in stats_rows:
+            if r.cluster_id is None:
+                n_del += int(r.n)
+                continue
+            n_new += int(r.n)
+            if (
+                self.ivf._radii is not None
+                and r.radius is not None
+                and float(r.radius) > self.ivf._radii[int(r.cluster_id)]
+            ):
+                self.ivf._radii[int(r.cluster_id)] = float(r.radius)
+        self.last_applied_upserts = n_new
+        ids = feed.select(id_col)
+        if n_new + n_del <= IVFIndex.BROADCAST_FEED_ROWS:
+            ids = F.broadcast(ids)
+        merged = self.encoded.join(ids, id_col, "left_anti").unionByName(
+            feed.filter(F.col("cluster_id").isNotNull()).select(*cols)
+        )
+        self.encoded = merged
+        self.ivf.indexed = merged
+        self.pq.encoded = merged
+        self.ivf._added_count += n_new
+        self.ivf._counts = None
+        self._tail_syncs += 1
+        self._tail_rows += n_new
+        base = max(1024, self.ivf._built_count + self.ivf._added_count)
+        if self._tail_syncs >= 8 or self._tail_rows >= 0.2 * base:
+            self.indexed = self.encoded.localCheckpoint()
+            self._tail_syncs = 0
+            self._tail_rows = 0
+        return self.encoded
 
     def save(self, path: str) -> None:
         """Persist ONE physical dataset partitioned by cluster_id (probe =

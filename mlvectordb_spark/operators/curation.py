@@ -498,6 +498,21 @@ def gopher_rules(
     scan instead of re-reading the corpus for a semi-join against the
     flag table — at 100 TB that halves stage-1 input bytes (guide §1.2:
     the gate decision is row-local, so one pass suffices)."""
+    if keep_cols:
+        reserved = {
+            "n_words", "mean_word_len", "stop_hits", "alpha_frac",
+            "ok_word_count", "ok_mean_word_len", "ok_stopwords",
+            "ok_alpha", "passes_gopher",
+        }
+        clash = reserved & set(docs.columns)
+        if clash:
+            # enforced, not just documented (r12 ADVICE): a duplicate
+            # signal/flag name would make the rule predicates bind
+            # ambiguously or to the wrong column
+            raise ValueError(
+                "gopher_rules(keep_cols=True) input collides with signal/"
+                f"flag columns: {sorted(clash)}"
+            )
     toks = TX.tokens(F.col(text_col))
     n = F.size(toks)
     nd = n.cast("double")

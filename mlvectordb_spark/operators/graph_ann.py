@@ -1239,11 +1239,17 @@ class GraphANNIndex:
         icol = id_col or self._id_col
         assert self.indexed is not None, "build() first"
         w = _W.partitionBy(icol).orderBy(F.col("write_version").desc())
+        # LAZY checkpoint of the bounded deduped feed, materialized by the
+        # counts job just below (no extra job): the pending tail and the
+        # retire anti-joins must not lazily reference the store's parquet/
+        # tombstone files — the store sync re-checkpoints only `indexed`,
+        # so an un-checkpointed feed inside `pending` would dangle once
+        # compaction rewrites those files (r13 audit of the graph family).
         latest = (
             changes.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
-        )
+        ).localCheckpoint(eager=False)
         touched = latest.select(icol)
         self.indexed = self.indexed.join(touched, icol, "left_anti")
         if self.pending is not None:

@@ -177,6 +177,18 @@ class VectorStore:
         # external write into any namespace, so auto-mode must not trust
         # the per-namespace tracker across it (round-6 ADVICE medium).
         self._session_versions: set[int] = set()
+        # epoch-keyed reader-plan cache (r12 verdict, next-round #1): every
+        # df()/_raw()/_tombstones() call used to rebuild the reader plan —
+        # driver-side file listing + analysis per call, ~10 sequential
+        # rebuilds per serving probe. The cache key is a metadata-scale
+        # signature of everything the plan depends on: the version/floor/
+        # dirty manifests plus the data and tombstone directory mtimes
+        # (_SUCCESS is rewritten by every Spark commit, so appends that
+        # mint no version — insert_df — still invalidate), plus a local
+        # epoch bumped at every file-mutation site of THIS object.
+        self._plan_epoch = 0
+        self._plan_cache: dict[str, DataFrame | None] = {}
+        self._plan_cache_sig: tuple | None = None
         os.makedirs(path, exist_ok=True)
 
     # -- dims manifest -------------------------------------------------------
@@ -216,7 +228,49 @@ class VectorStore:
 
     # -- read path ----------------------------------------------------------
 
+    def _read_sig(self) -> tuple:
+        """Metadata-scale invalidation signature for the reader-plan cache:
+        json manifests (version / history floor / dirty set) cover every
+        store-API mutation that minted a version or moved the floor; the
+        directory + _SUCCESS mtimes cover appends that mint neither
+        (insert_df) and any same-path writer in another process; the local
+        epoch covers this object's own rewrites belt-and-braces."""
+
+        def _mt(p: str) -> int:
+            try:
+                return os.stat(p).st_mtime_ns
+            except OSError:
+                return -1
+
+        return (
+            self._plan_epoch,
+            self.current_version(),
+            self.history_floor(),
+            tuple(sorted(self._dirty_namespaces())),
+            _mt(self.data_path),
+            _mt(os.path.join(self.data_path, "_SUCCESS")),
+            _mt(self.tomb_path),
+            _mt(os.path.join(self.tomb_path, "_SUCCESS")),
+        )
+
+    def _bump_plan_epoch(self) -> None:
+        self._plan_epoch += 1
+        self._plan_cache = {}
+        self._plan_cache_sig = None
+
+    def _cached_plan(self, kind: str, builder):
+        sig = self._read_sig()
+        if sig != self._plan_cache_sig:
+            self._plan_cache = {}
+            self._plan_cache_sig = sig
+        if kind not in self._plan_cache:
+            self._plan_cache[kind] = builder()
+        return self._plan_cache[kind]
+
     def _raw(self) -> DataFrame | None:
+        return self._cached_plan("raw", self._build_raw)
+
+    def _build_raw(self) -> DataFrame | None:
         try:
             return self.spark.read.schema(STORAGE_SCHEMA).parquet(self.data_path)
         except Exception:  # noqa: BLE001 — no data written yet
@@ -299,28 +353,28 @@ class VectorStore:
         )
         return raw.filter(~is_dirty).unionByName(deduped)
 
-    def _clear_tombstones_for(self, keys: DataFrame) -> None:
-        """Resurrect upserted ids: a tombstone matches every version of
-        (id, namespace), so an upsert over a previously-deleted id must
-        retire the tombstone or the new version stays invisible. The
-        tombstone table is bounded between compactions, so the rewrite is
-        metadata-scale."""
-        tomb = self._tombstones()
-        if tomb is None:
-            return
-        # cheap existence probe FIRST: steady-state serving upserts rarely
-        # resurrect a deleted id, and the no-overlap case previously paid
-        # two counts plus a full tombstone rewrite on EVERY upsert batch
-        # (measured ~0.5 s/probe on the bench store entries — guide §1.2:
-        # don't compute things you throw away). One bounded semi-join
-        # probe replaces all three jobs when nothing matches.
-        hit = (
+    def _probe_tombstones(self, tomb: DataFrame, keys: DataFrame) -> int:
+        """READ-ONLY half of tombstone retirement: does any upserted key
+        collide with a live tombstone? Steady-state serving upserts rarely
+        resurrect a deleted id, and the no-overlap case previously paid
+        two counts plus a full tombstone rewrite on EVERY upsert batch
+        (measured ~0.5 s/probe on the bench store entries — guide §1.2:
+        don't compute things you throw away). One bounded semi-join probe
+        replaces all three jobs when nothing matches. Split from the
+        rewrite so the probe can run CONCURRENTLY with the (also
+        read-only) compaction-stats job (guide §2.6)."""
+        return (
             tomb.join(keys, ["id", "namespace"], "left_semi")
             .limit(1)
             .count()
         )
-        if hit == 0:
-            return
+
+    def _retire_tombstones(self, tomb: DataFrame, keys: DataFrame) -> None:
+        """WRITE half: resurrect upserted ids — a tombstone matches every
+        version of (id, namespace), so an upsert over a previously-deleted
+        id must retire the tombstone or the new version stays invisible.
+        The tombstone table is bounded between compactions, so the rewrite
+        is metadata-scale."""
         remaining = tomb.join(keys, ["id", "namespace"], "left_anti")
         tmp = os.path.join(self.path, ".tomb_upsert_tmp")
         remaining.write.mode("overwrite").parquet(tmp)
@@ -331,7 +385,20 @@ class VectorStore:
         # point can no longer be reconstructed exactly
         self._bump_history_floor()
 
+    def _clear_tombstones_for(self, keys: DataFrame) -> None:
+        """Probe-then-retire, sequential form (upsert_by_id and other
+        bounded callers; upsert_df overlaps the probe with the compaction
+        stats instead)."""
+        tomb = self._tombstones()
+        if tomb is None:
+            return
+        if self._probe_tombstones(tomb, keys):
+            self._retire_tombstones(tomb, keys)
+
     def _tombstones(self) -> DataFrame | None:
+        return self._cached_plan("tomb", self._build_tombstones)
+
+    def _build_tombstones(self) -> DataFrame | None:
         # write_version stamps the DELETE event for time-travel/CDC
         # (df_as_of / changes_since); files written before tombstone
         # versioning read the column as null ≡ version 0, the same
@@ -346,7 +413,15 @@ class VectorStore:
     def df(self) -> DataFrame:
         """The live storage DataFrame: tombstones applied, then latest-wins
         version collapse for namespaces with pending upserts. The
-        write_version column is storage-internal and dropped here."""
+        write_version column is storage-internal and dropped here.
+
+        The composed plan is cached under the same epoch signature as the
+        reader relations (`_read_sig`): repeated serving reads between
+        mutations reuse one analyzed plan instead of re-listing files and
+        re-deriving the anti-join/window per call."""
+        return self._cached_plan("df", self._build_df)
+
+    def _build_df(self) -> DataFrame:
         raw = self._raw()
         if raw is None:
             return local_rows_df(self.spark, [], VECTOR_SCHEMA)
@@ -392,6 +467,9 @@ class VectorStore:
     def _bump_history_floor(self) -> None:
         with open(self._floor_path, "w", encoding="utf-8") as fh:
             json.dump({"floor": self.current_version()}, fh)
+        # every event-erasing rewrite moves the floor — the single
+        # chokepoint the plan cache needs for compaction/retirement
+        self._bump_plan_epoch()
 
     def _check_floor(self, version: int) -> None:
         floor = self.history_floor()
@@ -743,9 +821,27 @@ class VectorStore:
             .parquet(self.data_path)
         )
         if had_data and affected:
-            self._clear_tombstones_for(shaped.select("id", "namespace"))
             self._mark_dirty(affected)
-            self._maybe_compact_many(affected)
+            keys = shaped.select("id", "namespace")
+            tomb = self._tombstones()
+            if tomb is None:
+                self._maybe_compact_many(affected)
+            else:
+                # ONE post-write bookkeeping job: the tombstone overlap
+                # probe rides the compaction-stats aggregate as a union
+                # branch (see _collect_compact_stats). Any rewrite
+                # (tombstone retirement, compaction) happens strictly
+                # AFTER the read completes. The stats are collected
+                # before a retirement rather than after; at the trigger
+                # boundary that can only start a compaction earlier —
+                # the live view is unchanged and the history floor was
+                # already moved by the retirement itself.
+                rows = self._collect_compact_stats(affected, probe_keys=keys)
+                if any(int(r.dead) < 0 for r in rows):
+                    self._retire_tombstones(tomb, keys)
+                self._apply_compact_policy(
+                    affected, [r for r in rows if int(r.dead) >= 0]
+                )
         self._record_dims(dims)
         self._note_ns_write(affected)
         return n
@@ -776,25 +872,27 @@ class VectorStore:
         self._note_ns_write(affected)
         return n
 
-    def _maybe_compact_many(self, namespaces: Sequence[str]) -> None:
-        """Batched compaction trigger: ONE partition-pruned aggregate for
-        all affected namespaces. Garbage = tombstoned rows + superseded
-        versions (total - distinct ids, nonzero only for upsert-dirty
-        namespaces) — so merge-on-read debt hits the same 20% threshold
-        that tombstones always did."""
+    def _collect_compact_stats(
+        self, ns_list: Sequence[str], probe_keys: DataFrame | None = None
+    ) -> list:
+        """READ-ONLY half of the compaction trigger: ONE partition-pruned
+        aggregate for all affected namespaces — the live-rows aggregate
+        and the tombstone count union into a single collect (they were
+        two back-to-back jobs on every upsert/delete — pure scheduling
+        overhead on the steady-state serving path, guide §2.4's "two
+        operations keyed the same way can share one pass" applied to the
+        maintenance bookkeeping).
+
+        `probe_keys` additionally folds the upsert path's tombstone
+        OVERLAP PROBE into the same job as a third union branch (dead=-1
+        marker rows, emitted only on a hit): the steady-state upsert's
+        entire post-write bookkeeping — overlap probe + live/tombstone
+        stats — is then ONE Spark job instead of the two sequential jobs
+        of r12 (guide §1.2/§2.4: the r12 verdict suggested overlapping
+        them, guide §2.6; sharing one pass beats overlapping two)."""
         raw = self._raw()
-        if raw is None or not namespaces:
-            return
-        ns_list = list(namespaces)
-        dirty = self._dirty_namespaces()
-        # ONE Spark job for both sides: the live-rows aggregate and the
-        # tombstone count union into a single collect (they were two
-        # back-to-back jobs on every upsert/delete — pure scheduling
-        # overhead on the steady-state serving path, guide §2.4's "two
-        # operations keyed the same way can share one pass" applied to
-        # the maintenance bookkeeping).
         raw_agg = (
-            raw.filter(F.col("namespace").isin(ns_list))
+            raw.filter(F.col("namespace").isin(list(ns_list)))
             .groupBy("namespace")
             .agg(
                 F.count("*").alias("n"),
@@ -805,7 +903,7 @@ class VectorStore:
         tomb = self._tombstones()
         if tomb is not None:
             tomb_agg = (
-                tomb.filter(F.col("namespace").isin(ns_list))
+                tomb.filter(F.col("namespace").isin(list(ns_list)))
                 .groupBy("namespace")
                 .agg(F.count("*").alias("dead"))
                 .select(
@@ -816,9 +914,31 @@ class VectorStore:
                 )
             )
             raw_agg = raw_agg.unionByName(tomb_agg)
+            if probe_keys is not None:
+                hit_row = (
+                    tomb.join(probe_keys, ["id", "namespace"], "left_semi")
+                    .limit(1)
+                    .select(
+                        F.lit(None).cast("string").alias("namespace"),
+                        F.lit(0).cast("long").alias("n"),
+                        F.lit(0).cast("long").alias("n_ids"),
+                        F.lit(-1).cast("long").alias("dead"),
+                    )
+                )
+                raw_agg = raw_agg.unionByName(hit_row)
+        return raw_agg.collect()
+
+    def _apply_compact_policy(
+        self, ns_list: Sequence[str], rows: list
+    ) -> None:
+        """Threshold policy over `_collect_compact_stats` rows: garbage =
+        tombstoned rows + superseded versions (total - distinct ids,
+        nonzero only for upsert-dirty namespaces) — so merge-on-read debt
+        hits the same 20% threshold that tombstones always did."""
+        dirty = self._dirty_namespaces()
         stats: dict[str, tuple[int, int]] = {}
         dead: dict[str, int] = {}
-        for r in raw_agg.collect():
+        for r in rows:
             if r.dead:
                 dead[r.namespace] = dead.get(r.namespace, 0) + int(r.dead)
             else:
@@ -829,6 +949,13 @@ class VectorStore:
             garbage = dead.get(ns, 0) + superseded
             if total and garbage / total >= self.rebuild_threshold:
                 self.compact(ns)
+
+    def _maybe_compact_many(self, namespaces: Sequence[str]) -> None:
+        raw = self._raw()
+        if raw is None or not namespaces:
+            return
+        ns_list = list(namespaces)
+        self._apply_compact_policy(ns_list, self._collect_compact_stats(ns_list))
 
     # -- deletes (W5-W7, P5/P6) --------------------------------------------
 
@@ -899,6 +1026,7 @@ class VectorStore:
         self._serving_synced_at.clear()
         self._ns_mutated_at.clear()
         self._forget_dims()
+        self._bump_plan_epoch()
         return True
 
     def _drop_namespace_tombstones(self, namespace: str) -> None:
@@ -911,6 +1039,7 @@ class VectorStore:
         ).parquet(tmp)
         shutil.rmtree(self.tomb_path)
         os.rename(tmp, self.tomb_path)
+        self._bump_plan_epoch()
 
     def tombstone_ratio(self, namespace: str) -> float:
         """P6 trigger metric: deleted / total for one namespace."""
@@ -1241,6 +1370,7 @@ class VectorStore:
             .partitionBy("namespace")
             .parquet(self.data_path)
         )
+        self._bump_plan_epoch()
         raw = self._raw()
         return 0 if raw is None else raw.count()
 
