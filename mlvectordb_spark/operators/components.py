@@ -41,8 +41,11 @@ def connected_components(
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     # pre-partition on the per-round join key: localCheckpoint preserves
     # the hash partitioning, so the static edge table is shuffled ONCE for
-    # the whole iteration, not once per round
-    sym = sym.distinct().repartition(F.col("b")).localCheckpoint()
+    # the whole iteration, not once per round. LAZY — materialized by the
+    # first round's convergence count, the same job that materializes the
+    # seed and round-1 labels (guide §1.2: the eager forms paid three
+    # driver job round trips before the first real work).
+    sym = sym.distinct().repartition(F.col("b")).localCheckpoint(eager=False)
 
     # seed with min(id, min-neighbor) — exactly what propagation round 1
     # would compute, so a clique-shaped graph (the common duplicate-cluster
@@ -51,7 +54,7 @@ def connected_components(
         sym.groupBy("a")
         .agg(F.least(F.first("a"), F.min("b")).alias("component"))
         .select(F.col("a").alias("id"), "component")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -61,7 +64,9 @@ def connected_components(
         )
         # carry old + new labels in ONE checkpointed frame: the convergence
         # check becomes a scan of materialized blocks instead of a second
-        # join against the previous state
+        # join against the previous state. The checkpoint is lazy and the
+        # count below is its materializing action — labels + convergence in
+        # ONE job per round instead of two.
         new_full = (
             comp.join(neighbor_min, comp.id == neighbor_min.a, "left")
             .select(
@@ -72,7 +77,7 @@ def connected_components(
                     F.coalesce(neighbor_min.nbr_component, comp.component),
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_full.filter(F.col("component") != F.col("old")).count()
         comp = new_full.drop("old")

@@ -286,6 +286,75 @@ def unigram_logprob(
     )
 
 
+def shingle_prefix_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """(id, prefix, sh) in ONE Arrow-batched pass — the blocking kernel of
+    the exact n-gram Jaccard near-dup query: the `prefix_len`-token prefix
+    (the block key) and the distinct k-shingle set per document, for EVERY
+    document (shingle-less docs keep an empty array — unlike the minhash
+    kernels, the blocked-jaccard query does not drop them).
+
+    Value-identical by construction (pinned by tests/test_kernels.py
+    parity) to the Catalyst form
+        concat_ws(" ", slice(tokens, 1, prefix_len)),
+        array_distinct(word_shingles(tokens, k))
+    — same single-space tokenization dropping empty tokens, same
+    first-occurrence-ordered distinct shingles, prefix "" for empty/NULL
+    text.
+
+    Why Python here (guide §4.2): the Catalyst form is the k-1-nested
+    zip_with shingle tower (plus a second tokenize for the prefix), a
+    large interpreted expression tree per row and per-entry analysis
+    cost; one mapInPandas pass computes both outputs with a plan of one
+    node."""
+    from pyspark.sql import types as T
+
+    id_type = {f.name: f.dataType for f in docs.schema.fields}[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("prefix", T.StringType()),
+            T.StructField("sh", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_pfx, out_sh = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (
+                    [t for t in text.split(" ") if t]
+                    if text is not None
+                    else []
+                )
+                out_id.append(did)
+                out_pfx.append(" ".join(toks[:prefix_len]))
+                out_sh.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + k])
+                            for i in range(len(toks) - k + 1)
+                        )
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_id, dtype=object),
+                    "prefix": pd.Series(out_pfx, dtype=object),
+                    "sh": pd.Series(out_sh, dtype=object),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
+
+
 def duplicate_ngram_coverage(
     docs: DataFrame,
     k: int = 3,
@@ -339,18 +408,23 @@ def duplicate_ngram_coverage(
         .groupBy(id_col)
         .agg(F.count_distinct("cp").alias("covered"))
     )
-    return (
-        base.select(F.col(id_col), F.size("__toks").cast("bigint").alias("n_tokens"))
-        .join(cov, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            F.round(
-                F.coalesce(F.col("covered"), F.lit(0)).cast("double")
-                / F.col("n_tokens"),
-                4,
-            ).alias("dup_ngram_frac"),
-        )
+    # n_tokens comes from the shingle table itself (max shingle pos + k —
+    # every surviving doc has >= 1 shingle, so max(pos) is defined), NOT a
+    # second tokenize pass over the corpus text: the partial-max shuffle is
+    # ~1 row per doc, while re-deriving `base` re-ran the tokenize kernel
+    # over every document (guide §1.2 — don't recompute what a consumer
+    # already materialized).
+    ntok = sh.groupBy(id_col).agg(
+        (F.max("pos") + F.lit(k)).cast("bigint").alias("n_tokens")
+    )
+    return ntok.join(cov, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.round(
+            F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+            / F.col("n_tokens"),
+            4,
+        ).alias("dup_ngram_frac"),
     )
 
 
@@ -369,63 +443,60 @@ def strip_duplicate_ngrams(
     (id, n_tokens, n_kept, clean_text); docs shorter than k tokens carry
     no shingles and pass through unchanged.
 
-    Scale shape: the position explode is linear (1 row per token), the
-    k-gram frequency table is one shuffle with map-side partials, covered
-    positions come back through an AQE-sized join, and the rebuild is a
-    per-doc aggregate whose row size is bounded by the document itself
-    (array_sort of (pos, tok) structs — no window, no global sort). The
-    clean_text value is engine-independent (same tokens, same order), so
-    the DuckDB oracle hash-checks the rebuilt text verbatim.
+    Scale shape (guide §2.3 — shuffle the lightweight proxy, never the
+    payload): the position explode is linear (1 row per token), the
+    k-gram frequency table is one shuffle with map-side partials, and the
+    only other shuffle carries the COVERED positions (duplicated-gram
+    hits only) into one int-set per doc; the doc side joins that set back
+    by id (AQE broadcasts the small set side) and the rebuild is a
+    row-local index filter over the doc's own token array — no per-token
+    rebuild shuffle, no per-doc sort. The r12 shape shuffled every
+    (id, pos, tok) row TWICE (an anti-join on (id, pos) plus a
+    collect_list groupBy — O(corpus tokens) both ways); this shape moves
+    only the covered positions. The clean_text value is engine-
+    independent (same tokens, same order), so the DuckDB oracle
+    hash-checks the rebuilt text verbatim.
 
-    The tokenized base feeds THREE consumers (position table, shingle
-    table, final length join), so it is persisted spill-tolerantly —
-    unpersisted, each consumer re-ran the tokenize kernel (plan audit:
-    4 scans), the same lesson as duplicate_ngram_coverage's default."""
+    The tokenized base feeds TWO consumers (shingle table, final rebuild
+    join), so it is persisted spill-tolerantly — unpersisted, each
+    consumer re-ran the tokenize kernel, the same lesson as
+    duplicate_ngram_coverage's default."""
     from pyspark import StorageLevel
 
     toks = TX.tokens(text_col)
     base = docs.select(F.col(id_col), toks.alias("__toks")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    pos_tok = base.select(
-        F.col(id_col), F.posexplode("__toks").alias("pos", "tok")
-    )
     sh = base.filter(F.size("__toks") >= k).select(
         F.col(id_col),
         F.posexplode(TX.word_shingles(F.col("__toks"), k)).alias("pos", "sh"),
     )
     freq = sh.groupBy("sh").agg(F.count("*").alias("n"))
-    # NOTE: no .distinct() on the covered set — overlapping duplicate
-    # shingles do cover positions multiply, but LEFT ANTI join semantics
-    # ignore right-side multiplicity, so deduplicating here would only add
-    # a full extra shuffle of the covered positions for the same result.
     covered = sh.join(freq.filter(F.col("n") >= min_dup), "sh").select(
         F.col(id_col),
         F.explode(
             F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
         ).alias("pos"),
     )
-    kept = pos_tok.join(covered, [id_col, "pos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
-            ),
-        ).alias("clean_text"),
+    # one bounded int-set per doc (collect_set dedups the overlapping
+    # shingle coverage with map-side partials)
+    cov_set = covered.groupBy(id_col).agg(
+        F.collect_set("pos").alias("__cov")
+    )
+    kept = F.when(F.col("__cov").isNull(), F.col("__toks")).otherwise(
+        F.filter(
+            F.col("__toks"),
+            lambda _t, i: ~F.array_contains(F.col("__cov"), i),
+        )
     )
     return (
-        base.select(
-            F.col(id_col), F.size("__toks").cast("bigint").alias("n_tokens")
-        )
-        .join(rebuilt, id_col, "left")
+        base.join(cov_set, id_col, "left")
+        .withColumn("__kept", kept)
         .select(
             id_col,
-            "n_tokens",
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.size("__toks").cast("bigint").alias("n_tokens"),
+            F.size("__kept").cast("bigint").alias("n_kept"),
+            F.concat_ws(" ", F.col("__kept")).alias("clean_text"),
         )
     )
 
@@ -692,18 +763,19 @@ def cross_doc_ngram_coverage(
         .groupBy(id_col)
         .agg(F.count_distinct("cp").alias("covered"))
     )
-    return (
-        base.select(F.col(id_col), F.size("__toks").cast("bigint").alias("n_tokens"))
-        .join(cov, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            F.round(
-                F.coalesce(F.col("covered"), F.lit(0)).cast("double")
-                / F.col("n_tokens"),
-                4,
-            ).alias("shared_ngram_frac"),
-        )
+    # n_tokens from the persisted shingle table (max pos + k), not a second
+    # tokenize pass — same reasoning as the within-doc twin above.
+    ntok = sh.groupBy(id_col).agg(
+        (F.max("pos") + F.lit(k)).cast("bigint").alias("n_tokens")
+    )
+    return ntok.join(cov, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.round(
+            F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+            / F.col("n_tokens"),
+            4,
+        ).alias("shared_ngram_frac"),
     )
 
 

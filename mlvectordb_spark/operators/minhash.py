@@ -89,6 +89,103 @@ def bands_from_signatures(
     )
 
 
+def signature_shingle_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """(id, sh, m0..m7) in ONE Arrow-batched pass — the fused twin of
+    `shingle_table` + `signature_table` for consumers that need BOTH the
+    shingle sets and the signatures (the near-dup query and the estimator
+    calibration). Value-identical to the Catalyst kernels by construction
+    (pinned by tests/test_kernels.py parity): same single-space
+    tokenization, same first-occurrence-ordered distinct k-shingles, same
+    two-md5 64-hex-chunk signature, same lexicographic min; docs too
+    short to shingle are dropped.
+
+    Why Python here (guide §4.2): the Catalyst form explodes shingles to
+    rows, runs two md5 + eight substring expressions per shingle, and
+    shuffles the partial mins back into one row per doc — a huge
+    expression tree (the k-1 nested zip_with shingle tower plus 16
+    hash/substring exprs) that costs analysis/codegen time per entry on
+    top of the per-row eval. One mapInPandas pass computes shingles AND
+    the 8 mins per doc with NO explode, NO aggregation shuffle, and a
+    plan of one node; hashlib.md5 over short strings is cheap and the
+    batch loop is bounded by doc length, the same budget the Catalyst
+    kernel spends. The md5-hex construction (the cross-engine oracle
+    contract) is unchanged."""
+    from pyspark.sql import types as T
+
+    id_type = {f.name: f.dataType for f in docs.schema.fields}[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("sh", T.ArrayType(T.StringType())),
+        ]
+        + [
+            T.StructField(f"m{i}", T.StringType())
+            for i in range(NUM_MINHASHES)
+        ]
+    )
+    nmh = NUM_MINHASHES
+
+    def kernel(batches):
+        from hashlib import md5
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_sh = [], []
+            out_m = [[] for _ in range(nmh)]
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (
+                    [t for t in text.split(" ") if t]
+                    if text is not None
+                    else []
+                )
+                if len(toks) < k:
+                    continue
+                sh = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + k])
+                        for i in range(len(toks) - k + 1)
+                    )
+                )
+                mins = None
+                for s in sh:
+                    b = s.encode("utf-8")
+                    h = (
+                        md5(b"0:" + b).hexdigest()
+                        + md5(b"1:" + b).hexdigest()
+                    )
+                    ch = [h[j * 8 : j * 8 + 8] for j in range(nmh)]
+                    if mins is None:
+                        mins = ch
+                    else:
+                        mins = [
+                            a if a < c else c for a, c in zip(mins, ch)
+                        ]
+                out_id.append(did)
+                out_sh.append(sh)
+                for j in range(nmh):
+                    out_m[j].append(mins[j])
+            # object dtype throughout: an empty batch would otherwise
+            # infer float64 columns, which Arrow cannot cast to
+            # list<string>/string targets
+            data = {
+                id_col: pd.Series(out_id, dtype=object),
+                "sh": pd.Series(out_sh, dtype=object),
+            }
+            for j in range(nmh):
+                data[f"m{j}"] = pd.Series(out_m[j], dtype=object)
+            yield pd.DataFrame(data)
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema=out_schema
+    )
+
+
 def bands_from_shingles(
     sh_df: DataFrame, id_col: str = "doc_id", sh_col: str = "sh"
 ) -> DataFrame:
@@ -144,10 +241,13 @@ def band_candidate_pairs(
     bucket = F.when(
         nb > 1, hash_bucket_wide(F.col(id_col), salt) % nb
     ).otherwise(F.lit(0).cast("bigint"))
+    # LAZY checkpoint: both entries consume the pair table inside ONE
+    # final action, whose first stage materializes it — same sharing, one
+    # less driver job round trip than the eager form (guide §1.2)
     bucketed = (
         banded.withColumn("bucket", bucket)
         .select(id_col, "band_idx", "band_hash", "bucket")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = bucketed.select(
         F.col(id_col).alias("doc_a"), "band_idx", "band_hash", "bucket"

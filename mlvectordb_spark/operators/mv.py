@@ -288,41 +288,59 @@ def join_mv_delta(
     legs: list[DataFrame] = []
     out_cols = [*group_cols, "__sign", *[c for c in measure_cols if c not in group_cols]]
 
-    def _pruned(table: DataFrame, feed: DataFrame) -> DataFrame:
+    def _materialized_leg(feed: DataFrame, table: DataFrame) -> DataFrame:
+        """Signed feed + key-pruned table side, ONE driver job per leg.
+
+        The feed is consumed twice (key pruning + broadcast join), so it
+        must be materialized once — an uncheckpointed snapshot-diff feed
+        would re-run the whole version diff per consumer. Single-key path
+        (guide §1.2): the checkpoint is LAZY and the key-sampling
+        aggregate is its materializing action — one full-scan job returns
+        the distinct-key count, a bounded key sample, and the truncated
+        lineage together (the old shape paid an eager-checkpoint job plus
+        a separate limit-collect job per leg). Multi-key path keeps the
+        eager checkpoint: with no sampling job, the feed's first readers
+        would be the leg's TWO broadcast futures, which build
+        concurrently and could race into computing the feed twice."""
         if len(keys) == 1:
             k = keys[0]
-            vals = [
-                r[0]
-                for r in feed.select(k)
-                .distinct()
-                .limit(max_pushdown_keys + 1)
-                .collect()
-            ]
-            if len(vals) <= max_pushdown_keys:
-                # inner-join rows need non-NULL keys, so a plain isin
-                # (never NULL-matching) is exact here
-                return table.filter(
-                    F.col(k).isin([v for v in vals if v is not None])
+            sfeed = _signed(feed).localCheckpoint(eager=False)
+            # ONE collect_set (hash-agg with map-side partials — no
+            # count_distinct, whose planner rewrite adds an Expand and a
+            # second aggregation exchange to this job); size + bounded
+            # sample come from a projection over the finished set
+            n, vals = (
+                sfeed.agg(F.collect_set(k).alias("s"))
+                .select(
+                    F.size("s").alias("n"),
+                    F.slice("s", 1, max_pushdown_keys + 1).alias("vals"),
                 )
-        return table.join(F.broadcast(feed.select(*keys)), keys, "left_semi")
+                .head()
+            )
+            if n <= max_pushdown_keys:
+                # inner-join rows need non-NULL keys, so a plain isin
+                # (never NULL-matching) is exact here; collect_set and
+                # count_distinct both ignore NULL keys already
+                pruned = table.filter(F.col(k).isin(list(vals)))
+            else:
+                pruned = table.join(
+                    F.broadcast(sfeed.select(k)), keys, "left_semi"
+                )
+            return pruned.join(F.broadcast(sfeed), keys, "inner").select(
+                *out_cols
+            )
+        sfeed = _signed(feed).localCheckpoint(eager=True)
+        pruned = table.join(
+            F.broadcast(sfeed.select(*keys)), keys, "left_semi"
+        )
+        return pruned.join(F.broadcast(sfeed), keys, "inner").select(
+            *out_cols
+        )
 
-    # materialize each (batch-sized) signed feed ONCE: the leg consumes
-    # it twice (key pruning + broadcast join), and an uncheckpointed
-    # snapshot-diff feed would re-run the whole version diff per consumer
-    # — the same reason incremental_refresh_minmax checkpoints its
-    # affected set
     if fact_feed is not None:
-        sf = _signed(fact_feed).localCheckpoint(eager=True)
-        legs.append(
-            _pruned(dim_old, sf).join(F.broadcast(sf), keys, "inner")
-            .select(*out_cols)
-        )
+        legs.append(_materialized_leg(fact_feed, dim_old))
     if dim_feed is not None:
-        sd = _signed(dim_feed).localCheckpoint(eager=True)
-        legs.append(
-            _pruned(fact_new, sd).join(F.broadcast(sd), keys, "inner")
-            .select(*out_cols)
-        )
+        legs.append(_materialized_leg(dim_feed, fact_new))
     if not legs:
         raise ValueError("at least one of fact_feed/dim_feed is required")
     all_rows = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])

@@ -1839,7 +1839,9 @@ from mlvectordb_spark.operators.minhash import (  # noqa: E402
     SHINGLE_K,
     band_candidate_pairs,
     bands_from_shingles,
+    bands_from_signatures,
     shingle_table,
+    signature_shingle_table,
 )
 
 JACCARD_THRESHOLD = 0.3
@@ -1866,15 +1868,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism (at real scale the scan is already many-way parallel
     # and a row-local kernel must not shuffle corpus text)
     docs = fan_out_rowlocal(spark, sf_dir, docs)
-    sh = shingle_table(docs).cache()
-    banded = bands_from_shingles(sh)
+    # fused Arrow kernel: shingle sets AND signatures in one narrow pass
+    # (no explode, no agg shuffle, one-node plan — guide §4.2); value
+    # parity with the Catalyst kernels pinned in tests/test_kernels.py
+    ss = signature_shingle_table(docs).cache()
+    banded = bands_from_signatures(ss)
     pairs = band_candidate_pairs(banded)
     # Enrichment joins carry NO broadcast hint: the shingle table grows
     # linearly with the corpus, so forcing it into a broadcast OOMs at
     # scale (round-2 verdict). The candidate-pair side is the naturally
     # small side; AQE picks broadcast-vs-shuffle from runtime sizes.
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sh_a = ss.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = ss.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     enriched = pairs.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
@@ -1904,30 +1909,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |distinct prefixes| rows — vocabulary-bounded, far below corpus size —
     so it broadcasts. Cross-bucket pairs are a disclosed recall tradeoff
     (the standard blocked-dedup contract)."""
-    from mlvectordb_spark.operators.curation import hash_bucket_wide
+    from mlvectordb_spark.operators.curation import (
+        hash_bucket_wide,
+        shingle_prefix_table,
+    )
 
     docs = fan_out_rowlocal(spark, sf_dir, load_table(spark, sf_dir, "documents"))
-    prefix = F.concat_ws(" ", F.slice(TX.tokens("text"), 1, 2))
-    nb = (
-        docs.select(prefix.alias("prefix"))
-        .groupBy("prefix")
-        .agg(F.ceil(F.count("*") / F.lit(float(NGRAM_BLOCK_CAP))).cast("int").alias("nb"))
+    # fused Arrow kernel: block prefix AND distinct shingle set in one
+    # narrow pass (guide §4.2; value parity with the Catalyst form pinned
+    # in tests/test_kernels.py). Materialized ONCE: the prefix-count
+    # aggregate, the broadcast-join probe, and both self-join branches all
+    # read the checkpointed table — the old shape ran the tokenize+shingle
+    # kernel TWICE (once for the prefix counts, once inside the base
+    # checkpoint's join).
+    st = shingle_prefix_table(docs, k=SHINGLE_K).localCheckpoint()
+    nb = st.groupBy("prefix").agg(
+        F.ceil(F.count("*") / F.lit(float(NGRAM_BLOCK_CAP))).cast("int").alias("nb")
     )
     base = (
-        docs.select(
-            "doc_id",
-            prefix.alias("prefix"),
-            F.array_distinct(TX.word_shingles(TX.tokens("text"), SHINGLE_K)).alias("sh"),
-        )
-        .join(F.broadcast(nb), "prefix")
+        st.join(F.broadcast(nb), "prefix")
         .withColumn(
             "bucket", hash_bucket_wide(F.col("doc_id"), "ngramblk:") % F.col("nb")
         )
-        # both self-join branches consume this table: materialize it ONCE
-        # (the minhash path's checkpoint lesson) — unchecked, each branch
-        # re-executes the tokenize+shingle kernel AND the prefix-count
-        # aggregate (plan audit: 4 scans -> 2 kernel runs)
-        .localCheckpoint()
     )
     a = base.select(
         "prefix", "bucket", F.col("doc_id").alias("doc_a"),
@@ -3836,7 +3839,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the iteration reads materialized pair blocks."""
     from mlvectordb_spark.operators.components import dedup_cluster_assignment
 
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    pairs = (
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        # lazy: materialized by the component seed's first job, which
+        # reads both union branches of the symmetrized edge table from
+        # this one RDD — same once-only execution, one less job
+        .localCheckpoint(eager=False)
+    )
     return dedup_cluster_assignment(pairs).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("cluster").cast("bigint").alias("cluster"),
@@ -3984,7 +3994,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         q_dedup_ngram_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     clusters = dedup_cluster_assignment(pairs)
     return keep_best_per_cluster(clusters, docs).select(
@@ -4387,27 +4397,26 @@ def q_minhash_sim_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     components via the estimate). Same bounded candidate generation as
     dedup_minhash; the signature join adds two bounded-side enrichments.
 
-    The signature table feeds BOTH the band/candidate pipeline and the
-    estimate join, so it is localCheckpointed once (8 fixed-width strings
-    per doc — strictly smaller than the shingle cache) and the md5 +
-    groupBy-min kernel runs a single time instead of once per consumer."""
+    Shingle sets and signatures come from ONE fused Arrow pass
+    (`signature_shingle_table`, guide §4.2 — value parity with the
+    Catalyst kernels pinned in tests/test_kernels.py), cached once and
+    feeding BOTH the band/candidate pipeline and the estimate join — no
+    explode, no agg shuffle, no separate shingle↔signature join."""
     from mlvectordb_spark.operators.minhash import (
         NUM_MINHASHES,
         band_candidate_pairs,
         bands_from_signatures,
-        shingle_table,
-        signature_table,
+        signature_shingle_table,
     )
 
     docs = fan_out_rowlocal(spark, sf_dir, load_table(spark, sf_dir, "documents"))
-    sh = shingle_table(docs).cache()
-    sig_row = signature_table(sh).localCheckpoint()
-    pairs = band_candidate_pairs(bands_from_signatures(sig_row))
-    sig = sig_row.select(
+    ss = signature_shingle_table(docs).cache()
+    pairs = band_candidate_pairs(bands_from_signatures(ss))
+    sh_sig = ss.select(
         "doc_id",
+        "sh",
         F.array(*[F.col(f"m{i}") for i in range(NUM_MINHASHES)]).alias("sig"),
     )
-    sh_sig = sh.join(sig, "doc_id")
     a = sh_sig.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh").alias("sh_a"),

@@ -76,3 +76,90 @@ def test_metric_expr_rejects_unknown():
         V.metric_expr(F.col("a"), F.col("b"), "manhattan")
     with pytest.raises(ValueError):
         V.metric_ascending("manhattan")
+
+
+def test_fused_minhash_kernel_matches_catalyst(spark):
+    """signature_shingle_table (one Arrow pass) must be value-identical to
+    shingle_table + signature_table (the Catalyst kernels the DuckDB
+    oracle mirrors): same surviving docs, same first-occurrence-ordered
+    distinct shingles, same 8 signature components — including edge docs
+    (too short to shingle, repeated shingles, multi-space runs, NULL)."""
+    from mlvectordb_spark.operators.minhash import (
+        NUM_MINHASHES,
+        shingle_table,
+        signature_shingle_table,
+        signature_table,
+    )
+    from mlvectordb_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (100001, "one two"),                      # too short: dropped
+            (100002, "a b c a b c a b c"),            # repeated shingles
+            (100003, "  spaced   out   tokens here"),  # multi-space runs
+            (100004, None),                            # null text
+            (100005, "x y z"),                         # exactly one shingle
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(edge)
+    sh = shingle_table(docs)
+    want = {
+        r.doc_id: (list(r.sh), [r[f"m{i}"] for i in range(NUM_MINHASHES)])
+        for r in sh.join(signature_table(sh), "doc_id").collect()
+    }
+    got = {
+        r.doc_id: (list(r.sh), [r[f"m{i}"] for i in range(NUM_MINHASHES)])
+        for r in signature_shingle_table(docs).collect()
+    }
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did] == want[did], f"doc {did} diverged"
+
+
+def test_fused_shingle_prefix_matches_catalyst(spark):
+    """shingle_prefix_table (one Arrow pass) must be value-identical to
+    the Catalyst blocking form the jaccard query used — same prefix
+    (concat_ws over the first two tokens, "" for empty/NULL text), same
+    first-occurrence-ordered distinct shingles, EVERY doc kept (shingle-
+    less docs carry an empty array)."""
+    from mlvectordb_spark.functions import text as TX
+    from mlvectordb_spark.operators.curation import shingle_prefix_table
+    from mlvectordb_spark.operators.minhash import SHINGLE_K
+    from mlvectordb_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (100001, "one two"),                       # too short: kept, sh=[]
+            (100002, "a b c a b c a b c"),             # repeated shingles
+            (100003, "  spaced   out   tokens here"),  # multi-space runs
+            (100004, None),                            # null text
+            (100005, "x y z"),                         # exactly one shingle
+            (100006, ""),                              # empty text
+            (100007, "solo"),                          # one token
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(edge)
+    toks = TX.tokens("text")
+    want = {
+        r.doc_id: (r.prefix, list(r.sh))
+        for r in docs.select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(toks, 1, 2)).alias("prefix"),
+            F.array_distinct(TX.word_shingles(toks, SHINGLE_K)).alias("sh"),
+        ).collect()
+    }
+    got = {
+        r.doc_id: (r.prefix, list(r.sh))
+        for r in shingle_prefix_table(docs, k=SHINGLE_K).collect()
+    }
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did] == want[did], f"doc {did} diverged"
